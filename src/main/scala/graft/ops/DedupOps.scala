@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import TextOps.{tokens, HashMod}
+
+/** Deduplication operators for training-data pipelines: exact hashing,
+  * MinHash signatures + banded LSH candidate pairs, n-gram Jaccard
+  * verification, SimHash. All column-expression / join based — the LSH
+  * band join is the 100 TB path (shuffle keyed on band hash, never
+  * all-pairs); the pairwise Jaccard join is keyed on shared shingles
+  * with a document-frequency cap so hot shingles can't explode.
+  *
+  * Hashing goes through md5-hex→int64 (portable across Spark/DuckDB) so
+  * every operator carries an exact oracle.
+  */
+object DedupOps {
+
+  /** Word 3-gram shingles of the lowercased token stream. */
+  def shingles(c: Column): Column = {
+    val w = tokens(c)
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle hashes in [0, HashMod). */
+  def shingleHashes(c: Column): Column =
+    array_distinct(transform(shingles(c), s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashMod))
+
+  /** MinHash parameters: signature i = min over shingles of
+    * (A(i)*h + B(i)) mod p. A*h stays < 2^63 because h < p ≈ 2^30. */
+  val A = Seq(131L, 137L, 139L, 149L)
+  val B = Seq(17L, 19L, 23L, 29L)
+  /** Sentinel for empty shingle sets (min over empty). */
+  val EmptySig = HashMod
+
+  def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val hs = shingleHashes(col(textCol))
+    val sigCols = A.indices.map { i =>
+      coalesce(
+        array_min(transform(hs, h => (lit(A(i)) * h + lit(B(i))) % HashMod)),
+        lit(EmptySig)).as(s"m$i")
+    }
+    docs.select((col("doc_id") +: sigCols): _*)
+  }
+
+  /** Banded LSH candidate pairs: 2 bands × 2 rows over the 4-hash
+    * signature; docs agreeing on all rows of any band become a pair.
+    * The join is keyed on (band_id, band_hash) — bounded shuffle. */
+  def lshCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol)
+    val bands = sigs.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"), concat_ws("_", col("m0"), col("m1")).as("key")),
+        struct(lit(1).as("band"), concat_ws("_", col("m2"), col("m3")).as("key")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val l = bands.select(col("band"), col("key"), col("doc_id").as("d1"))
+    val r = bands.select(col("band").as("band2"), col("key").as("key2"), col("doc_id").as("d2"))
+    l.join(r, col("band") === col("band2") && col("key") === col("key2") &&
+        col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+    * Hot shingles (document frequency > dfCap) are dropped from
+    * candidate generation — the scale guard against quadratic blowup —
+    * but Jaccard itself is computed on the full shingle sets. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+      minJaccard: Double = 0.2, dfCap: Int = 50): DataFrame = {
+    val docShingles = docs.select(col("doc_id"),
+      explode(shingleHashes(col(textCol))).as("sh"))
+    val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap && col("df") >= 2)
+    val candidates = docShingles.join(rare, "sh")
+      .select(col("sh"), col("doc_id").as("d1"))
+      .join(docShingles.join(rare, "sh").select(col("sh").as("sh2"), col("doc_id").as("d2")),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared_rare"))
+    // exact intersection over ALL shingles for the surviving pairs
+    val inter = docShingles.select(col("sh"), col("doc_id").as("d1"))
+      .join(docShingles.select(col("sh").as("sh2"), col("doc_id").as("d2")),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
+    candidates.select("d1", "d2")
+      .join(inter, Seq("d1", "d2"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "n_inter", "jaccard")
+  }
+
+  /** 16-bit SimHash over the (multiset of) token hashes: bit j is set
+    * when more tokens have bit j set than clear. */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long") % 65536)
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    "dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(lower(trim(col("text")))).as("content_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))),
+    "dedup_minhash_sig" -> ((s, d) => minhashSignatures(t(s, d, "documents"))),
+    "dedup_lsh_pairs" -> ((s, d) => lshCandidatePairs(t(s, d, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(t(s, d, "documents"))),
+    "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents")))
+  )
+
+  private val sqlShingleHashes =
+    s"""list_distinct(list_transform(
+       |  CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')) >= 3
+       |  THEN list_transform(range(1, len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')) - 1),
+       |    i -> list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')[i] || ' ' ||
+       |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')[i+1] || ' ' ||
+       |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')[i+2])
+       |  ELSE [] END,
+       |  s -> ('0x' || substr(md5(s),1,15))::BIGINT % ${HashMod}))""".stripMargin
+
+  private def sqlMinhash(i: Int) =
+    s"coalesce(list_min(list_transform($sqlShingleHashes, h -> (${A(i)}*h + ${B(i)}) % ${HashMod})), ${EmptySig})"
+
+  private val sqlSimhashBits = (0 until 16).map(j =>
+    s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
+  private val sqlSimhashCombine = (0 until 16).map(j =>
+    s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_hash,
+        |  COUNT(1) AS n_docs, MIN(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
+         |  ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
+         |FROM documents""".stripMargin,
+
+    "dedup_lsh_pairs" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
+         |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
+         |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, m2::VARCHAR || '_' || m3::VARCHAR AS key FROM sigs)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, unnest($sqlShingleHashes) AS sh FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM ds GROUP BY 1),
+         |rare AS (SELECT sh FROM ds GROUP BY sh HAVING COUNT(1) <= 50 AND COUNT(1) >= 2),
+         |cand AS (
+         |  SELECT a.d1, a.d2 FROM (
+         |    SELECT x.doc_id AS d1, y.doc_id AS d2
+         |    FROM (SELECT * FROM ds WHERE sh IN (SELECT sh FROM rare)) x
+         |    JOIN (SELECT * FROM ds WHERE sh IN (SELECT sh FROM rare)) y
+         |      ON x.sh = y.sh AND x.doc_id < y.doc_id) a
+         |  GROUP BY 1, 2),
+         |inter AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(1) AS n_inter
+         |  FROM ds x JOIN ds y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.d1, i.d2, i.n_inter,
+         |  i.n_inter::DOUBLE / (s1.n_sh + s2.n_sh - i.n_inter)::DOUBLE AS jaccard
+         |FROM cand c
+         |JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+         |JOIN sizes s1 ON i.d1 = s1.doc_id
+         |JOIN sizes s2 ON i.d2 = s2.doc_id
+         |WHERE i.n_inter::DOUBLE / (s1.n_sh + s2.n_sh - i.n_inter)::DOUBLE >= 0.2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''))),1,15))::BIGINT % 65536 AS h
+         |  FROM documents),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $sqlSimhashBits
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, CAST($sqlSimhashCombine AS BIGINT) AS simhash FROM bits""".stripMargin
+  )
+}

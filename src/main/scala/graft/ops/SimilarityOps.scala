@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Approximate-nearest-neighbor / similarity-search operators over an
+  * embedding column (`array<float>`).
+  *
+  *  - [[cosine]]: double-precision dot/norm via zip_with + aggregate
+  *    HOFs (codegen'd, sequential left-to-right accumulation — matches
+  *    DuckDB's list_reduce order for oracle parity).
+  *  - [[bruteForceTopK]]: exact top-k for a query subset — the
+  *    correctness baseline. At scale: queries × corpus is a broadcast
+  *    join (queries are small), corpus-partition-local top-k via
+  *    window; no all-pairs shuffle.
+  *  - [[lshBuckets]]: random-hyperplane LSH — integer-LCG planes, so
+  *    the bucketing is reproducible in plain SQL (the scale path:
+  *    candidate generation becomes an equi-join on bucket id).
+  */
+object SimilarityOps {
+
+  /** Sequential double-precision dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k neighbors for query vectors. */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    q.join(broadcast(c), col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** All pairs with cosine ≥ tau (embedding-space near-duplicates).
+    * Brute force here; the LSH-bucketed variant is the scale path. */
+  def nearDupPairs(embeddings: DataFrame, tau: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .filter(col("sim") >= tau)
+      .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket per vector: plane i, dim j has
+    * weight ((31*i + 17*j + 7) mod 2001 - 1000) — an integer LCG, so
+    * identical in any engine. Bucket = Σ (dot(plane_i, v) > 0) << i. */
+  def lshBuckets(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val emb = col("embedding")
+    val bucketBits = (0 until nPlanes).map { i =>
+      // dot(plane_i, v) via aggregate over dim index
+      val dotI = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) =>
+          x.cast("double") * (((lit(31) * i + lit(17) * j + 7) % 2001) - 1000).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotI > 0, lit(1L << i)).otherwise(0L)
+    }
+    embeddings.select(col("vec_id"), col("label").cast("long").as("label"),
+      bucketBits.reduce(_ + _).as("bucket"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    "sim_topk" -> ((s, d) =>
+      bruteForceTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10)),
+    "sim_neardup_pairs" -> ((s, d) =>
+      nearDupPairs(t(s, d, "embeddings"), tau = 0.45)),
+    "sim_lsh_buckets" -> ((s, d) => lshBuckets(t(s, d, "embeddings")))
+  )
+
+  private val sqlCos =
+    """list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.e, b.e), s -> s[1]::DOUBLE * s[2]::DOUBLE)), (x,y) -> x+y)
+      | / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(a.e, x -> x::DOUBLE * x::DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(b.e, x -> x::DOUBLE * x::DOUBLE)), (x,y) -> x+y)))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |sims AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $sqlCos AS sim
+         |  FROM e a JOIN e b ON a.vec_id % 100 = 0 AND a.vec_id != b.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |  FROM sims)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "sim_neardup_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS e FROM embeddings)
+         |SELECT a.vec_id AS d1, b.vec_id AS d2, ROUND($sqlCos, 6) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE $sqlCos >= 0.45""".stripMargin,
+
+    "sim_lsh_buckets" ->
+      s"""SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(${(0 until 8).map(i =>
+             s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                |    list_transform(list_zip(embedding, range(0, len(embedding))), s ->
+                |      s[1]::DOUBLE * (((31*$i + 17*s[2] + 7) % 2001) - 1000)::DOUBLE)),
+                |    (x,y) -> x+y) > 0 THEN ${1L << i} ELSE 0 END""".stripMargin)
+             .mkString(" + ")} AS BIGINT) AS bucket
+         |FROM embeddings""".stripMargin
+  )
+}

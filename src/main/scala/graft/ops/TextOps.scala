@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting (whitespace + BPE-ish regex), quality scoring,
+  * heuristic language ID, and document fingerprinting (rolling hash).
+  *
+  * All pure column expressions (codegen'd, no UDFs) — at 100 TB these
+  * run as a single scan with no shuffle; every formula is expressible
+  * in ANSI-ish SQL so each query carries a DuckDB oracle.
+  *
+  * Cross-engine portability rules: tokens = whitespace split of
+  * trim()'d text with empty strings filtered (Spark and DuckDB treat
+  * boundary empties differently); hashes go through md5-hex→int64
+  * (identical in both engines) instead of engine hash functions.
+  */
+object TextOps {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace tokens, empties filtered, lowercased. */
+  def tokens(c: Column): Column =
+    filter(split(trim(lower(c)), "\\s+"), x => x =!= "")
+
+  /** Portable 60-bit string hash → [0, HashMod). */
+  def strHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % HashMod
+
+  /** BPE-ish token count: letter runs, digit runs, single symbols. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private val stopEn = Seq("the", "and", "of", "to", "is")
+
+  // ---------------------------------------------------------------- ops
+
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      regexp_count(col(textCol), lit(BpePattern)).cast("long").as("n_bpe_tokens"),
+      (aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        greatest(size(toks), lit(1)).cast("double")).as("mean_token_len"))
+  }
+
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val nChar = greatest(length(col(textCol)), lit(1)).cast("double")
+    val stopCnt = size(filter(toks, x => x.isin(stopEn: _*))).cast("double")
+    val punctCnt = regexp_count(col(textCol), lit("[.,!?;:]")).cast("double")
+    val upperCnt = regexp_count(col(textCol), lit("[A-Z]")).cast("double")
+    val meanWlen = aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      (stopCnt / nTok).as("stopword_ratio"),
+      (punctCnt / nChar).as("punct_ratio"),
+      (upperCnt / nChar).as("upper_ratio"),
+      round(
+        (stopCnt / nTok) * 0.5 +
+          least(meanWlen / 10.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - punctCnt / nChar) * 0.2, 6).as("quality_score"))
+  }
+
+  /** Stopword-vote language ID (n-gram-free heuristic; deterministic
+    * argmax with fixed priority en > de > fr > es). */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    def score(words: Seq[String]) = size(filter(toks, x => x.isin(words: _*))).cast("long")
+    val en = score(Seq("the", "and", "of", "to", "is"))
+    val de = score(Seq("der", "die", "und", "ist", "das"))
+    val fr = score(Seq("le", "les", "et", "est", "une"))
+    val es = score(Seq("el", "los", "y", "es", "una"))
+    docs.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("en_score"), de.as("de_score"), fr.as("fr_score"), es.as("es_score"),
+      when(en >= greatest(de, fr, es) && en > 0, "en")
+        .when(de >= greatest(fr, es) && de > 0, "de")
+        .when(fr >= es && fr > 0, "fr")
+        .when(es > 0, "es")
+        .otherwise("und").as("pred_lang"))
+  }
+
+  /** Order-sensitive rolling fingerprint over token hashes:
+    * acc = (acc * 131 + h(tok)) mod p. */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val tokHashes = transform(toks, x =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long") % HashMod)
+    docs.select(
+      col("doc_id"),
+      aggregate(tokHashes, lit(0L), (acc, h) => (acc * 131L + h) % HashMod)
+        .as("fingerprint"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    "txt_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents"))),
+    "txt_quality" -> ((s, d) => qualityScore(t(s, d, "documents"))),
+    "txt_langid" -> ((s, d) => languageId(t(s, d, "documents"))),
+    "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
+    "mm_binary_meta" -> ((s, d) =>
+      // Multimodal plumbing demo: opaque binary payload column + typed
+      // metadata extracted without decoding (byte length + checksum).
+      t(s, d, "documents").select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("payload_md5"),
+        col("source")))
+  )
+
+  // Shared SQL fragments keep the Spark and DuckDB formulations aligned.
+  private val sqlToks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+  private def sqlScore(words: Seq[String]) =
+    s"len(list_filter($sqlToks, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val oracle: Map[String, String] = Map(
+    "txt_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($sqlToks)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(list_reduce(list_prepend(0::BIGINT, list_transform($sqlToks, x -> length(x)::BIGINT)), (a,b) -> a+b) AS DOUBLE)
+         |    / CAST(greatest(len($sqlToks), 1) AS DOUBLE) AS mean_token_len
+         |FROM documents""".stripMargin,
+
+    "txt_quality" ->
+      s"""SELECT doc_id,
+         |  ${sqlScore(stopEn)}::DOUBLE / greatest(len($sqlToks),1)::DOUBLE AS stopword_ratio,
+         |  len(regexp_extract_all(text,'[.,!?;:]'))::DOUBLE / greatest(length(text),1)::DOUBLE AS punct_ratio,
+         |  len(regexp_extract_all(text,'[A-Z]'))::DOUBLE / greatest(length(text),1)::DOUBLE AS upper_ratio,
+         |  ROUND(
+         |    (${sqlScore(stopEn)}::DOUBLE / greatest(len($sqlToks),1)::DOUBLE) * 0.5
+         |    + least((list_reduce(list_prepend(0::BIGINT, list_transform($sqlToks, x -> length(x)::BIGINT)), (a,b) -> a+b)::DOUBLE
+         |             / greatest(len($sqlToks),1)::DOUBLE) / 10.0, 1.0) * 0.3
+         |    + (1.0 - len(regexp_extract_all(text,'[.,!?;:]'))::DOUBLE / greatest(length(text),1)::DOUBLE) * 0.2,
+         |    6) AS quality_score
+         |FROM documents""".stripMargin,
+
+    "txt_langid" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CAST(${sqlScore(Seq("the", "and", "of", "to", "is"))} AS BIGINT) AS en_score,
+         |  CAST(${sqlScore(Seq("der", "die", "und", "ist", "das"))} AS BIGINT) AS de_score,
+         |  CAST(${sqlScore(Seq("le", "les", "et", "est", "une"))} AS BIGINT) AS fr_score,
+         |  CAST(${sqlScore(Seq("el", "los", "y", "es", "una"))} AS BIGINT) AS es_score,
+         |  CASE
+         |    WHEN ${sqlScore(Seq("the", "and", "of", "to", "is"))} >= greatest(${sqlScore(Seq("der", "die", "und", "ist", "das"))}, ${sqlScore(Seq("le", "les", "et", "est", "une"))}, ${sqlScore(Seq("el", "los", "y", "es", "una"))})
+         |         AND ${sqlScore(Seq("the", "and", "of", "to", "is"))} > 0 THEN 'en'
+         |    WHEN ${sqlScore(Seq("der", "die", "und", "ist", "das"))} >= greatest(${sqlScore(Seq("le", "les", "et", "est", "une"))}, ${sqlScore(Seq("el", "los", "y", "es", "una"))})
+         |         AND ${sqlScore(Seq("der", "die", "und", "ist", "das"))} > 0 THEN 'de'
+         |    WHEN ${sqlScore(Seq("le", "les", "et", "est", "une"))} >= ${sqlScore(Seq("el", "los", "y", "es", "una"))}
+         |         AND ${sqlScore(Seq("le", "les", "et", "est", "une"))} > 0 THEN 'fr'
+         |    WHEN ${sqlScore(Seq("el", "los", "y", "es", "una"))} > 0 THEN 'es'
+         |    ELSE 'und' END AS pred_lang
+         |FROM documents""".stripMargin,
+
+    "txt_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform($sqlToks,
+         |        x -> ('0x' || substr(md5(x),1,15))::BIGINT % ${HashMod})),
+         |    (acc, h) -> (acc * 131 + h) % ${HashMod}) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  source
+        |FROM documents""".stripMargin
+  )
+}
