@@ -26,10 +26,10 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct shingle hashes in [0, HashMod). */
-  def shingleHashes(c: Column): Column =
-    array_distinct(transform(shingles(c), s =>
-      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashMod))
+  /** Distinct shingle hashes in [0, HashMod) — native kernel; the HOF
+    * chain (`array_distinct(transform(...md5...))`) is interpreted and
+    * duplicated at every use site (no subexpression elimination). */
+  def shingleHashes(c: Column): Column = graft.functions.TextNative.shingle_hashes(c)
 
   /** MinHash parameters: signature i = min over shingles of
     * (A(i)*h + B(i)) mod p. A*h stays < 2^63 because h < p ≈ 2^30. */
@@ -39,13 +39,11 @@ object DedupOps {
   val EmptySig = HashMod
 
   def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val hs = shingleHashes(col(textCol))
-    val sigCols = A.indices.map { i =>
-      coalesce(
-        array_min(transform(hs, h => (lit(A(i)) * h + lit(B(i))) % HashMod)),
-        lit(EmptySig)).as(s"m$i")
-    }
-    docs.select((col("doc_id") +: sigCols): _*)
+    // one-pass native kernel: all four lanes from a single shingle scan
+    val sig = graft.functions.TextNative.minhash_sig(col(textCol), A, B)
+    val sigCols = A.indices.map(i => element_at(col("_sig"), i + 1).as(s"m$i"))
+    docs.withColumn("_sig", sig)
+      .select((col("doc_id") +: sigCols): _*)
   }
 
   /** Banded LSH candidate pairs: 2 bands × 2 rows over the 4-hash
@@ -71,27 +69,27 @@ object DedupOps {
     * but Jaccard itself is computed on the full shingle sets. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       minJaccard: Double = 0.2, dfCap: Int = 50): DataFrame = {
-    val docShingles = docs.select(col("doc_id"),
-      explode(shingleHashes(col(textCol))).as("sh"))
-    val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rare = docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
+    // Scale shape: the ONLY pairwise join is on rare shingles (df in
+    // [2, dfCap]) — hot shingles can never fan out quadratically. The
+    // exact intersection is then computed per CANDIDATE pair with
+    // array_intersect over each doc's full (distinct) shingle array,
+    // instead of a second all-shingle self-join.
+    val docArr = docs.select(col("doc_id"), shingleHashes(col(textCol)).as("shs"))
+    val ds = docArr.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val rare = ds.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap && col("df") >= 2)
-    val candidates = docShingles.join(rare, "sh")
-      .select(col("sh"), col("doc_id").as("d1"))
-      .join(docShingles.join(rare, "sh").select(col("sh").as("sh2"), col("doc_id").as("d2")),
+    val rs = ds.join(rare, "sh")
+    val candidates = rs.select(col("sh"), col("doc_id").as("d1"))
+      .join(rs.select(col("sh").as("sh2"), col("doc_id").as("d2")),
         col("sh") === col("sh2") && col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared_rare"))
-    // exact intersection over ALL shingles for the surviving pairs
-    val inter = docShingles.select(col("sh"), col("doc_id").as("d1"))
-      .join(docShingles.select(col("sh").as("sh2"), col("doc_id").as("d2")),
-        col("sh") === col("sh2") && col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
-    candidates.select("d1", "d2")
-      .join(inter, Seq("d1", "d2"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .select("d1", "d2").distinct()
+    candidates
+      .join(docArr.select(col("doc_id").as("d1"), col("shs").as("shs1")), "d1")
+      .join(docArr.select(col("doc_id").as("d2"), col("shs").as("shs2")), "d2")
+      .withColumn("n_inter",
+        graft.functions.TextNative.sorted_inter_count(col("shs1"), col("shs2")))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("shs1")) + size(col("shs2")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("d1", "d2", "n_inter", "jaccard")
   }

@@ -21,23 +21,27 @@ import graft.Tables.t
   */
 object SimilarityOps {
 
-  /** Sequential double-precision dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential double-precision dot product of two float arrays —
+    * native codegen'd expression (identical accumulation order to the
+    * HOF `aggregate(zip_with(...))` form and DuckDB's list_reduce). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact cosine top-k neighbors for query vectors. */
+  /** Exact cosine top-k neighbors for query vectors. Norms are computed
+    * once per side BEFORE the join — the naive per-pair cosine pays the
+    * two norm traversals |Q|×|C| times instead of |Q|+|C|. */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
     val q = embeddings.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+    val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      norm(col("embedding")).as("n_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     q.join(broadcast(c), col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("sim", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
@@ -45,12 +49,15 @@ object SimilarityOps {
   }
 
   /** All pairs with cosine ≥ tau (embedding-space near-duplicates).
-    * Brute force here; the LSH-bucketed variant is the scale path. */
+    * Brute force here; the LSH-bucketed variant is the scale path.
+    * Norms precomputed per side (see [[bruteForceTopK]]). */
   def nearDupPairs(embeddings: DataFrame, tau: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("d1"), col("embedding").as("e1"))
-    val b = embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    val a = embeddings.select(col("vec_id").as("d1"), col("embedding").as("e1"),
+      norm(col("embedding")).as("nrm1"))
+    val b = embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+      norm(col("embedding")).as("nrm2"))
     a.join(b, col("d1") < col("d2"))
-      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .withColumn("sim", dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
       .filter(col("sim") >= tau)
       .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
   }
