@@ -165,6 +165,47 @@ class Analyzer(val params: AnalyzerParams = AnalyzerParams()) extends Serializab
       .drop("raw_min_lon", "raw_max_lon", "raw_min_lat", "raw_max_lat")
   }
 
+  // ---------------------------------------------------------------- O13
+  /** Corridor polygons per kept section (reference :476-712): the
+    * section's ordered pair midpoints are re-assembled with
+    * `sort_array(collect_list(struct(orderKey, midpoints)))` (Spark aggs
+    * are unordered — the order key rides inside the struct), then the
+    * pure [[CorridorGeometry]] kernel runs once per section row.
+    * Adds oriented_polygon / oriented_width_m / corridor_polygon /
+    * corridor_fallback columns. */
+  def sectionCorridors(sessionized: DataFrame, sections: DataFrame): DataFrame = {
+    val orderKey =
+      if (p.compat) Seq(col("s1"), col("compat_dx"), col("compat_dy"), col("s2"))
+      else Seq(col("s1"), col("s2"))
+    val rec = struct(
+      orderKey ++ Seq(col("lon1"), col("lat1"), col("lon2"), col("lat2")): _*)
+    val pairsBySection = sessionized
+      .groupBy("p1", "p2", "section")
+      .agg(sort_array(collect_list(rec)).as("pair_recs"))
+
+    val segM = p.segmentM
+    val detM = p.detectionRangeM
+    val compat = p.compat
+    val corridorUdf = udf((recs: Seq[org.apache.spark.sql.Row], cLon: Double, cLat: Double) => {
+      val pairs = recs.map { r =>
+        (LonLat(r.getAs[Double]("lon1"), r.getAs[Double]("lat1")),
+          LonLat(r.getAs[Double]("lon2"), r.getAs[Double]("lat2")))
+      }
+      val c = CorridorGeometry.compute(pairs, cLon, cLat, segM, detM, compat)
+      (c.orientedPolygon, c.orientedWidthM, c.corridorPolygon, c.usedFallback)
+    })
+
+    sections.join(pairsBySection, Seq("p1", "p2", "section"))
+      .withColumn("_corr",
+        corridorUdf(col("pair_recs"), col("center_lon"), col("center_lat")))
+      .drop("pair_recs")
+      .withColumn("oriented_polygon", col("_corr._1"))
+      .withColumn("oriented_width_m", col("_corr._2"))
+      .withColumn("corridor_polygon", col("_corr._3"))
+      .withColumn("corridor_fallback", col("_corr._4"))
+      .drop("_corr")
+  }
+
   // ---------------------------------------------------------------- O14
   /** Per-pipeline overlap rollup (reference :714-716, :747-756): distinct
     * bundled segment indices per pipeline over KEPT sections only. */
@@ -227,8 +268,12 @@ class Analyzer(val params: AnalyzerParams = AnalyzerParams()) extends Serializab
     val totalMi = if (totals.isNullAt(1)) 0.0 else totals.getDouble(1)
 
     if (nPipes < 2) {
-      val empty = spark.emptyDataFrame
-      return AnalysisResult(lengths, placemarks.toDF(), empty, empty,
+      // schema-correct EMPTY sections/overlaps: run the real dataflow
+      // over zero segments (plan-only cost) so sinks and consumers see
+      // the same columns as the ≥2-pipeline path
+      val sess0 = sessionize(parallelPairs(spark.emptyDataset[SegmentRow]))
+      val (sections0, overlaps0) = enrichOutputs(lengths, sess0, bundledSections(sess0))
+      return AnalysisResult(lengths, placemarks.toDF(), sections0, overlaps0,
         AnalysisSummary(nPipes, nPms, totalM, totalMi, 0, 0, 0, 0.0,
           totalM, totalMi, 0.0, 0.0, 0.0))
     }
@@ -237,7 +282,8 @@ class Analyzer(val params: AnalyzerParams = AnalyzerParams()) extends Serializab
     val pairs = parallelPairs(segs).persist(StorageLevel.MEMORY_AND_DISK)
     val sessionized = sessionize(pairs).persist(StorageLevel.MEMORY_AND_DISK)
     val sections = bundledSections(sessionized).persist(StorageLevel.MEMORY_AND_DISK)
-    val overlaps = pipelineOverlaps(sessionized, sections)
+
+    val (sectionsOut, overlaps) = enrichOutputs(lengths, sessionized, sections)
 
     val nSegments = segs.count()
     val nPairGroups = pairs.select("p1", "p2").distinct().count()
@@ -252,10 +298,24 @@ class Analyzer(val params: AnalyzerParams = AnalyzerParams()) extends Serializab
     val savingsM = math.max(0.0, totalM - effM)
     val savingsPct = if (totalM > 0) savingsM / totalM * 100 else 0.0
 
-    AnalysisResult(lengths, placemarks.toDF(), sections, overlaps,
+    AnalysisResult(lengths, placemarks.toDF(), sectionsOut, overlaps,
       AnalysisSummary(nPipes, nPms, totalM, totalMi, nSegments, nPairGroups,
         nSections, totalBundledM, effM, effM / Geodesic.SurveyMile,
         savingsM, savingsM / Geodesic.SurveyMile, savingsPct))
+  }
+
+  /** Names + corridor polygons on sections (reference bundled_sections
+    * shape, :718-745, sorted by length desc) and names on overlaps. */
+  private def enrichOutputs(
+      lengths: DataFrame, sessionized: DataFrame, sections: DataFrame): (DataFrame, DataFrame) = {
+    val names = lengths.select(col("id"), col("Name"))
+    val sectionsOut = sectionCorridors(sessionized, sections)
+      .join(names.select(col("id").as("p1"), col("Name").as("pipeline_1")), Seq("p1"))
+      .join(names.select(col("id").as("p2"), col("Name").as("pipeline_2")), Seq("p2"))
+      .orderBy(desc("bundled_length_miles"))
+    val overlaps = pipelineOverlaps(sessionized, sections)
+      .join(names.select(col("id").as("p"), col("Name").as("name")), Seq("p"))
+    (sectionsOut, overlaps)
   }
 
   private val neighborOffsets = {
