@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.DedupOps.queries ++
-      graft.ops.SimilarityOps.queries
+      graft.ops.SimilarityOps.queries ++
+      graft.ops.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.ops.TextOps.oracle ++
       graft.ops.DedupOps.oracle ++
-      graft.ops.SimilarityOps.oracle
+      graft.ops.SimilarityOps.oracle ++
+      graft.ops.StreamOps.oracle
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.streaming.EventStreams
+
+/** Batch-mode oracle checks for the Structured Streaming surface: each
+  * [[EventStreams]] transformation runs unchanged on the batch events
+  * table (the Structured Streaming contract), so its event-time
+  * semantics — window alignment, session merging, custom state — are
+  * hash-checked against DuckDB. Watermark/late-data/timeout behavior
+  * (stream-only) is covered by EventStreamsSpec with MemoryStream.
+  */
+object StreamOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    "stream_tumbling" -> ((s, d) =>
+      EventStreams.tumblingCounts(t(s, d, "events"))),
+    "stream_sliding" -> ((s, d) =>
+      EventStreams.slidingStats(t(s, d, "events"))),
+    "stream_session_window" -> ((s, d) =>
+      EventStreams.sessionWindows(t(s, d, "events"))),
+    "stream_stateful_sessions" -> ((s, d) =>
+      EventStreams.statefulSessions(EventStreams.toEv(t(s, d, "events"))).toDF()),
+    "stream_dedup" -> ((s, d) =>
+      EventStreams.dedupEvents(t(s, d, "events"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Spark's tumbling windows are epoch-aligned: start = us - us % len
+    "stream_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |  event_type, COUNT(1) AS n_events,
+        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // 1 h window / 15 min slide: every event is in exactly 4 windows
+    // with starts (us//sl - k)*sl for k in 0..3
+    "stream_sliding" ->
+      """SELECT ((epoch_us(ts) // 900000000) - k) * 900000000 AS window_start_us,
+        |  COUNT(1) AS n_events,
+        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+        |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) ks
+        |GROUP BY 1""".stripMargin,
+
+    // session_window semantics: a gap >= 30 min breaks; end = last + gap
+    "stream_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(ROUND(value*100) AS BIGINT) AS vc,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+        |  COUNT(1) AS n_events, SUM(vc) AS sum_value_c
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // custom FMGWS sessionizer: STRICT > gap breaks; end = last event
+    "stream_stateful_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(ROUND(value*100) AS BIGINT) AS vc,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), ROUND(value*100))
+        |), s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+        |  COUNT(1) AS n_events, SUM(vc) AS sum_value_c
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT COUNT(1) AS n_events,
+        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+        |FROM (SELECT DISTINCT ON (event_id) * FROM events)""".stripMargin
+  )
+}

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table (SURVEY §2.3
+  * "Streaming" row — absent in the reference, engine roadmap §7 M9).
+  *
+  * Every transformation here is written against a plain DataFrame and
+  * works UNCHANGED on a batch read or a `readStream` source — the
+  * Structured Streaming contract. Batch runs double as DuckDB-oracle
+  * correctness checks (see [[StreamOps]]); streaming execution
+  * (watermarks, append-mode window closes, late-data drops, state
+  * timeouts) is exercised with MemoryStream in EventStreamsSpec.
+  *
+  * Scale notes: windowed aggs shuffle once on (window, key) with
+  * partial aggregation map-side; session windows shuffle on user_id —
+  * the natural key at any scale; state size is bounded by watermark
+  * eviction (tumbling/sliding) or EventTimeTimeout (custom sessions).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. Watermark bounds state
+    * and admits ≤`watermark` of event-time lateness. */
+  def tumblingCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value_c"))
+
+  /** Sliding-window average value (1 h window every 15 min → every
+    * event lands in 4 windows). */
+  def slidingStats(
+      events: DataFrame,
+      window: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("sum_value_c"))
+
+  /** Per-user session windows with a 30 min inactivity gap
+    * (`session_window`: events < gap apart merge; the session closes at
+    * last event + gap). */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value_c"))
+
+  /** Streaming exact dedup on event_id. In a stream the watermark lets
+    * Spark evict seen-keys state; in batch it is a plain dropDuplicates. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  // ------------------------------------------------- custom state (FMGWS)
+
+  /** `ts` stays alongside the derived micros: event-time timeout
+    * requires the WATERMARKED timestamp column to survive into the
+    * grouped Dataset (projecting it away fails analysis). */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, us: Long, value_c: Long)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, sumC: Long)
+  final case class SessionOut(
+      user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value_c: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState: a session breaks
+    * after > gapUs of event-time silence (the win_sessionize contract).
+    *
+    * Streaming: EventTimeTimeout + watermark emit a session once no
+    * more in-gap events can arrive. Batch: each group's full history
+    * arrives in one call (sorted here — Spark gives no intra-group
+    * order) and all sessions are emitted, which makes the operator
+    * DuckDB-oracle-checkable on the batch table. */
+  def statefulSessions(
+      events: Dataset[Ev], gapUs: Long = 1800000000L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // captured OUTSIDE the closure: inside, GroupState has no reliable
+    // batch/streaming probe (and setTimeoutTimestamp throws in batch)
+    val streaming = events.isStreaming
+
+    def close(u: Long, s: SessionState) = SessionOut(u, s.startUs, s.lastUs, s.n, s.sumC)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (!it.hasNext) {
+            if (state.hasTimedOut && state.exists) {
+              val out = close(user, state.get)
+              state.remove()
+              Iterator.single(out)
+            } else Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.us, e.value_c))
+            var cur = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            sorted.foreach { e =>
+              if (cur == null) cur = SessionState(e.us, e.us, 1, e.value_c)
+              else if (e.us - cur.lastUs > gapUs) {
+                out += close(user, cur)
+                cur = SessionState(e.us, e.us, 1, e.value_c)
+              } else cur = cur.copy(
+                lastUs = math.max(cur.lastUs, e.us), n = cur.n + 1, sumC = cur.sumC + e.value_c)
+            }
+            if (streaming) {
+              // keep the open session in state; emit it at event-time
+              // timeout (watermark passes last event + gap)
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastUs / 1000 + gapUs / 1000 + 1)
+              out.iterator
+            } else {
+              // batch: the group is complete — emit the final session too
+              (out :+ close(user, cur)).iterator
+            }
+          }
+      }
+  }
+
+  /** Batch events → typed Ev rows (micros + integer cents). */
+  def toEv(events: DataFrame): Dataset[Ev] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(
+      col("user_id"),
+      col("ts"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100).cast("long").as("value_c")).as[Ev]
+  }
+
+  /** Streaming entry: file/memory source → the same transformations.
+    * (Parquet dir example; any streaming source slots in.) */
+  def readEventStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream.schema(schemaFrom.schema).parquet(dir)
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Streaming-only semantics (what the batch DuckDB oracles can't see):
+  * watermark-driven append-mode window closes, late-data drops, and
+  * event-time state timeout in the custom sessionizer. MemoryStream +
+  * processAllAvailable gives deterministic micro-batch boundaries.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.schemaInference", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  final case class RawEv(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  test("tumbling window closes in append mode only after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val q = EventStreams
+      .tumblingCounts(mem.toDF(), window = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    try {
+      // two events inside hour 10:00; watermark stays < 11:00 → nothing emits
+      mem.addData(RawEv(1, ts(5), 1, "click", 1.0), RawEv(2, ts(30), 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("tumb").count() == 0)
+      // an 11:20 event pushes the watermark to 11:10 ≥ 11:00 → hour 10 closes
+      mem.addData(RawEv(3, ts(80), 1, "view", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("tumb").collect()
+      assert(closed.length == 1)
+      assert(closed(0).getAs[String]("event_type") == "click")
+      assert(closed(0).getAs[Long]("n_events") == 2)
+      assert(closed(0).getAs[Long]("sum_value_c") == 300)
+    } finally q.stop()
+  }
+
+  test("late event behind the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val q = EventStreams
+      .tumblingCounts(mem.toDF(), window = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      mem.addData(RawEv(1, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // push watermark past hour 10 (12:30 → wm 12:20)
+      mem.addData(RawEv(2, ts(150), 1, "view", 1.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("late").filter(col("event_type") === "click")
+        .agg(sum("n_events")).collect()(0).getLong(0)
+      assert(afterClose == 1)
+      // a 10:40 straggler is now behind the watermark → dropped, no new output
+      mem.addData(RawEv(3, ts(40), 1, "click", 9.0))
+      // and advance watermark further so any (wrong) re-emit would surface
+      mem.addData(RawEv(4, ts(300), 1, "view", 1.0))
+      q.processAllAvailable()
+      val totalClicks = spark.table("late").filter(col("event_type") === "click")
+        .agg(sum("n_events")).collect()(0).getLong(0)
+      assert(totalClicks == 1, "late click must not re-open the closed window")
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer emits a session via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val evs = EventStreams.toEv(mem.toDF().withWatermark("ts", "0 seconds"))
+    val q = EventStreams.statefulSessions(evs, gapUs = 1800000000L)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // 3 events 10:00-10:20 for user 7 — session stays open
+      mem.addData(RawEv(1, ts(0), 7, "a", 1.0), RawEv(2, ts(10), 7, "a", 2.0),
+        RawEv(3, ts(20), 7, "a", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0, "open session must not emit")
+      // user 8 event at 11:30 pushes the watermark past 10:20 + 30 min
+      mem.addData(RawEv(4, ts(90), 8, "a", 1.0))
+      q.processAllAvailable()
+      // timeout fires on the NEXT batch boundary after watermark advance
+      mem.addData(RawEv(5, ts(95), 8, "a", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").filter(col("user_id") === 7).collect()
+      assert(sessions.length == 1)
+      assert(sessions(0).getAs[Long]("n_events") == 3)
+      assert(sessions(0).getAs[Long]("sum_value_c") == 600)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops an in-watermark duplicate event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val q = EventStreams.dedupEvents(mem.toDF(), watermark = "10 minutes")
+      .select("event_id", "user_id")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(RawEv(1, ts(0), 1, "a", 1.0), RawEv(1, ts(1), 1, "a", 1.0),
+        RawEv(2, ts(2), 1, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+}
