@@ -20,7 +20,8 @@ object SparkEntry {
       graft.ops.TextOps.queries ++
       graft.ops.DedupOps.queries ++
       graft.ops.SimilarityOps.queries ++
-      graft.ops.StreamOps.queries
+      graft.ops.StreamOps.queries ++
+      graft.ops.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.ops.TextOps.oracle ++
       graft.ops.DedupOps.oracle ++
       graft.ops.SimilarityOps.oracle ++
-      graft.ops.StreamOps.oracle
+      graft.ops.StreamOps.oracle ++
+      graft.ops.MultimodalOps.oracle
 }

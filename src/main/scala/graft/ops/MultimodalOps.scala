@@ -1,0 +1,178 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed in BATCHES through
+  * `mapPartitions` — the Scala analogue of `mapInPandas` (iterator of
+  * batches in, iterator of batches out), which is the shape a real
+  * decoder (JNI/FFI image lib, batched GPU featurizer) needs.
+  *
+  * The decode itself is a clearly-marked STUB (this container has no
+  * image/audio libs): all "decoded" properties derive deterministically
+  * from the payload's md5, which makes every op — including the batched
+  * mapPartitions path — DuckDB-oracle-checkable, proving the plumbing
+  * (schema, batching, row fan-out, no row loss/reorder) end to end.
+  *
+  * Scale notes: decode is embarrassingly parallel — per-partition
+  * batches, no shuffle; `explode` fan-out (frame sampling) happens
+  * after the narrow decode so the shuffle-free path stays narrow.
+  */
+object MultimodalOps {
+
+  /** Payload batch size a real decoder would receive (Arrow-ish). */
+  val DecodeBatchSize = 64
+
+  final case class MediaRow(
+      doc_id: Long, payload: Array[Byte], media_type: String)
+  final case class DecodedMeta(
+      doc_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, channels: Int, n_frames: Int)
+
+  /** documents → media table: text bytes as the opaque payload, media
+    * type assigned round-robin (deterministic, oracle-expressible). */
+  def media(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+
+  // ----------------------------------------------------------- STUB ---
+  /** ??? STUB decode ???  A real implementation hands `batch` to a
+    * native decoder and returns its metadata. This fake derives
+    * dimensions from md5(payload) so results are deterministic and
+    * SQL-reproducible. Signature and batch shape are the real contract. */
+  private def decodeBatchStub(batch: Seq[MediaRow]): Seq[DecodedMeta] =
+    batch.map { m =>
+      val hex = MessageDigest.getInstance("MD5").digest(m.payload)
+        .map("%02x".format(_)).mkString
+      def h(from: Int, len: Int): Long =
+        java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+      DecodedMeta(
+        m.doc_id, m.media_type, m.payload.length.toLong,
+        width = (16 + h(0, 6) % 4080).toInt,
+        height = (16 + h(6, 6) % 2160).toInt,
+        channels = (1 + h(12, 2) % 4).toInt,
+        n_frames = (1 + h(14, 6) % 300).toInt)
+    }
+  // ---------------------------------------------------------------------
+
+  /** Batched decode over partitions: iterator-of-batches in/out, the
+    * mapInPandas shape. No shuffle — decode parallelism = partitions. */
+  def decodeMeta(mediaDs: Dataset[MediaRow],
+      batchSize: Int = DecodeBatchSize): Dataset[DecodedMeta] = {
+    val spark = mediaDs.sparkSession
+    import spark.implicits._
+    mediaDs.mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatchStub))
+  }
+
+  /** Fit-into-`target`×`target` resize: pure integer metadata math
+    * (the pixel op would live in the batched decoder). */
+  def resizePlan(meta: DataFrame, target: Int = 224): DataFrame =
+    meta.select(
+      col("doc_id"), col("media_type"), col("width"), col("height"),
+      // SQL `div` = IntegralDivide: `/` on longs would return double
+      expr(s"CAST(CAST(width AS BIGINT) * $target div greatest(width, height) AS BIGINT)")
+        .as("out_w"),
+      expr(s"CAST(CAST(height AS BIGINT) * $target div greatest(width, height) AS BIGINT)")
+        .as("out_h"))
+
+  /** Evenly-spaced frame sampling for video rows: k indices
+    * floor(i·n_frames/k) — explode AFTER the narrow decode. */
+  def frameSample(meta: DataFrame, k: Int = 5): DataFrame =
+    meta.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr(
+          s"transform(sequence(0, ${k - 1}), i -> CAST(i AS BIGINT) * n_frames div $k)"))
+          .as("frame_index"))
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("frame_index"))
+
+  /** STUB feature extraction: 8-dim "embedding" from md5 bytes,
+    * emitted as scalar columns f0..f7 (exact cross-engine compare). */
+  def featureExtract(mediaDf: DataFrame): DataFrame = {
+    val hex = md5(col("payload"))
+    val fs = (0 until 8).map { d =>
+      (conv(substring(hex, 2 * d + 1, 2), 16, 10).cast("double") / 255.0).as(s"f$d")
+    }
+    mediaDf.select((col("doc_id") +: fs): _*)
+  }
+
+  // ------------------------------------------------------------ queries
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def mediaDs(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    media(t(s, d, "documents")).as[MediaRow]
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "mm_decode_meta" -> ((s, d) =>
+      decodeMeta(mediaDs(s, d)).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"))),
+    "mm_resize" -> ((s, d) =>
+      resizePlan(decodeMeta(mediaDs(s, d)).toDF())
+        .select(col("doc_id"), col("media_type"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_w"), col("out_h"))),
+    "mm_frame_sample" -> ((s, d) =>
+      frameSample(decodeMeta(mediaDs(s, d)).toDF())),
+    "mm_features" -> ((s, d) => featureExtract(media(t(s, d, "documents"))))
+  )
+
+  private val sqlMediaType =
+    "['image','audio','video'][(doc_id % 3 + 1)::INT]"
+  private def sqlH(from1: Int, len: Int) =
+    s"('0x' || substr(md5(text), $from1, $len))::BIGINT"
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      s"""SELECT doc_id, $sqlMediaType AS media_type,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  16 + ${sqlH(1, 6)} % 4080 AS width,
+         |  16 + ${sqlH(7, 6)} % 2160 AS height,
+         |  1 + ${sqlH(13, 2)} % 4 AS channels,
+         |  1 + ${sqlH(15, 6)} % 300 AS n_frames
+         |FROM documents""".stripMargin,
+
+    "mm_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $sqlMediaType AS media_type,
+         |    16 + ${sqlH(1, 6)} % 4080 AS width,
+         |    16 + ${sqlH(7, 6)} % 2160 AS height
+         |  FROM documents)
+         |SELECT doc_id, media_type, width, height,
+         |  (width * 224) // greatest(width, height) AS out_w,
+         |  (height * 224) // greatest(width, height) AS out_h
+         |FROM m""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $sqlMediaType AS media_type,
+         |    1 + ${sqlH(15, 6)} % 300 AS n_frames
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+         |  (i * n_frames) // 5 AS frame_index
+         |FROM m, (SELECT unnest([0, 1, 2, 3, 4]) AS i) ks
+         |WHERE media_type = 'video'""".stripMargin,
+
+    "mm_features" ->
+      s"""SELECT doc_id,
+         |  ${(0 until 8).map(d =>
+             s"('0x' || substr(md5(text), ${2 * d + 1}, 2))::BIGINT::DOUBLE / 255.0 AS f$d")
+             .mkString(",\n  ")}
+         |FROM documents""".stripMargin
+  )
+}
