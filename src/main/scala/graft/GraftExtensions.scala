@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** Session-extension entry point: registers every custom Catalyst
+  * expression as a SQL function, so
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * spark.sql("SELECT vec_dot(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * works with no Scala imports — the custom kernels (geodesic GRS80,
+  * vector dot, shingle/minhash, merge intersect) become part of the
+  * SQL surface on every session of the application, including pure-SQL
+  * clients (thriftserver, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("st_geodesic_distance",
+      "st_geodesic_distance(lon1, lat1, lon2, lat2) - GRS80 inverse distance in meters") {
+      e => GeodesicDistance(e)
+    }
+    inject("st_azimuth",
+      "st_azimuth(lon1, lat1, lon2, lat2) - forward azimuth deg (-180, 180]") {
+      e => GeodesicAzimuth(e)
+    }
+    inject("bearing_diff",
+      "bearing_diff(b1, b2) - min(|d|, 360-|d|), no antiparallel folding") {
+      e => BearingDiff(e(0), e(1))
+    }
+    inject("st_geodesic_length",
+      "st_geodesic_length(array<struct<lon,lat>>) - polyline length in meters") {
+      e => GeodesicPolylineLength(e.head)
+    }
+    inject("vec_dot",
+      "vec_dot(array<float>, array<float>) - sequential double-precision dot product") {
+      e => VecDot(e(0), e(1))
+    }
+    inject("shingle_hashes",
+      "shingle_hashes(text) - sorted distinct word-3-gram hashes in [0, 1e9+7)") {
+      e => ShingleHashes(e.head)
+    }
+    inject("minhash_sig",
+      "minhash_sig(text) - 4-lane minhash signature of the word-3-gram set") {
+      e => MinHashSig(e.head, graft.ops.DedupOps.A, graft.ops.DedupOps.B)
+    }
+    inject("sorted_inter_count",
+      "sorted_inter_count(a, b) - |a intersect b| for two ascending long arrays") {
+      e => SortedInterCount(e(0), e(1))
+    }
+  }
+}

@@ -21,7 +21,8 @@ object SparkEntry {
       graft.ops.DedupOps.queries ++
       graft.ops.SimilarityOps.queries ++
       graft.ops.StreamOps.queries ++
-      graft.ops.MultimodalOps.queries
+      graft.ops.MultimodalOps.queries ++
+      graft.ops.TemporalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.ops.DedupOps.oracle ++
       graft.ops.SimilarityOps.oracle ++
       graft.ops.StreamOps.oracle ++
-      graft.ops.MultimodalOps.oracle
+      graft.ops.MultimodalOps.oracle ++
+      graft.ops.TemporalOps.oracle
 }

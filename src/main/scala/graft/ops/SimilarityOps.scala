@@ -79,6 +79,58 @@ object SimilarityOps {
       bucketBits.reduce(_ + _).as("bucket"))
   }
 
+  /** IVF (inverted-file) top-k — the ANN scale path. Coarse quantizer =
+    * K sampled centroids (the first K vectors; FAISS-style sample
+    * training, deterministic so the whole path is oracle-checkable):
+    *
+    *  1. assign: every vector → its max-cosine centroid (broadcast join
+    *     against K centroids + one shuffle for the per-vector argmax)
+    *  2. probe: every query → its nProbe best centroids
+    *  3. rerank: exact cosine top-k over ONLY the probed cells' members
+    *
+    * At scale the rerank join is |queries| × (nProbe/K of the corpus)
+    * instead of × the full corpus — the 100 TB path. Recall < 1 by
+    * construction (quantization error), measured in SimilarityOpsSpec
+    * against brute force. */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 3): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("cid").asc)
+    val assign = vecs.join(broadcast(cents), lit(true))
+      .withColumn("c_sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("cid"))
+
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("c_sim").desc, col("cid").asc)
+    val probes = vecs.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("c_sim", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"))
+
+    val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    probes.join(assign, Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -88,13 +140,20 @@ object SimilarityOps {
       bruteForceTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10)),
     "sim_neardup_pairs" -> ((s, d) =>
       nearDupPairs(t(s, d, "embeddings"), tau = 0.45)),
-    "sim_lsh_buckets" -> ((s, d) => lshBuckets(t(s, d, "embeddings")))
+    "sim_lsh_buckets" -> ((s, d) => lshBuckets(t(s, d, "embeddings"))),
+    "sim_ivf_topk" -> ((s, d) =>
+      ivfTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0))
   )
 
   private val sqlCos =
     """list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.e, b.e), s -> s[1]::DOUBLE * s[2]::DOUBLE)), (x,y) -> x+y)
       | / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(a.e, x -> x::DOUBLE * x::DOUBLE)), (x,y) -> x+y))
       |    * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(b.e, x -> x::DOUBLE * x::DOUBLE)), (x,y) -> x+y)))""".stripMargin
+
+  private def sqlDot(x: String, y: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($x, $y), s -> s[1]::DOUBLE * s[2]::DOUBLE)), (u,v) -> u+v)"
+  private def sqlNrm(x: String) =
+    s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($x, t -> t::DOUBLE * t::DOUBLE)), (u,v) -> u+v))"
 
   val oracle: Map[String, String] = Map(
     "sim_topk" ->
@@ -114,6 +173,37 @@ object SimilarityOps {
          |SELECT a.vec_id AS d1, b.vec_id AS d2, ROUND($sqlCos, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE $sqlCos >= 0.45""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 16),
+         |asg0 AS (
+         |  SELECT e.vec_id AS n_id, e.emb AS n_emb, e.nrm AS n_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT n_id, n_emb, n_nrm, cid FROM asg0 WHERE rn = 1),
+         |prb0 AS (
+         |  SELECT q.vec_id AS q_id, q.emb AS q_emb, q.nrm AS q_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDot("q.emb", "cent.c_emb")} / (q.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q, cent),
+         |prb AS (SELECT q_id, q_emb, q_nrm, cid FROM prb0 WHERE rn <= 3),
+         |sims AS (
+         |  SELECT prb.q_id, asg.n_id,
+         |    ${sqlDot("prb.q_emb", "asg.n_emb")} / (prb.q_nrm * asg.n_nrm) AS sim
+         |  FROM prb JOIN asg USING (cid)
+         |  WHERE prb.q_id != asg.n_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |  FROM sims)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "sim_lsh_buckets" ->
       s"""SELECT vec_id, CAST(label AS BIGINT) AS label,

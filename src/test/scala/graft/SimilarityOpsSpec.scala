@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimilarityOps
+
+/** ANN quality: the IVF path trades recall for candidate-set size; both
+  * are measured here against the brute-force baseline (the quantities
+  * the DuckDB hash-compare can't express). */
+class SimilarityOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("IVF top-10 recall vs brute force is > 0.3 at nProbe=3/16 cells") {
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+    val pred = col("vec_id") % 100 === 0
+    val exact = SimilarityOps.bruteForceTopK(emb, pred)
+      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(emb, pred)
+      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.3f (nProbe=3 of 16 cells ~ 19%% of corpus scanned)")
+    // random 128-dim embeddings are a worst case for coarse quantization;
+    // scanning ~19% of the corpus must still beat ~19% random recall
+    assert(recall > 0.3, f"recall $recall%.3f")
+    assert(ivf.size == exact.size, "same result cardinality (k per query)")
+  }
+}
