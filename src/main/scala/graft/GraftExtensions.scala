@@ -21,6 +21,9 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // auto-rewrite naive geodesic theta-joins into grid-cell equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.GeodesicJoinRule)
+
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
