@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Extras.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.DedupOps.queries ++
       graft.ops.SimilarityOps.queries ++
@@ -28,6 +29,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
+      graft.queries.Extras.oracle ++
       graft.ops.TextOps.oracle ++
       graft.ops.DedupOps.oracle ++
       graft.ops.SimilarityOps.oracle ++

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{t, cents}
+
+/** Second wave of the generic surface: exact percentiles, GROUPING
+  * SETS, map functions, explicit window frames, the salted two-phase
+  * aggregation (the skew pattern from the brief, here proven
+  * result-identical to the direct aggregation), and sketch aggregates
+  * (approx_count_distinct / percentile_approx — engine-specific
+  * algorithms, so no cross-engine oracle: driver records the weaker
+  * rows-only check).
+  */
+object Extras {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont — same linear interpolation)
+    "agg_percentile" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("qty_c", cents(col("l_quantity")))
+      li.groupBy("l_returnflag")
+        .agg(
+          expr("percentile(qty_c, 0.25)").as("p25"),
+          expr("percentile(qty_c, 0.5)").as("p50"),
+          expr("percentile(qty_c, 0.75)").as("p75"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping_id() AS BIGINT) AS gid,
+          |  COUNT(1) AS n_orders,
+          |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_px_c
+          |FROM orders_gs
+          |GROUP BY o_orderstatus, o_orderpriority
+          |  GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)
+    }),
+
+    "map_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        element_at(
+          map(lit("type"), col("p_type"), lit("brand"), col("p_brand")),
+          "brand").as("brand_val"),
+        size(map(lit("type"), col("p_type"), lit("brand"), col("p_brand")))
+          .cast("long").as("n_keys"),
+        map_keys(map(lit("k1"), col("p_size"))).getItem(0).as("first_key"))),
+
+    // explicit ROWS frame: 3-order moving sum per customer
+    "win_frame_moving" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(cents(col("o_totalprice"))).over(w).as("moving_px_c"))
+    }),
+
+    // salted two-phase aggregation: THE skew pattern — identical result
+    // to the direct groupBy (the oracle), but no single reducer ever
+    // sees a whole hot key (event_type has only 5 values = max skew)
+    "skew_salted_agg" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pc"),
+          sum(round(col("value") * 100).cast("long")).as("ps"))
+        .groupBy("event_type")
+        .agg(sum("pc").as("n_events"), sum("ps").as("sum_value_c"))
+    }),
+
+    // sketches: engine-specific algorithms — no oracle (rows-only)
+    "agg_sketch" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("percentile_approx(l_quantity, 0.5, 1000)").as("approx_median_qty")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(ROUND(l_quantity*100) AS BIGINT), 0.25) AS p25,
+        |  quantile_cont(CAST(ROUND(l_quantity*100) AS BIGINT), 0.5) AS p50,
+        |  quantile_cont(CAST(ROUND(l_quantity*100) AS BIGINT), 0.75) AS p75,
+        |  COUNT(1) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(1) AS n_orders,
+        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_px_c
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
+
+    "map_funcs" ->
+      """SELECT p_partkey,
+        |  map(['type','brand'], [p_type, p_brand])['brand'][1] AS brand_val,
+        |  CAST(cardinality(map(['type','brand'], [p_type, p_brand])) AS BIGINT) AS n_keys,
+        |  map_keys(map(['k1'], [p_size]))[1] AS first_key
+        |FROM part""".stripMargin,
+
+    "win_frame_moving" ->
+      """SELECT o_custkey, o_orderkey,
+        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_px_c
+        |FROM orders""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(1) AS n_events,
+        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+        |FROM events GROUP BY event_type""".stripMargin
+    // agg_sketch: intentionally no oracle (rows-only check)
+  )
+}
