@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 source: `spark.read.format("kmz")` must read the fixture on
+  * executors, prune columns into the reader, and agree with the
+  * driver-side parse path. */
+class KmzDataSourceSpec extends AnyFunSuite {
+
+  private val fixture =
+    "/root/reference/test_data/Brazos_NGL and Delaware_Gas combined.kmz"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("format(\"kmz\") reads the reference fixture with the engine schema") {
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.format("kmz").load(fixture)
+    assert(df.columns.toSeq == Seq(
+      "source_file", "name", "objectid", "geometry_type", "coordinates", "attrs"))
+    assert(df.count() == 45)
+    assert(df.filter(col("geometry_type") === "LineString").count() == 45)
+    // fixture has no <name>/<OBJECTID>: fallback semantics must hold
+    assert(df.filter(col("name").startsWith("Item_")).count() == 45)
+    assert(df.filter(col("objectid") === "N/A").count() == 45)
+    // vertex total matches BASELINE (2,134)
+    val verts = df.select(sum(size(col("coordinates")))).collect()(0).getLong(0)
+    assert(verts == 2134)
+  }
+
+  test("column pruning reaches the reader (ReadSchema excludes coordinates)") {
+    val df = spark.read.format("kmz").load(fixture).select("name", "objectid")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("coordinates"), s"pruned scan should not read coordinates:\n$scan")
+    assert(df.count() == 45)
+  }
+
+  test("DSv2 path agrees with the driver-side parse path") {
+    import spark.implicits._
+    val dsv2 = spark.read.format("kmz").load(fixture)
+      .select("name", "objectid", "geometry_type")
+      .as[(String, String, String)].collect().sorted
+    val driver = graft.sources.KmlSource.read(spark, fixture)
+      .map(f => (f.name, f.objectid, f.geometryType)).collect().sorted
+    assert(dsv2.toSeq == driver.toSeq)
+  }
+}
