@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audit: the physical plans the engine ships are asserted,
+  * not hoped for — broadcasts where a side is small, pushdown/pruning
+  * reaching the parquet scan, no accidental cartesians in the pairwise
+  * ops. Failures here mean a future edit silently degraded a plan. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String = {
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("q1_pricing: column pruning reaches the lineitem scan") {
+    val p = plan("q1_pricing")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    // needs 5 columns; the 16-column lineitem table must not be read whole
+    assert(scan.contains("l_returnflag") && scan.contains("l_quantity"))
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipmode"),
+      s"unpruned scan: $scan")
+  }
+
+  test("join_q5_region: small dims broadcast, no cartesian") {
+    val p = plan("join_q5_region")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("filter pushdown reaches the parquet scan (date filter)") {
+    val p = plan("join_q3_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("IsNotNull")), p)
+  }
+
+  test("dedup_lsh_pairs: band join is an equi-join, not a cartesian") {
+    val p = plan("dedup_lsh_pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"band join must be keyed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH join:\n$p")
+  }
+
+  test("sim_topk: corpus side is broadcast (queries x corpus stays narrow)") {
+    val p = plan("sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast for the corpus side:\n$p")
+  }
+
+  test("asof join: single shuffle, no join node at all") {
+    val p = plan("asof_purchase_click")
+    assert(!p.contains("Join"), s"asof must not contain a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"asof should shuffle once, saw $exchanges:\n$p")
+  }
+
+  test("txt ops: single scan, no shuffle (narrow pipeline)") {
+    val p = plan("txt_token_stats")
+    assert(!p.contains("Exchange"), s"token stats must be shuffle-free:\n$p")
+  }
+}
