@@ -86,6 +86,39 @@ object TextOps {
         .otherwise("und").as("pred_lang"))
   }
 
+  /** Character-trigram profiles for n-gram language ID. Tiny curated
+    * sets of high-frequency trigrams (with word-boundary spaces) per
+    * language — the classic n-gram-profile method, shrunk to stay
+    * literal/oracle-expressible. */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", "and", "nd ", " an", "ing", "ng ", " of", "of "),
+    "de" -> Seq("er ", "en ", "der", " de", "ie ", "die", "und", "nd ", "ein", "ch "),
+    "fr" -> Seq(" de", "de ", "es ", "le ", " le", "ent", "nt ", "la ", " la", "ion"),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "que", "ue ", " qu"))
+
+  /** All distinct char trigrams of the lowercased text column. */
+  def charTrigrams(colName: String): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length(lower($colName)) - 2, 0)), " +
+        s"i -> substring(lower($colName), i, 3))"))
+
+  /** N-gram-profile language ID: score(lang) = |trigrams(text) ∩
+    * profile(lang)|, deterministic argmax en > de > fr > es. */
+  def languageIdNgram(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tg = charTrigrams(textCol)
+    val scores = TrigramProfiles.map { case (lang, profile) =>
+      lang -> size(array_intersect(tg, array(profile.map(lit): _*))).cast("long")
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    docs.select(
+      (col("doc_id") +: scores.map { case (l, s) => s.as(s"${l}_tri") }) ++ Seq(
+        when(en >= greatest(de, fr, es) && en > 0, "en")
+          .when(de >= greatest(fr, es) && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("und").as("pred_lang")): _*)
+  }
+
   /** Order-sensitive rolling fingerprint over token hashes:
     * acc = (acc * 131 + h(tok)) mod p. */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
@@ -106,6 +139,7 @@ object TextOps {
     "txt_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents"))),
     "txt_quality" -> ((s, d) => qualityScore(t(s, d, "documents"))),
     "txt_langid" -> ((s, d) => languageId(t(s, d, "documents"))),
+    "txt_langid_ngram" -> ((s, d) => languageIdNgram(t(s, d, "documents"))),
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
     "mm_binary_meta" -> ((s, d) =>
       // Multimodal plumbing demo: opaque binary payload column + typed
@@ -162,6 +196,23 @@ object TextOps {
          |    WHEN ${sqlScore(Seq("el", "los", "y", "es", "una"))} > 0 THEN 'es'
          |    ELSE 'und' END AS pred_lang
          |FROM documents""".stripMargin,
+
+    "txt_langid_ngram" -> {
+      val sqlTg = "list_distinct(list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1), i -> substr(lower(text), i::INT, 3)))"
+      def score(profile: Seq[String]) =
+        s"len(list_intersect($sqlTg, [${profile.map(p => s"'$p'").mkString(",")}]))"
+      val Seq(en, de, fr, es) = TrigramProfiles.map(p => score(p._2))
+      s"""SELECT doc_id,
+         |  CAST($en AS BIGINT) AS en_tri, CAST($de AS BIGINT) AS de_tri,
+         |  CAST($fr AS BIGINT) AS fr_tri, CAST($es AS BIGINT) AS es_tri,
+         |  CASE
+         |    WHEN $en >= greatest($de, $fr, $es) AND $en > 0 THEN 'en'
+         |    WHEN $de >= greatest($fr, $es) AND $de > 0 THEN 'de'
+         |    WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+         |    WHEN $es > 0 THEN 'es'
+         |    ELSE 'und' END AS pred_lang
+         |FROM documents""".stripMargin
+    },
 
     "txt_fingerprint" ->
       s"""SELECT doc_id,
