@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // local mode = driver-only JVM. 8g measured FASTER than 24g on the
+  // sf0.1 bench (37s vs 62s total — big-heap GC geometry hurts this
+  // many-small-jobs workload); keep 8g unless data outgrows it.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

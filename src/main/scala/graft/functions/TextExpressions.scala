@@ -140,6 +140,38 @@ case class SortedInterCount(left: Expression, right: Expression)
     copy(left = c(0), right = c(1))
 }
 
+/** trigram_scores(text) → array<long>: per-profile |trigrams(text) ∩
+  * profile| in one pass. The HOF formulation recomputes the trigram
+  * array once per referencing column (9× for 4 scores + argmax). */
+case class TrigramScores(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val profileSets = profiles.map(_.toSet)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new Array[Long](profiles.length)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toLowerCase.toString
+      if (s.length >= 3) {
+        val tris = new java.util.HashSet[String]()
+        var i = 0
+        while (i <= s.length - 3) { tris.add(s.substring(i, i + 3)); i += 1 }
+        var p = 0
+        while (p < profileSets.length) {
+          var c = 0L
+          profileSets(p).foreach(t => if (tris.contains(t)) c += 1)
+          out(p) = c
+          p += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextNative {
   import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
 
@@ -148,4 +180,6 @@ object TextNative {
     toCol(MinHashSig(toExpr(text), a, b))
   def sorted_inter_count(a: Column, b: Column): Column =
     toCol(SortedInterCount(toExpr(a), toExpr(b)))
+  def trigram_scores(text: Column, profiles: Seq[Seq[String]]): Column =
+    toCol(TrigramScores(toExpr(text), profiles))
 }

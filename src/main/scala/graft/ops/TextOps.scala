@@ -97,20 +97,18 @@ object TextOps {
     "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "que", "ue ", " qu"))
 
   /** All distinct char trigrams of the lowercased text column. */
-  def charTrigrams(colName: String): Column =
-    array_distinct(expr(
-      s"transform(sequence(1, greatest(length(lower($colName)) - 2, 0)), " +
-        s"i -> substring(lower($colName), i, 3))"))
-
   /** N-gram-profile language ID: score(lang) = |trigrams(text) ∩
-    * profile(lang)|, deterministic argmax en > de > fr > es. */
+    * profile(lang)|, deterministic argmax en > de > fr > es. One-pass
+    * native kernel (the HOF trigram array would be recomputed 9×). */
   def languageIdNgram(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val tg = charTrigrams(textCol)
-    val scores = TrigramProfiles.map { case (lang, profile) =>
-      lang -> size(array_intersect(tg, array(profile.map(lit): _*))).cast("long")
+    val allScores = graft.functions.TextNative
+      .trigram_scores(col(textCol), TrigramProfiles.map(_._2))
+    val withScores = docs.withColumn("_tri", allScores)
+    val scores = TrigramProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(col("_tri"), i + 1)
     }
     val Seq(en, de, fr, es) = scores.map(_._2)
-    docs.select(
+    withScores.select(
       (col("doc_id") +: scores.map { case (l, s) => s.as(s"${l}_tri") }) ++ Seq(
         when(en >= greatest(de, fr, es) && en > 0, "en")
           .when(de >= greatest(fr, es) && de > 0, "de")
