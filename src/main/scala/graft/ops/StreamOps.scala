@@ -28,7 +28,9 @@ object StreamOps {
     "stream_dedup" -> ((s, d) =>
       EventStreams.dedupEvents(t(s, d, "events"))
         .agg(count(lit(1)).as("n_events"),
-          sum(round(col("value") * 100).cast("long")).as("sum_value_c")))
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"))),
+    "stream_interval_join" -> ((s, d) =>
+      EventStreams.purchaseClickJoin(t(s, d, "events")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -83,6 +85,14 @@ object StreamOps {
     "stream_dedup" ->
       """SELECT COUNT(1) AS n_events,
         |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
-        |FROM (SELECT DISTINCT ON (event_id) * FROM events)""".stripMargin
+        |FROM (SELECT DISTINCT ON (event_id) * FROM events)""".stripMargin,
+
+    "stream_interval_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin
   )
 }

@@ -78,6 +78,29 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Stream-stream join: purchases joined to the same user's clicks
+    * within [-30 min, 0] of the purchase. Both sides carry watermarks
+    * so Spark can bound the join state (late side evicted once the
+    * watermark passes the join window). Works unchanged in batch. */
+  def purchaseClickJoin(
+      events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   // ------------------------------------------------- custom state (FMGWS)
 
   /** `ts` stays alongside the derived micros: event-time timeout

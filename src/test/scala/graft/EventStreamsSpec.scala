@@ -105,6 +105,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to in-window clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val q = EventStreams.purchaseClickJoin(mem.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      // click 10:00, purchase 10:10 → in the 30-min window
+      mem.addData(RawEv(1, ts(0), 1, "click", 1.0), RawEv(2, ts(10), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val m1 = spark.table("ssj").collect()
+      assert(m1.length == 1)
+      assert(m1(0).getAs[Long]("purchase_id") == 2 && m1(0).getAs[Long]("click_id") == 1)
+      assert(m1(0).getAs[Long]("gap_us") == 600000000L)
+      // purchase 10:50 is > 30 min after the only click → no new match;
+      // then click 10:45 arrives LATER and joins it (gap 5 min)
+      mem.addData(RawEv(3, ts(50), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("ssj").count() == 1)
+      mem.addData(RawEv(4, ts(45), 1, "click", 1.0))
+      q.processAllAvailable()
+      val m2 = spark.table("ssj").collect().map(r =>
+        (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+      assert(m2 == Set((2L, 1L), (3L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops an in-watermark duplicate event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
