@@ -31,4 +31,16 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(recall > 0.3, f"recall $recall%.3f")
     assert(ivf.size == exact.size, "same result cardinality (k per query)")
   }
+
+  test("hashed planes give near-uniform buckets; LCG planes are correlated") {
+    val emb = graft.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+    val lcg = SimilarityOps.lshBuckets(emb)
+      .select("bucket").distinct().count()
+    val hashed = SimilarityOps.lshBucketsHashed(emb)
+      .select("bucket").distinct().count()
+    // 500 vectors over 256 buckets: independent planes fill most of the
+    // space; the LCG's linear structure collapses it to a handful
+    assert(hashed > 100, s"hashed planes should spread (saw $hashed/256)")
+    assert(lcg < 64, s"documenting the LCG correlation (saw $lcg/256)")
+  }
 }
