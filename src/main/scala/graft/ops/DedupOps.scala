@@ -110,6 +110,32 @@ object DedupOps {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
+    * by a BANDED equi-join (pigeonhole: ≤3 differing bits across 4
+    * bands of 4 bits ⇒ at least one band is equal), so candidates come
+    * from 4 shuffle-keyed joins instead of all-pairs; the exact
+    * bit_count(xor) predicate is the residual. Guaranteed-complete for
+    * maxHamming < nBands. */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val sims = simhash(docs, textCol) // doc_id, simhash (16-bit)
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(0xF).as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.key"))
+    val l = bands.select(col("band"), col("key"),
+      col("doc_id").as("d1"), col("simhash").as("h1"))
+    val r = bands.select(col("band").as("band2"), col("key").as("key2"),
+      col("doc_id").as("d2"), col("simhash").as("h2"))
+    l.join(r, col("band") === col("band2") && col("key") === col("key2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -122,7 +148,8 @@ object DedupOps {
     "dedup_minhash_sig" -> ((s, d) => minhashSignatures(t(s, d, "documents"))),
     "dedup_lsh_pairs" -> ((s, d) => lshCandidatePairs(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(t(s, d, "documents"))),
-    "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents")))
+    "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
+    "dedup_simhash_pairs" -> ((s, d) => simhashPairs(t(s, d, "documents")))
   )
 
   private val sqlShingleHashes =
@@ -190,6 +217,23 @@ object DedupOps {
          |JOIN sizes s1 ON i.d1 = s1.doc_id
          |JOIN sizes s2 ON i.d2 = s2.doc_id
          |WHERE i.n_inter::DOUBLE / (s1.n_sh + s2.n_sh - i.n_inter)::DOUBLE >= 0.2""".stripMargin,
+
+    // oracle = exhaustive pairwise hamming (the banded join must find
+    // exactly these pairs — pigeonhole completeness)
+    "dedup_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''))),1,15))::BIGINT % 65536 AS h
+         |  FROM documents),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $sqlSimhashBits
+         |  FROM toks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($sqlSimhashCombine AS BIGINT) AS simhash FROM bits)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (
