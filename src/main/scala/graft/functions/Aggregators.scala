@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF surface (SURVEY §2.3 "UDF / UDAF / UDTF"): a geodesic
+  * polyline accumulator as a Spark `Aggregator[IN, BUF, OUT]`,
+  * registered via `functions.udaf` — the engine's pattern for
+  * order-insensitive custom aggregation (partial merge on executors,
+  * unlike collect_list-based shapes which centralize the group).
+  *
+  * Aggregates (lon, lat) points of a group into bbox + centroid +
+  * count. Point order does not matter, so partial buffers merge
+  * associatively — the property that makes a UDAF scale.
+  */
+object BboxCentroidAgg extends Aggregator[(Double, Double), BboxBuf, BboxOut] {
+  override def zero: BboxBuf =
+    BboxBuf(Double.MaxValue, Double.MinValue, Double.MaxValue, Double.MinValue, 0.0, 0.0, 0L)
+
+  override def reduce(b: BboxBuf, p: (Double, Double)): BboxBuf = BboxBuf(
+    math.min(b.minLon, p._1), math.max(b.maxLon, p._1),
+    math.min(b.minLat, p._2), math.max(b.maxLat, p._2),
+    b.sumLon + p._1, b.sumLat + p._2, b.n + 1)
+
+  override def merge(a: BboxBuf, b: BboxBuf): BboxBuf = BboxBuf(
+    math.min(a.minLon, b.minLon), math.max(a.maxLon, b.maxLon),
+    math.min(a.minLat, b.minLat), math.max(a.maxLat, b.maxLat),
+    a.sumLon + b.sumLon, a.sumLat + b.sumLat, a.n + b.n)
+
+  override def finish(b: BboxBuf): BboxOut =
+    BboxOut(b.minLon, b.maxLon, b.minLat, b.maxLat,
+      if (b.n == 0) 0.0 else b.sumLon / b.n,
+      if (b.n == 0) 0.0 else b.sumLat / b.n, b.n)
+
+  override def bufferEncoder: Encoder[BboxBuf] = Encoders.product[BboxBuf]
+  override def outputEncoder: Encoder[BboxOut] = Encoders.product[BboxOut]
+}
+
+final case class BboxBuf(
+    minLon: Double, maxLon: Double, minLat: Double, maxLat: Double,
+    sumLon: Double, sumLat: Double, n: Long)
+
+final case class BboxOut(
+    min_x: Double, max_x: Double, min_y: Double, max_y: Double,
+    centroid_x: Double, centroid_y: Double, n_points: Long)

@@ -149,7 +149,17 @@ object DedupOps {
     "dedup_lsh_pairs" -> ((s, d) => lshCandidatePairs(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(t(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
-    "dedup_simhash_pairs" -> ((s, d) => simhashPairs(t(s, d, "documents")))
+    "dedup_simhash_pairs" -> ((s, d) => simhashPairs(t(s, d, "documents"))),
+    // the end-to-end materializer: the deduplicated corpus itself
+    // (keeper = lowest doc_id per exact content group)
+    "dedup_keep" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id").asc)
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+    })
   )
 
   private val sqlShingleHashes =
@@ -217,6 +227,11 @@ object DedupOps {
          |JOIN sizes s1 ON i.d1 = s1.doc_id
          |JOIN sizes s2 ON i.d2 = s2.doc_id
          |WHERE i.n_inter::DOUBLE / (s1.n_sh + s2.n_sh - i.n_inter)::DOUBLE >= 0.2""".stripMargin,
+
+    "dedup_keep" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY md5(lower(trim(text))) ORDER BY doc_id ASC) = 1""".stripMargin,
 
     // oracle = exhaustive pairwise hamming (the banded join must find
     // exactly these pairs — pigeonhole completeness)

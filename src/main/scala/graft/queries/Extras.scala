@@ -80,7 +80,22 @@ object Extras {
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("percentile_approx(l_quantity, 0.5, 1000)").as("approx_median_qty")))
+          expr("percentile_approx(l_quantity, 0.5, 1000)").as("approx_median_qty"))),
+
+    // typed Aggregator (UDAF surface): bbox + centroid of the
+    // (quantity_c, price_c) point cloud per return flag. Integer-valued
+    // doubles sum exactly, so the centroid is cross-engine-exact.
+    "udaf_bbox" -> ((s, d) => {
+      s.udf.register("bbox_centroid", udaf(graft.functions.BboxCentroidAgg))
+      t(s, d, "lineitem")
+        .withColumn("x", cents(col("l_quantity")).cast("double"))
+        .withColumn("y", cents(col("l_extendedprice")).cast("double"))
+        .createOrReplaceTempView("li_pts")
+      s.sql(
+        """SELECT l_returnflag, bc.* FROM (
+          |  SELECT l_returnflag, bbox_centroid(x, y) AS bc
+          |  FROM li_pts GROUP BY l_returnflag)""".stripMargin)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -117,7 +132,18 @@ object Extras {
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(1) AS n_events,
         |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
     // agg_sketch: intentionally no oracle (rows-only check)
+
+    "udaf_bbox" ->
+      """SELECT l_returnflag,
+        |  MIN(ROUND(l_quantity*100)::DOUBLE) AS min_x,
+        |  MAX(ROUND(l_quantity*100)::DOUBLE) AS max_x,
+        |  MIN(ROUND(l_extendedprice*100)::DOUBLE) AS min_y,
+        |  MAX(ROUND(l_extendedprice*100)::DOUBLE) AS max_y,
+        |  SUM(ROUND(l_quantity*100)::DOUBLE) / COUNT(1) AS centroid_x,
+        |  SUM(ROUND(l_extendedprice*100)::DOUBLE) / COUNT(1) AS centroid_y,
+        |  COUNT(1) AS n_points
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }
