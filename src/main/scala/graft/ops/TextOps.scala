@@ -139,6 +139,17 @@ object TextOps {
     "txt_langid" -> ((s, d) => languageId(t(s, d, "documents"))),
     "txt_langid_ngram" -> ((s, d) => languageIdNgram(t(s, d, "documents"))),
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
+    // deterministic train/valid/test split: hash-bucket assignment is
+    // reproducible across runs/engines (RNG sampling is not) — the
+    // standard trick for stable dataset splits at any scale
+    "split_train_test" -> ((s, d) => {
+      val h = strHash(concat(lit("split:"), col("doc_id").cast("string")))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        when(h % 100 < 80, "train")
+          .when(h % 100 < 90, "valid")
+          .otherwise("test").as("split"))
+    }),
     "mm_binary_meta" -> ((s, d) =>
       // Multimodal plumbing demo: opaque binary payload column + typed
       // metadata extracted without decoding (byte length + checksum).
@@ -219,6 +230,13 @@ object TextOps {
          |      list_transform($sqlToks,
          |        x -> ('0x' || substr(md5(x),1,15))::BIGINT % ${HashMod})),
          |    (acc, h) -> (acc * 131 + h) % ${HashMod}) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "split_train_test" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % ${HashMod} % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % ${HashMod} % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
 
     "mm_binary_meta" ->
