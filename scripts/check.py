@@ -13,8 +13,25 @@ import json, sys, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def dtype_name(t: pa.DataType) -> str:
+    """Normalize an arrow type to the name used for strict comparison.
+
+    The driver's hash is dtype-sensitive (DuckDB SUM(BIGINT) -> decimal128
+    vs Spark int64 hashes differently even when values match), so compare
+    arrow types strictly, modulo representation-only variants
+    (large_string==string etc.)."""
+    s = str(t)
+    return (s.replace("large_string", "string")
+             .replace("large_binary", "binary")
+             .replace("large_list", "list"))
+
+def arrow_dtypes(tbl: pa.Table) -> dict:
+    return {f.name: dtype_name(f.type) for f in tbl.schema}
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -42,17 +59,23 @@ def main(outdir, sfdir):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL  {name}: no spark output"); n_fail += 1; continue
-        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        got_tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        got = got_tbl.to_pandas()
         if name not in oracle:
             print(f"-     {name}: no oracle ({len(got)} rows)"); n_noracle += 1; continue
         try:
-            exp = con.sql(oracle[name]).df()
+            exp_tbl = con.sql(oracle[name]).arrow()
+            exp = exp_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
         g, e = norm(got), norm(exp)
         if sorted(g.columns) != sorted(e.columns):
             print(f"FAIL  {name}: columns spark={sorted(g.columns)} oracle={sorted(e.columns)}")
             n_fail += 1; continue
+        gd, ed = arrow_dtypes(got_tbl), arrow_dtypes(exp_tbl)
+        dt_bad = [f"{c}: spark={gd[c]} oracle={ed[c]}" for c in sorted(gd) if gd[c] != ed[c]]
+        if dt_bad:
+            print(f"FAIL  {name}: dtype mismatch: " + "; ".join(dt_bad[:4])); n_fail += 1; continue
         if len(g) != len(e):
             print(f"FAIL  {name}: rows spark={len(g)} oracle={len(e)}"); n_fail += 1; continue
         bad = []

@@ -46,6 +46,40 @@ object TextKernel {
     v % HashMod
   }
 
+  /** Top 60 bits of md5 (first 15 hex digits) — the widest md5 prefix
+    * that parses as a non-negative signed int64 on both Spark and
+    * DuckDB (`('0x' || substr(md5(s),1,15))::BIGINT`), so 60-bit
+    * simhash stays portable without unsigned/overflow games. */
+  def md5Top60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** 60-bit SimHash over the token MULTISET (duplicates weigh): bit j
+    * is set when strictly more tokens have bit j of their 60-bit hash
+    * set than clear. Zero tokens → simhash 0. One pass, no explode. */
+  def simhash60(s: UTF8String): Long = {
+    val w = tokens(s)
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < w.length) {
+      val h = md5Top60(w(i))
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   /** Distinct word-3-gram hashes, ASCENDING order. Sortedness is free
     * here and lets the pairwise intersection count be a merge scan
     * (see [[SortedInterCount]]); no consumer is order-sensitive
@@ -140,6 +174,21 @@ case class SortedInterCount(left: Expression, right: Expression)
     copy(left = c(0), right = c(1))
 }
 
+/** simhash60(text) → long: 60-bit SimHash of the token multiset in one
+  * scan (replaces explode + 60 SUM(CASE…) aggregate columns — no
+  * per-token shuffle, the whole operator is a narrow projection). */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else TextKernel.simhash60(v.asInstanceOf[UTF8String])
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** trigram_scores(text) → array<long>: per-profile |trigrams(text) ∩
   * profile| in one pass. The HOF formulation recomputes the trigram
   * array once per referencing column (9× for 4 scores + argmax). */
@@ -180,6 +229,7 @@ object TextNative {
     toCol(MinHashSig(toExpr(text), a, b))
   def sorted_inter_count(a: Column, b: Column): Column =
     toCol(SortedInterCount(toExpr(a), toExpr(b)))
+  def simhash60(text: Column): Column = toCol(SimHash60(toExpr(text)))
   def trigram_scores(text: Column, profiles: Seq[Seq[String]]): Column =
     toCol(TrigramScores(toExpr(text), profiles))
 }

@@ -94,35 +94,33 @@ object DedupOps {
       .select("d1", "d2", "n_inter", "jaccard")
   }
 
-  /** 16-bit SimHash over the (multiset of) token hashes: bit j is set
-    * when more tokens have bit j set than clear. */
-  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10)
-        .cast("long") % 65536)
-    val bitSums = (0 until 16).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 16).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"))
-  }
+  /** 60-bit SimHash over the token MULTISET: bit j is set when more
+    * tokens have bit j of their 60-bit md5 hash set than clear. 60
+    * bits = the widest md5 prefix that is a non-negative signed int64
+    * on both Spark and DuckDB. Computed by a one-pass native kernel —
+    * a narrow projection, no explode / per-token shuffle. Docs with
+    * zero tokens get simhash 0 (they stay in the output). */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextNative.simhash60(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
     * by a BANDED equi-join (pigeonhole: ≤3 differing bits across 4
-    * bands of 4 bits ⇒ at least one band is equal), so candidates come
-    * from 4 shuffle-keyed joins instead of all-pairs; the exact
+    * bands of 15 bits ⇒ at least one band is equal), so candidates
+    * come from 4 shuffle-keyed joins instead of all-pairs; the exact
     * bit_count(xor) predicate is the residual. Guaranteed-complete for
-    * maxHamming < nBands. */
+    * maxHamming < nBands. 15-bit band keys give 32k join values per
+    * band, so expected random collisions are ~n²/2^15 per band — at
+    * 1M docs that is ~30M candidate rows per band, linear-ish in
+    * practice because real corpora cluster; the 16-bit/4-bit-band
+    * variant this replaces degenerated to all-pairs (16 keys/band). */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
-    val sims = simhash(docs, textCol) // doc_id, simhash (16-bit)
+    val sims = simhash(docs, textCol) // doc_id, simhash (60-bit)
     val bands = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 4).bitwiseAND(0xF).as("key"))): _*)).as("b"))
+          shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF).as("key"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.key"))
     val l = bands.select(col("band"), col("key"),
       col("doc_id").as("d1"), col("simhash").as("h1"))
@@ -175,9 +173,12 @@ object DedupOps {
   private def sqlMinhash(i: Int) =
     s"coalesce(list_min(list_transform($sqlShingleHashes, h -> (${A(i)}*h + ${B(i)}) % ${HashMod})), ${EmptySig})"
 
-  private val sqlSimhashBits = (0 until 16).map(j =>
+  private val sqlSimhashBits = (0 until 60).map(j =>
     s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
-  private val sqlSimhashCombine = (0 until 16).map(j =>
+  // NULL b_j (doc with zero tokens, via LEFT JOIN) falls to ELSE 0 in
+  // every CASE, so token-less docs combine to simhash 0 — matching the
+  // kernel.
+  private val sqlSimhashCombine = (0 until 60).map(j =>
     s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
@@ -238,27 +239,29 @@ object DedupOps {
     "dedup_simhash_pairs" ->
       s"""WITH toks AS (
          |  SELECT doc_id,
-         |    ('0x' || substr(md5(unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''))),1,15))::BIGINT % 65536 AS h
+         |    ('0x' || substr(md5(unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''))),1,15))::BIGINT AS h
          |  FROM documents),
          |bits AS (
          |  SELECT doc_id,
          |    $sqlSimhashBits
          |  FROM toks GROUP BY doc_id),
-         |sh AS (SELECT doc_id, CAST($sqlSimhashCombine AS BIGINT) AS simhash FROM bits)
+         |sh AS (SELECT d.doc_id, CAST($sqlSimhashCombine AS BIGINT) AS simhash
+         |       FROM documents d LEFT JOIN bits USING (doc_id))
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id,
-         |    ('0x' || substr(md5(unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''))),1,15))::BIGINT % 65536 AS h
+         |    ('0x' || substr(md5(unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''))),1,15))::BIGINT AS h
          |  FROM documents),
          |bits AS (
          |  SELECT doc_id,
          |    $sqlSimhashBits
          |  FROM toks GROUP BY doc_id)
-         |SELECT doc_id, CAST($sqlSimhashCombine AS BIGINT) AS simhash FROM bits""".stripMargin
+         |SELECT d.doc_id, CAST($sqlSimhashCombine AS BIGINT) AS simhash
+         |FROM documents d LEFT JOIN bits USING (doc_id)""".stripMargin
   )
 }

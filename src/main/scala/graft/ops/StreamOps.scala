@@ -38,7 +38,7 @@ object StreamOps {
     "stream_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         |  event_type, COUNT(1) AS n_events,
-        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // 1 h window / 15 min slide: every event is in exactly 4 windows
@@ -46,7 +46,7 @@ object StreamOps {
     "stream_sliding" ->
       """SELECT ((epoch_us(ts) // 900000000) - k) * 900000000 AS window_start_us,
         |  COUNT(1) AS n_events,
-        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) ks
         |GROUP BY 1""".stripMargin,
 
@@ -63,7 +63,7 @@ object StreamOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM g)
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
-        |  COUNT(1) AS n_events, SUM(vc) AS sum_value_c
+        |  COUNT(1) AS n_events, CAST(SUM(vc) AS BIGINT) AS sum_value_c
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // custom FMGWS sessionizer: STRICT > gap breaks; end = last event
@@ -79,12 +79,12 @@ object StreamOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM g)
         |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
-        |  COUNT(1) AS n_events, SUM(vc) AS sum_value_c
+        |  COUNT(1) AS n_events, CAST(SUM(vc) AS BIGINT) AS sum_value_c
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "stream_dedup" ->
       """SELECT COUNT(1) AS n_events,
-        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM (SELECT DISTINCT ON (event_id) * FROM events)""".stripMargin,
 
     "stream_interval_join" ->

@@ -36,7 +36,7 @@ object Extras {
         """SELECT o_orderstatus, o_orderpriority,
           |  CAST(grouping_id() AS BIGINT) AS gid,
           |  COUNT(1) AS n_orders,
-          |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_px_c
+          |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_px_c
           |FROM orders_gs
           |GROUP BY o_orderstatus, o_orderpriority
           |  GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)
@@ -111,7 +111,7 @@ object Extras {
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
         |  COUNT(1) AS n_orders,
-        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_px_c
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_px_c
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
 
@@ -124,14 +124,14 @@ object Extras {
 
     "win_frame_moving" ->
       """SELECT o_custkey, o_orderkey,
-        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_px_c
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_px_c
         |FROM orders""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(1) AS n_events,
-        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY event_type""".stripMargin,
     // agg_sketch: intentionally no oracle (rows-only check)
 

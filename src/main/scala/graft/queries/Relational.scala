@@ -304,9 +304,9 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-        |  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
-        |  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_disc_c4,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
         |  AVG(CAST(ROUND(l_quantity*100) AS BIGINT)) AS avg_qty_c,
         |  COUNT(1) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -314,7 +314,7 @@ object Relational {
     "agg_global" ->
       """SELECT COUNT(1) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
-        |  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_px_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_px_c,
         |  epoch_us(MIN(l_shipdate)) AS min_ship_us, epoch_us(MAX(l_shipdate)) AS max_ship_us
         |FROM lineitem""".stripMargin,
 
@@ -327,7 +327,7 @@ object Relational {
 
     "agg_rollup" ->
       """SELECT r_name, n_name, COUNT(1) AS n_cust,
-        |  SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sum_bal_c
+        |  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_c
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -335,12 +335,12 @@ object Relational {
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders,
-        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_px_c
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_px_c
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "join_q3_revenue" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
-        |  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_c4
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -350,7 +350,7 @@ object Relational {
 
     "join_broadcast_part" ->
       """SELECT p_brand,
-        |  SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
         |  COUNT(1) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
@@ -372,7 +372,7 @@ object Relational {
 
     "join_q5_region" ->
       """SELECT r_name, n_name,
-        |  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_c4,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4,
         |  COUNT(1) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -391,9 +391,9 @@ object Relational {
 
     "win_running_sum" ->
       """SELECT event_id, user_id,
-        |  SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_value_c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_value_c
         |FROM events""".stripMargin,
 
     "win_lag_gap" ->
@@ -408,13 +408,13 @@ object Relational {
         |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |), s AS (
-        |  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |  SELECT *, CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, COUNT(1) AS n_events,
         |  MIN(us) AS start_us, MAX(us) AS end_us,
-        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "topk_orders" ->
@@ -435,7 +435,7 @@ object Relational {
         |SELECT o_custkey AS c_custkey FROM orders""".stripMargin,
 
     "setop_union" ->
-      """SELECT tag, COUNT(1) AS n, SUM(k) AS sum_k FROM (
+      """SELECT tag, COUNT(1) AS n, CAST(SUM(k) AS BIGINT) AS sum_k FROM (
         |  SELECT c_custkey AS k, 'rich' AS tag FROM customer WHERE c_acctbal > 9000
         |  UNION ALL
         |  SELECT c_custkey AS k, 'poor' AS tag FROM customer WHERE c_acctbal < -500
@@ -455,12 +455,12 @@ object Relational {
       """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
         |  CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
         |  COUNT(1) AS n_orders,
-        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_px_c
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_px_c
         |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "date_trunc_week" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, COUNT(1) AS n,
-        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "math_funcs" ->
@@ -484,7 +484,7 @@ object Relational {
 
     "json_funcs" ->
       """SELECT event_type, COUNT(1) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
@@ -495,21 +495,21 @@ object Relational {
         |       WHEN o_totalprice < 300000 THEN 'M'
         |       ELSE 'L' END AS bucket,
         |  COUNT(1) AS n,
-        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_px_c
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_px_c
         |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "subquery_above_avg" ->
       """SELECT o_orderstatus, COUNT(1) AS n_above,
-        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_px_c
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_px_c
         |FROM orders
         |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
 
     "pivot_returnflag" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN l_returnflag = 'A' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS "A",
-        |  SUM(CASE WHEN l_returnflag = 'N' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS "N",
-        |  SUM(CASE WHEN l_returnflag = 'R' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS "R"
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS BIGINT) AS "A",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS BIGINT) AS "N",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS BIGINT) AS "R"
         |FROM lineitem GROUP BY l_linestatus""".stripMargin
   )
 }
