@@ -36,6 +36,37 @@ object BboxCentroidAgg extends Aggregator[(Double, Double), BboxBuf, BboxOut] {
   override def outputEncoder: Encoder[BboxOut] = Encoders.product[BboxOut]
 }
 
+/** Per-group top-k by (sim DESC, n_id ASC) as a typed Aggregator — the
+  * scale shape for distributed top-k-per-key: partial buffers of size
+  * ≤ k merge map-side (ObjectHashAggregate partial → partial_merge),
+  * so a query's candidate rows never centralize anywhere; only
+  * k·partitions rows per group cross the shuffle. Replaces the
+  * row_number-window formulation, which shuffles and sorts EVERY
+  * candidate row of a group onto one task. */
+final case class SimEntry(n_id: Long, sim: Double)
+
+class TopKSimAgg(k: Int) extends Aggregator[SimEntry, Seq[SimEntry], Seq[SimEntry]] {
+  // strict weak order: sim DESC, n_id ASC (n_id is unique per group)
+  private def better(a: SimEntry, b: SimEntry): Boolean =
+    a.sim > b.sim || (a.sim == b.sim && a.n_id < b.n_id)
+
+  override def zero: Seq[SimEntry] = Vector.empty
+
+  override def reduce(b: Seq[SimEntry], e: SimEntry): Seq[SimEntry] =
+    if (b.length >= k && better(b.last, e)) b
+    else (b :+ e).sortWith(better).take(k)
+
+  override def merge(x: Seq[SimEntry], y: Seq[SimEntry]): Seq[SimEntry] =
+    (x ++ y).sortWith(better).take(k)
+
+  override def finish(r: Seq[SimEntry]): Seq[SimEntry] = r
+
+  override def bufferEncoder: Encoder[Seq[SimEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SimEntry]]()
+  override def outputEncoder: Encoder[Seq[SimEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SimEntry]]()
+}
+
 final case class BboxBuf(
     minLon: Double, maxLon: Double, minLat: Double, maxLat: Double,
     sumLon: Double, sumLat: Double, n: Long)

@@ -61,12 +61,53 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** plane_band_keys(embedding) → array<long> of LSH band keys: plane i's
+  * sign bit (dot(weights(i), v) > 0) lands in band i/bitsPerBand at
+  * position i%bitsPerBand. One pass over the vector per plane — no
+  * per-plane HOF chains (interpreted + recomputed per reference), no
+  * explode of the embedding. Weights are driver-side constants. */
+case class PlaneBandKeys(child: Expression, weights: Seq[Seq[Double]], bitsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(weights.nonEmpty && weights.length % bitsPerBand == 0)
+  @transient private lazy val w: Array[Array[Double]] = weights.map(_.toArray).toArray
+  private val nBands = weights.length / bitsPerBand
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val keys = new Array[Long](nBands)
+    if (v != null) {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var i = 0
+      while (i < w.length) {
+        val wi = w(i)
+        val m = math.min(n, wi.length)
+        var acc = 0.0
+        var j = 0
+        while (j < m) { acc += x.getFloat(j).toDouble * wi(j); j += 1 }
+        if (acc > 0) keys(i / bitsPerBand) |= (1L << (i % bitsPerBand))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
   import org.apache.spark.sql.functions.sqrt
 
   def vec_dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+  def plane_band_keys(v: Column, weights: Seq[Seq[Double]], bitsPerBand: Int): Column =
+    toCol(PlaneBandKeys(toExpr(v), weights, bitsPerBand))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -32,26 +32,76 @@ object SimilarityOps {
 
   /** Exact cosine top-k neighbors for query vectors. Norms are computed
     * once per side BEFORE the join — the naive per-pair cosine pays the
-    * two norm traversals |Q|×|C| times instead of |Q|+|C|. */
+    * two norm traversals |Q|×|C| times instead of |Q|+|C|.
+    *
+    * Scale shape: the SMALL (filtered query) side is broadcast and the
+    * corpus streams through it — never the reverse (broadcasting the
+    * corpus OOMs at scale). Top-k per query runs as a typed Aggregator
+    * with map-side partial combine ([[graft.functions.TopKSimAgg]]):
+    * each corpus partition keeps only its local k best per query, so
+    * the shuffle carries ≤ k·partitions rows per query instead of the
+    * whole |Q|×|C| similarity matrix through a window sort. */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
     val q = embeddings.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
     val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       norm(col("embedding")).as("n_nrm"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    q.join(broadcast(c), col("q_id") =!= col("n_id"))
+    val topk = udaf(new graft.functions.TopKSimAgg(k))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("sim", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
-        round(col("sim"), 6).as("sim"))
+      .groupBy("q_id")
+      .agg(topk(col("n_id"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.sim"), 6).as("sim"))
   }
 
-  /** All pairs with cosine ≥ tau (embedding-space near-duplicates).
-    * Brute force here; the LSH-bucketed variant is the scale path.
-    * Norms precomputed per side (see [[bruteForceTopK]]). */
-  def nearDupPairs(embeddings: DataFrame, tau: Double): DataFrame = {
+  /** Near-duplicate pairs by banded random-hyperplane LSH + exact
+    * rerank — the scale path. nBands×bitsPerBand md5-derived planes;
+    * band b's key packs that band's sign bits, candidates are pairs
+    * sharing any band key (shuffle-keyed equi-join, never all-pairs),
+    * and the exact cosine ≥ tau filter reranks only candidates.
+    *
+    * Sizing rule: bitsPerBand ≈ log2(n) keeps expected random
+    * collisions per band ≈ n/2 (candidates O(n·nBands)); nBands is the
+    * recall knob (cost linear in it). Recall is partial by
+    * construction — P(pair found) = 1-(1-p^bits)^bands with
+    * p = 1-θ/π — and measured against [[nearDupPairsExact]] in
+    * SimilarityOpsSpec. LSH targets genuinely-near duplicates: at
+    * cos ≥ 0.95 recall is high; at cos ≈ 0.45 (60°) no hyperplane
+    * scheme separates well — that regime needs IVF-style partitioning.
+    */
+  def nearDupPairs(embeddings: DataFrame, tau: Double,
+      nBands: Int = 8, bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
+    val weights = (0 until nBands * bitsPerBand).map(i =>
+      (0 until dim).map(j => hashedPlaneWeight(i, j).toDouble))
+    val docs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      graft.functions.VectorFunctions
+        .plane_band_keys(col("embedding"), weights, bitsPerBand).as("ks"))
+    val bands = docs.select(col("vec_id"), posexplode(col("ks")))
+      .toDF("vec_id", "band", "key")
+    val cand = bands.select(col("band"), col("key"), col("vec_id").as("d1"))
+      .join(bands.select(col("band").as("band2"), col("key").as("key2"),
+          col("vec_id").as("d2")),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    cand
+      .join(docs.select(col("vec_id").as("d1"), col("embedding").as("e1"),
+        col("nrm").as("nrm1")), "d1")
+      .join(docs.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+        col("nrm").as("nrm2")), "d2")
+      .withColumn("sim", dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
+      .filter(col("sim") >= tau)
+      .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Exhaustive all-pairs near-dup — O(n²), small-data baseline only;
+    * kept for measuring [[nearDupPairs]] recall in the spec. */
+  def nearDupPairsExact(embeddings: DataFrame, tau: Double): DataFrame = {
     val a = embeddings.select(col("vec_id").as("d1"), col("embedding").as("e1"),
       norm(col("embedding")).as("nrm1"))
     val b = embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2"),
@@ -126,14 +176,19 @@ object SimilarityOps {
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
 
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("c_sim").desc, col("cid").asc)
+    // argmax via max_by with a (c_sim, -cid) tie-break struct: a hash
+    // aggregate with map-side partial combine — after the broadcast
+    // join every (vec_id, cid) row sits in the same partition, so the
+    // reduction completes locally and ~1 row per vector shuffles. The
+    // row_number-window form sort-shuffled all corpus×K rows.
     val assign = vecs.join(broadcast(cents), lit(true))
       .withColumn("c_sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("nrm").as("n_nrm"), col("cid"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("cid")),
+        struct(col("c_sim"), (-col("cid")).as("tb"))).as("best"))
+      .select(col("vec_id").as("n_id"), col("best.n_emb").as("n_emb"),
+        col("best.n_nrm").as("n_nrm"), col("best.cid").as("cid"))
 
     val wProbe = Window.partitionBy("q_id")
       .orderBy(col("c_sim").desc, col("cid").asc)
@@ -160,15 +215,33 @@ object SimilarityOps {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** IVF parameters for the driver query (shared with the oracle SQL).
+    * Swept at sf0.01: recall@10 = 0.80 scanning ~38 % of the corpus —
+    * the knee for isotropic random embeddings (a worst case: cells
+    * barely correlate with neighborhoods, so recall ≈ scanned fraction
+    * + quantization uplift; real clustered embeddings do far better). */
+  val IvfCentroids = 64
+  val IvfProbe = 24
+  /** Near-dup LSH parameters for the driver query. The synthetic
+    * corpus's nearest pairs sit at cos 0.45–0.51 (≈60°) — the regime
+    * where hyperplane LSH is weakest (P(bit agree) ≈ 0.67) — so the
+    * demo uses short 5-bit bands × 12 (recall 0.86 here); production
+    * near-dup (cos ≥ 0.95) would use the 16-bit default bands. */
+  val NdBands = 12
+  val NdBits = 5
+  val NdTau = 0.45
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> ((s, d) =>
       bruteForceTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10)),
     "sim_neardup_pairs" -> ((s, d) =>
-      nearDupPairs(t(s, d, "embeddings"), tau = 0.45)),
+      nearDupPairs(t(s, d, "embeddings"), tau = NdTau,
+        nBands = NdBands, bitsPerBand = NdBits)),
     "sim_lsh_buckets" -> ((s, d) => lshBuckets(t(s, d, "embeddings"))),
     "sim_lsh_buckets_hashed" -> ((s, d) => lshBucketsHashed(t(s, d, "embeddings"))),
     "sim_ivf_topk" -> ((s, d) =>
-      ivfTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0))
+      ivfTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0,
+        nCentroids = IvfCentroids, nProbe = IvfProbe))
   )
 
   private val sqlCos =
@@ -194,17 +267,46 @@ object SimilarityOps {
          |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
-    "sim_neardup_pairs" ->
-      s"""WITH e AS (SELECT vec_id, embedding AS e FROM embeddings)
-         |SELECT a.vec_id AS d1, b.vec_id AS d2, ROUND($sqlCos, 6) AS sim
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE $sqlCos >= 0.45""".stripMargin,
+    "sim_neardup_pairs" -> {
+      // replicate the banded hashed-plane keys literally, then the same
+      // candidate join + exact rerank — both engines compute the
+      // identical LSH-gated result
+      def bandKey(b: Int): String = {
+        val terms = (0 until NdBits).map { r =>
+          val i = b * NdBits + r
+          val ws = (0 until 64).map(j => s"${hashedPlaneWeight(i, j)}.0").mkString(",")
+          s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+             |    list_transform(list_zip(embedding, [$ws]), s ->
+             |      s[1]::DOUBLE * s[2])), (x,y) -> x+y) > 0 THEN ${1L << r} ELSE 0 END"""
+            .stripMargin
+        }
+        s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+      }
+      val keys = (0 until NdBands).map(b => s"${bandKey(b)} AS k$b").mkString(",\n  ")
+      val keyList = (0 until NdBands).map(b => s"k$b").mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${sqlNrm("embedding")} AS nrm,
+         |  $keys
+         |  FROM embeddings),
+         |bands AS (
+         |  SELECT vec_id, bb.b AS band, [$keyList][bb.b + 1] AS key
+         |  FROM e, (SELECT unnest(range(0, $NdBands)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS d1, x.vec_id AS d2
+         |  FROM bands a JOIN bands x
+         |    ON a.band = x.band AND a.key = x.key AND a.vec_id < x.vec_id),
+         |s AS (
+         |  SELECT c.d1, c.d2,
+         |    ${sqlDot("e1.embedding", "e2.embedding")} / (e1.nrm * e2.nrm) AS sim
+         |  FROM cand c JOIN e e1 ON c.d1 = e1.vec_id JOIN e e2 ON c.d2 = e2.vec_id)
+         |SELECT d1, d2, ROUND(sim, 6) AS sim FROM s WHERE sim >= $NdTau""".stripMargin
+    },
 
     "sim_ivf_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
          |  FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 16),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $IvfCentroids),
          |asg0 AS (
          |  SELECT e.vec_id AS n_id, e.emb AS n_emb, e.nrm AS n_nrm, cent.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -218,7 +320,7 @@ object SimilarityOps {
          |      ORDER BY ${sqlDot("q.emb", "cent.c_emb")} / (q.nrm * cent.c_nrm) DESC,
          |               cent.cid ASC) AS rn
          |  FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q, cent),
-         |prb AS (SELECT q_id, q_emb, q_nrm, cid FROM prb0 WHERE rn <= 3),
+         |prb AS (SELECT q_id, q_emb, q_nrm, cid FROM prb0 WHERE rn <= $IvfProbe),
          |sims AS (
          |  SELECT prb.q_id, asg.n_id,
          |    ${sqlDot("prb.q_emb", "asg.n_emb")} / (prb.q_nrm * asg.n_nrm) AS sim
