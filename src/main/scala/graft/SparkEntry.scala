@@ -23,7 +23,8 @@ object SparkEntry {
       graft.ops.SimilarityOps.queries ++
       graft.ops.StreamOps.queries ++
       graft.ops.MultimodalOps.queries ++
-      graft.ops.TemporalOps.queries
+      graft.ops.TemporalOps.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.ops.SimilarityOps.oracle ++
       graft.ops.StreamOps.oracle ++
       graft.ops.MultimodalOps.oracle ++
-      graft.ops.TemporalOps.oracle
+      graft.ops.TemporalOps.oracle ++
+      graft.queries.PipelineQueries.oracle
 }
