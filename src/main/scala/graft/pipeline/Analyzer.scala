@@ -166,43 +166,33 @@ class Analyzer(val params: AnalyzerParams = AnalyzerParams()) extends Serializab
   }
 
   // ---------------------------------------------------------------- O13
-  /** Corridor polygons per kept section (reference :476-712): the
-    * section's ordered pair midpoints are re-assembled with
-    * `sort_array(collect_list(struct(orderKey, midpoints)))` (Spark aggs
-    * are unordered — the order key rides inside the struct), then the
-    * pure [[CorridorGeometry]] kernel runs once per section row.
+  /** Corridor polygons per kept section (reference :476-712): a typed
+    * [[CorridorAgg]] Aggregator accumulates (orderKey, midpoint)
+    * records + a running max separation per section — map-side-merging,
+    * no `collect_list` array column, roughly half the per-section state
+    * (SURVEY §7.3) — then its finish step sorts by the compat order key
+    * and runs the pure [[CorridorGeometry.fromCenterline]] kernel.
     * Adds oriented_polygon / oriented_width_m / corridor_polygon /
     * corridor_fallback columns. */
   def sectionCorridors(sessionized: DataFrame, sections: DataFrame): DataFrame = {
-    val orderKey =
-      if (p.compat) Seq(col("s1"), col("compat_dx"), col("compat_dy"), col("s2"))
-      else Seq(col("s1"), col("s2"))
-    val rec = struct(
-      orderKey ++ Seq(col("lon1"), col("lat1"), col("lon2"), col("lat2")): _*)
-    val pairsBySection = sessionized
+    // corrected mode orders by (s1, s2): zero out the bucket-scan keys
+    val dxCol = if (p.compat) col("compat_dx") else lit(0)
+    val dyCol = if (p.compat) col("compat_dy") else lit(0)
+    val corridorAgg = udaf(new CorridorAgg(p.segmentM, p.detectionRangeM, p.compat))
+    val corr = sessionized
+      .join(sections.select("p1", "p2", "section", "center_lon", "center_lat"),
+        Seq("p1", "p2", "section"))
       .groupBy("p1", "p2", "section")
-      .agg(sort_array(collect_list(rec)).as("pair_recs"))
+      .agg(corridorAgg(
+        col("s1"), dxCol, dyCol, col("s2"),
+        col("lon1"), col("lat1"), col("lon2"), col("lat2"),
+        col("center_lon"), col("center_lat")).as("_corr"))
 
-    val segM = p.segmentM
-    val detM = p.detectionRangeM
-    val compat = p.compat
-    val corridorUdf = udf((recs: Seq[org.apache.spark.sql.Row], cLon: Double, cLat: Double) => {
-      val pairs = recs.map { r =>
-        (LonLat(r.getAs[Double]("lon1"), r.getAs[Double]("lat1")),
-          LonLat(r.getAs[Double]("lon2"), r.getAs[Double]("lat2")))
-      }
-      val c = CorridorGeometry.compute(pairs, cLon, cLat, segM, detM, compat)
-      (c.orientedPolygon, c.orientedWidthM, c.corridorPolygon, c.usedFallback)
-    })
-
-    sections.join(pairsBySection, Seq("p1", "p2", "section"))
-      .withColumn("_corr",
-        corridorUdf(col("pair_recs"), col("center_lon"), col("center_lat")))
-      .drop("pair_recs")
-      .withColumn("oriented_polygon", col("_corr._1"))
-      .withColumn("oriented_width_m", col("_corr._2"))
-      .withColumn("corridor_polygon", col("_corr._3"))
-      .withColumn("corridor_fallback", col("_corr._4"))
+    sections.join(corr, Seq("p1", "p2", "section"))
+      .withColumn("oriented_polygon", col("_corr.oriented_polygon"))
+      .withColumn("oriented_width_m", col("_corr.oriented_width_m"))
+      .withColumn("corridor_polygon", col("_corr.corridor_polygon"))
+      .withColumn("corridor_fallback", col("_corr.corridor_fallback"))
       .drop("_corr")
   }
 
@@ -249,13 +239,16 @@ class Analyzer(val params: AnalyzerParams = AnalyzerParams()) extends Serializab
   }
 
   // ---------------------------------------------------------------- O22
-  /** Complete analysis of a KMZ/KML file (reference analyze_complete
-    * :849-899): scan → lengths → (if ≥2 pipelines) pair join → bundling
-    * → effective length → summary with clamps. */
+  /** Complete analysis of a KMZ/KML file OR a directory/glob of them
+    * (reference analyze_complete :849-899): scan → lengths → (if ≥2
+    * pipelines) pair join → bundling → effective length → summary with
+    * clamps. Ingestion runs the distributed path ([[KmlSource.readMany]]
+    * + [[KmlSource.splitMany]]): files parse on executors and arrival-
+    * order ids come from per-file windows + offset join — no driver
+    * collect of features. */
   def analyze(spark: SparkSession, path: String): AnalysisResult = {
     import spark.implicits._
-    val features = KmlSource.read(spark, path)
-    val (pipelines, placemarks) = KmlSource.split(features)
+    val (pipelines, placemarks) = KmlSource.splitMany(KmlSource.readMany(spark, path))
     val nPipes = pipelines.count()
     val nPms = placemarks.count()
     if (nPipes == 0 && nPms == 0)

@@ -63,6 +63,46 @@ object CorridorGeometry {
         Seq(LonLat(avgLon, avgLat), LonLat(avgLon, avgLat))
       } else Seq(LonLat(centerLon, centerLat), LonLat(centerLon, centerLat))
 
+    // 5. width from max pair separation (:549-563) — same toXY frame as
+    // fromCenterline; folded here so the streaming Aggregator path can
+    // accumulate it per row ([[maxPairSeparation]]) instead of keeping
+    // raw pairs around
+    var maxSep = 0.0
+    pairs.foreach { case (m1, m2) =>
+      val sep = maxPairSeparation(m1, m2, centerLon, centerLat)
+      if (sep > maxSep) maxSep = sep
+    }
+
+    fromCenterline(centerline, maxSep, centerLon, centerLat,
+      segmentM, detectionRangeM, compat)
+  }
+
+  /** One pair's separation in the section's local meter frame —
+    * bit-identical to the original in-loop formula (toXY both midpoints,
+    * hypot of the XY deltas). */
+  def maxPairSeparation(
+      m1: LonLat, m2: LonLat, centerLon: Double, centerLat: Double): Double = {
+    val mPerDegX = MPerDegY * math.cos(math.toRadians(centerLat))
+    val ax = (m1.lon - centerLon) * mPerDegX
+    val ay = (m1.lat - centerLat) * MPerDegY
+    val bx = (m2.lon - centerLon) * mPerDegX
+    val by = (m2.lat - centerLat) * MPerDegY
+    math.hypot(bx - ax, by - ay)
+  }
+
+  /** Steps 2-7 over an already-ordered centerline + precomputed max
+    * pair separation: the shape consumed by the typed Aggregator
+    * ([[graft.functions.CorridorAgg]]), whose buffer keeps one midpoint
+    * per pair and a running max instead of whole pair structs. */
+  def fromCenterline(
+      centerline: Seq[LonLat],
+      maxSep: Double,
+      centerLon: Double,
+      centerLat: Double,
+      segmentM: Double,
+      detectionRangeM: Double,
+      compat: Boolean): Corridor = {
+
     // 2. local meter frame (reference :494-508)
     val mPerDegX = MPerDegY * math.cos(math.toRadians(centerLat))
     def toXY(p: LonLat): XY =
@@ -88,13 +128,7 @@ object CorridorGeometry {
     val tMax = ts.max
     val sMean = ss.sum / ss.length
 
-    // 5. width from max pair separation (:549-563)
-    var maxSep = 0.0
-    pairs.foreach { case (m1, m2) =>
-      val a = toXY(m1); val b = toXY(m2)
-      val sep = math.hypot(b.x - a.x, b.y - a.y)
-      if (sep > maxSep) maxSep = sep
-    }
+    // 5. width clamp (reference :553-563)
     val marginM = 10.0
     var widthM = math.max(maxSep + marginM, segmentM)
     if (detectionRangeM > 0) widthM = math.min(widthM, 2.0 * detectionRangeM)

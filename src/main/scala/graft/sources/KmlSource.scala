@@ -23,9 +23,11 @@ object KmlSource {
     spark.createDataset(KmlParser.parseFile(path).toList)
   }
 
-  /** Distributed parse of many KML/KMZ files. `id`s are assigned
-    * per-file (arrival order within the file, like the reference's
-    * single-file counter). */
+  /** Distributed parse of many KML/KMZ files (or a single file — the
+    * wired-in [[graft.pipeline.Analyzer.analyze]] path): each file is
+    * one `binaryFile` task parsed on an EXECUTOR; `seq` is the file-
+    * local scan position (the reference's arrival order), the key
+    * [[splitMany]] turns into globally-unique arrival-order ids. */
   def readMany(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
@@ -34,10 +36,57 @@ object KmlSource {
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        KmlParser.parseBytes(path, bytes).map(f => (path, f))
+        KmlParser.parseBytes(path, bytes).zipWithIndex.map {
+          case (f, i) => (path, i.toLong, f)
+        }
       }
-      .toDF("source_file", "feature")
-      .select(col("source_file"), col("feature.*"))
+      .toDF("source_file", "seq", "feature")
+      .select(col("source_file"), col("seq"), col("feature.*"))
+  }
+
+  /** Distributed feature routing with the reference's arrival-order id
+    * semantics, for [[readMany]] output: within each file, LineStrings
+    * are numbered by scan position (`row_number` over the per-file
+    * window); per-file counts (one tiny row per file) become cumulative
+    * offsets so ids are globally unique in (source_file, scan) order —
+    * for a single file this is exactly the reference's counter, with no
+    * driver-side collect of FEATURES (only the per-file count table,
+    * O(#files), like the file listing itself). Placemark fallback ids
+    * (`PM_<n>`) get the same global numbering. */
+  def splitMany(features: DataFrame): (Dataset[PipelineRow], Dataset[PlacemarkRow]) = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val w = Window.partitionBy("source_file").orderBy("seq")
+
+    def withGlobalIdx(df: DataFrame): DataFrame = {
+      val local = df.withColumn("fid", row_number().over(w).cast("long") - 1L)
+      val counts = local.groupBy("source_file")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.scanLeft(("", 0L)) {
+        case ((_, acc), (f, n)) => (f, acc + n)
+      }.sliding(2).collect { case Array((_, off), (f, _)) => (f, off) }.toSeq
+      val offDf = spark.createDataset(offsets).toDF("source_file", "off")
+      local.join(broadcast(offDf), "source_file")
+        .withColumn("gid", col("fid") + col("off"))
+    }
+
+    val pipes = withGlobalIdx(features.filter(col("geometryType") === "LineString"))
+      .select(col("gid").cast("int").as("id"), col("objectid"), col("name"),
+        col("coordinates"))
+      .as[PipelineRow]
+
+    val pms = withGlobalIdx(features.filter(col("geometryType") =!= "LineString"))
+      .select(
+        when(col("objectid") =!= "N/A", col("objectid"))
+          .otherwise(concat(lit("PM_"), (col("gid") + 1).cast("string")))
+          .as("placemarkId"),
+        col("name"), lit(1).as("count"))
+      .as[PlacemarkRow]
+
+    (pipes, pms)
   }
 
   /** Route features into the two tables of the reference's data model
