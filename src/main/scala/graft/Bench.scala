@@ -28,29 +28,39 @@ object Bench {
     // min of 2 runs per query: one-off GC pauses / JIT recompiles at
     // these sub-10 s durations otherwise put ±5 s of noise on single
     // measurements (observed empirically at sf0.1).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0 // sentinel: a broken query must not make the bench "faster"
+    def run(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      entries.map { case (name, fn) =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0 // sentinel: a broken query must not make the bench "faster"
+          }
         }
+        name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
-    }
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val failed = results.count(_._2 < 0)
+    // pipe_* queries are pinned to the reference fixture (they ignore
+    // sfDir by design — the KMZ is the dataset), so they are timed and
+    // reported SEPARATELY: the headline total stays comparable across
+    // rounds as a function of the sf directory alone.
+    val (fixtureEntries, sfEntries) =
+      SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.startsWith("pipe_"))
+    val results = run(sfEntries)
+    val fixtureResults = run(fixtureEntries)
+    def js(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val failed = (results ++ fixtureResults).count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val fixtureTotal = fixtureResults.collect { case (_, v) if v >= 0 => v }.sum
     // machine-load context so a contended driver run is self-evident
     // (round-1 driver bench read 152 s vs 39 s reproducible on idle)
     val loadavg = try {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     } catch { case _: Throwable => "unknown" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","fixture_total":$fixtureTotal%.3f,"fixture_queries":${js(fixtureResults)},"queries":${js(results)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

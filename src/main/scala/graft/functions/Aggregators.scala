@@ -46,9 +46,15 @@ object BboxCentroidAgg extends Aggregator[(Double, Double), BboxBuf, BboxOut] {
 final case class SimEntry(n_id: Long, sim: Double)
 
 class TopKSimAgg(k: Int) extends Aggregator[SimEntry, Seq[SimEntry], Seq[SimEntry]] {
-  // strict weak order: sim DESC, n_id ASC (n_id is unique per group)
-  private def better(a: SimEntry, b: SimEntry): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.n_id < b.n_id)
+  // TOTAL order: sim DESC via java.lang.Double.compare (NaN compares
+  // greater than everything, so zero-norm NaN sims rank first in DESC —
+  // matching DuckDB's ORDER BY sim DESC and keeping the sort contract
+  // total; raw > on doubles is not a valid ordering once NaN appears),
+  // n_id ASC tie-break (unique per group).
+  private def better(a: SimEntry, b: SimEntry): Boolean = {
+    val c = java.lang.Double.compare(a.sim, b.sim)
+    c > 0 || (c == 0 && a.n_id < b.n_id)
+  }
 
   override def zero: Seq[SimEntry] = Vector.empty
 

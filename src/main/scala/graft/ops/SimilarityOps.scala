@@ -74,9 +74,10 @@ object SimilarityOps {
     * scheme separates well — that regime needs IVF-style partitioning.
     */
   def nearDupPairs(embeddings: DataFrame, tau: Double,
-      nBands: Int = 8, bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
+      nBands: Int = 8, bitsPerBand: Int = 16, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else dataDim(embeddings)
     val weights = (0 until nBands * bitsPerBand).map(i =>
-      (0 until dim).map(j => hashedPlaneWeight(i, j).toDouble))
+      (0 until d).map(j => hashedPlaneWeight(i, j).toDouble))
     val docs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       graft.functions.VectorFunctions
@@ -98,6 +99,16 @@ object SimilarityOps {
       .filter(col("sim") >= tau)
       .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Embedding dimensionality observed in the data (first row) — the
+    * default when callers don't pass an explicit `dim`, so the plane
+    * weight matrices always cover the real vector length. A hardcoded
+    * dim smaller than the data's silently truncates every plane dot
+    * product (degrading LSH recall with no error); larger NULL-pads in
+    * the DuckDB oracle but zero-extends here. One tiny first-row job,
+    * paid once per operator call, never per row. */
+  private def dataDim(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).head.getInt(0)
 
   /** Exhaustive all-pairs near-dup — O(n²), small-data baseline only;
     * kept for measuring [[nearDupPairs]] recall in the spec. */
@@ -142,9 +153,10 @@ object SimilarityOps {
   /** Random-hyperplane LSH with md5-derived (independent) planes.
     * Weight matrices are precomputed driver-side constants — zero
     * per-row hashing; the oracle embeds the same literals. */
-  def lshBucketsHashed(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+  def lshBucketsHashed(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else dataDim(embeddings)
     val bucketBits = (0 until nPlanes).map { i =>
-      val weights = array((0 until dim).map(j => lit(hashedPlaneWeight(i, j).toDouble)): _*)
+      val weights = array((0 until d).map(j => lit(hashedPlaneWeight(i, j).toDouble)): _*)
       val dotI = aggregate(
         zip_with(col("embedding"), weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)

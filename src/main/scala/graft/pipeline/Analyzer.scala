@@ -297,6 +297,14 @@ class Analyzer(val params: AnalyzerParams = AnalyzerParams()) extends Serializab
         savingsM, savingsM / Geodesic.SurveyMile, savingsPct))
   }
 
+  /** Re-analysis (reference entry point C, reanalyze :1588-1655): the
+    * SAME input re-run under new parameters. The reference re-invokes
+    * analyze_complete on its cached current_file — a full recompute
+    * with no incremental reuse — and this mirrors that contract; the
+    * persisted intermediates of THIS analyzer are not shared. */
+  def reanalyze(spark: SparkSession, path: String, newParams: AnalyzerParams): AnalysisResult =
+    new Analyzer(newParams).analyze(spark, path)
+
   /** Names + corridor polygons on sections (reference bundled_sections
     * shape, :718-745, sorted by length desc) and names on overlaps. */
   private def enrichOutputs(

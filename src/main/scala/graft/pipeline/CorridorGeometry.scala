@@ -4,9 +4,12 @@ package graft.pipeline
   * reference /root/reference/src/pipeline_calculator_v3.py:476-712).
   *
   * Pure driver-free math over one section's ordered pair midpoints —
-  * applied distributively via a typed `Dataset.map` after a
-  * `collect_list` section aggregation (Spark aggs are unordered, so the
-  * order key rides inside the struct and `sort_array` restores it).
+  * consumed by [[graft.pipeline.CorridorAgg]], a typed
+  * `Aggregator[CorridorPairIn, CorridorBuf, CorridorOut]`: buffers
+  * accumulate (orderKey, midpoint) records plus a running max
+  * separation and merge associatively on executors, then `finish`
+  * sorts by the compat order key and calls [[fromCenterline]] — so a
+  * section's pairs never materialize as one collect_list array value.
   *
   * Geometry (all in a local equirectangular meter frame about the
   * section center, reference :494-508):

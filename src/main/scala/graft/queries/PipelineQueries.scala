@@ -33,8 +33,17 @@ import graft.sources.KmlSource
   */
 object PipelineQueries {
 
-  val FixtureKmz = "/root/reference/test_data/Brazos_NGL and Delaware_Gas combined.kmz"
-  val FixtureDir = "/root/repo/fixtures/pipe"
+  /** Reference fixture KMZ. Overridable via GRAFT_REFERENCE_KMZ for
+    * machines where the reference checkout lives elsewhere. */
+  val FixtureKmz: String = sys.env.getOrElse("GRAFT_REFERENCE_KMZ",
+    "/root/reference/test_data/Brazos_NGL and Delaware_Gas combined.kmz")
+
+  /** Committed parquet intermediates (dumped by [[graft.tools.PipeFixture]]).
+    * Resolved against the working directory (sbt runs from the repo
+    * root) so the suite — and the DuckDB oracle SQL that embeds these
+    * paths — is portable; overridable via GRAFT_FIXTURE_DIR. */
+  val FixtureDir: String = sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+    new java.io.File("fixtures/pipe").getAbsolutePath)
 
   private def glob(name: String) = s"$FixtureDir/$name.parquet/*.parquet"
 

@@ -31,7 +31,7 @@ object KmlSource {
   def readMany(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.km[lz]")
+      .option("pathGlobFilter", "*.[kK][mM][lLzZ]") // case-insensitive: x.KMZ == x.kmz
       .load(pathGlob)
       .select("path", "content")
       .as[(String, Array[Byte])]

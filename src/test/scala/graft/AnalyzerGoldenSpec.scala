@@ -61,4 +61,19 @@ class AnalyzerGoldenSpec extends AnyFunSuite {
     assert(math.abs(result.summary.savingsMiles - 10.711382) < 1e-4)
     assert(math.abs(result.summary.savingsPercent - 5.82) < 0.005)
   }
+
+  // reference entry point C (reanalyze :1588-1655): same file, new
+  // params, full recompute — file-derived facts are invariant, the
+  // min-parallel filter only drops sections, the pair join is untouched
+  test("reanalyze: same file under stricter min_parallel_length") {
+    val re = new Analyzer(AnalyzerParams(compat = true)).reanalyze(
+      spark, fixture, AnalyzerParams(compat = true, minParallelM = 1000.0))
+    assert(re.summary.nPipelines == 45)
+    assert(math.abs(re.summary.totalMeters - result.summary.totalMeters) < 1e-6)
+    assert(re.summary.nSegments == 59190)
+    assert(re.summary.nPairGroups == 17)
+    assert(re.summary.nBundledSections < 351 && re.summary.nBundledSections > 0)
+    // effective length uses the 1/k clustering, not the section filter
+    assert(math.abs(re.summary.effectiveMeters - result.summary.effectiveMeters) < 1e-6)
+  }
 }
