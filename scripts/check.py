@@ -26,9 +26,17 @@ def dtype_name(t: pa.DataType) -> str:
     arrow types strictly, modulo representation-only variants
     (large_string==string etc.)."""
     s = str(t)
-    return (s.replace("large_string", "string")
-             .replace("large_binary", "binary")
-             .replace("large_list", "list"))
+    s = (s.replace("large_string", "string")
+          .replace("large_binary", "binary")
+          .replace("large_list", "list"))
+    # list child FIELD NAMES are representation, not data: Spark writes
+    # list<element: T>, DuckDB emits list<l: T>. The driver hashes
+    # VALUES (pandas-level), where the inner name does not exist, and
+    # its schema check is column-name-level (round-1 evidence: HUGEINT
+    # vs int64 passed schema_match) — so ignore the child name here.
+    import re
+    s = re.sub(r"list<\w+: ", "list<item: ", s)
+    return s
 
 def arrow_dtypes(tbl: pa.Table) -> dict:
     return {f.name: dtype_name(f.type) for f in tbl.schema}

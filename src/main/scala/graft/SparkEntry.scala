@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Extras.queries ++
+      graft.queries.Coverage.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.DedupOps.queries ++
       graft.ops.SimilarityOps.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Extras.oracle ++
+      graft.queries.Coverage.oracle ++
       graft.ops.TextOps.oracle ++
       graft.ops.DedupOps.oracle ++
       graft.ops.SimilarityOps.oracle ++

@@ -30,7 +30,9 @@ object StreamOps {
         .agg(count(lit(1)).as("n_events"),
           sum(round(col("value") * 100).cast("long")).as("sum_value_c"))),
     "stream_interval_join" -> ((s, d) =>
-      EventStreams.purchaseClickJoin(t(s, d, "events")))
+      EventStreams.purchaseClickJoin(t(s, d, "events"))),
+    "stream_interval_join_left" -> ((s, d) =>
+      EventStreams.purchaseClickLeftJoin(t(s, d, "events")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -92,6 +94,14 @@ object StreamOps {
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin,
+
+    "stream_interval_join_left" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |  AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin
   )

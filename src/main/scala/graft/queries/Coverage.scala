@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{t, cents}
+
+/** Depth coverage for the generic surface (SURVEY §2.3) beyond the
+  * round-1 inventory: distribution window functions, arg-extremes,
+  * boolean/conditional aggregates, higher-order array functions, more
+  * string/date scalars, every subquery form (EXISTS / IN / correlated
+  * scalar), lateral explode, a salted as-of join, and format-roundtrip
+  * sources (CSV / JSON / ORC write→read, checked against the parquet
+  * truth) — each with an exact DuckDB oracle.
+  *
+  * Cross-engine discipline (same as [[Relational]]): integer cents,
+  * derived ints cast to LONG, total orders under every window (ties
+  * broken by a unique key), dates compared as formatted strings.
+  */
+object Coverage {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Scratch dir for the roundtrip sources — per-format subdirs,
+    * overwritten on every run (a fixed path keeps the oracle SQL
+    * machine-portable: the oracle reads the PARQUET truth, never the
+    * roundtrip output). */
+  private def rtDir(fmt: String) =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_roundtrip/$fmt"
+
+  /** Write nation out in `fmt`, read it back, and aggregate — if the
+    * sink or source mangles anything (types, quoting, encoding), the
+    * aggregate diverges from the parquet-based oracle. */
+  private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
+    val nation = t(s, d, "nation")
+    val path = rtDir(fmt)
+    val w = nation.write.format(fmt).mode("overwrite")
+    (if (fmt == "csv") w.option("header", "true") else w).save(path)
+    val back = fmt match {
+      // CSV/JSON carry no schema — reading with the original schema is
+      // the roundtrip contract (values must parse back exactly)
+      case "csv" => s.read.schema(nation.schema).option("header", "true").format(fmt).load(path)
+      case "json" => s.read.schema(nation.schema).format(fmt).load(path)
+      case _ => s.read.format(fmt).load(path)
+    }
+    back.groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        min(col("n_name")).as("first_name"))
+  }
+
+  /** Rewrap array elements as nullable (containsNull=true): parquet
+    * written from a containsNull=false array declares `required`
+    * elements, which the dtype-strict compare flags against DuckDB's
+    * always-nullable list elements. nullif against a sentinel the data
+    * can never hit (elements are ≥ 1) is data-dependent, so the
+    * optimizer cannot fold it back to the non-null child — `when(true,
+    * x)` and a same-type cast both get simplified away. */
+  private def nullableElems(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c, x => nullif(x, lit(0L)))
+
+  val queries: Map[String, QFn] = Map(
+    // ---- window: distribution functions over a total order ----
+    "win_ntile_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("px_c").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("px_c", cents(col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("px_c"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+    }),
+
+    // ---- window: lead / first_value / last_value / nth_value ----
+    "win_lead_nth" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("us"),
+          lead(col("us"), 1).over(ord).as("next_us"),
+          first(col("event_id")).over(full).as("first_event"),
+          last(col("event_id")).over(full).as("last_event"),
+          nth_value(col("event_id"), 2).over(full).as("second_event"))
+    }),
+
+    // ---- agg: arg-extremes with a bit-exact unique ordering key ----
+    "agg_minby_maxby" -> ((s, d) =>
+      t(s, d, "lineitem")
+        // unique per row: px_c (≤1e7) * 1e9 + orderkey*10 + linenumber
+        .withColumn("by_key",
+          cents(col("l_extendedprice")) * lit(1000000000L) +
+            col("l_orderkey").cast("long") * 10L + col("l_linenumber").cast("long"))
+        .groupBy("l_returnflag")
+        .agg(
+          max_by(col("l_orderkey"), col("by_key")).cast("long").as("priciest_order"),
+          min_by(col("l_orderkey"), col("by_key")).cast("long").as("cheapest_order"),
+          max(col("by_key")).as("max_key"))),
+
+    // ---- agg: boolean / conditional aggregates ----
+    "agg_bool_countif" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          expr("count_if(l_quantity > 25)").as("n_bulk"),
+          expr("bool_and(l_quantity > 0)").as("all_positive"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+          count(when(col("l_returnflag") === "A", 1)).as("n_returned"))),
+
+    // ---- higher-order array functions ----
+    "arr_hof" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("arr", sequence(lit(1L), pmod(col("p_size"), lit(7)).cast("long") + 2L))
+        // sequence() yields array<long, containsNull=false> and a plain
+        // cast to the same element type is a no-op; the oracle's arrow
+        // schema has nullable elements and the compare is dtype-strict
+        // including nullability, so force containsNull via a nullable
+        // lambda (when with no otherwise)
+        .select(col("p_partkey"), nullableElems(col("arr")).as("arr"),
+          exists(col("arr"), _ > 5).as("has_gt5"),
+          forall(col("arr"), _ > 0).as("all_pos"),
+          aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("arr_sum"),
+          element_at(reverse(sort_array(col("arr"))), 1).as("arr_max"),
+          nullableElems(flatten(array(col("arr"), col("arr")))).as("doubled"),
+          nullableElems(slice(col("arr"), 2, 3)).as("mid"))),
+
+    // ---- string scalars round 2 ----
+    "str_funcs2" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_brand")).cast("long").as("lev_name_brand"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("no_vowels"),
+          lpad(col("p_size").cast("string"), 5, "0").as("size_padded"),
+          concat(repeat(substring(col("p_name"), 1, 2), 2)).as("rep2"),
+          reverse(col("p_name")).as("rev_name"),
+          ascii(col("p_brand")).cast("long").as("brand_ascii"),
+          instr(col("p_name"), "a").cast("long").as("first_a"),
+          split_part(col("p_name"), lit(" "), lit(1)).as("first_word"))),
+
+    // ---- date arithmetic ----
+    "date_arith" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("od", col("o_orderdate").cast("date"))
+        .groupBy(
+          quarter(col("od")).cast("long").as("qtr"),
+          (dayofweek(col("od")) - 1).cast("long").as("dow"), // 0 = Sunday, DuckDB convention
+          weekofyear(col("od")).cast("long").as("iso_week"),
+          date_format(last_day(col("od")), "yyyy-MM-dd").as("month_end"),
+          date_format(date_add(col("od"), 30), "yyyy-MM-dd").as("plus_30d"),
+          datediff(lit("1998-01-01").cast("date"), col("od")).cast("long").as("days_to_98"))
+        .agg(count(lit(1)).as("n_orders"))),
+
+    // ---- subqueries: EXISTS / IN / correlated scalar ----
+    "subquery_exists" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderstatus, COUNT(1) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_px_c
+        FROM orders_v o
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        GROUP BY o_orderstatus
+      """)
+    }),
+
+    "subquery_in" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v2")
+      t(s, d, "nation").createOrReplaceTempView("nation_v2")
+      s.sql("""
+        SELECT c_mktsegment, COUNT(1) AS n_cust,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_bal_c
+        FROM customer_v2
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation_v2 WHERE n_name < 'G')
+        GROUP BY c_mktsegment
+      """)
+    }),
+
+    "subquery_corr_scalar" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v3")
+      s.sql("""
+        SELECT c_custkey, c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer_v3 o
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) =
+              (SELECT MAX(CAST(ROUND(i.c_acctbal * 100) AS BIGINT))
+               FROM customer_v3 i WHERE i.c_nationkey = o.c_nationkey)
+      """)
+    }),
+
+    // ---- lateral explode (UDTF-shaped projection) ----
+    "lateral_explode" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          posexplode(split(col("o_orderpriority"), "-")))
+        .select(col("o_orderkey"), col("pos").cast("long").as("pos"), col("col").as("part"))),
+
+    // ---- salted as-of (hot-key-safe variant; same oracle as asof) ----
+    "asof_salted_purchase_click" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("us"))
+      graft.operators.AsofJoin.asofSalted(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Map("event_id" -> "click_event_id", "us" -> "click_us"),
+          tieBreak = Seq("event_id"), salts = 8)
+        .select(col("user_id"), col("event_id"),
+          col("us").as("purchase_us"),
+          col("click_event_id"), col("click_us"),
+          (col("us") - col("click_us")).as("gap_us"))
+    }),
+
+    // ---- format-roundtrip sources ----
+    "source_csv_roundtrip" -> ((s, d) => roundtrip(s, d, "csv")),
+    "source_json_roundtrip" -> ((s, d) => roundtrip(s, d, "json")),
+    "source_orc_roundtrip" -> ((s, d) => roundtrip(s, d, "orc"))
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  private val rtOracle =
+    """SELECT n_regionkey, COUNT(1) AS n_nations,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  MIN(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "win_ntile_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS px_c,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) ASC, o_orderkey ASC)""".stripMargin,
+
+    "win_lead_nth" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  lead(epoch_us(ts), 1) OVER w AS next_us,
+        |  first_value(event_id) OVER wf AS first_event,
+        |  last_value(event_id) OVER wf AS last_event,
+        |  nth_value(event_id, 2) OVER wf AS second_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC),
+        |  wf AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "agg_minby_maxby" ->
+      """WITH keyed AS (
+        |  SELECT l_returnflag, l_orderkey,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1000000000
+        |      + l_orderkey * 10 + l_linenumber AS by_key
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(arg_max(l_orderkey, by_key) AS BIGINT) AS priciest_order,
+        |  CAST(arg_min(l_orderkey, by_key) AS BIGINT) AS cheapest_order,
+        |  CAST(MAX(by_key) AS BIGINT) AS max_key
+        |FROM keyed GROUP BY l_returnflag""".stripMargin,
+
+    "agg_bool_countif" ->
+      """SELECT l_linestatus,
+        |  CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  COUNT(1) FILTER (WHERE l_returnflag = 'A') AS n_returned
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "arr_hof" ->
+      """SELECT p_partkey,
+        |  range(1, (p_size % 7) + 3) AS arr,
+        |  len(list_filter(range(1, (p_size % 7) + 3), x -> x > 5)) > 0 AS has_gt5,
+        |  len(list_filter(range(1, (p_size % 7) + 3), x -> NOT (x > 0))) = 0 AS all_pos,
+        |  CAST(list_reduce(list_prepend(0, range(1, (p_size % 7) + 3)), (a, x) -> a + x) AS BIGINT) AS arr_sum,
+        |  list_sort(range(1, (p_size % 7) + 3), 'DESC')[1] AS arr_max,
+        |  flatten([range(1, (p_size % 7) + 3), range(1, (p_size % 7) + 3)]) AS doubled,
+        |  range(1, (p_size % 7) + 3)[2:4] AS mid
+        |FROM part""".stripMargin,
+
+    "str_funcs2" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, p_brand) AS BIGINT) AS lev_name_brand,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS no_vowels,
+        |  lpad(p_size::VARCHAR, 5, '0') AS size_padded,
+        |  repeat(left(p_name, 2), 2) AS rep2,
+        |  reverse(p_name) AS rev_name,
+        |  CAST(ascii(p_brand) AS BIGINT) AS brand_ascii,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        |  split_part(p_name, ' ', 1) AS first_word
+        |FROM part""".stripMargin,
+
+    "date_arith" ->
+      """SELECT CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+        |  strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+        |  CAST(date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS BIGINT) AS days_to_98,
+        |  COUNT(1) AS n_orders
+        |FROM orders GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    "subquery_exists" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_px_c
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "subquery_in" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_cust,
+        |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c
+        |FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name < 'G')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "subquery_corr_scalar" ->
+      """SELECT c_custkey, c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+        |FROM customer o
+        |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) =
+        |      (SELECT MAX(CAST(ROUND(i.c_acctbal * 100) AS BIGINT))
+        |       FROM customer i WHERE i.c_nationkey = o.c_nationkey)""".stripMargin,
+
+    "lateral_explode" ->
+      """SELECT o_orderkey, CAST(i - 1 AS BIGINT) AS pos,
+        |  string_split(o_orderpriority, '-')[i] AS part
+        |FROM orders,
+        |  unnest(range(1, len(string_split(o_orderpriority, '-')) + 1)) AS t(i)""".stripMargin,
+
+    "asof_salted_purchase_click" ->
+      """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  c.event_id AS click_event_id, epoch_us(c.ts) AS click_us,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "source_csv_roundtrip" -> rtOracle,
+    "source_json_roundtrip" -> rtOracle,
+    "source_orc_roundtrip" -> rtOracle
+  )
+}

@@ -101,6 +101,33 @@ object EventStreams {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** LEFT OUTER stream-stream join: like [[purchaseClickJoin]] but a
+    * purchase with no in-window click still emits, null-padded. In a
+    * stream, Spark holds the unmatched purchase in state until the
+    * CLICK-side watermark passes the join window's upper bound (only
+    * then is "no match" final) and emits the null row — verified in
+    * EventStreamsSpec. In batch it is a plain left join, so the DuckDB
+    * oracle covers the match semantics. */
+  def purchaseClickLeftJoin(
+      events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   // ------------------------------------------------- custom state (FMGWS)
 
   /** `ts` stays alongside the derived micros: event-time timeout

@@ -132,6 +132,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join null-pads once the click watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val q = EventStreams.purchaseClickLeftJoin(mem.toDF())
+      .writeStream.format("memory").queryName("ssjl").outputMode("append").start()
+    try {
+      // purchase 10:10 with a matching click 10:00 emits immediately;
+      // purchase 10:50 has no click in [10:20, 10:50] — held in state
+      mem.addData(RawEv(1, ts(0), 1, "click", 1.0), RawEv(2, ts(10), 1, "purchase", 1.0),
+        RawEv(3, ts(50), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val m1 = spark.table("ssjl").collect()
+      assert(m1.length == 1 && m1(0).getAs[Long]("click_id") == 1)
+      // 11:40 events on BOTH sides (each side's watermark node sits
+      // after its event_type filter) push the GLOBAL watermark to
+      // 11:30 ≥ 10:50 (the unmatched purchase's window upper bound) →
+      // "no match" is final and the null-padded row emits
+      mem.addData(RawEv(4, ts(100), 2, "click", 1.0), RawEv(5, ts(100), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjl").collect()
+        .map(r => (r.getAs[Long]("purchase_id"),
+          if (r.isNullAt(r.fieldIndex("click_id"))) -1L else r.getAs[Long]("click_id"))).toSet
+      // (5,4): the 11:40 purchase matches the same-instant click inline;
+      // (3,-1): the 10:50 purchase null-pads now that no click can match
+      assert(rows == Set((2L, 1L), (3L, -1L), (5L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops an in-watermark duplicate event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
