@@ -216,7 +216,25 @@ object Coverage {
     // ---- format-roundtrip sources ----
     "source_csv_roundtrip" -> ((s, d) => roundtrip(s, d, "csv")),
     "source_json_roundtrip" -> ((s, d) => roundtrip(s, d, "json")),
-    "source_orc_roundtrip" -> ((s, d) => roundtrip(s, d, "orc"))
+    "source_orc_roundtrip" -> ((s, d) => roundtrip(s, d, "orc")),
+
+    // ---- partitioned write + partition-pruned read ----
+    // events written partitioned by event_type; the filtered read-back
+    // must prune to one partition directory (PartitionFilters asserted
+    // in PlanAuditSpec) and agree with the unpartitioned truth.
+    "source_partitioned_pruning" -> ((s, d) => {
+      val path = rtDir("events_by_type")
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_c"), unix_micros(col("ts")).as("us"))
+        .write.partitionBy("event_type").mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value_c")).as("sum_value_c"),
+          max(col("us")).as("last_us"))
+    })
   )
 
   // ------------------------------------------------------------ oracles
@@ -340,6 +358,13 @@ object Coverage {
 
     "source_csv_roundtrip" -> rtOracle,
     "source_json_roundtrip" -> rtOracle,
-    "source_orc_roundtrip" -> rtOracle
+    "source_orc_roundtrip" -> rtOracle,
+
+    "source_partitioned_pruning" ->
+      """SELECT user_id, COUNT(1) AS n_purchases,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  MAX(epoch_us(ts)) AS last_us
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin
   )
 }

@@ -69,4 +69,36 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("txt_token_stats")
     assert(!p.contains("Exchange"), s"token stats must be shuffle-free:\n$p")
   }
+
+  test("source_partitioned_pruning: the scan prunes to one partition dir") {
+    val p = plan("source_partitioned_pruning")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("PartitionFilters")).getOrElse(p)
+    assert(scan.contains("event_type = purchase") ||
+      p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter must reach the scan:\n$p")
+  }
+
+  // Every query in the suite, one sweep: a cartesian product anywhere is
+  // a 100 TB death sentence, and a nested-loop join is only acceptable
+  // where one side is a deliberately-broadcast small relation.
+  test("suite-wide: no cartesian products; nested loops only where intended") {
+    // intentional BroadcastNestedLoopJoin / cross shapes:
+    //  - sim_topk / sim_ivf_topk: corpus x broadcast(tiny filtered set)
+    //    (non-equi or all-centroid condition, small side broadcast)
+    //  - pipe_totals / pipe_effective_length: crossJoin of 1-row aggregates
+    val allowNested = Set(
+      "sim_topk", "sim_ivf_topk", "pipe_totals", "pipe_effective_length")
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = try fn(spark, sf).queryExecution.executedPlan.toString catch {
+        case e: Throwable => failures += s"$name: plan failed: ${e.getMessage}"; ""
+      }
+      if (p.contains("CartesianProduct"))
+        failures += s"$name: CartesianProduct"
+      if (!allowNested(name) && p.contains("BroadcastNestedLoopJoin"))
+        failures += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
