@@ -32,7 +32,9 @@ object StreamOps {
     "stream_interval_join" -> ((s, d) =>
       EventStreams.purchaseClickJoin(t(s, d, "events"))),
     "stream_interval_join_left" -> ((s, d) =>
-      EventStreams.purchaseClickLeftJoin(t(s, d, "events")))
+      EventStreams.purchaseClickLeftJoin(t(s, d, "events"))),
+    "stream_dedup_tumbling" -> ((s, d) =>
+      EventStreams.dedupThenTumbling(t(s, d, "events")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -103,6 +105,13 @@ object StreamOps {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
-        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin,
+
+    "stream_dedup_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |  event_type, COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM (SELECT DISTINCT ON (event_id) * FROM events)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -78,6 +78,23 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** TWO stateful operators chained in one query — dedup state feeding
+    * tumbling-window aggregation state (multiple stateful operators in
+    * append mode are a Spark 4 capability; older versions rejected this
+    * plan). Batch: dropDuplicates → groupBy, DuckDB-oracle-checked. */
+  def dedupThenTumbling(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    dedupEvents(events, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value_c"))
+
   /** Stream-stream join: purchases joined to the same user's clicks
     * within [-30 min, 0] of the purchase. Both sides carry watermarks
     * so Spark can bound the join state (late side evicted once the

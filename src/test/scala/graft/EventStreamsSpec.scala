@@ -161,6 +161,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained stateful operators: dedup state feeds tumbling-window state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val q = EventStreams.dedupThenTumbling(mem.toDF(), window = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ddt").outputMode("append").start()
+    try {
+      // duplicate event_id 1 inside hour 10 — dedup must eat it before
+      // the window agg sees it; nothing emits while the window is open
+      mem.addData(RawEv(1, ts(5), 1, "click", 1.0), RawEv(1, ts(6), 1, "click", 1.0),
+        RawEv(2, ts(30), 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("ddt").count() == 0)
+      // 11:20 event → watermark 11:10 ≥ 11:00 closes hour 10
+      mem.addData(RawEv(3, ts(80), 1, "view", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("ddt").collect()
+      assert(closed.length == 1)
+      assert(closed(0).getAs[Long]("n_events") == 2, "duplicate must not be counted")
+      assert(closed(0).getAs[Long]("sum_value_c") == 300)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops an in-watermark duplicate event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
