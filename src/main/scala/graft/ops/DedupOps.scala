@@ -92,8 +92,10 @@ object DedupOps {
     // RDD-level checkpoint is scoped to this DataFrame's lifetime (no
     // CacheManager entry, so repeated calls stay independent), and a
     // real 100 TB pipeline would materialize this table anyway.
+    // eager=false: materialize on FIRST ACTION, not at plan build —
+    // explain()/plan audits stay free of the md5 job.
     val docArr = docs.select(col("doc_id"), shingleHashes(col(textCol)).as("shs"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val ds = docArr.select(col("doc_id"), explode(col("shs")).as("sh"))
     val rare = ds.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap && col("df") >= 2)

@@ -104,11 +104,22 @@ object SimilarityOps {
     * default when callers don't pass an explicit `dim`, so the plane
     * weight matrices always cover the real vector length. A hardcoded
     * dim smaller than the data's silently truncates every plane dot
-    * product (degrading LSH recall with no error); larger NULL-pads in
-    * the DuckDB oracle but zero-extends here. One tiny first-row job,
-    * paid once per operator call, never per row. */
+    * product (degrading LSH recall with no error). One tiny first-row
+    * job, paid once per operator call, never per row. An empty corpus
+    * (or null first embedding) falls back to [[OracleDim]] — the
+    * result is empty either way, it must not crash at plan-build. */
   private def dataDim(embeddings: DataFrame): Int =
-    embeddings.select(size(col("embedding"))).head.getInt(0)
+    embeddings.select(size(col("embedding"))).limit(1).collect()
+      .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
+      .getOrElse(OracleDim)
+
+  /** The driver testdata's embedding dim. The registered queries pin
+    * `dim = OracleDim` explicitly because the oracle SQL embeds weight
+    * literals for exactly this many dimensions — deriving on one side
+    * only would diverge on non-64-dim data (the oracle's list_zip
+    * NULL-pads where the kernel zero-extends). Library callers get the
+    * derived-from-data default instead. */
+  val OracleDim = 64
 
   /** Exhaustive all-pairs near-dup — O(n²), small-data baseline only;
     * kept for measuring [[nearDupPairs]] recall in the spec. */
@@ -248,9 +259,10 @@ object SimilarityOps {
       bruteForceTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10)),
     "sim_neardup_pairs" -> ((s, d) =>
       nearDupPairs(t(s, d, "embeddings"), tau = NdTau,
-        nBands = NdBands, bitsPerBand = NdBits)),
+        nBands = NdBands, bitsPerBand = NdBits, dim = OracleDim)),
     "sim_lsh_buckets" -> ((s, d) => lshBuckets(t(s, d, "embeddings"))),
-    "sim_lsh_buckets_hashed" -> ((s, d) => lshBucketsHashed(t(s, d, "embeddings"))),
+    "sim_lsh_buckets_hashed" -> ((s, d) =>
+      lshBucketsHashed(t(s, d, "embeddings"), dim = OracleDim)),
     "sim_ivf_topk" -> ((s, d) =>
       ivfTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0,
         nCentroids = IvfCentroids, nProbe = IvfProbe))

@@ -21,19 +21,21 @@ object Coverage {
 
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Scratch dir for the roundtrip sources — per-format subdirs,
-    * overwritten on every run (a fixed path keeps the oracle SQL
-    * machine-portable: the oracle reads the PARQUET truth, never the
-    * roundtrip output). */
-  private def rtDir(fmt: String) =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_roundtrip/$fmt"
+  /** Scratch dir for the roundtrip sources — keyed by sf dir and
+    * format so concurrent runs at different scale factors never read
+    * each other's output; overwritten on every run. The oracle never
+    * reads this path (it reads the PARQUET truth), so the location is
+    * free to vary per machine. */
+  private def rtDir(d: String, fmt: String) =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_roundtrip/" +
+      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}/$fmt"
 
   /** Write nation out in `fmt`, read it back, and aggregate — if the
     * sink or source mangles anything (types, quoting, encoding), the
     * aggregate diverges from the parquet-based oracle. */
   private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     val nation = t(s, d, "nation")
-    val path = rtDir(fmt)
+    val path = rtDir(d, fmt)
     val w = nation.write.format(fmt).mode("overwrite")
     (if (fmt == "csv") w.option("header", "true") else w).save(path)
     val back = fmt match {
@@ -113,11 +115,10 @@ object Coverage {
     "arr_hof" -> ((s, d) =>
       t(s, d, "part")
         .withColumn("arr", sequence(lit(1L), pmod(col("p_size"), lit(7)).cast("long") + 2L))
-        // sequence() yields array<long, containsNull=false> and a plain
-        // cast to the same element type is a no-op; the oracle's arrow
-        // schema has nullable elements and the compare is dtype-strict
-        // including nullability, so force containsNull via a nullable
-        // lambda (when with no otherwise)
+        // sequence() yields array<long, containsNull=false>; the
+        // oracle's arrow schema has nullable elements and the compare
+        // is dtype-strict including nullability — nullableElems forces
+        // containsNull (see its doc for why a cast doesn't)
         .select(col("p_partkey"), nullableElems(col("arr")).as("arr"),
           exists(col("arr"), _ > 5).as("has_gt5"),
           forall(col("arr"), _ > 0).as("all_pos"),
@@ -223,7 +224,7 @@ object Coverage {
     // must prune to one partition directory (PartitionFilters asserted
     // in PlanAuditSpec) and agree with the unpartitioned truth.
     "source_partitioned_pruning" -> ((s, d) => {
-      val path = rtDir("events_by_type")
+      val path = rtDir(d, "events_by_type")
       t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           cents(col("value")).as("value_c"), unix_micros(col("ts")).as("us"))

@@ -21,14 +21,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Tumbling-window counts/sums per event type. Watermark bounds state
-    * and admits ≤`watermark` of event-time lateness. */
-  def tumblingCounts(
-      events: DataFrame,
-      window: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame =
+  /** The tumbling count/sum aggregation WITHOUT a watermark — shared by
+    * [[tumblingCounts]] (which declares one) and [[dedupThenTumbling]]
+    * (whose upstream dedup already declared it; re-declaring a
+    * watermark across chained stateful operators is an
+    * AnalysisException in streaming). */
+  private def tumblingAgg(events: DataFrame, window: String): DataFrame =
     events
-      .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -36,6 +35,14 @@ object EventStreams {
       .select(
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value_c"))
+
+  /** Tumbling-window counts/sums per event type. Watermark bounds state
+    * and admits ≤`watermark` of event-time lateness. */
+  def tumblingCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    tumblingAgg(events.withWatermark("ts", watermark), window)
 
   /** Sliding-window average value (1 h window every 15 min → every
     * event lands in 4 windows). */
@@ -86,14 +93,7 @@ object EventStreams {
       events: DataFrame,
       window: String = "1 hour",
       watermark: String = "10 minutes"): DataFrame =
-    dedupEvents(events, watermark)
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
-      .select(
-        unix_micros(col("window.start")).as("window_start_us"),
-        col("event_type"), col("n_events"), col("sum_value_c"))
+    tumblingAgg(dedupEvents(events, watermark), window)
 
   /** Stream-stream join: purchases joined to the same user's clicks
     * within [-30 min, 0] of the purchase. Both sides carry watermarks
