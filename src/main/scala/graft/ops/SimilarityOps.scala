@@ -163,18 +163,17 @@ object SimilarityOps {
 
   /** Random-hyperplane LSH with md5-derived (independent) planes.
     * Weight matrices are precomputed driver-side constants — zero
-    * per-row hashing; the oracle embeds the same literals. */
+    * per-row hashing; the oracle embeds the same literals. One native
+    * [[graft.functions.VectorFunctions.plane_band_keys]] pass packs
+    * all sign bits (bit i = plane i), replacing nPlanes interpreted
+    * HOF chains that each re-walked the vector. */
   def lshBucketsHashed(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else dataDim(embeddings)
-    val bucketBits = (0 until nPlanes).map { i =>
-      val weights = array((0 until d).map(j => lit(hashedPlaneWeight(i, j).toDouble)): _*)
-      val dotI = aggregate(
-        zip_with(col("embedding"), weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotI > 0, lit(1L << i)).otherwise(0L)
-    }
+    val weights = (0 until nPlanes).map(i =>
+      (0 until d).map(j => hashedPlaneWeight(i, j).toDouble))
     embeddings.select(col("vec_id"), col("label").cast("long").as("label"),
-      bucketBits.reduce(_ + _).as("bucket"))
+      element_at(graft.functions.VectorFunctions
+        .plane_band_keys(col("embedding"), weights, nPlanes), 1).as("bucket"))
   }
 
   /** IVF (inverted-file) top-k — the ANN scale path. Coarse quantizer =

@@ -86,17 +86,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // intentional BroadcastNestedLoopJoin / cross shapes:
     //  - sim_topk / sim_ivf_topk: corpus x broadcast(tiny filtered set)
     //    (non-equi or all-centroid condition, small side broadcast)
-    //  - pipe_totals / pipe_effective_length: crossJoin of 1-row aggregates
-    val allowNested = Set(
-      "sim_topk", "sim_ivf_topk", "pipe_totals", "pipe_effective_length")
+    //  - pipe_totals / pipe_effective_length: crossJoin of 1-ROW
+    //    aggregates — depending on inherited session conf these plan as
+    //    BroadcastNestedLoopJoin or CartesianProduct; both are scalar x
+    //    scalar and irrelevant at any scale
+    val allowNested = Set("sim_topk", "sim_ivf_topk")
+    val allowCross = Set("pipe_totals", "pipe_effective_length")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = try fn(spark, sf).queryExecution.executedPlan.toString catch {
         case e: Throwable => failures += s"$name: plan failed: ${e.getMessage}"; ""
       }
-      if (p.contains("CartesianProduct"))
+      if (!allowCross(name) && p.contains("CartesianProduct"))
         failures += s"$name: CartesianProduct"
-      if (!allowNested(name) && p.contains("BroadcastNestedLoopJoin"))
+      if (!(allowNested(name) || allowCross(name)) && p.contains("BroadcastNestedLoopJoin"))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
     }
     assert(failures.isEmpty, failures.mkString("\n"))

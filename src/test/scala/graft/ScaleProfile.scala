@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale experiment for the training-data operator families (manual
+  * main, like [[NgramProfile]]): the sf0.1 documents/embeddings tables
+  * replicated in memory with offset ids (1x / 4x / 10x), each family
+  * timed per scale. The point is the CURVE — an operator whose wall
+  * time grows superlinearly here has a plan that dies at 100 TB.
+  * Replication shifts the corpus's duplicate structure (every doc
+  * gains k exact copies), which is a WORST case for dedup ops: output
+  * pair counts grow ~k^2 within each copy-group while the candidate
+  * joins must stay keyed, never all-pairs.
+  */
+object ScaleProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+
+    def docsX(k: Int): DataFrame = {
+      val base = Tables.t(spark, d, "documents")
+      (0 until k).map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+    }
+    def embX(k: Int): DataFrame = {
+      val base = Tables.t(spark, d, "embeddings")
+      (0 until k).map(i => base.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+    }
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    spark.range(100000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    for (k <- Seq(1, 4, 10)) {
+      val docs = docsX(k)
+      val emb = embX(k)
+      time(s"${k}x dedup_exact")(
+        docs.groupBy(md5(lower(trim(col("text")))).as("h"))
+          .agg(count(lit(1)).as("n")).count())
+      time(s"${k}x minhash_sig")(graft.ops.DedupOps.minhashSignatures(docs).count())
+      time(s"${k}x lsh_pairs")(graft.ops.DedupOps.lshCandidatePairs(docs).count())
+      time(s"${k}x ngram_jaccard")(graft.ops.DedupOps.ngramJaccardPairs(docs).count())
+      time(s"${k}x simhash_pairs")(graft.ops.DedupOps.simhashPairs(docs).count())
+      time(s"${k}x sim_topk")(graft.ops.SimilarityOps.bruteForceTopK(
+        emb, col("vec_id") % 100 === 0, k = 10).count())
+      time(s"${k}x ivf_topk")(graft.ops.SimilarityOps.ivfTopK(
+        emb, col("vec_id") % 100 === 0,
+        nCentroids = graft.ops.SimilarityOps.IvfCentroids,
+        nProbe = graft.ops.SimilarityOps.IvfProbe).count())
+      time(s"${k}x txt_quality")(graft.ops.TextOps.qualityScore(docs).count())
+    }
+    spark.stop()
+  }
+}
