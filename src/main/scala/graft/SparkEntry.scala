@@ -25,6 +25,7 @@ object SparkEntry {
       graft.ops.StreamOps.queries ++
       graft.ops.MultimodalOps.queries ++
       graft.ops.TemporalOps.queries ++
+      graft.ops.TableOps.queries ++
       graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.ops.StreamOps.oracle ++
       graft.ops.MultimodalOps.oracle ++
       graft.ops.TemporalOps.oracle ++
+      graft.ops.TableOps.oracle ++
       graft.queries.PipelineQueries.oracle
 }
