@@ -26,6 +26,7 @@ object SparkEntry {
       graft.ops.MultimodalOps.queries ++
       graft.ops.TemporalOps.queries ++
       graft.ops.TableOps.queries ++
+      graft.ops.QualityOps.queries ++
       graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.ops.MultimodalOps.oracle ++
       graft.ops.TemporalOps.oracle ++
       graft.ops.TableOps.oracle ++
+      graft.ops.QualityOps.oracle ++
       graft.queries.PipelineQueries.oracle
 }
