@@ -79,6 +79,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"partition filter must reach the scan:\n$p")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      // force the shuffle-join path and drop the probe-side size gate so
+      // the injection fires at test scale; at real scale the defaults
+      // (10 GB probe side) target exactly the 100 TB case
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a bloom-filter runtime filter on the probe side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   // Every query in the suite, one sweep: a cartesian product anywhere is
   // a 100 TB death sentence, and a nested-loop join is only acceptable
   // where one side is a deliberately-broadcast small relation.
