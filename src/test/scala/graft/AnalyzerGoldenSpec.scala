@@ -76,4 +76,18 @@ class AnalyzerGoldenSpec extends AnyFunSuite {
     // effective length uses the 1/k clustering, not the section filter
     assert(math.abs(re.summary.effectiveMeters - result.summary.effectiveMeters) < 1e-6)
   }
+
+  // reference README "Parameter Impact" behavioral spec: a wider
+  // detection range admits a SUPERSET of segment pairs (the compat
+  // prefilter radius scales with the range and the geodesic postfilter
+  // bound loosens), so per-segment cluster size k can only grow and the
+  // 1/k effective length can only shrink (= more savings)
+  test("parameter impact: wider detection range -> superset pairs, lower effective length") {
+    val re = new Analyzer(AnalyzerParams(compat = true)).reanalyze(
+      spark, fixture, AnalyzerParams(compat = true, detectionRangeM = 30.0))
+    assert(re.summary.nSegments == 59190)
+    assert(re.summary.nPairGroups >= 17)
+    assert(re.summary.effectiveMeters <= result.summary.effectiveMeters + 1e-6)
+    assert(re.summary.savingsMeters >= result.summary.savingsMeters - 1e-6)
+  }
 }
