@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Driver-run benchmark: every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
@@ -8,8 +10,25 @@ import org.apache.spark.sql.SparkSession
   * which lets Catalyst prune all projection work (a scan-only count
   * would "benchmark" txt_/sim_ ops at zero cost), noop evaluates every
   * output column on every row, i.e. what a real write would pay.
+  *
+  * Besides wall time, each query reports its SHUFFLE WRITE volume
+  * (`shuffle_mb`, from task metrics): at 100 TB wall time is mostly a
+  * function of bytes exchanged, so a query whose runtime looks fine
+  * but shuffles the whole input is flagged by the number that actually
+  * predicts cluster cost.
   */
 object Bench {
+
+  /** Sums shuffle-write bytes across all tasks; bench runs queries
+    * sequentially, so reset-read brackets attribute bytes per query. */
+  private final class ShuffleMeter extends SparkListener {
+    val bytes = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,19 +47,27 @@ object Bench {
     // min of 2 runs per query: one-off GC pauses / JIT recompiles at
     // these sub-10 s durations otherwise put ±5 s of noise on single
     // measurements (observed empirically at sf0.1).
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     def run(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       entries.map { case (name, fn) =>
+        var shuffleMb = -1.0
         val times = (1 to 2).map { _ =>
+          meter.bytes.set(0L)
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            // listener events are async; drain before reading metrics
+            org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext, 2000L)
+            shuffleMb = meter.bytes.get() / 1e6
+            dt
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0 // sentinel: a broken query must not make the bench "faster"
           }
         }
-        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+        (name, (if (times.contains(-1.0)) -1.0 else times.min), shuffleMb)
       }
     // pipe_* queries are pinned to the reference fixture (they ignore
     // sfDir by design — the KMZ is the dataset), so they are timed and
@@ -50,17 +77,20 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.startsWith("pipe_"))
     val results = run(sfEntries)
     val fixtureResults = run(fixtureEntries)
-    def js(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    def js(rs: Seq[(String, Double, Double)]) =
+      rs.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    def jsMb(rs: Seq[(String, Double, Double)]) =
+      rs.map { case (k, _, mb) => f""""$k":$mb%.1f""" }.mkString("{", ",", "}")
     val failed = (results ++ fixtureResults).count(_._2 < 0)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val fixtureTotal = fixtureResults.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val fixtureTotal = fixtureResults.collect { case (_, v, _) if v >= 0 => v }.sum
+    val shuffleTotalMb = results.collect { case (_, _, mb) if mb >= 0 => mb }.sum
     // machine-load context so a contended driver run is self-evident
     // (round-1 driver bench read 152 s vs 39 s reproducible on idle)
     val loadavg = try {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     } catch { case _: Throwable => "unknown" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","fixture_total":$fixtureTotal%.3f,"fixture_queries":${js(fixtureResults)},"queries":${js(results)},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"shuffle_mb":${jsMb(results)},"fixture_total":$fixtureTotal%.3f,"fixture_queries":${js(fixtureResults)},"queries":${js(results)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,27 +20,43 @@ object QualityOps {
 
   /** Per-column profile of the given numeric/string columns: null
     * count, exact distinct count, min/max (as strings for a uniform
-    * schema). One aggregate job for ALL columns — the per-column
-    * expressions ride one hash-agg; countDistinct columns expand via
-    * Spark's Expand but stay a single shuffle. */
+    * schema). Two jobs regardless of column count:
+    *  1. nulls/min/max ride ONE narrow scan (no distinct aggregates,
+    *     so no Expand — min/max are computed in the column's own type
+    *     and stringified after, preserving numeric ordering);
+    *  2. distinct counts via posexplode(values) → map-side-deduped
+    *     two-phase distinct per column ordinal. N exact countDistinct
+    *     in one agg would Expand the scan N+1-fold (measured 9.8 s vs
+    *     ~2 s for this shape at sf0.1); the explode form dedupes each
+    *     column's values in the partial aggregate before anything
+    *     shuffles. Value→string is injective per type, so distinct
+    *     counts are unchanged. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot: stack the per-column stat quadruples into long format
-    val stacked = cols.map { c =>
-      struct(lit(c).as("col_name"),
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("pos"), lit(c).as("col_name"),
         col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"))
     }
-    row.select(explode(array(stacked: _*)).as("p")).select("p.*")
+    val basic = row.select(explode(array(stacked: _*)).as("p")).select("p.*")
+
+    val values = df.select(posexplode(array(cols.map(c => col(c).cast("string")): _*)))
+      .toDF("pos", "value")
+      .filter(col("value").isNotNull) // COUNT(DISTINCT) ignores nulls
+    val distincts = values.distinct()
+      .groupBy("pos").agg(count(lit(1)).as("n_distinct"))
+
+    basic.join(distincts, Seq("pos"), "left")
+      .select(col("col_name"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
   }
 
   /** Declarative constraint check. Row-level predicates are evaluated
