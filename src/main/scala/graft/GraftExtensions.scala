@@ -62,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sorted_inter_count(a, b) - |a intersect b| for two ascending long arrays") {
       e => SortedInterCount(e(0), e(1))
     }
+    inject("simhash60",
+      "simhash60(text) - 60-bit SimHash of the token multiset (md5 token hashes)") {
+      e => SimHash60(e.head)
+    }
   }
 }

@@ -32,7 +32,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  vec_dot(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS dot,
         |  sorted_inter_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS inter,
         |  size(shingle_hashes('a b c d')) AS n_shingles,
-        |  size(minhash_sig('a b c d')) AS n_lanes
+        |  size(minhash_sig('a b c d')) AS n_lanes,
+        |  simhash60('hello world') AS sh,
+        |  simhash60('') AS sh_empty
         |""".stripMargin).collect()(0)
     assert(math.abs(r.getAs[Double]("lon_deg_m") - 111319.4908) < 0.1)
     assert(math.abs(r.getAs[Double]("az_east") - 90.0) < 1e-9)
@@ -41,6 +43,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("inter") == 2L)
     assert(r.getAs[Int]("n_shingles") == 2)
     assert(r.getAs[Int]("n_lanes") == 4)
+    assert(r.getAs[Long]("sh") > 0L) // 60-bit, non-negative
+    assert(r.getAs[Long]("sh_empty") == 0L) // token-less doc contract
   }
 
   test("a geodesic SQL query over a table plans and runs") {
