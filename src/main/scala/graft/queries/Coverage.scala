@@ -214,6 +214,21 @@ object Coverage {
           (col("us") - col("click_us")).as("gap_us"))
     }),
 
+    // ---- join strategy hints: force a shuffle-hash join ----
+    // same result as the hint-free plan (oracle is a plain join); the
+    // physical strategy is pinned in PlanAuditSpec — hints are how a
+    // user overrides Catalyst when they know the data better
+    "join_shuffle_hash_hint" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val supp = t(s, d, "supplier").hint("shuffle_hash")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("sum_px_c"))
+        .select(col("s_nationkey").cast("long").as("s_nationkey"),
+          col("n_items"), col("sum_px_c"))
+    }),
+
     // ---- format-roundtrip sources ----
     "source_csv_roundtrip" -> ((s, d) => roundtrip(s, d, "csv")),
     "source_json_roundtrip" -> ((s, d) => roundtrip(s, d, "json")),
@@ -356,6 +371,13 @@ object Coverage {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "join_shuffle_hash_hint" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_px_c
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
 
     "source_csv_roundtrip" -> rtOracle,
     "source_json_roundtrip" -> rtOracle,

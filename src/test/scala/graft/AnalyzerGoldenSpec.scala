@@ -77,6 +77,23 @@ class AnalyzerGoldenSpec extends AnyFunSuite {
     assert(math.abs(re.summary.effectiveMeters - result.summary.effectiveMeters) < 1e-6)
   }
 
+  // corrected mode end-to-end: the documented divergences (uniform
+  // midpoints, widened grid cells, no Q1 narrow prefilter) change pair
+  // DETAIL, not file-derived facts — lengths and segment counts are
+  // position-independent, and the analysis still finds the corridor
+  // structure (pair groups / sections in the same ballpark)
+  test("corrected mode: same totals and segment count, sane corridor structure") {
+    val c = new Analyzer(AnalyzerParams(compat = false)).analyze(spark, fixture)
+    assert(c.summary.nPipelines == 45)
+    assert(math.abs(c.summary.totalMeters - result.summary.totalMeters) < 1e-6)
+    assert(c.summary.nSegments == 59190) // Q2 changes positions, never counts
+    // corrected midpoints shift pair detail; the corridor structure
+    // itself is stable (17 groups in compat — allow small drift)
+    assert(c.summary.nPairGroups >= 15 && c.summary.nPairGroups <= 20)
+    assert(c.summary.nBundledSections > 0)
+    assert(c.summary.effectiveMeters > 0 && c.summary.effectiveMeters <= c.summary.totalMeters)
+  }
+
   // reference README "Parameter Impact" behavioral spec: a wider
   // detection range admits a SUPERSET of segment pairs (the compat
   // prefilter radius scales with the range and the geodesic postfilter

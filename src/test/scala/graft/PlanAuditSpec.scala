@@ -79,6 +79,11 @@ class PlanAuditSpec extends AnyFunSuite {
       s"partition filter must reach the scan:\n$p")
   }
 
+  test("join_shuffle_hash_hint: the hint wins over broadcast/sort-merge") {
+    val p = plan("join_shuffle_hash_hint")
+    assert(p.contains("ShuffledHashJoin"), s"hint must force shuffle-hash:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     val conf = spark.conf
