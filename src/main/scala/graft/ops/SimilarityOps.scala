@@ -176,9 +176,55 @@ object SimilarityOps {
         .plane_band_keys(col("embedding"), weights, nPlanes), 1).as("bucket"))
   }
 
+  /** K-means-trained coarse quantizer for [[ivfTopK]] — Lloyd
+    * iterations as pure DataFrame ops. Spherical k-means: assignment by
+    * max cosine, new centroid = element-wise mean of members (left
+    * unnormalized; cosine scoring normalizes anyway). Per iteration:
+    *  1. assign: broadcast-join against K centroids + max_by argmax
+    *     (one shuffle of ~1 row per vector — same shape as ivfTopK's
+    *     assign step);
+    *  2. recompute: posexplode(member vectors) → groupBy (cid, dim)
+    *     mean → rebuild the array ordered by dim. Shuffle volume is
+    *     rows × dim — fine for a COARSE quantizer (K and dim small);
+    *     a product quantizer would need a different layout.
+    * Centroids materialize per iteration (localCheckpoint): each round
+    * is broadcast anyway, and the lineage would otherwise grow K-means
+    * deep. A cluster that loses all members drops out (standard Lloyd
+    * degeneracy; callers get ≤ k centroids). Deterministic: seeded by
+    * the first-k vectors, ties broken by lowest cid. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    var cents = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+    for (_ <- 0 until iters) {
+      val assigned = vecs.join(broadcast(cents), lit(true))
+        .withColumn("c_sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("embedding").as("emb"), col("cid")),
+          struct(col("c_sim"), (-col("cid")).as("tb"))).as("best"))
+        .select(col("best.cid").as("cid"), col("best.emb").as("emb"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("emb")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), x => x.getField("m").cast("float")).as("c_emb"))
+        .withColumn("c_nrm", norm(col("c_emb")))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF (inverted-file) top-k — the ANN scale path. Coarse quantizer =
-    * K sampled centroids (the first K vectors; FAISS-style sample
-    * training, deterministic so the whole path is oracle-checkable):
+    * K sampled centroids by default (the first K vectors; FAISS-style
+    * sample training, deterministic so the whole path is
+    * oracle-checkable), or pass [[kmeansCentroids]] output via
+    * `centroids` for trained cells (higher recall at the same nProbe —
+    * measured in SimilarityOpsSpec):
     *
     *  1. assign: every vector → its max-cosine centroid (broadcast join
     *     against K centroids + one shuffle for the per-vector argmax)
@@ -190,10 +236,12 @@ object SimilarityOps {
     * construction (quantization error), measured in SimilarityOpsSpec
     * against brute force. */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
-      nCentroids: Int = 16, nProbe: Int = 3): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
-        norm(col("embedding")).as("c_nrm"))
+      nCentroids: Int = 16, nProbe: Int = 3,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      embeddings.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+          norm(col("embedding")).as("c_nrm")))
 
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))

@@ -35,6 +35,29 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(ivf.size == exact.size, "same result cardinality (k per query)")
   }
 
+  test("k-means-trained IVF centroids: recall at the same nProbe does not regress") {
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+    val pred = col("vec_id") % 100 === 0
+    val exact = SimilarityOps.bruteForceTopK(emb, pred)
+      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cents: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = SimilarityOps.ivfTopK(emb, pred,
+          nCentroids = SimilarityOps.IvfCentroids, nProbe = SimilarityOps.IvfProbe,
+          centroids = cents)
+        .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val sampled = recallOf(None)
+    val trained = recallOf(Some(
+      SimilarityOps.kmeansCentroids(emb, k = SimilarityOps.IvfCentroids, iters = 3)))
+    info(f"IVF recall: sampled centroids $sampled%.3f vs 3-iter k-means $trained%.3f")
+    // Lloyd iterations can only improve the quantizer's fit to the
+    // corpus; allow a hair of slack for cell-boundary reshuffling
+    assert(trained >= sampled - 0.02, f"trained $trained%.3f vs sampled $sampled%.3f")
+    assert(trained >= 0.8)
+  }
+
   test("near-dup LSH finds all true near-duplicates (cos >= 0.98) at scale params") {
     import spark.implicits._
     // 60 base vectors + a lightly perturbed copy of each: cos ≈ 0.995.
