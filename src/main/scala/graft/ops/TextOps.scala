@@ -129,6 +129,52 @@ object TextOps {
         .as("fingerprint"))
   }
 
+  /** Overlapping token-window chunks — the RAG/embedding preprocessing
+    * step. step = chunkSize − overlap; chunk c starts at token
+    * 1 + c·step, for starts ≤ max(1, n_tokens − overlap); each chunk
+    * carries its re-joined text and exact token count (the tail chunk
+    * may be short). Pure column ops + one explode — a narrow scan, no
+    * shuffle, so it chunks 100 TB as fast as the scan reads it. */
+  def chunkDocs(docs: DataFrame, textCol: String = "text",
+      chunkSize: Int = 40, overlap: Int = 10): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0, s"need chunkSize > overlap >= 0")
+    val step = (chunkSize - overlap).toLong
+    val toks = tokens(col(textCol))
+    docs.select(col("doc_id"), toks.as("_toks"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1L),
+          greatest(size(col("_toks")).cast("long") - overlap, lit(1L)), lit(step)),
+        s => slice(col("_toks"), s.cast("int"), lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_chunk_tokens"))
+      .filter(col("n_chunk_tokens") > 0)
+  }
+
+  /** Sequential sequence packing: documents fill `budget`-token bins in
+    * doc_id order WITHIN each partition column value — a doc belongs to
+    * the bin its first token lands in (bins may overflow by one doc,
+    * the streaming-packer contract). The running sum is a window per
+    * partition value, never global: packing scales with the number of
+    * partitions (lang/source/shard), which is how a 100 TB corpus packs
+    * in practice. */
+  def packDocs(docs: DataFrame, textCol: String = "text",
+      budget: Int = 512, partitionCol: String = "lang"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("doc_id") // partitionCol renamed below
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(partitionCol).as("part"), col("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / budget.toLong).cast("long"))
+      .groupBy("part", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -139,6 +185,8 @@ object TextOps {
     "txt_langid" -> ((s, d) => languageId(t(s, d, "documents"))),
     "txt_langid_ngram" -> ((s, d) => languageIdNgram(t(s, d, "documents"))),
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
+    "txt_chunks" -> ((s, d) => chunkDocs(t(s, d, "documents"))),
+    "txt_pack" -> ((s, d) => packDocs(t(s, d, "documents"))),
     // deterministic train/valid/test split: hash-bucket assignment is
     // reproducible across runs/engines (RNG sampling is not) — the
     // standard trick for stable dataset splits at any scale
@@ -231,6 +279,29 @@ object TextOps {
          |        x -> ('0x' || substr(md5(x),1,15))::BIGINT % ${HashMod})),
          |    (acc, h) -> (acc * 131 + h) % ${HashMod}) AS fingerprint
          |FROM documents""".stripMargin,
+
+    "txt_chunks" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |ch AS (
+         |  SELECT doc_id, t.s AS start, toks[t.s : t.s + 39] AS chunk
+         |  FROM tk, unnest(range(1, greatest(len(toks) - 10, 1) + 1, 30)) AS t(s))
+         |SELECT doc_id, CAST((start - 1) // 30 AS BIGINT) AS chunk_id,
+         |  array_to_string(chunk, ' ') AS chunk_text,
+         |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens
+         |FROM ch WHERE len(chunk) > 0""".stripMargin,
+
+    "txt_pack" ->
+      s"""WITH tok AS (
+         |  SELECT lang AS part, doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT *, SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tok)
+         |SELECT part, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+         |  COUNT(1) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM cum GROUP BY part, pack_id""".stripMargin,
 
     "split_train_test" ->
       s"""SELECT doc_id,
