@@ -176,6 +176,23 @@ object SimilarityOps {
         .plane_band_keys(col("embedding"), weights, nPlanes), 1).as("bucket"))
   }
 
+  /** Assign each vector to its max-cosine centroid, keeping `payload`
+    * (fields may reference the joined vec+centroid row) as column
+    * `best` — shared by [[kmeansCentroids]] and [[ivfTopK]] so the
+    * argmax idiom and its tie-break ((c_sim, −cid): highest sim,
+    * lowest cid) can never diverge between training and probing.
+    * Shape: broadcast join against K centroids + max_by hash aggregate
+    * with map-side partial combine — after the join every (vec_id,
+    * cid) row sits in the same partition, so the reduction completes
+    * locally and ~1 row per vector shuffles (the row_number-window
+    * form sort-shuffled all corpus×K rows). */
+  private def assignBest(vecs: DataFrame, cents: DataFrame,
+      payload: Column): DataFrame =
+    vecs.join(broadcast(cents), lit(true))
+      .withColumn("c_sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .groupBy("vec_id")
+      .agg(max_by(payload, struct(col("c_sim"), (-col("cid")).as("tb"))).as("best"))
+
   /** K-means-trained coarse quantizer for [[ivfTopK]] — Lloyd
     * iterations as pure DataFrame ops. Spherical k-means: assignment by
     * max cosine, new centroid = element-wise mean of members (left
@@ -190,8 +207,11 @@ object SimilarityOps {
     * Centroids materialize per iteration (localCheckpoint): each round
     * is broadcast anyway, and the lineage would otherwise grow K-means
     * deep. A cluster that loses all members drops out (standard Lloyd
-    * degeneracy; callers get ≤ k centroids). Deterministic: seeded by
-    * the first-k vectors, ties broken by lowest cid. */
+    * degeneracy; callers get ≤ k centroids). Seeding (first-k vectors)
+    * and ties (lowest cid) are deterministic; centroid VALUES are
+    * deterministic only up to floating-point reduction order in the
+    * per-dimension mean, so the trained path is spec-measured, not
+    * DuckDB-oracle-checkable. */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
@@ -199,11 +219,8 @@ object SimilarityOps {
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_nrm"))
     for (_ <- 0 until iters) {
-      val assigned = vecs.join(broadcast(cents), lit(true))
-        .withColumn("c_sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("embedding").as("emb"), col("cid")),
-          struct(col("c_sim"), (-col("cid")).as("tb"))).as("best"))
+      val assigned = assignBest(vecs, cents,
+        struct(col("embedding").as("emb"), col("cid")))
         .select(col("best.cid").as("cid"), col("best.emb").as("emb"))
       cents = assigned
         .select(col("cid"), posexplode(col("emb")))
@@ -246,17 +263,8 @@ object SimilarityOps {
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
 
-    // argmax via max_by with a (c_sim, -cid) tie-break struct: a hash
-    // aggregate with map-side partial combine — after the broadcast
-    // join every (vec_id, cid) row sits in the same partition, so the
-    // reduction completes locally and ~1 row per vector shuffles. The
-    // row_number-window form sort-shuffled all corpus×K rows.
-    val assign = vecs.join(broadcast(cents), lit(true))
-      .withColumn("c_sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("cid")),
-        struct(col("c_sim"), (-col("cid")).as("tb"))).as("best"))
+    val assign = assignBest(vecs, cents,
+      struct(col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("cid")))
       .select(col("vec_id").as("n_id"), col("best.n_emb").as("n_emb"),
         col("best.n_nrm").as("n_nrm"), col("best.cid").as("cid"))
 

@@ -21,6 +21,13 @@ object TextOps {
 
   val HashMod = 1000000007L
 
+  /** Chunking / packing parameters for the driver queries — shared
+    * between the operators' defaults and the oracle SQL literals so
+    * tuning one side cannot silently desync the gate. */
+  val ChunkSize = 40
+  val ChunkOverlap = 10
+  val PackBudget = 512
+
   /** Whitespace tokens, empties filtered, lowercased. */
   def tokens(c: Column): Column =
     filter(split(trim(lower(c)), "\\s+"), x => x =!= "")
@@ -136,7 +143,7 @@ object TextOps {
     * may be short). Pure column ops + one explode — a narrow scan, no
     * shuffle, so it chunks 100 TB as fast as the scan reads it. */
   def chunkDocs(docs: DataFrame, textCol: String = "text",
-      chunkSize: Int = 40, overlap: Int = 10): DataFrame = {
+      chunkSize: Int = ChunkSize, overlap: Int = ChunkOverlap): DataFrame = {
     require(chunkSize > overlap && overlap >= 0, s"need chunkSize > overlap >= 0")
     val step = (chunkSize - overlap).toLong
     val toks = tokens(col(textCol))
@@ -159,7 +166,7 @@ object TextOps {
     * partitions (lang/source/shard), which is how a 100 TB corpus packs
     * in practice. */
   def packDocs(docs: DataFrame, textCol: String = "text",
-      budget: Int = 512, partitionCol: String = "lang"): DataFrame = {
+      budget: Int = PackBudget, partitionCol: String = "lang"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("part").orderBy("doc_id") // partitionCol renamed below
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -283,9 +290,10 @@ object TextOps {
     "txt_chunks" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          |ch AS (
-         |  SELECT doc_id, t.s AS start, toks[t.s : t.s + 39] AS chunk
-         |  FROM tk, unnest(range(1, greatest(len(toks) - 10, 1) + 1, 30)) AS t(s))
-         |SELECT doc_id, CAST((start - 1) // 30 AS BIGINT) AS chunk_id,
+         |  SELECT doc_id, t.s AS start, toks[t.s : t.s + ${ChunkSize - 1}] AS chunk
+         |  FROM tk, unnest(range(1, greatest(len(toks) - $ChunkOverlap, 1) + 1,
+         |                        ${ChunkSize - ChunkOverlap})) AS t(s))
+         |SELECT doc_id, CAST((start - 1) // ${ChunkSize - ChunkOverlap} AS BIGINT) AS chunk_id,
          |  array_to_string(chunk, ' ') AS chunk_text,
          |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens
          |FROM ch WHERE len(chunk) > 0""".stripMargin,
@@ -298,7 +306,7 @@ object TextOps {
          |  SELECT *, SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM tok)
-         |SELECT part, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+         |SELECT part, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
          |  COUNT(1) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM cum GROUP BY part, pack_id""".stripMargin,

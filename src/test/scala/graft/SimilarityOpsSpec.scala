@@ -16,41 +16,39 @@ class SimilarityOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("IVF top-10 recall vs brute force >= 0.8 at the driver-query params") {
+  // shared across the IVF tests: the brute-force truth set (the most
+  // expensive job here — computed once per suite) and the recall of a
+  // given centroid choice against it
+  private lazy val emb = {
     spark.sparkContext.setLogLevel("WARN")
-    val emb = graft.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
-    val pred = col("vec_id") % 100 === 0
-    val exact = SimilarityOps.bruteForceTopK(emb, pred)
+    graft.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+  }
+  private val pred = col("vec_id") % 100 === 0
+  private lazy val exact = SimilarityOps.bruteForceTopK(emb, pred)
+    .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  private def ivfSet(cents: Option[org.apache.spark.sql.DataFrame]) =
+    SimilarityOps.ivfTopK(emb, pred,
+        nCentroids = SimilarityOps.IvfCentroids, nProbe = SimilarityOps.IvfProbe,
+        centroids = cents)
       .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SimilarityOps.ivfTopK(emb, pred,
-        nCentroids = SimilarityOps.IvfCentroids, nProbe = SimilarityOps.IvfProbe)
-      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = ivf.intersect(exact).size.toDouble / exact.size
+  private lazy val sampledSet = ivfSet(None)
+  private def recallOf(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+
+  test("IVF top-10 recall vs brute force >= 0.8 at the driver-query params") {
+    val recall = recallOf(sampledSet)
     val scanned = SimilarityOps.IvfProbe.toDouble / SimilarityOps.IvfCentroids
     info(f"IVF recall@10 = $recall%.3f scanning ~${scanned * 100}%.0f%% of the corpus " +
       f"(nProbe=${SimilarityOps.IvfProbe} of ${SimilarityOps.IvfCentroids} cells)")
     // isotropic random embeddings are the worst case for coarse
     // quantization — recall ≈ scanned fraction + quantization uplift
     assert(recall >= 0.8, f"recall $recall%.3f")
-    assert(ivf.size == exact.size, "same result cardinality (k per query)")
+    assert(sampledSet.size == exact.size, "same result cardinality (k per query)")
   }
 
   test("k-means-trained IVF centroids: recall at the same nProbe does not regress") {
-    spark.sparkContext.setLogLevel("WARN")
-    val emb = graft.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
-    val pred = col("vec_id") % 100 === 0
-    val exact = SimilarityOps.bruteForceTopK(emb, pred)
-      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recallOf(cents: Option[org.apache.spark.sql.DataFrame]): Double = {
-      val got = SimilarityOps.ivfTopK(emb, pred,
-          nCentroids = SimilarityOps.IvfCentroids, nProbe = SimilarityOps.IvfProbe,
-          centroids = cents)
-        .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      got.intersect(exact).size.toDouble / exact.size
-    }
-    val sampled = recallOf(None)
-    val trained = recallOf(Some(
-      SimilarityOps.kmeansCentroids(emb, k = SimilarityOps.IvfCentroids, iters = 3)))
+    val sampled = recallOf(sampledSet)
+    val trained = recallOf(ivfSet(Some(
+      SimilarityOps.kmeansCentroids(emb, k = SimilarityOps.IvfCentroids, iters = 3))))
     info(f"IVF recall: sampled centroids $sampled%.3f vs 3-iter k-means $trained%.3f")
     // Lloyd iterations can only improve the quantizer's fit to the
     // corpus; allow a hair of slack for cell-boundary reshuffling
