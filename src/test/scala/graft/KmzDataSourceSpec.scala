@@ -33,6 +33,30 @@ class KmzDataSourceSpec extends AnyFunSuite {
     assert(verts == 2134)
   }
 
+  test("multi-file directory ingestion: global arrival-order ids, additive totals") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft_multikmz")
+    // two copies with names that pin the per-file offset ordering, plus
+    // a case-mangled extension (readMany's glob must accept .KMZ)
+    Files.copy(Paths.get(fixture), dir.resolve("a_first.kmz"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(fixture), dir.resolve("b_second.KMZ"), StandardCopyOption.REPLACE_EXISTING)
+    val (pipes, _) = graft.sources.KmlSource.splitMany(
+      graft.sources.KmlSource.readMany(spark, dir.toString))
+    val ids = pipes.select("id").collect().map(_.getInt(0)).sorted
+    // 45 + 45 features; ids globally unique 0..89 in (file, scan) order
+    assert(ids.toSeq == (0 until 90))
+    // file-derived totals are additive across files (lengths + segments
+    // only — the full analyze would run the pair join on a corpus where
+    // every pipeline has a zero-distance twin, which tests nothing new
+    // about ingestion and costs minutes)
+    val an = new graft.pipeline.Analyzer(graft.pipeline.AnalyzerParams(compat = true))
+    val totalM = an.pipelineLengths(pipes)
+      .agg(sum(col("Shape_Length"))).collect()(0).getDouble(0)
+    assert(math.abs(totalM - 2 * 296066.384) < 0.02)
+    assert(an.segments(pipes).count() == 2 * 59190)
+  }
+
   test("column pruning reaches the reader (ReadSchema excludes coordinates)") {
     val df = spark.read.format("kmz").load(fixture).select("name", "objectid")
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
