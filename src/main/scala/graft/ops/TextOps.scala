@@ -194,6 +194,16 @@ object TextOps {
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
     "txt_chunks" -> ((s, d) => chunkDocs(t(s, d, "documents"))),
     "txt_pack" -> ((s, d) => packDocs(t(s, d, "documents"))),
+    // exact corpus vocabulary head: one explode + one hash-agg shuffle
+    // (map-side partial counts), then TakeOrderedAndProject — the
+    // frequency table every tokenizer/filter pipeline starts from
+    "txt_top_terms" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(50)),
     // deterministic train/valid/test split: hash-bucket assignment is
     // reproducible across runs/engines (RNG sampling is not) — the
     // standard trick for stable dataset splits at any scale
@@ -286,6 +296,13 @@ object TextOps {
          |        x -> ('0x' || substr(md5(x),1,15))::BIGINT % ${HashMod})),
          |    (acc, h) -> (acc * 131 + h) % ${HashMod}) AS fingerprint
          |FROM documents""".stripMargin,
+
+    "txt_top_terms" ->
+      s"""SELECT t.term, COUNT(1) AS n
+         |FROM (SELECT unnest($sqlToks) AS term FROM documents) t
+         |GROUP BY t.term
+         |ORDER BY n DESC, t.term ASC
+         |LIMIT 50""".stripMargin,
 
     "txt_chunks" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
