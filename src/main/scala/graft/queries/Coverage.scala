@@ -214,6 +214,32 @@ object Coverage {
           (col("us") - col("click_us")).as("gap_us"))
     }),
 
+    // ---- multiset set ops (ALL variants keep duplicates) ----
+    "setop_except_all" -> ((s, d) => {
+      val a = t(s, d, "lineitem").select(col("l_returnflag").as("flag"))
+      val b = t(s, d, "lineitem").filter(col("l_quantity") > 25)
+        .select(col("l_returnflag").as("flag"))
+      a.exceptAll(b).groupBy("flag").agg(count(lit(1)).as("n"))
+    }),
+    "setop_intersect_all" -> ((s, d) => {
+      val a = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_orderstatus").as("st"))
+      val b = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderstatus").as("st"))
+      a.intersectAll(b).groupBy("st").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- decimal arithmetic: exact fixed-point aggregation ----
+    // DecimalType end to end: 2-decimal money summed as DECIMAL stays
+    // exact at any row count (double sums drift); both engines cast
+    // the result to one precision so the arrow types align
+    "agg_decimal" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("px", col("l_extendedprice").cast("decimal(12,2)"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("px")).cast("decimal(38,6)").as("sum_px"),
+          count(lit(1)).as("n"))),
+
     // ---- join strategy hints: force a shuffle-hash join ----
     // same result as the hint-free plan (oracle is a plain join); the
     // physical strategy is pinned in PlanAuditSpec — hints are how a
@@ -371,6 +397,26 @@ object Coverage {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "setop_except_all" ->
+      """SELECT flag, COUNT(1) AS n FROM (
+        |  SELECT l_returnflag AS flag FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity > 25)
+        |GROUP BY flag""".stripMargin,
+
+    "setop_intersect_all" ->
+      """SELECT st, COUNT(1) AS n FROM (
+        |  SELECT o_orderstatus AS st FROM orders WHERE o_totalprice > 200000
+        |  INTERSECT ALL
+        |  SELECT o_orderstatus AS st FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY st""".stripMargin,
+
+    "agg_decimal" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_px,
+        |  COUNT(1) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "join_shuffle_hash_hint" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
