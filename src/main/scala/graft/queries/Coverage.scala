@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables.{t, cents}
+import graft.Tables.{t, cents, revenueC4}
 
 /** Depth coverage for the generic surface (SURVEY §2.3) beyond the
   * round-1 inventory: distribution window functions, arg-extremes,
@@ -214,6 +214,48 @@ object Coverage {
           (col("us") - col("click_us")).as("gap_us"))
     }),
 
+    // ---- regexp scalars ----
+    "str_regex" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          array_join(expr("regexp_extract_all(p_name, '[a-z]+', 0)"), "|").as("runs"),
+          col("p_name").rlike("red|blue").as("is_primary_color"),
+          regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"))),
+
+    // ---- classic TPC-H shapes ----
+    // Q10: returned-item revenue per customer, top 20
+    "join_q10_returns" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(revenueC4(col("l_extendedprice"), col("l_discount"))).as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // Q18: large-volume customers (orders whose lineitems sum > 300 qty)
+    "join_q18_bigorders" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("q18_cust")
+      t(s, d, "orders").createOrReplaceTempView("q18_ord")
+      t(s, d, "lineitem").createOrReplaceTempView("q18_li")
+      s.sql("""
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS px_c,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        FROM q18_cust JOIN q18_ord ON c_custkey = o_custkey
+        JOIN q18_li ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM q18_li
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+      """)
+    }),
+
     // ---- multiset set ops (ALL variants keep duplicates) ----
     "setop_except_all" -> ((s, d) => {
       val a = t(s, d, "lineitem").select(col("l_returnflag").as("flag"))
@@ -397,6 +439,38 @@ object Coverage {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "str_regex" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), '|') AS runs,
+        |  regexp_matches(p_name, 'red|blue') AS is_primary_color,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]', 0)) AS BIGINT) AS n_vowels
+        |FROM part""".stripMargin,
+
+    "join_q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue_c4 DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "join_q18_bigorders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS px_c,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice""".stripMargin,
 
     "setop_except_all" ->
       """SELECT flag, COUNT(1) AS n FROM (
