@@ -88,6 +88,21 @@ object Coverage {
           nth_value(col("event_id"), 2).over(full).as("second_event"))
     }),
 
+    // ---- window: RANGE (value-based) frame ----
+    // peers are grouped by ORDER BY VALUE, so the result is independent
+    // of row order among equal timestamps — the frame kind ROWS cannot
+    // express (win_frame_moving covers ROWS)
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-1800000000L, 0L) // trailing 30 min of event time
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("vc", cents(col("value")))
+        .select(col("event_id"), col("user_id"), col("us"),
+          sum(col("vc")).over(w).as("sum_30m_c"),
+          count(lit(1)).over(w).cast("long").as("n_30m"))
+    }),
+
     // ---- agg: arg-extremes with a bit-exact unique ordering key ----
     "agg_minby_maxby" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -350,6 +365,14 @@ object Coverage {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC),
         |  wf AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_30m_c,
+        |  CAST(COUNT(1) OVER w AS BIGINT) AS n_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "agg_minby_maxby" ->
       """WITH keyed AS (
