@@ -62,6 +62,8 @@ def main(outdir, sfdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     names = sorted(set([os.path.basename(d) for d in glob.glob(f"{outdir}/*") if os.path.isdir(d)])
                    | set(oracle.keys()))
+    if len(sys.argv) > 3:  # optional: check only the named queries
+        names = [n for n in names if n in set(sys.argv[3:])]
     n_pass = n_fail = n_noracle = 0
     for name in names:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
@@ -76,6 +78,18 @@ def main(outdir, sfdir):
             exp = exp_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        # Driver-hazard dtypes (r03 evidence): list-typed output columns
+        # crash the driver's pandas row-sort (unhashable ndarray), and
+        # decimal outputs reach the hash through different pandas dtypes
+        # from DuckDB (.df) vs parquet (pyarrow). Fail them here even
+        # though this script could compare them — local green must mean
+        # driver green.
+        hazard = [f.name for f in got_tbl.schema
+                  if pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+                  or pa.types.is_decimal(f.type)]
+        if hazard:
+            print(f"FAIL  {name}: driver-hazard output dtype (list/decimal): {hazard}")
+            n_fail += 1; continue
         g, e = norm(got), norm(exp)
         if sorted(g.columns) != sorted(e.columns):
             print(f"FAIL  {name}: columns spark={sorted(g.columns)} oracle={sorted(e.columns)}")

@@ -51,16 +51,6 @@ object Coverage {
         min(col("n_name")).as("first_name"))
   }
 
-  /** Rewrap array elements as nullable (containsNull=true): parquet
-    * written from a containsNull=false array declares `required`
-    * elements, which the dtype-strict compare flags against DuckDB's
-    * always-nullable list elements. nullif against a sentinel the data
-    * can never hit (elements are ≥ 1) is data-dependent, so the
-    * optimizer cannot fold it back to the non-null child — `when(true,
-    * x)` and a same-type cast both get simplified away. */
-  private def nullableElems(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(c, x => nullif(x, lit(0L)))
-
   val queries: Map[String, QFn] = Map(
     // ---- window: distribution functions over a total order ----
     "win_ntile_dist" -> ((s, d) => {
@@ -127,20 +117,20 @@ object Coverage {
           count(when(col("l_returnflag") === "A", 1)).as("n_returned"))),
 
     // ---- higher-order array functions ----
+    // Array-valued OUTPUT columns crash the round driver's row-sort
+    // (pandas lexsort can't factorize ndarray cells — CORRECTNESS_r03
+    // arr_hof err), so every array result is serialized via array_join
+    // before leaving the query; the HOFs still run on real arrays.
     "arr_hof" -> ((s, d) =>
       t(s, d, "part")
         .withColumn("arr", sequence(lit(1L), pmod(col("p_size"), lit(7)).cast("long") + 2L))
-        // sequence() yields array<long, containsNull=false>; the
-        // oracle's arrow schema has nullable elements and the compare
-        // is dtype-strict including nullability — nullableElems forces
-        // containsNull (see its doc for why a cast doesn't)
-        .select(col("p_partkey"), nullableElems(col("arr")).as("arr"),
+        .select(col("p_partkey"), array_join(col("arr"), ",").as("arr_s"),
           exists(col("arr"), _ > 5).as("has_gt5"),
           forall(col("arr"), _ > 0).as("all_pos"),
           aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("arr_sum"),
           element_at(reverse(sort_array(col("arr"))), 1).as("arr_max"),
-          nullableElems(flatten(array(col("arr"), col("arr")))).as("doubled"),
-          nullableElems(slice(col("arr"), 2, 3)).as("mid"))),
+          array_join(flatten(array(col("arr"), col("arr"))), ",").as("doubled_s"),
+          array_join(slice(col("arr"), 2, 3), ",").as("mid_s"))),
 
     // ---- string scalars round 2 ----
     "str_funcs2" -> ((s, d) =>
@@ -290,11 +280,16 @@ object Coverage {
     // DecimalType end to end: 2-decimal money summed as DECIMAL stays
     // exact at any row count (double sums drift); both engines cast
     // the result to one precision so the arrow types align
+    // The sum runs in exact DECIMAL arithmetic; the OUTPUT is the
+    // canonical string rendering because the round driver materializes
+    // DuckDB decimals and parquet decimals through different pandas
+    // dtypes (CORRECTNESS_r03 hash mismatch on identical values) —
+    // DECIMAL(38,6)::VARCHAR is identical text on both engines.
     "agg_decimal" -> ((s, d) =>
       t(s, d, "lineitem")
         .withColumn("px", col("l_extendedprice").cast("decimal(12,2)"))
         .groupBy("l_returnflag")
-        .agg(sum(col("px")).cast("decimal(38,6)").as("sum_px"),
+        .agg(sum(col("px")).cast("decimal(38,6)").cast("string").as("sum_px"),
           count(lit(1)).as("n"))),
 
     // ---- join strategy hints: force a shuffle-hash join ----
@@ -396,13 +391,13 @@ object Coverage {
 
     "arr_hof" ->
       """SELECT p_partkey,
-        |  range(1, (p_size % 7) + 3) AS arr,
+        |  array_to_string(range(1, (p_size % 7) + 3), ',') AS arr_s,
         |  len(list_filter(range(1, (p_size % 7) + 3), x -> x > 5)) > 0 AS has_gt5,
         |  len(list_filter(range(1, (p_size % 7) + 3), x -> NOT (x > 0))) = 0 AS all_pos,
         |  CAST(list_reduce(list_prepend(0, range(1, (p_size % 7) + 3)), (a, x) -> a + x) AS BIGINT) AS arr_sum,
         |  list_sort(range(1, (p_size % 7) + 3), 'DESC')[1] AS arr_max,
-        |  flatten([range(1, (p_size % 7) + 3), range(1, (p_size % 7) + 3)]) AS doubled,
-        |  range(1, (p_size % 7) + 3)[2:4] AS mid
+        |  array_to_string(flatten([range(1, (p_size % 7) + 3), range(1, (p_size % 7) + 3)]), ',') AS doubled_s,
+        |  array_to_string(range(1, (p_size % 7) + 3)[2:4], ',') AS mid_s
         |FROM part""".stripMargin,
 
     "str_funcs2" ->
@@ -511,7 +506,7 @@ object Coverage {
 
     "agg_decimal" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_px,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_px,
         |  COUNT(1) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
