@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout, NOT through
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// breaks any harness that json.loads the bench/verify output lines
+// (BENCH_r01..r03 all recorded parsed:null on an otherwise-complete
+// JSON line).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -90,7 +90,26 @@ object Bench {
     val loadavg = try {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     } catch { case _: Throwable => "unknown" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"shuffle_mb":${jsMb(results)},"fixture_total":$fixtureTotal%.3f,"fixture_queries":${js(fixtureResults)},"queries":${js(results)},"sf":"$sfDir"}""")
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"shuffle_mb":${jsMb(results)},"fixture_total":$fixtureTotal%.3f,"fixture_queries":${js(fixtureResults)},"queries":${js(results)},"sf":"$sfDir"}"""
+    println(fullLine)
+    // The harness keeps only the LAST ~2000 chars of output and
+    // json.loads a line from it; the full per-query line above is ~3.5k
+    // chars and can never sit wholly inside that window. Persist the
+    // full line to a file, then END stdout with a compact line (slowest
+    // queries first, as many as fit a 1500-char budget) that is
+    // guaranteed to parse from the tail window.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"fixture_total":$fixtureTotal%.3f,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
+    val compact = new StringBuilder(head)
+    var first = true
+    for ((k, v, _) <- results.sortBy(-_._2)) {
+      val e = (if (first) "" else ",") + f""""$k":$v%.2f"""
+      if (compact.length + e.length <= 1500) { compact.append(e); first = false }
+    }
+    compact.append("}}")
+    println(compact.toString)
     spark.stop()
   }
 }
