@@ -27,6 +27,8 @@ object SparkEntry {
       graft.ops.TemporalOps.queries ++
       graft.ops.TableOps.queries ++
       graft.ops.QualityOps.queries ++
+      graft.ops.GraphOps.queries ++
+      graft.ops.CurationOps.queries ++
       graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +45,7 @@ object SparkEntry {
       graft.ops.TemporalOps.oracle ++
       graft.ops.TableOps.oracle ++
       graft.ops.QualityOps.oracle ++
+      graft.ops.GraphOps.oracle ++
+      graft.ops.CurationOps.oracle ++
       graft.queries.PipelineQueries.oracle
 }

@@ -1,0 +1,255 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, cents}
+import TextOps.{tokens, HashMod}
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw ingest and tokenization: repetition-based quality
+  * signals (the Gopher/C4 family), PII redaction, deterministic
+  * stratified sampling, and ordered-funnel analysis over event logs.
+  *
+  * Scale shapes: repetition stats are two keyed aggregations (token
+  * and bigram counts partial-aggregate map-side before any shuffle);
+  * PII redaction and sampling are pure column expressions (single
+  * scan, zero shuffle); the funnel is per-stage keyed joins on
+  * user_id. No UDFs, no collects.
+  */
+object CurationOps {
+
+  // ------------------------------------------------- repetition stats
+
+  /** Word bigrams of a token array ("a b", "b c", ...). */
+  private def bigrams(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i =>
+        concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition signals per document:
+    * `top_tok_n` / `top_bigram_n` — occurrences of the most frequent
+    * token / bigram; `dup_bigram_frac` — fraction of bigram slots that
+    * repeat an earlier bigram; `top_bigram_frac` — fraction of tokens
+    * covered by the most frequent bigram. High values flag the
+    * boilerplate / TEMPLATE / keyword-stuffing documents every corpus
+    * filter drops before training. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col(textCol)).as("w"))
+    val uni = base.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct_toks"), max("n").as("top_tok_n"))
+    val bi = base.select(col("doc_id"), explode(bigrams(col("w"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(sum("n").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"), max("n").as("top_bigram_n"))
+    docs.select("doc_id")
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct_toks"), lit(0L)).as("n_distinct_toks"),
+        coalesce(col("top_tok_n"), lit(0L)).as("top_tok_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+            col("n_bigrams").cast("double")).otherwise(0.0))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") > 0,
+          (col("top_bigram_n") * 2L).cast("double") /
+            col("n_tokens").cast("double")).otherwise(0.0))
+  }
+
+  // ------------------------------------------------------ PII redaction
+
+  /** RE2-and-Java-compatible patterns (no backreferences / lookaround,
+    * so Spark and DuckDB compile them identically). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Scrub emails → `<EMAIL>`, IPv4s → `<IP>`, NNN-NNNN phones →
+    * `<PHONE>` (in that fixed order — IPs before phones so a dotted
+    * quad can never be half-eaten as a phone), and count each class
+    * on the ORIGINAL text so counts are order-independent. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+
+  // ------------------------------------------- deterministic sampling
+
+  /** Per-stratum keep-threshold out of 10,000 — purchase kept fully,
+    * high-volume views downsampled hard (the usual event-log shape). */
+  val SampleThresholds: Seq[(String, Long)] =
+    Seq("view" -> 500L, "click" -> 2000L, "signup" -> 5000L,
+      "error" -> 1000L, "purchase" -> 10000L)
+
+  /** Deterministic bucket in [0, 10000): md5 of a salted key, like
+    * [[TextOps]] split_train_test — stable across engines, runs,
+    * partitionings, and scale (a row's fate never depends on what
+    * other rows exist, unlike rand()- or reservoir-based sampling). */
+  private def bucket10k(key: Column): Column =
+    conv(substring(md5(concat(lit("smp:"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % HashMod % 10000L
+
+  // --------------------------------------------------------- queries
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    "txt_repetition" -> ((s, d) => repetitionStats(t(s, d, "documents"))),
+
+    // The synthetic corpus carries no real PII, so the query derives a
+    // contact line from row data (email/phone/IP with nonzero matches
+    // guaranteed), prepends it, and redacts — proving the scrub and
+    // the counters against the oracle on every row.
+    "pii_redact" -> ((s, d) => {
+      val contact = concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".net tel 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 "), col("text"))
+      redactPii(t(s, d, "documents").withColumn("synth", contact), "synth")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("n_phones").cast("long").as("n_phones"), col("redacted"))
+    }),
+
+    "sample_stratified" -> ((s, d) => {
+      val thr = SampleThresholds.tail.foldLeft(
+        when(col("event_type") === SampleThresholds.head._1,
+          lit(SampleThresholds.head._2))) { case (acc, (k, v)) =>
+        acc.when(col("event_type") === k, lit(v))
+      }.otherwise(lit(0L))
+      t(s, d, "events")
+        .withColumn("keep", bucket10k(col("event_id")) < thr)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("keep"), cents(col("value"))).otherwise(0L))
+            .as("sampled_value_c"))
+    }),
+
+    // Ordered funnel: users who viewed, then clicked strictly after
+    // their first view, then purchased strictly after that click.
+    "event_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      stage(v, "1_view").unionByName(stage(c, "2_click_after_view"))
+        .unionByName(stage(p, "3_purchase_after_click"))
+    })
+  )
+
+  private val sqlToks =
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
+  val oracle: Map[String, String] = Map(
+    "txt_repetition" ->
+      s"""WITH base AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |uni AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(1) AS n_distinct_toks,
+         |    MAX(n) AS top_tok_n
+         |  FROM (SELECT doc_id, tok, COUNT(1) AS n
+         |        FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |bi AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, COUNT(1) AS n_distinct_bigrams,
+         |    MAX(n) AS top_bigram_n
+         |  FROM (SELECT doc_id, g, COUNT(1) AS n
+         |        FROM (SELECT doc_id,
+         |                unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+         |              FROM base)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(u.n_tokens, 0) AS n_tokens,
+         |  COALESCE(u.n_distinct_toks, 0) AS n_distinct_toks,
+         |  COALESCE(u.top_tok_n, 0) AS top_tok_n,
+         |  COALESCE(b.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+         |  COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+         |  CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+         |    THEN (b.n_bigrams - b.n_distinct_bigrams)::DOUBLE / b.n_bigrams::DOUBLE
+         |    ELSE 0.0 END AS dup_bigram_frac,
+         |  CASE WHEN COALESCE(u.n_tokens, 0) > 0
+         |    THEN (COALESCE(b.top_bigram_n, 0) * 2)::DOUBLE / u.n_tokens::DOUBLE
+         |    ELSE 0.0 END AS top_bigram_frac
+         |FROM documents d
+         |LEFT JOIN uni u USING (doc_id)
+         |LEFT JOIN bi b USING (doc_id)""".stripMargin,
+
+    "pii_redact" ->
+      s"""WITH synth AS (
+         |  SELECT doc_id,
+         |    'contact user' || doc_id::VARCHAR || '@' || source || '.net tel 555-' ||
+         |    lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ip 10.0.' ||
+         |    (doc_id % 256)::VARCHAR || '.7 ' || text AS s
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(s, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(s, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(s, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(s, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM synth""".stripMargin,
+
+    "sample_stratified" -> {
+      val thrCase = SampleThresholds
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""SELECT event_type, COUNT(1) AS n_total,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(SUM(CASE WHEN keep THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sampled_value_c
+         |FROM (
+         |  SELECT event_type, value,
+         |    ('0x' || substr(md5('smp:' || event_id::VARCHAR), 1, 15))::BIGINT
+         |      % $HashMod % 10000
+         |      < (CASE event_type $thrCase ELSE 0 END) AS keep
+         |  FROM events)
+         |GROUP BY event_type""".stripMargin
+    },
+
+    "event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+        |  JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, COUNT(1) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click_after_view', COUNT(1) FROM c
+        |UNION ALL
+        |SELECT '3_purchase_after_click', COUNT(1) FROM p""".stripMargin
+  )
+}

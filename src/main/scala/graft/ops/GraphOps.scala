@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Distributed connected components — the completion step of every
+  * fuzzy-dedup pipeline: candidate PAIRS (from MinHash-LSH / SimHash /
+  * embedding LSH) become dedup GROUPS, and the group label doubles as
+  * the canonical keeper id (lowest doc id of the component).
+  *
+  * Algorithm: alternating min-label propagation and pointer jumping
+  * (label(v) ← label(label(v))), the DataFrame rendering of the
+  * two-phase "star" contraction family — each round is two keyed
+  * shuffles (neighbor min + parent lookup), and pointer jumping makes
+  * label trees collapse geometrically, so rounds are O(log d) for
+  * diameter-d components instead of O(d) for plain propagation.
+  * Per-round frames are `localCheckpoint`'d: iteration re-reads the
+  * previous labels from materialized blocks, never re-running the
+  * whole lineage (the classic iterative-DataFrame trap).
+  *
+  * Driver involvement per round is ONE empty-check on the changed-set
+  * (convergence probe) — no labels ever `collect()`.
+  */
+object GraphOps {
+
+  /** Connected components of the undirected graph (`nodes`, `edges`).
+    *
+    * @param nodes single LONG column `node`; every vertex, including
+    *              isolated ones (they come back as singletons)
+    * @param edges columns `src`, `dst` (LONG); direction ignored
+    * @return (`node`, `comp`) with `comp` = min node id reachable
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // Iterate ONLY over edge-touched vertices: in a dedup graph the
+    // overwhelming majority of docs has no candidate edge at all, and
+    // an isolated vertex can never change label — keeping them out of
+    // the loop shrinks every per-round shuffle from |V| to |touched|
+    // rows (typically a few % of the corpus); singletons rejoin at the
+    // end as comp = own id.
+    val allNodes = nodes.select(col("node")).distinct()
+      .localCheckpoint(eager = false)
+    val touched = sym.select(col("src").as("node")).distinct()
+    var labels = touched.withColumn("comp", col("node"))
+      .localCheckpoint(eager = false)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // candidate label via neighbors: min comp over incoming edges
+      val nbMin = sym
+        .join(labels.select(col("node").as("src"), col("comp").as("src_comp")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("src_comp").as("nb_comp"))
+      val stepped = labels.join(nbMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
+      // pointer jumping: comp ← comp(comp). comp values are node ids,
+      // so the lookup always hits; coalesce guards the left join.
+      val jumped = stepped.toDF("node", "comp")
+        .join(stepped.toDF("p", "p_comp"), col("comp") === col("p"), "left")
+        .select(col("node"), coalesce(col("p_comp"), col("comp")).as("comp"))
+      val next = jumped.localCheckpoint(eager = false)
+      converged = next
+        .join(labels.select(col("node"), col("comp").as("prev")), "node")
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    labels.unionByName(
+      allNodes.join(labels.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("comp", col("node")))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // MinHash-LSH candidate pairs → transitive dup groups. comp is the
+    // keeper doc id; comp_size the group cardinality (1 = unique doc).
+    "dedup_cc_groups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = DedupOps.lshCandidatePairs(docs).toDF("src", "dst")
+      val cc = connectedComponents(docs.select(col("doc_id").as("node")), edges)
+      val sizes = cc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+      cc.join(sizes, "comp")
+        .select(col("node").as("doc_id"), col("comp"), col("comp_size"))
+    })
+  )
+
+  /** Oracle: DuckDB recursive transitive closure over the SAME LSH
+    * pair derivation as [[DedupOps.oracle]]'s dedup_lsh_pairs, reduced
+    * to min reachable id — an independent recomputation of both the
+    * edge set and the component labels. Closure is O(Σ comp²) rows:
+    * fine for the oracle scale, which is exactly why the engine side
+    * runs label propagation instead. */
+  val oracle: Map[String, String] = Map(
+    "dedup_cc_groups" -> {
+      val pairsSql = DedupOps.oracle("dedup_lsh_pairs")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION
+         |  SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (
+         |  SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY 1)
+         |SELECT doc_id, comp,
+         |  COUNT(1) OVER (PARTITION BY comp) AS comp_size
+         |FROM comp""".stripMargin
+    }
+  )
+}

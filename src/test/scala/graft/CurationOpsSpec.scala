@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.CurationOps
+
+/** Hand-computed oracles for the curation operators (the driver gate
+  * additionally cross-checks them against DuckDB at sf0.01). */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("repetitionStats: hand-computed repetition signals") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // "a b a b a" → tokens 5 (distinct 2, top 'a'=3);
+    // bigrams: "a b","b a","a b","b a" → 4 total, 2 distinct, top=2
+    val df = Seq((1L, "a b a b a"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val got = CurationOps.repetitionStats(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8))).toMap
+    assert(got(1L) == ((5L, 2L, 3L, 4L, 2L, 2L, 0.5, 0.8)))
+    // single token: no bigrams, fractions 0
+    assert(got(2L) == ((1L, 1L, 1L, 0L, 0L, 0L, 0.0, 0.0)))
+    // empty text: all zero
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("redactPii scrubs emails, IPs, phones in order and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server 192.168.0.1 dialed 555-0147 twice: 555-0147"),
+      (3L, "clean text, no pii 1234-5678")).toDF("doc_id", "text")
+    val got = CurationOps.redactPii(df, "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L) == ((1, 0, 0, "mail <EMAIL> now")))
+    assert(got(2L) == ((0, 1, 2, "server <IP> dialed <PHONE> twice: <PHONE>")))
+    // 1234-5678 is not a NNN-NNNN phone (\b\d{3}- requires exactly 3)
+    assert(got(3L) == ((0, 0, 0, "clean text, no pii 1234-5678")))
+  }
+
+  test("stratified sample is deterministic and respects thresholds") {
+    val d = "/root/testdata/sf0.001"
+    val a = CurationOps.queries("sample_stratified")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = CurationOps.queries("sample_stratified")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b) // same rows kept on every run
+    val thr = CurationOps.SampleThresholds.toMap
+    a.foreach { case (tpe, (total, sampled)) =>
+      assert(sampled <= total)
+      // purchase kept fully; sampled fraction near thr/10000 elsewhere
+      if (thr(tpe) == 10000L) assert(sampled == total)
+      else assert(math.abs(sampled.toDouble / total - thr(tpe) / 10000.0) < 0.15)
+    }
+  }
+
+  test("event_funnel stages are ordered and monotonically shrinking") {
+    val got = CurationOps.queries("event_funnel")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("1_view", "2_click_after_view", "3_purchase_after_click"))
+    assert(got("1_view") >= got("2_click_after_view"))
+    assert(got("2_click_after_view") >= got("3_purchase_after_click"))
+    assert(got("1_view") > 0)
+  }
+}
