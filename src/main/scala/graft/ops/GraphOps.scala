@@ -64,12 +64,14 @@ object GraphOps {
       val jumped = stepped.toDF("node", "comp")
         .join(stepped.toDF("p", "p_comp"), col("comp") === col("p"), "left")
         .select(col("node"), coalesce(col("p_comp"), col("comp")).as("comp"))
-      val next = jumped.localCheckpoint(eager = false)
-      converged = next
+      // carry the changed flag INTO the materialized frame so the
+      // convergence probe and the checkpoint are one action, not two
+      val next = jumped
         .join(labels.select(col("node"), col("comp").as("prev")), "node")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+        .select(col("node"), col("comp"), (col("comp") =!= col("prev")).as("changed"))
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("node", "comp")
       it += 1
     }
     labels.unionByName(

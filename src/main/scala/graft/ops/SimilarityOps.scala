@@ -320,7 +320,23 @@ object SimilarityOps {
       lshBucketsHashed(t(s, d, "embeddings"), dim = OracleDim)),
     "sim_ivf_topk" -> ((s, d) =>
       ivfTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0,
-        nCentroids = IvfCentroids, nProbe = IvfProbe))
+        nCentroids = IvfCentroids, nProbe = IvfProbe)),
+    // Per-label centroid, one row per (label, dimension): posexplode →
+    // keyed agg with map-side partials — the distributed shape for
+    // class centroids / cluster means at any corpus size. Sums run in
+    // exact integer micro-units (float→double widening is exact, so
+    // round(v*1e6) agrees bit-for-bit across engines); the mean is
+    // derived from the exact sum by one double division.
+    "emb_label_centroid" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("col").cast("double") * 1e6).cast("long")).as("sum_u"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("n"),
+          col("sum_u"),
+          (col("sum_u").cast("double") / lit(1e6) / col("n").cast("double"))
+            .as("mean_v")))
   )
 
   private val sqlCos =
@@ -334,6 +350,16 @@ object SimilarityOps {
     s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($x, t -> t::DOUBLE * t::DOUBLE)), (u,v) -> u+v))"
 
   val oracle: Map[String, String] = Map(
+    "emb_label_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, i AS pos, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(embedding[i + 1]::DOUBLE * 1e6) AS BIGINT)) AS BIGINT) AS sum_u,
+        |  CAST(SUM(CAST(ROUND(embedding[i + 1]::DOUBLE * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / COUNT(1)::DOUBLE AS mean_v
+        |FROM (SELECT label, embedding,
+        |        UNNEST(range(0, len(embedding))) AS i
+        |      FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
+
     "sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding AS e FROM embeddings),
          |sims AS (

@@ -132,6 +132,55 @@ object Coverage {
           array_join(flatten(array(col("arr"), col("arr"))), ",").as("doubled_s"),
           array_join(slice(col("arr"), 2, 3), ",").as("mid_s"))),
 
+    // Q14: promo revenue share in a shipping quarter — broadcast dim
+    // join + conditional aggregate + exact-int ratio
+    "q14_promo" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val part = t(s, d, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            revenueC4(col("l_extendedprice"), col("l_discount"))).otherwise(0L))
+            .as("promo_c4"),
+          sum(revenueC4(col("l_extendedprice"), col("l_discount"))).as("total_c4"),
+          count(lit(1)).as("n_items"))
+        .withColumn("promo_pct",
+          lit(100.0) * col("promo_c4").cast("double") / col("total_c4").cast("double"))
+    }),
+
+    // Q12: shipping latency by order priority — timestamp arithmetic
+    // predicate inside a conditional aggregate over a fact-fact join
+    "q12_latency" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L)).as("n_late"))
+    }),
+
+    // Q19: disjunction of (brand, size-range, qty-range) conjunctions
+    // spanning BOTH join sides — Catalyst must split the OR into
+    // per-side pushable residuals rather than filtering post-join only
+    "q19_brandqty" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val part = t(s, d, "part")
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_items"),
+          sum(revenueC4(col("l_extendedprice"), col("l_discount"))).as("revenue_c4"))
+    }),
+
     // ---- string scalars round 2 ----
     "str_funcs2" -> ((s, d) =>
       t(s, d, "part")
@@ -489,6 +538,41 @@ object Coverage {
         |  SELECT l_orderkey FROM lineitem
         |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
         |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS promo_c4,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_c4,
+        |  COUNT(1) AS n_items,
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+        |    ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "q12_latency" ->
+      """SELECT o_orderpriority, COUNT(1) AS n_lines,
+        |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q19_brandqty" ->
+      """SELECT COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "setop_except_all" ->
       """SELECT flag, COUNT(1) AS n FROM (
