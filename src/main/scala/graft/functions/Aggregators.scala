@@ -73,6 +73,68 @@ class TopKSimAgg(k: Int) extends Aggregator[SimEntry, Seq[SimEntry], Seq[SimEntr
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SimEntry]]()
 }
 
+/** KMV (k-minimum-values) distinct-count sketch as a typed Aggregator.
+  *
+  * Buffer = the k smallest DISTINCT hash values seen, kept sorted —
+  * bounded at k longs per partial, deduped locally in `reduce`, merged
+  * associatively in `merge`, so the sketch needs no pre-`distinct()`
+  * shuffle and partials combine map-side like any sum. Estimator:
+  * with hashes uniform on [0, M), E[distinct] ≈ (k-1)·M / h_(k); for
+  * groups with fewer than k distinct hashes the sketch IS the exact
+  * distinct set. Everything is integer/order-free arithmetic, so the
+  * result is deterministic and reproducible across engines — unlike
+  * HLL sketches whose registers are implementation-defined.
+  */
+class KmvAgg(k: Int, hashMod: Long) extends Aggregator[Long, Array[Long], KmvOut] {
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  /** Sorted-array k-min set: binarySearch per row (O(log k), the hot
+    * path — most rows are rejected as duplicates or > kth), arraycopy
+    * insert only for the ~k·ln(n) rows that actually enter the set. */
+  override def reduce(b: Array[Long], h: Long): Array[Long] = {
+    val i = java.util.Arrays.binarySearch(b, h)
+    if (i >= 0) b // already present
+    else {
+      val ins = -i - 1
+      if (ins >= k) b // larger than the kth smallest — can't enter
+      else {
+        val n = math.min(b.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+        out
+      }
+    }
+  }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    // two-pointer merge of sorted distinct arrays, capped at k
+    val out = new Array[Long](math.min(x.length + y.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < x.length || j < y.length)) {
+      val v =
+        if (j >= y.length || (i < x.length && x(i) <= y(j))) { val v = x(i); i += 1; v }
+        else { val v = y(j); j += 1; v }
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  override def finish(b: Array[Long]): KmvOut = {
+    val est =
+      if (b.length >= k) (k - 1).toDouble * hashMod.toDouble / b.last.toDouble
+      else b.length.toDouble
+    KmvOut(b.length.toLong, if (b.isEmpty) -1L else b.last, est)
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[KmvOut] = Encoders.product[KmvOut]
+}
+
+final case class KmvOut(n_kept: Long, kth_h: Long, est_distinct: Double)
+
 final case class BboxBuf(
     minLon: Double, maxLon: Double, minLat: Double, maxLat: Double,
     sumLon: Double, sumLat: Double, n: Long)

@@ -82,6 +82,32 @@ object Extras {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           expr("percentile_approx(l_quantity, 0.5, 1000)").as("approx_median_qty"))),
 
+    // KMV distinct sketch — unlike agg_sketch's HLL this sketch is
+    // DETERMINISTIC (md5 hashes, k-min set), so it carries a full
+    // cross-engine oracle; exact_distinct rides along as the accuracy
+    // anchor. The Aggregator needs no pre-distinct shuffle: buffers
+    // dedup locally and merge map-side at ≤ k longs each.
+    "agg_kmv_distinct" -> ((s, d) => {
+      s.udf.register("kmv64",
+        udaf(new graft.functions.KmvAgg(64, graft.ops.TextOps.HashMod)))
+      val li = t(s, d, "lineitem")
+      // The sketch and the exact count run as SEPARATE aggregations
+      // joined on the tiny group key: a typed-Aggregator UDAF mixed
+      // with countDistinct in one agg falls out of ObjectHashAggregate
+      // into a sort-based plan that re-serializes the buffer per row
+      // (measured 3.3 s → 0.9 s at sf0.1).
+      val sketch = li
+        .withColumn("h", graft.ops.TextOps.strHash(
+          concat(lit("kmv:"), col("l_partkey").cast("string"))))
+        .groupBy("l_returnflag").agg(expr("kmv64(h)").as("kmv"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      sketch.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("kmv.n_kept").as("n_kept"),
+          col("kmv.kth_h").as("kth_h"),
+          col("kmv.est_distinct").as("est_distinct"), col("exact_distinct"))
+    }),
+
     // typed Aggregator (UDAF surface): bbox + centroid of the
     // (quantity_c, price_c) point cloud per return flag. Integer-valued
     // doubles sum exactly, so the centroid is cross-engine-exact.
@@ -134,6 +160,29 @@ object Extras {
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY event_type""".stripMargin,
     // agg_sketch: intentionally no oracle (rows-only check)
+
+    "agg_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT l_returnflag,
+         |    ('0x' || substr(md5('kmv:' || l_partkey::VARCHAR), 1, 15))::BIGINT
+         |      % ${graft.ops.TextOps.HashMod} AS hv
+         |  FROM lineitem),
+         |keep AS (
+         |  SELECT l_returnflag, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+         |  FROM h),
+         |km AS (
+         |  SELECT l_returnflag, COUNT(1) AS n_kept, MAX(hv) AS kth_h
+         |  FROM keep WHERE rn <= 64 GROUP BY 1),
+         |ex AS (
+         |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+         |  FROM lineitem GROUP BY 1)
+         |SELECT km.l_returnflag, n_kept, kth_h,
+         |  CASE WHEN n_kept >= 64
+         |    THEN 63.0 * ${graft.ops.TextOps.HashMod}.0 / kth_h::DOUBLE
+         |    ELSE n_kept::DOUBLE END AS est_distinct,
+         |  exact_distinct
+         |FROM km JOIN ex USING (l_returnflag)""".stripMargin,
 
     "udaf_bbox" ->
       """SELECT l_returnflag,
