@@ -181,6 +181,73 @@ object Coverage {
           sum(revenueC4(col("l_extendedprice"), col("l_discount"))).as("revenue_c4"))
     }),
 
+    // full-outer join with both unmatched sides live (customer side
+    // filtered to one segment so order-only rows exist)
+    "join_full_outer" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val o = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          c("c_custkey").isNotNull.as("has_cust"),
+          o("o_custkey").isNotNull.as("has_orders"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
+    // wide → long: pivot then stack() back (the UNPIVOT surface)
+    "unpivot_returns" -> ((s, d) => {
+      val wide = t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(cents(col("l_quantity"))))
+      wide.select(col("l_linestatus"),
+        expr("stack(3, 'A', A, 'N', N, 'R', R) as (flag, qty_c)"))
+    }),
+
+    // NOT IN with a non-nullable subquery key (the null-safe case —
+    // NOT IN over a nullable key yields empty, which is a trap, not a
+    // query; the key here is a PK)
+    "subquery_not_in" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("sni_cust")
+      t(s, d, "orders").createOrReplaceTempView("sni_ord")
+      s.sql("""
+        SELECT c_mktsegment, COUNT(1) AS n_never_big
+        FROM sni_cust
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM sni_ord WHERE o_totalprice > 150000)
+        GROUP BY c_mktsegment
+      """)
+    }),
+
+    // time-series resample: per-user hourly grid (sequence over exact
+    // micros longs), missing hours filled with 0 events and a
+    // forward-filled running value — the gap-fill + ffill pattern.
+    // `div` (IntegralDivide) keeps the bucketing in exact integer
+    // arithmetic on both engines.
+    "ts_resample_ffill" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val ev = t(s, d, "events")
+        .filter(col("user_id") % 50 === 0)
+        .select(col("user_id"),
+          (expr(s"unix_micros(ts) div $hourUs") * hourUs).as("hour_us"),
+          cents(col("value")).as("vc"))
+      val hourly = ev.groupBy("user_id", "hour_us")
+        .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_c"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("hour_us")).as("h0"), max(col("hour_us")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), lit(hourUs))).as("hour_us"))
+      val w = Window.partitionBy("user_id").orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour_us"), "left")
+        .select(col("user_id"), col("hour_us"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("sum_c").as("sum_c_raw"),
+          last(col("sum_c"), ignoreNulls = true).over(w).as("sum_c_ffill"))
+    }),
+
     // ---- string scalars round 2 ----
     "str_funcs2" -> ((s, d) =>
       t(s, d, "part")
@@ -573,6 +640,62 @@ object Coverage {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+        |  c.c_custkey IS NOT NULL AS has_cust,
+        |  o.o_custkey IS NOT NULL AS has_orders,
+        |  COALESCE(o.n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, COUNT(1) AS n_orders FROM orders GROUP BY 1) o
+        |  ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "unpivot_returns" ->
+      """WITH wide AS (
+        |  SELECT l_linestatus,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A'
+        |      THEN CAST(ROUND(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'N'
+        |      THEN CAST(ROUND(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(ROUND(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_linestatus, 'A' AS flag, a AS qty_c FROM wide
+        |UNION ALL SELECT l_linestatus, 'N', n FROM wide
+        |UNION ALL SELECT l_linestatus, 'R', r FROM wide""".stripMargin,
+
+    "subquery_not_in" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_never_big
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "ts_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE user_id % 50 = 0),
+        |hourly AS (
+        |  SELECT user_id, hour_us, COUNT(1) AS n_events,
+        |    CAST(SUM(vc) AS BIGINT) AS sum_c
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, MIN(hour_us) AS h0, MAX(hour_us) AS h1
+        |  FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, UNNEST(range(h0, h1 + 1, 3600000000)) AS hour_us
+        |  FROM bounds)
+        |SELECT g.user_id, g.hour_us,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  h.sum_c AS sum_c_raw,
+        |  last_value(h.sum_c IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_c_ffill
+        |FROM grid g LEFT JOIN hourly h USING (user_id, hour_us)""".stripMargin,
 
     "setop_except_all" ->
       """SELECT flag, COUNT(1) AS n FROM (
