@@ -21,6 +21,13 @@ import graft.Tables.t
   *
   * Driver involvement per round is ONE empty-check on the changed-set
   * (convergence probe) — no labels ever `collect()`.
+  *
+  * Composition order at scale: run EXACT dedup first and feed CC only
+  * canonical docs. Exact-duplicate groups are cliques under any LSH
+  * (identical text ⇒ identical band keys), so pair counts grow
+  * quadratically in copy-group size — collapsing copies first keeps
+  * the edge set near-linear (measured in ScaleProfile: 10× replicated
+  * corpus ⇒ 550× pairs, while CC wall time stays overhead-bound).
   */
 object GraphOps {
 

@@ -57,6 +57,14 @@ object ScaleProfile {
         nCentroids = graft.ops.SimilarityOps.IvfCentroids,
         nProbe = graft.ops.SimilarityOps.IvfProbe).count())
       time(s"${k}x txt_quality")(graft.ops.TextOps.qualityScore(docs).count())
+      // replication is the CC worst case: exact copies share every LSH
+      // band key, so each copy-group becomes one dense component whose
+      // edge count grows ~k^2 while vertices grow k
+      time(s"${k}x dedup_cc")(graft.ops.GraphOps.connectedComponents(
+        docs.select(col("doc_id").as("node")),
+        graft.ops.DedupOps.lshCandidatePairs(docs).toDF("src", "dst")).count())
+      time(s"${k}x txt_repetition")(
+        graft.ops.CurationOps.repetitionStats(docs).count())
     }
     spark.stop()
   }
