@@ -20,7 +20,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ... and the trailing "[success] Total time: ..." line is suppressed so
 // a harness that parses the LAST line of output finds the bench JSON
 // there (exit code still signals success/failure).
-showSuccess := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
