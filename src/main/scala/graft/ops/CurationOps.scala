@@ -142,6 +142,26 @@ object CurationOps {
             .as("sampled_value_c"))
     }),
 
+    // The end-to-end corpus materializer: compose exact-dedup keeper
+    // selection, language filter, token-length band, and the
+    // repetition cap into ONE query whose output IS the curated
+    // corpus — the shape a real pipeline ships to tokenization.
+    // Thresholds chosen to genuinely split the synthetic corpus
+    // (median n_tokens 56, p90 dup_bigram_frac 0.065).
+    "curate_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id").asc)
+      val keepers = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      keepers.join(repetitionStats(docs), "doc_id")
+        .filter(col("lang") === "en" &&
+          col("n_tokens").between(30, 100) &&
+          col("dup_bigram_frac") < 0.05)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("dup_bigram_frac"))
+    }),
+
     // Ordered funnel: users who viewed, then clicked strictly after
     // their first view, then purchased strictly after that click.
     "event_funnel" -> ((s, d) => {
@@ -233,6 +253,41 @@ object CurationOps {
          |  FROM events)
          |GROUP BY event_type""".stripMargin
     },
+
+    "curate_keep" ->
+      s"""WITH base AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |uni AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id, tok, COUNT(1) AS n
+         |        FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |bi AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |    COUNT(1) AS n_distinct_bigrams
+         |  FROM (SELECT doc_id, g, COUNT(1) AS n
+         |        FROM (SELECT doc_id,
+         |                unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+         |              FROM base)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |keepers AS (
+         |  SELECT doc_id, lang, source FROM documents
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id ASC) = 1)
+         |SELECT k.doc_id, k.source,
+         |  COALESCE(u.n_tokens, 0) AS n_tokens,
+         |  CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+         |    THEN (b.n_bigrams - b.n_distinct_bigrams)::DOUBLE / b.n_bigrams::DOUBLE
+         |    ELSE 0.0 END AS dup_bigram_frac
+         |FROM keepers k
+         |LEFT JOIN uni u USING (doc_id)
+         |LEFT JOIN bi b USING (doc_id)
+         |WHERE k.lang = 'en'
+         |  AND COALESCE(u.n_tokens, 0) BETWEEN 30 AND 100
+         |  AND (CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+         |    THEN (b.n_bigrams - b.n_distinct_bigrams)::DOUBLE / b.n_bigrams::DOUBLE
+         |    ELSE 0.0 END) < 0.05""".stripMargin,
 
     "event_funnel" ->
       """WITH v AS (

@@ -63,6 +63,25 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curate_keep output satisfies every filter it claims") {
+    val d = "/root/testdata/sf0.01"
+    val kept = CurationOps.queries("curate_keep")(spark, d).collect()
+    assert(kept.nonEmpty && kept.length < 500) // genuinely filters
+    kept.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_tokens"))
+      assert(n >= 30 && n <= 100)
+      assert(r.getDouble(r.fieldIndex("dup_bigram_frac")) < 0.05)
+    }
+    // keeper selection: no two kept docs share content
+    val docs = graft.Tables.t(spark, d, "documents")
+    val ids = kept.map(_.getLong(0)).toSet
+    import org.apache.spark.sql.functions._
+    val dupContent = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .groupBy(md5(lower(trim(col("text"))))).count()
+      .filter(col("count") > 1).count()
+    assert(dupContent == 0)
+  }
+
   test("event_funnel stages are ordered and monotonically shrinking") {
     val got = CurationOps.queries("event_funnel")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
