@@ -47,6 +47,33 @@ class KernelPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("PII regexes: every injected entity is scrubbed, none survives") {
+    import graft.ops.CurationOps
+    val word = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    val emailGen = for { a <- word; b <- word } yield s"$a@$b.com"
+    val ipGen = for {
+      a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+      c <- Gen.choose(0, 255); e <- Gen.choose(0, 255)
+    } yield s"$a.$b.$c.$e"
+    val phoneGen = for {
+      a <- Gen.choose(100, 999); b <- Gen.choose(1000, 9999)
+    } yield s"$a-$b"
+    val fillerGen = Gen.listOfN(5, word).map(_.mkString(" "))
+    check(Prop.forAll(fillerGen, emailGen, ipGen, phoneGen) { (f, e, ip, ph) =>
+      val text = s"$f $e then $ip dial $ph end"
+      // same fixed order as redactPii: email, IP, then phone
+      val r = text.replaceAll(CurationOps.EmailRe, "<EMAIL>")
+        .replaceAll(CurationOps.Ipv4Re, "<IP>")
+        .replaceAll(CurationOps.PhoneRe, "<PHONE>")
+      Seq(CurationOps.EmailRe, CurationOps.Ipv4Re, CurationOps.PhoneRe).foreach { re =>
+        assert(!java.util.regex.Pattern.compile(re).matcher(r).find(),
+          s"unscrubbed match of $re in: $r")
+      }
+      assert(r.contains("<EMAIL>") && r.contains("<IP>") && r.contains("<PHONE>"))
+      true
+    })
+  }
+
   // small local polylines (≤ ~2 km edges) near a base point
   private val polylineGen: Gen[Seq[LonLat]] = for {
     lon0 <- Gen.choose(-100.0, 100.0)
