@@ -100,6 +100,19 @@ object GraphOps {
       val sizes = cc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
       cc.join(sizes, "comp")
         .select(col("node").as("doc_id"), col("comp"), col("comp_size"))
+    }),
+
+    // The fuzzy-dedup corpus materializer: the component label IS the
+    // keeper id (min doc id), so the deduplicated corpus is simply the
+    // rows whose id equals their label — the near-dup counterpart of
+    // dedup_keep's exact-hash keeper.
+    "dedup_cc_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = DedupOps.lshCandidatePairs(docs).toDF("src", "dst")
+      connectedComponents(docs.select(col("doc_id").as("node")), edges)
+        .filter(col("node") === col("comp"))
+        .join(docs, col("node") === col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
     })
   )
 
@@ -126,6 +139,24 @@ object GraphOps {
          |SELECT doc_id, comp,
          |  COUNT(1) OVER (PARTITION BY comp) AS comp_size
          |FROM comp""".stripMargin
+    },
+
+    "dedup_cc_keep" -> {
+      val pairsSql = DedupOps.oracle("dedup_lsh_pairs")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION
+         |  SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (
+         |  SELECT node, MIN(r) AS comp FROM reach GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM comp c JOIN documents d ON c.node = d.doc_id
+         |WHERE c.node = c.comp""".stripMargin
     }
   )
 }
