@@ -29,6 +29,7 @@ object SparkEntry {
       graft.ops.QualityOps.queries ++
       graft.ops.GraphOps.queries ++
       graft.ops.CurationOps.queries ++
+      graft.ops.LayoutOps.queries ++
       graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.ops.QualityOps.oracle ++
       graft.ops.GraphOps.oracle ++
       graft.ops.CurationOps.oracle ++
+      graft.ops.LayoutOps.oracle ++
       graft.queries.PipelineQueries.oracle
 }

@@ -130,6 +130,34 @@ class RankTableTextOpsSpec extends AnyFunSuite {
     assert(got(2L) == (0L, 0L, 0L, 0L, 0L))
   }
 
+  test("mortonCode interleaves bits; zorderBy tiles both dimensions") {
+    import spark.implicits._
+    import graft.ops.LayoutOps
+    // known interleavings: (1,0)->1, (0,1)->2, (1,1)->3, (3,5)->39
+    val known = Seq((1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L)).toDF("x", "y")
+      .select(LayoutOps.mortonCode(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(known == Seq(1L, 2L, 3L, 39L))
+    // a 64x64 grid z-ordered into 16 partitions: every partition's
+    // bounding box must be a small tile on BOTH axes (the data-skipping
+    // property), unlike an x-sorted layout where y spans the full range
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val parts = LayoutOps.zorderBy(grid, col("x"), col("y"), numPartitions = 16)
+      .select(spark_partition_id().as("pid"), col("x"), col("y"))
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .collect()
+    assert(parts.length == 16)
+    // each of the 16 tiles of a 64x64 z-curve spans at most half the
+    // domain on either axis (perfect tiling gives 16x16 tiles; range
+    // boundaries may straddle one tile edge)
+    parts.foreach { r =>
+      assert(r.getLong(1) <= 32 && r.getLong(2) <= 32,
+        s"partition ${r.getInt(0)} bbox ${r.getLong(1)}x${r.getLong(2)} too wide")
+    }
+  }
+
   test("tfidf ranks rarity over raw frequency and breaks ties on token") {
     import spark.implicits._
     // "common" appears in all docs (df=3), "rare" only in doc 1 (df=1):
