@@ -34,7 +34,10 @@ object StreamOps {
     "stream_interval_join_left" -> ((s, d) =>
       EventStreams.purchaseClickLeftJoin(t(s, d, "events"))),
     "stream_dedup_tumbling" -> ((s, d) =>
-      EventStreams.dedupThenTumbling(t(s, d, "events")))
+      EventStreams.dedupThenTumbling(t(s, d, "events"))),
+    "stream_topk_window" -> ((s, d) =>
+      EventStreams.windowTopTypes(
+        EventStreams.toTypedEv(t(s, d, "events"))).toDF())
   )
 
   val oracle: Map[String, String] = Map(
@@ -69,6 +72,20 @@ object StreamOps {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
         |  COUNT(1) AS n_events, CAST(SUM(vc) AS BIGINT) AS sum_value_c
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // FMGWS windowed top-k: rank ties broken by type name
+    "stream_topk_window" ->
+      """WITH w AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |    event_type
+        |  FROM events),
+        |c AS (SELECT window_start_us, event_type, COUNT(1) AS n
+        |      FROM w GROUP BY 1, 2)
+        |SELECT window_start_us, rk, event_type, n FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_us
+        |    ORDER BY n DESC, event_type ASC) AS rk
+        |  FROM c) r
+        |WHERE rk <= 3""".stripMargin,
 
     // custom FMGWS sessionizer: STRICT > gap breaks; end = last event
     "stream_stateful_sessions" ->

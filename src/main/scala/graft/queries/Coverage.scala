@@ -181,6 +181,57 @@ object Coverage {
           sum(revenueC4(col("l_extendedprice"), col("l_discount"))).as("revenue_c4"))
     }),
 
+    // Q21 shape (suppliers who kept orders waiting), adapted to this
+    // schema's dates: "late" = shipped >90 days after order date. The
+    // optimizer stressor is the double correlated quantifier — EXISTS
+    // (another supplier contributed to the order) AND NOT EXISTS
+    // (another supplier was ALSO late) — which Catalyst must turn into
+    // semi/anti joins, never per-row subquery execution
+    "q21_waiting" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("q21_supp")
+      t(s, d, "orders").createOrReplaceTempView("q21_ord")
+      t(s, d, "lineitem").createOrReplaceTempView("q21_li")
+      s.sql("""
+        SELECT s_name, COUNT(1) AS numwait
+        FROM q21_supp JOIN q21_li l1 ON s_suppkey = l1.l_suppkey
+        JOIN q21_ord ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAYS
+          AND EXISTS (
+            SELECT 1 FROM q21_li l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM q21_li l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAYS)
+        GROUP BY s_name
+      """)
+    }),
+
+    // Q22 shape (promising idle customers), phone country code adapted
+    // to c_nationkey buckets: positive-balance customers above the
+    // bucket-set average with NO orders — scalar subquery + anti join
+    "q22_idle_balance" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("q22_cust")
+      t(s, d, "orders").createOrReplaceTempView("q22_ord")
+      s.sql("""
+        SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+               COUNT(1) AS numcust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+        FROM q22_cust
+        WHERE c_nationkey % 5 IN (0, 1, 2)
+          AND c_acctbal > (
+            SELECT AVG(c_acctbal) FROM q22_cust
+            WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2))
+          AND NOT EXISTS (
+            SELECT 1 FROM q22_ord
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        GROUP BY c_nationkey % 5
+      """)
+    }),
+
     // full-outer join with both unmatched sides live (customer side
     // filtered to one segment so order-only rows exist)
     "join_full_outer" -> ((s, d) => {
@@ -640,6 +691,37 @@ object Coverage {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting" ->
+      """SELECT s_name, COUNT(1) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name""".stripMargin,
+
+    "q22_idle_balance" ->
+      """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+        |  COUNT(1) AS numcust,
+        |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+        |FROM customer
+        |WHERE c_nationkey % 5 IN (0, 1, 2)
+        |  AND c_acctbal > (
+        |    SELECT AVG(c_acctbal) FROM customer
+        |    WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |GROUP BY c_nationkey % 5""".stripMargin,
 
     "join_full_outer" ->
       """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,

@@ -210,6 +210,67 @@ object EventStreams {
       }
   }
 
+  final case class TypedEv(event_type: String, ts: java.sql.Timestamp, us: Long)
+  final case class WinTopOut(
+      window_start_us: Long, rk: Long, event_type: String, n: Long)
+  final case class TypeCounts(counts: Map[String, Long])
+
+  /** Batch events → typed (event_type, ts, us) rows for [[windowTopTypes]]. */
+  def toTypedEv(events: DataFrame): Dataset[TypedEv] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("ts"),
+      unix_micros(col("ts")).as("us")).as[TypedEv]
+  }
+
+  /** Windowed top-k: the k most frequent event types per tumbling
+    * window, rank ties broken by type name. A streaming RANK over an
+    * aggregate is not expressible in append mode (the agg output is
+    * itself a stream), so this is flatMapGroupsWithState keyed by
+    * WINDOW START: state is one small counts map per open window,
+    * emitted and evicted when the watermark passes the window end.
+    * Batch: each window's events arrive in one group call — emit
+    * immediately, which keeps the operator DuckDB-oracle-checkable.
+    *
+    * Scale: one shuffle keyed by window; per-group state is
+    * O(#distinct types), not O(#events); windows close monotonically
+    * so state count is bounded by watermark lag / window size. */
+  def windowTopTypes(events: Dataset[TypedEv],
+      windowUs: Long = 3600000000L, k: Int = 3): Dataset[WinTopOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+
+    def topk(ws: Long, counts: Map[String, Long]): Seq[WinTopOut] =
+      counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex
+        .map { case ((t, n), i) => WinTopOut(ws, i + 1L, t, n) }
+
+    events
+      .groupByKey(e => e.us / windowUs * windowUs)
+      .flatMapGroupsWithState[TypeCounts, WinTopOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ws: Long, it: Iterator[TypedEv], state: GroupState[TypeCounts]) =>
+          if (!it.hasNext) {
+            if (state.hasTimedOut && state.exists) {
+              val out = topk(ws, state.get.counts)
+              state.remove()
+              out.iterator
+            } else Iterator.empty
+          } else {
+            val m = scala.collection.mutable.Map.empty[String, Long]
+            state.getOption.foreach(_.counts.foreach { case (t, n) =>
+              m.update(t, m.getOrElse(t, 0L) + n) })
+            it.foreach(e => m.update(e.event_type, m.getOrElse(e.event_type, 0L) + 1L))
+            if (streaming) {
+              state.update(TypeCounts(m.toMap))
+              // close when the watermark passes the window end
+              state.setTimeoutTimestamp((ws + windowUs) / 1000 + 1)
+              Iterator.empty
+            } else topk(ws, m.toMap).iterator
+          }
+      }
+  }
+
   /** Batch events → typed Ev rows (micros + integer cents). */
   def toEv(events: DataFrame): Dataset[Ev] = {
     val spark = events.sparkSession

@@ -105,6 +105,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed top-k emits per-window ranks via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val typed = EventStreams.toTypedEv(mem.toDF().withWatermark("ts", "0 seconds"))
+    val q = EventStreams.windowTopTypes(typed, k = 2)
+      .writeStream.format("memory").queryName("wtop").outputMode("append").start()
+    try {
+      // hour 10:00 window: click x3, view x2, cart x1 — top-2 = click, view
+      mem.addData(
+        RawEv(1, ts(1), 1, "click", 0), RawEv(2, ts(2), 1, "click", 0),
+        RawEv(3, ts(3), 1, "click", 0), RawEv(4, ts(4), 1, "view", 0),
+        RawEv(5, ts(5), 1, "view", 0), RawEv(6, ts(6), 1, "cart", 0))
+      q.processAllAvailable()
+      assert(spark.table("wtop").count() == 0, "open window must not emit")
+      // 11:05 event advances the watermark past 11:00; timeout fires on
+      // the batch AFTER the advance (same two-step as the sessionizer)
+      mem.addData(RawEv(7, ts(65), 1, "click", 0))
+      q.processAllAvailable()
+      mem.addData(RawEv(8, ts(70), 1, "click", 0))
+      q.processAllAvailable()
+      val rows = spark.table("wtop").collect()
+        .map(r => (r.getAs[Long]("rk"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n")))
+      assert(rows.toSet == Set((1L, "click", 3L), (2L, "view", 2L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchases to in-window clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

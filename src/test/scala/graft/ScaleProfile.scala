@@ -65,6 +65,18 @@ object ScaleProfile {
         graft.ops.DedupOps.lshCandidatePairs(docs).toDF("src", "dst")).count())
       time(s"${k}x txt_repetition")(
         graft.ops.CurationOps.repetitionStats(docs).count())
+      // decontaminate: eval side stays FIXED as the corpus scales —
+      // the broadcast probe must scale linearly in the train side
+      time(s"${k}x decontaminate")(graft.ops.DedupOps.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        Tables.t(spark, d, "documents").filter(col("doc_id") % 50 === 0)).count())
+      // global rank: range-shuffle + per-partition sort + zipWithIndex;
+      // superlinear growth here would mean a hidden serialization point
+      time(s"${k}x global_rank")(graft.ops.RankOps.globalRank(
+        docs.select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc)).count())
+      time(s"${k}x tfidf")(graft.ops.TextOps.tfidfTopTerms(docs).count())
+      time(s"${k}x quantize_int8")(graft.ops.SimilarityOps.quantizeInt8(emb).count())
     }
     spark.stop()
   }
