@@ -51,7 +51,39 @@ object Coverage {
         min(col("n_name")).as("first_name"))
   }
 
+  /** Corrupt-tolerant ingest: write nation as JSONL with every 3rd
+    * record deliberately truncated mid-object, read back PERMISSIVE
+    * with `_corrupt_record` capture. On a 100 TB ingest a handful of
+    * bad records must be quarantined into a column, not kill the job
+    * (FAILFAST) or vanish silently (DROPMALFORMED) — the aggregate
+    * proves every record landed in exactly one of good/corrupt. */
+  private def corruptIngest(s: SparkSession, d: String): DataFrame = {
+    val nation = t(s, d, "nation")
+    val path = rtDir(d, "corrupt_json")
+    nation.select(
+        when(col("n_nationkey") % 3 === 0,
+          concat(lit("{\"n_nationkey\": "), col("n_nationkey").cast("string"),
+            lit(", BROKEN")))
+          .otherwise(to_json(struct(col("n_nationkey"), col("n_name"),
+            col("n_regionkey")))).as("value"))
+      .write.mode("overwrite").text(path)
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      nation.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    s.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(when(col("_corrupt_record").isNotNull, 1)).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_nationkey")))
+          .cast("long").as("sum_good_key"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "source_corrupt_tolerance" -> corruptIngest _,
+
     // ---- window: distribution functions over a total order ----
     "win_ntile_dist" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus")
@@ -229,6 +261,51 @@ object Coverage {
             SELECT 1 FROM q22_ord
             WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         GROUP BY c_nationkey % 5
+      """)
+    }),
+
+    // Q17 shape (small-quantity revenue): correlated per-part average
+    // rewritten into EXACT integer form — qty < 0.2*avg(qty) becomes
+    // 5*qty_c*count < sum_c, so the predicate cannot flip on a
+    // floating ulp between engines. TWO correlated scalar aggregates
+    // that Catalyst must decorrelate into aggregate+join, not per-row
+    "q17_small_qty" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("q17_li")
+      t(s, d, "part").createOrReplaceTempView("q17_part")
+      s.sql("""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c,
+               COUNT(1) AS n_small
+        FROM q17_li l JOIN q17_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND 5 * CAST(ROUND(l_quantity*100) AS BIGINT)
+                * (SELECT COUNT(1) FROM q17_li l2
+                   WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT CAST(SUM(CAST(ROUND(l3.l_quantity*100) AS BIGINT)) AS BIGINT)
+                 FROM q17_li l3 WHERE l3.l_partkey = l.l_partkey)
+      """)
+    }),
+
+    // Q2 shape (minimum-cost supplier): correlated MIN over a derived
+    // part-supplier link (distinct lineitem pairs stand in for
+    // partsupp) — the subquery must decorrelate onto the same derived
+    // table the outer query joins
+    "q2_min_supplier" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("q2_li")
+      t(s, d, "part").createOrReplaceTempView("q2_part")
+      t(s, d, "supplier").createOrReplaceTempView("q2_supp")
+      s.sql("""
+        SELECT p_partkey, s_suppkey, s_name,
+               CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM q2_li) ps
+        JOIN q2_part ON p_partkey = l_partkey
+        JOIN q2_supp ON s_suppkey = l_suppkey
+        WHERE p_size <= 5
+          AND CAST(ROUND(s_acctbal*100) AS BIGINT) = (
+            SELECT MIN(CAST(ROUND(s2.s_acctbal*100) AS BIGINT))
+            FROM (SELECT DISTINCT l_partkey AS pk2, l_suppkey AS sk2
+                  FROM q2_li) ps2
+            JOIN q2_supp s2 ON s2.s_suppkey = sk2
+            WHERE pk2 = p_partkey)
       """)
     }),
 
@@ -723,6 +800,31 @@ object Coverage {
         |    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY c_nationkey % 5""".stripMargin,
 
+    "q17_small_qty" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c,
+        |  COUNT(1) AS n_small
+        |FROM lineitem l JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND 5 * CAST(ROUND(l_quantity*100) AS BIGINT)
+        |        * (SELECT COUNT(1) FROM lineitem l2
+        |           WHERE l2.l_partkey = l.l_partkey)
+        |      < (SELECT CAST(SUM(CAST(ROUND(l3.l_quantity*100) AS BIGINT)) AS BIGINT)
+        |         FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q2_min_supplier" ->
+      """SELECT p_partkey, s_suppkey, s_name,
+        |  CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size <= 5
+        |  AND CAST(ROUND(s_acctbal*100) AS BIGINT) = (
+        |    SELECT MIN(CAST(ROUND(s2.s_acctbal*100) AS BIGINT))
+        |    FROM (SELECT DISTINCT l_partkey AS pk2, l_suppkey AS sk2
+        |          FROM lineitem) ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = sk2
+        |    WHERE pk2 = p_partkey)""".stripMargin,
+
     "join_full_outer" ->
       """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
         |  c.c_custkey IS NOT NULL AS has_cust,
@@ -805,6 +907,13 @@ object Coverage {
         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_px_c
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
+
+    "source_corrupt_tolerance" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN n_nationkey % 3 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(SUM(CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN n_nationkey % 3 != 0 THEN n_nationkey END) AS BIGINT) AS sum_good_key
+        |FROM nation""".stripMargin,
 
     "source_csv_roundtrip" -> rtOracle,
     "source_json_roundtrip" -> rtOracle,
