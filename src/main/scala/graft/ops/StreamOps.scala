@@ -37,7 +37,9 @@ object StreamOps {
       EventStreams.dedupThenTumbling(t(s, d, "events"))),
     "stream_topk_window" -> ((s, d) =>
       EventStreams.windowTopTypes(
-        EventStreams.toTypedEv(t(s, d, "events"))).toDF())
+        EventStreams.toTypedEv(t(s, d, "events"))).toDF()),
+    "stream_static_enrich" -> ((s, d) =>
+      EventStreams.enrichedTumbling(t(s, d, "events"), t(s, d, "customer")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -72,6 +74,13 @@ object StreamOps {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
         |  COUNT(1) AS n_events, CAST(SUM(vc) AS BIGINT) AS sum_value_c
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "stream_static_enrich" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |  c_mktsegment, COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // FMGWS windowed top-k: rank ties broken by type name
     "stream_topk_window" ->

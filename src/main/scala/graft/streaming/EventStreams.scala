@@ -155,6 +155,27 @@ object EventStreams {
   final case class SessionOut(
       user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value_c: Long)
 
+  /** Stream-STATIC enrichment: the dimension side is a bounded table
+    * broadcast to every task — stateless per event (no join state, no
+    * watermark interplay), the standard shape for profile/metadata
+    * enrichment of a 100 TB/day event firehose. The windowed aggregate
+    * AFTER the join is the only stateful operator. Same code runs
+    * batch for the DuckDB oracle. */
+  def enrichedTumbling(events: DataFrame, dim: DataFrame,
+      eventKey: String = "user_id", dimKey: String = "c_custkey",
+      dimAttr: String = "c_mktsegment",
+      window: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    wm.join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col(eventKey) === col(dimKey))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col(dimAttr))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col(dimAttr), col("n_events"), col("sum_value_c"))
+  }
+
   /** Custom sessionization via flatMapGroupsWithState: a session breaks
     * after > gapUs of event-time silence (the win_sessionize contract).
     *

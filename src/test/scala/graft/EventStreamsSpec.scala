@@ -133,6 +133,57 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val q = EventStreams.enrichedTumbling(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      // user 1 (BUILDING) twice, user 2 (MACHINERY) once, user 99 (no
+      // dim row — inner join drops it), all inside hour 10:00
+      mem.addData(RawEv(1, ts(5), 1, "click", 1.0), RawEv(2, ts(6), 1, "view", 2.0),
+        RawEv(3, ts(7), 2, "click", 4.0), RawEv(4, ts(8), 99, "click", 8.0))
+      q.processAllAvailable()
+      assert(spark.table("enrich").count() == 0, "window still open")
+      mem.addData(RawEv(5, ts(80), 2, "click", 1.0)) // watermark past 11:00
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+        .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("sum_value_c"))).toSet
+      assert(rows == Set(("BUILDING", 2L, 300L), ("MACHINERY", 1L, 400L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch maintains an upsert table from a CDC stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // streaming CDC feed folded into a keyed state table with
+    // TableOps.upsert per micro-batch — the composition a warehouse
+    // sink runs; state lives across batches in a driver-held var here
+    // (a table format at scale), correctness is what's pinned
+    var state = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "n")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("k", "v", "n")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = graft.ops.TableOps.upsert(state, batch,
+          keys = Seq("k"), cols = Seq("v", "n"))
+          .localCheckpoint(eager = true) // cut lineage across batches
+      }.start()
+    try {
+      mem.addData((2L, "b2", 21L), (3L, "c", 30L)) // update + insert
+      q.processAllAvailable()
+      mem.addData((3L, "c2", 31L)) // second batch updates the insert
+      q.processAllAvailable()
+      val got = state.collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+      assert(got == Map(1L -> ("a", 10L), 2L -> ("b2", 21L), 3L -> ("c2", 31L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchases to in-window clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
