@@ -113,6 +113,22 @@ object GraphOps {
         .filter(col("node") === col("comp"))
         .join(docs, col("node") === col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // embedding-space analogue of dedup_cc_keep: cosine near-dup PAIRS
+    // (hashed-plane LSH gate + exact rerank) become transitive groups,
+    // keeper = min vec_id — the canonical corpus after semantic dedup
+    "emb_dedup_keep" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val edges = SimilarityOps.nearDupPairs(embs, tau = SimilarityOps.NdTau,
+          nBands = SimilarityOps.NdBands, bitsPerBand = SimilarityOps.NdBits,
+          dim = SimilarityOps.OracleDim)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      connectedComponents(embs.select(col("vec_id").as("node")), edges)
+        .filter(col("node") === col("comp"))
+        .join(embs.select(col("vec_id"), col("label").cast("long").as("label")),
+          col("node") === col("vec_id"))
+        .select(col("vec_id"), col("label"))
     })
   )
 
@@ -156,6 +172,24 @@ object GraphOps {
          |  SELECT node, MIN(r) AS comp FROM reach GROUP BY 1)
          |SELECT d.doc_id, d.lang, d.source
          |FROM comp c JOIN documents d ON c.node = d.doc_id
+         |WHERE c.node = c.comp""".stripMargin
+    },
+
+    "emb_dedup_keep" -> {
+      val pairsSql = SimilarityOps.oracle("sim_neardup_pairs")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION
+         |  SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (
+         |  SELECT node, MIN(r) AS comp FROM reach GROUP BY 1)
+         |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+         |FROM comp c JOIN embeddings e ON c.node = e.vec_id
          |WHERE c.node = c.comp""".stripMargin
     }
   )
