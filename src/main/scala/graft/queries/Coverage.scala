@@ -264,6 +264,41 @@ object Coverage {
       """)
     }),
 
+    // OLAP time-hierarchy rollup: year → quarter → month subtotal
+    // levels in one pass (Expand), exact integer sums
+    "agg_time_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          cents(col("o_totalprice")).as("px_c"))
+        .createOrReplaceTempView("ord_time")
+      s.sql("""
+        SELECT yr, qtr, mon, CAST(grouping_id() AS BIGINT) AS gid,
+               COUNT(1) AS n_orders,
+               CAST(SUM(px_c) AS BIGINT) AS sum_px_c
+        FROM ord_time
+        GROUP BY ROLLUP (yr, qtr, mon)
+      """)
+    }),
+
+    // null-safe equality join (<=>): NULL keys MATCH each other,
+    // unlike plain = where they vanish — the semantics CDC/dedup joins
+    // need when the key itself is nullable
+    "join_null_safe" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"),
+          when(col("c_nationkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey"))
+            .as("nk"))
+      val n = t(s, d, "nation")
+        .select(when(col("n_nationkey") % 7 === 0, lit(null)).otherwise(col("n_nationkey"))
+          .as("nk2"), col("n_name"))
+      c.join(n, col("nk") <=> col("nk2"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_custkey")).as("sum_key"))
+    }),
+
     // Q17 shape (small-quantity revenue): correlated per-part average
     // rewritten into EXACT integer form — qty < 0.2*avg(qty) becomes
     // 5*qty_c*count < sum_c, so the predicate cannot flip on a
@@ -799,6 +834,33 @@ object Coverage {
         |    SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY c_nationkey % 5""".stripMargin,
+
+    "agg_time_rollup" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+        |  CAST(GROUPING(EXTRACT(year FROM o_orderdate)) * 4
+        |     + GROUPING(EXTRACT(quarter FROM o_orderdate)) * 2
+        |     + GROUPING(EXTRACT(month FROM o_orderdate)) AS BIGINT) AS gid,
+        |  COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_px_c
+        |FROM orders
+        |GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate),
+        |  EXTRACT(quarter FROM o_orderdate), EXTRACT(month FROM o_orderdate))""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        |  FROM customer),
+        |n AS (
+        |  SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS nk2,
+        |    n_name
+        |  FROM nation)
+        |SELECT n_name, COUNT(1) AS n_cust,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM c JOIN n ON nk IS NOT DISTINCT FROM nk2
+        |GROUP BY n_name""".stripMargin,
 
     "q17_small_qty" ->
       """SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c,
