@@ -94,6 +94,35 @@ object DedupOps {
     // real 100 TB pipeline would materialize this table anyway.
     // eager=false: materialize on FIRST ACTION, not at plan build —
     // explain()/plan audits stay free of the md5 job.
+    rerankedPairs(docs, textCol, dfCap, minSharedRare)
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("shs1")) + size(col("shs2")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "n_inter", "jaccard")
+  }
+
+  /** Containment near-dup pairs: `|A∩B| / min(|A|,|B|)` over the same
+    * rare-shingle candidate gate as [[ngramJaccardPairs]]. Containment
+    * catches SUBSET duplication — a short doc fully embedded in a long
+    * one scores near-zero Jaccard (the union is huge) but 1.0
+    * containment — which is the criterion web-corpus dedup actually
+    * wants for quote/boilerplate inclusion. Same scale shape: the only
+    * pairwise join is keyed on rare shingles. */
+  def containmentPairs(docs: DataFrame, textCol: String = "text",
+      minContainment: Double = 0.5, dfCap: Int = 50,
+      minSharedRare: Int = 2): DataFrame =
+    rerankedPairs(docs, textCol, dfCap, minSharedRare)
+      .withColumn("containment", col("n_inter").cast("double") /
+        least(size(col("shs1")), size(col("shs2"))).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("d1", "d2", "n_inter", "containment")
+
+  /** Shared candidate gate + exact rerank for the shingle-overlap
+    * family: rare-shingle keyed candidate join, then the native
+    * sorted-intersection kernel per surviving pair. Returns
+    * (d1, d2, n_inter, shs1, shs2) for the caller's metric. */
+  private def rerankedPairs(docs: DataFrame, textCol: String,
+      dfCap: Int, minSharedRare: Int): DataFrame = {
     val docArr = docs.select(col("doc_id"), shingleHashes(col(textCol)).as("shs"))
       .localCheckpoint(eager = false)
     val ds = docArr.select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -114,10 +143,6 @@ object DedupOps {
       .join(docArr.select(col("doc_id").as("d2"), col("shs").as("shs2")), "d2")
       .withColumn("n_inter",
         graft.functions.TextNative.sorted_inter_count(col("shs1"), col("shs2")))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("shs1")) + size(col("shs2")) - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select("d1", "d2", "n_inter", "jaccard")
   }
 
   /** 60-bit SimHash over the token MULTISET: bit j is set when more
@@ -197,6 +222,7 @@ object DedupOps {
     "dedup_minhash_sig" -> ((s, d) => minhashSignatures(t(s, d, "documents"))),
     "dedup_lsh_pairs" -> ((s, d) => lshCandidatePairs(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(t(s, d, "documents"))),
+    "dedup_containment" -> ((s, d) => containmentPairs(t(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(t(s, d, "documents"))),
     // deterministic eval split (doc_id % 50) stands in for the
@@ -292,6 +318,30 @@ object DedupOps {
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY ROW_NUMBER() OVER (
         |  PARTITION BY md5(lower(trim(text))) ORDER BY doc_id ASC) = 1""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, unnest($sqlShingleHashes) AS sh FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM ds GROUP BY 1),
+         |rare AS (SELECT sh FROM ds GROUP BY sh HAVING COUNT(1) <= 50 AND COUNT(1) >= 2),
+         |cand AS (
+         |  SELECT a.d1, a.d2 FROM (
+         |    SELECT x.doc_id AS d1, y.doc_id AS d2
+         |    FROM (SELECT * FROM ds WHERE sh IN (SELECT sh FROM rare)) x
+         |    JOIN (SELECT * FROM ds WHERE sh IN (SELECT sh FROM rare)) y
+         |      ON x.sh = y.sh AND x.doc_id < y.doc_id) a
+         |  GROUP BY 1, 2 HAVING COUNT(1) >= 2),
+         |inter AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(1) AS n_inter
+         |  FROM ds x JOIN ds y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.d1, i.d2, i.n_inter,
+         |  i.n_inter::DOUBLE / LEAST(s1.n_sh, s2.n_sh)::DOUBLE AS containment
+         |FROM cand c
+         |JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+         |JOIN sizes s1 ON i.d1 = s1.doc_id
+         |JOIN sizes s2 ON i.d2 = s2.doc_id
+         |WHERE i.n_inter::DOUBLE / LEAST(s1.n_sh, s2.n_sh)::DOUBLE >= 0.5""".stripMargin,
 
     "dedup_decontaminate" ->
       s"""WITH ds AS (

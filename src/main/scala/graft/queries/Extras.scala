@@ -123,6 +123,17 @@ object Extras {
           |  FROM li_pts GROUP BY l_returnflag)""".stripMargin)
     }),
 
+    // fixed-width histogram per group — the DQ/profiling primitive:
+    // one keyed agg over (group, bucket), exact integer bucket math
+    "agg_hist_fixed" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("px_c", cents(col("o_totalprice")))
+        // 50k-dollar buckets: floor(px_c / 5_000_000)
+        .withColumn("bucket", expr("px_c div 5000000"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min("px_c").as("min_px_c"), max("px_c").as("max_px_c"))),
+
     // contiguous global rank over the whole table WITHOUT the
     // single-partition `row_number() OVER (ORDER BY ...)` window — the
     // TeraSort range-partition + zipWithIndex shape (RankOps scaladoc)
@@ -204,6 +215,14 @@ object Extras {
         |  SUM(ROUND(l_extendedprice*100)::DOUBLE) / COUNT(1) AS centroid_y,
         |  COUNT(1) AS n_points
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_hist_fixed" ->
+      """SELECT o_orderstatus,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) // 5000000 AS bucket,
+        |  COUNT(1) AS n_orders,
+        |  MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS min_px_c,
+        |  MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS max_px_c
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "sort_global_rank" ->
       """SELECT o_orderkey,
