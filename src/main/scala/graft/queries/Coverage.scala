@@ -264,6 +264,95 @@ object Coverage {
       """)
     }),
 
+    // Q4 shape (order priority checking): EXISTS with a correlated
+    // date-arithmetic predicate → left-semi join, grouped counts.
+    // "Late" adapted to shipped >30 days after order date
+    "q4_priority" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("q4_ord")
+      t(s, d, "lineitem").createOrReplaceTempView("q4_li")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(1) AS n_orders
+        FROM q4_ord
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+          AND EXISTS (
+            SELECT 1 FROM q4_li
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAYS)
+        GROUP BY o_orderpriority
+      """)
+    }),
+
+    // Q13 shape (customer order-count distribution): the signature is
+    // the FILTER INSIDE THE LEFT JOIN CONDITION — zero-order customers
+    // must survive with count 0, so the filter cannot move to WHERE
+    "q13_custdist" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("q13_cust")
+      t(s, d, "orders").createOrReplaceTempView("q13_ord")
+      s.sql("""
+        SELECT c_count, COUNT(1) AS n_cust FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM q13_cust LEFT JOIN q13_ord
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count
+      """)
+    }),
+
+    // Q15 shape (top supplier): revenue view + scalar MAX subquery —
+    // ties must ALL surface (the reason Q15 is not a LIMIT 1)
+    "q15_top_supplier" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("q15_supp")
+      t(s, d, "lineitem").createOrReplaceTempView("q15_li")
+      s.sql("""
+        WITH rev AS (
+          SELECT l_suppkey,
+            CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_rev_c4
+          FROM q15_li
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev_c4
+        FROM q15_supp JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev_c4 = (SELECT MAX(total_rev_c4) FROM rev)
+      """)
+    }),
+
+    // Q8 shape (market share): one nation's share of a region's yearly
+    // order volume — two nation lookups (customer's and supplier's),
+    // conditional share in exact integer volume units
+    "q8_market_share" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("q8_cust")
+      t(s, d, "orders").createOrReplaceTempView("q8_ord")
+      t(s, d, "lineitem").createOrReplaceTempView("q8_li")
+      t(s, d, "supplier").createOrReplaceTempView("q8_supp")
+      t(s, d, "nation").createOrReplaceTempView("q8_nat")
+      t(s, d, "region").createOrReplaceTempView("q8_reg")
+      s.sql("""
+        SELECT o_year,
+          CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol_c4 ELSE 0 END) AS BIGINT)
+            AS nation_vol_c4,
+          CAST(SUM(vol_c4) AS BIGINT) AS total_vol_c4,
+          CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol_c4 ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(vol_c4) AS DOUBLE) AS share
+        FROM (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+            CAST(ROUND(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol_c4,
+            sn.n_name AS supp_nation
+          FROM q8_li
+          JOIN q8_ord ON l_orderkey = o_orderkey
+          JOIN q8_cust ON o_custkey = c_custkey
+          JOIN q8_nat cn ON c_nationkey = cn.n_nationkey
+          JOIN q8_reg ON cn.n_regionkey = r_regionkey
+          JOIN q8_supp ON l_suppkey = s_suppkey
+          JOIN q8_nat sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = 'AMERICA')
+        GROUP BY o_year
+      """)
+    }),
+
     // OLAP time-hierarchy rollup: year → quarter → month subtotal
     // levels in one pass (Expand), exact integer sums
     "agg_time_rollup" -> ((s, d) => {
@@ -834,6 +923,60 @@ object Coverage {
         |    SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY c_nationkey % 5""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(1) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(1) AS n_cust FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |         * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_rev_c4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_c4
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev_c4 = (SELECT MAX(total_rev_c4) FROM rev)""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol_c4 ELSE 0 END) AS BIGINT)
+        |    AS nation_vol_c4,
+        |  CAST(SUM(vol_c4) AS BIGINT) AS total_vol_c4,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol_c4 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(vol_c4) AS DOUBLE) AS share
+        |FROM (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol_c4,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'AMERICA') v
+        |GROUP BY o_year""".stripMargin,
 
     "agg_time_rollup" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
