@@ -264,6 +264,94 @@ object Coverage {
       """)
     }),
 
+    // Q6 shape (forecast revenue): single pushed-down scan, integer
+    // discount band (cents, not double literals — no ulp boundary)
+    "q6_forecast" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("q6_li")
+      s.sql("""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+               COUNT(1) AS n_lines
+        FROM q6_li
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24
+      """)
+    }),
+
+    // Q7 shape (volume shipping): symmetric nation-pair predicate over
+    // a double nation lookup, yearly exact-c4 volumes
+    "q7_volume" -> ((s, d) => {
+      Seq("lineitem", "orders", "customer", "supplier", "nation")
+        .foreach(tb => t(s, d, tb).createOrReplaceTempView(s"q7_$tb"))
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(vol_c4) AS BIGINT) AS revenue_c4
+        FROM (
+          SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+            CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+            CAST(ROUND(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol_c4
+          FROM q7_lineitem
+          JOIN q7_orders ON l_orderkey = o_orderkey
+          JOIN q7_customer ON o_custkey = c_custkey
+          JOIN q7_supplier ON l_suppkey = s_suppkey
+          JOIN q7_nation cn ON c_nationkey = cn.n_nationkey
+          JOIN q7_nation sn ON s_nationkey = sn.n_nationkey
+          WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+      """)
+    }),
+
+    // Q9 shape (product-type profit): profit = revenue − cost in one
+    // c4 unit system (retail cents × quantity cents ≡ px cents ×
+    // discount-complement percent), grouped by supplier nation × year
+    "q9_profit" -> ((s, d) => {
+      Seq("lineitem", "orders", "part", "supplier", "nation")
+        .foreach(tb => t(s, d, tb).createOrReplaceTempView(s"q9_$tb"))
+      s.sql("""
+        SELECT nation, o_year, CAST(SUM(rev_c4 - cost_c4) AS BIGINT) AS profit_c4
+        FROM (
+          SELECT sn.n_name AS nation,
+            CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+            CAST(ROUND(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev_c4,
+            CAST(ROUND(p_retailprice*100) AS BIGINT)
+              * CAST(ROUND(l_quantity*100) AS BIGINT) AS cost_c4
+          FROM q9_lineitem
+          JOIN q9_orders ON l_orderkey = o_orderkey
+          JOIN q9_part ON l_partkey = p_partkey
+          JOIN q9_supplier ON l_suppkey = s_suppkey
+          JOIN q9_nation sn ON s_nationkey = sn.n_nationkey
+          WHERE p_name LIKE '%red%')
+        GROUP BY nation, o_year
+      """)
+    }),
+
+    // Q11 shape (important stock): per-part value with a HAVING
+    // against a scalar global-total subquery — exact integer
+    // cross-multiplication instead of a float fraction
+    "q11_important_parts" -> ((s, d) => {
+      Seq("lineitem", "supplier", "nation")
+        .foreach(tb => t(s, d, tb).createOrReplaceTempView(s"q11_$tb"))
+      s.sql("""
+        WITH v AS (
+          SELECT l_partkey,
+            CAST(ROUND(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS val_c4
+          FROM q11_lineitem
+          JOIN q11_supplier ON l_suppkey = s_suppkey
+          JOIN q11_nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_1')
+        SELECT l_partkey, CAST(SUM(val_c4) AS BIGINT) AS part_val_c4
+        FROM v
+        GROUP BY l_partkey
+        HAVING SUM(val_c4) * 400 > (SELECT SUM(val_c4) FROM v)
+      """)
+    }),
+
     // Q4 shape (order priority checking): EXISTS with a correlated
     // date-arithmetic predicate → left-semi join, grouped counts.
     // "Late" adapted to shipped >30 days after order date
@@ -923,6 +1011,65 @@ object Coverage {
         |    SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY c_nationkey % 5""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |         * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+        |  COUNT(1) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(vol_c4) AS BIGINT) AS revenue_c4
+        |FROM (
+        |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol_c4
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')) v
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT nation, o_year, CAST(SUM(rev_c4 - cost_c4) AS BIGINT) AS profit_c4
+        |FROM (
+        |  SELECT sn.n_name AS nation,
+        |    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev_c4,
+        |    CAST(ROUND(p_retailprice*100) AS BIGINT)
+        |      * CAST(ROUND(l_quantity*100) AS BIGINT) AS cost_c4
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_name LIKE '%red%') v
+        |GROUP BY nation, o_year""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS val_c4
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1')
+        |SELECT l_partkey, CAST(SUM(val_c4) AS BIGINT) AS part_val_c4
+        |FROM v
+        |GROUP BY l_partkey
+        |HAVING SUM(val_c4) * 400 > (SELECT SUM(val_c4) FROM v)""".stripMargin,
 
     "q4_priority" ->
       """SELECT o_orderpriority, COUNT(1) AS n_orders
