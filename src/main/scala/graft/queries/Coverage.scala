@@ -784,6 +784,60 @@ object Coverage {
         .agg(count(lit(1)).as("n_purchases"),
           sum(col("value_c")).as("sum_value_c"),
           max(col("us")).as("last_us"))
+    }),
+
+    // Q16 shape (parts/supplier relationship): countDistinct over the
+    // derived part-supplier link, with a NOT IN exclusion subquery
+    // (complaint suppliers adapted to negative-balance suppliers —
+    // this schema carries no s_comment) and multi-predicate part
+    // filters (<>, NOT LIKE, IN-list)
+    "q16_parts_suppliers" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("q16_li")
+      t(s, d, "part").createOrReplaceTempView("q16_part")
+      t(s, d, "supplier").createOrReplaceTempView("q16_supp")
+      s.sql("""
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM q16_li) ps
+        JOIN q16_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (2, 5, 11, 28, 37)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM q16_supp WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+      """)
+    }),
+
+    // Q20 shape (potential part promotion): doubly-nested IN
+    // subqueries with a correlated scalar aggregate on TWO correlation
+    // columns — availqty adapted to the pair's pre-1996 shipped total,
+    // "excess" = 2 × its 1996+ shipments exceed that. All quantities
+    // in integer cents so the comparison cannot flip between engines
+    "q20_excess_suppliers" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("q20_li")
+      t(s, d, "part").createOrReplaceTempView("q20_part")
+      t(s, d, "supplier").createOrReplaceTempView("q20_supp")
+      t(s, d, "nation").createOrReplaceTempView("q20_nat")
+      s.sql("""
+        SELECT s_suppkey, s_name
+        FROM q20_supp JOIN q20_nat ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_2'
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM q20_li) ps
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM q20_part WHERE p_name LIKE '%gear%')
+              AND 2 * (SELECT COALESCE(SUM(CAST(ROUND(l2.l_quantity*100) AS BIGINT)), 0)
+                       FROM q20_li l2
+                       WHERE l2.l_partkey = ps.l_partkey
+                         AND l2.l_suppkey = ps.l_suppkey
+                         AND l2.l_shipdate >= TIMESTAMP '1996-01-01')
+                  > (SELECT COALESCE(SUM(CAST(ROUND(l3.l_quantity*100) AS BIGINT)), 0)
+                     FROM q20_li l3
+                     WHERE l3.l_partkey = ps.l_partkey
+                       AND l3.l_shipdate < TIMESTAMP '1996-01-01'))
+      """)
     })
   )
 
@@ -1276,6 +1330,37 @@ object Coverage {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  MAX(epoch_us(ts)) AS last_us
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY user_id""".stripMargin
+        |GROUP BY user_id""".stripMargin,
+
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (2, 5, 11, 28, 37)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey
+        |    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |    WHERE l_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+        |      AND 2 * (SELECT COALESCE(SUM(CAST(ROUND(l2.l_quantity*100) AS BIGINT)), 0)
+        |               FROM lineitem l2
+        |               WHERE l2.l_partkey = ps.l_partkey
+        |                 AND l2.l_suppkey = ps.l_suppkey
+        |                 AND l2.l_shipdate >= TIMESTAMP '1996-01-01')
+        |          > (SELECT COALESCE(SUM(CAST(ROUND(l3.l_quantity*100) AS BIGINT)), 0)
+        |             FROM lineitem l3
+        |             WHERE l3.l_partkey = ps.l_partkey
+        |               AND l3.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin
   )
 }
