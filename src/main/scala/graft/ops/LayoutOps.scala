@@ -37,6 +37,33 @@ object LayoutOps {
     z.repartitionByRange(n, col("zval")).sortWithinPartitions(col("zval"))
   }
 
+  /** Small-file compaction — the other half of table maintenance
+    * (Z-order fixes clustering; this fixes file COUNT). Streaming
+    * sinks and per-key partitioned writes leave thousands of KB-scale
+    * files; at 100 TB the driver's file-listing and per-file open
+    * overhead dominate the scan. Rewrite into `ceil(rows / target)`
+    * round-robin partitions (even output sizes by construction) with
+    * `maxRecordsPerFile` as the hard cap per written file.
+    *
+    * Returns (filesBefore, filesAfter) so callers/specs can assert the
+    * shrink; the data itself is oracle-checked by `layout_compact`. */
+  def compactFiles(spark: SparkSession, inPath: String, outPath: String,
+      targetRecordsPerFile: Long): (Int, Int) = {
+    val df = spark.read.parquet(inPath)
+    val total = df.count()
+    val nOut = math.max(1, math.ceil(total.toDouble / targetRecordsPerFile).toInt)
+    df.repartition(nOut)
+      .write.option("maxRecordsPerFile", targetRecordsPerFile)
+      .mode("overwrite").parquet(outPath)
+    (countParquetFiles(spark, inPath), countParquetFiles(spark, outPath))
+  }
+
+  def countParquetFiles(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   type QFn = (SparkSession, String) => DataFrame
 
   /** The driver query reports per-Z-bucket bounding boxes — the
@@ -56,6 +83,27 @@ object LayoutOps {
           min("x").as("x_min"), max("x").as("x_max"),
           min("y").as("y_min"), max("y").as("y_max"),
           min("zval").as("z_min"), max("zval").as("z_max"))
+    }),
+
+    // fragment orders into 64 tiny files, compact, and prove the
+    // rewrite lossless: the read-back aggregate must equal the oracle
+    // computed over the ORIGINAL table (file-count mechanics are
+    // asserted in LayoutCompactionSpec — DuckDB can't see our /tmp)
+    "layout_compact" -> ((s, d) => {
+      val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_compact/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("px_c"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$base/fragmented")
+      compactFiles(s, s"$base/fragmented", s"$base/compacted", 1000000L)
+      s.read.parquet(s"$base/compacted")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("px_c")).as("sum_px_c"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
     })
   )
 
@@ -77,6 +125,12 @@ object LayoutOps {
          |  MIN(x) AS x_min, MAX(x) AS x_max,
          |  MIN(y) AS y_min, MAX(y) AS y_max,
          |  MIN(zval) AS z_min, MAX(zval) AS z_max
-         |FROM z GROUP BY 1""".stripMargin
+         |FROM z GROUP BY 1""".stripMargin,
+
+    "layout_compact" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_px_c,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin
   )
 }

@@ -212,6 +212,41 @@ object TextOps {
       .select("doc_id", "tok", "tf", "df", "score_ppm", "rk")
   }
 
+  /** Top-k collocations: adjacent-token bigrams ranked by PMI — the
+    * phrase-mining primitive (finding "new york"-style units before
+    * tokenizer training). PMI = log(p(ab) / (p(a)p(b))); log is
+    * monotone, so ranking by the integer ratio
+    * `c_ab * N * 1e6 div (c_a * c_b)` is rank-equivalent and bit-exact
+    * across engines (same discipline as [[tfidfTopTerms]]).
+    *
+    * Shape at scale: one narrow scan explodes unigrams and bigrams
+    * (both keyed hash-aggs with map-side partial combine), two
+    * vocabulary-keyed equi-joins attach the unigram counts, and the
+    * global top-k runs as TakeOrderedAndProject (per-partition top-k,
+    * never a full sort). N is one count action up front — a join on a
+    * constant key would constant-fold into a nested-loop join. The
+    * `minPairCount` gate prunes the pair table before either join. */
+  def pmiBigrams(docs: DataFrame, textCol: String = "text",
+      minPairCount: Int = 5, topK: Int = 50): DataFrame = {
+    val tok = docs.select(tokens(col(textCol)).as("toks"))
+    val uni = tok.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nTok = tok.agg(sum(size(col("toks")))).first().getLong(0)
+    val n1 = greatest(size(col("toks")) - 1, lit(0))
+    tok.select(explode(zip_with(
+        slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .withColumn("score_ppm", expr(s"(c_ab * ${nTok}L * 1000000) div (c_a * c_b)"))
+      .orderBy(col("score_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "score_ppm")
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -235,6 +270,7 @@ object TextOps {
         .orderBy(col("n").desc, col("term").asc)
         .limit(50)),
     "txt_tfidf" -> ((s, d) => tfidfTopTerms(t(s, d, "documents"))),
+    "txt_pmi_bigrams" -> ((s, d) => pmiBigrams(t(s, d, "documents"))),
     // deterministic train/valid/test split: hash-bucket assignment is
     // reproducible across runs/engines (RNG sampling is not) — the
     // standard trick for stable dataset splits at any scale
@@ -351,6 +387,23 @@ object TextOps {
          |      ORDER BY (t.tf * n.n_docs * 1000000) // d.df DESC, t.tok ASC) AS rk
          |  FROM tf t JOIN dfq d USING (tok) CROSS JOIN n) s
          |WHERE rk <= 3""".stripMargin,
+
+    "txt_pmi_bigrams" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |n AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok FROM tk),
+         |uni AS (
+         |  SELECT w, CAST(COUNT(1) AS BIGINT) AS c_w
+         |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+         |bg AS (
+         |  SELECT toks[i] AS w1, toks[i+1] AS w2
+         |  FROM tk, unnest(range(1, len(toks))) AS t(i)),
+         |pairs AS (
+         |  SELECT w1, w2, CAST(COUNT(1) AS BIGINT) AS c_ab FROM bg GROUP BY w1, w2
+         |  HAVING COUNT(1) >= 5)
+         |SELECT w1, w2, c_ab, u1.c_w AS c_a, u2.c_w AS c_b,
+         |  CAST((c_ab * n.n_tok * 1000000) // (u1.c_w * u2.c_w) AS BIGINT) AS score_ppm
+         |FROM pairs JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w CROSS JOIN n
+         |ORDER BY score_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "txt_chunks" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
