@@ -134,6 +134,21 @@ object Extras {
         .agg(count(lit(1)).as("n_orders"),
           min("px_c").as("min_px_c"), max("px_c").as("max_px_c"))),
 
+    // equi-depth histogram per group — NTILE over a per-group window
+    // (partitioned by the group key, never a global sort): each of the
+    // 8 buckets holds an equal share of rows, bounds follow the data.
+    // Complements agg_hist_fixed (fixed bounds, variable counts)
+    "agg_hist_equidepth" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("qty_c").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      t(s, d, "lineitem")
+        .withColumn("qty_c", cents(col("l_quantity")))
+        .withColumn("bucket", ntile(8).over(w).cast("long"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("qty_c").as("lo_c"), max("qty_c").as("hi_c"))
+    }),
+
     // contiguous global rank over the whole table WITHOUT the
     // single-partition `row_number() OVER (ORDER BY ...)` window — the
     // TeraSort range-partition + zipWithIndex shape (RankOps scaladoc)
@@ -223,6 +238,19 @@ object Extras {
         |  MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS min_px_c,
         |  MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS max_px_c
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "agg_hist_equidepth" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c,
+        |    NTILE(8) OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(ROUND(l_quantity*100) AS BIGINT) ASC,
+        |               l_orderkey ASC, l_linenumber ASC) AS bucket
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+        |  COUNT(1) AS n_rows,
+        |  MIN(qty_c) AS lo_c, MAX(qty_c) AS hi_c
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "sort_global_rank" ->
       """SELECT o_orderkey,
