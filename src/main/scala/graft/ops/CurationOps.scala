@@ -179,6 +179,71 @@ object CurationOps {
         df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
       stage(v, "1_view").unionByName(stage(c, "2_click_after_view"))
         .unionByName(stage(p, "3_purchase_after_click"))
+    }),
+
+    // Per-domain cap (web-corpus domain balancing): keep at most 10
+    // docs per source, chosen by a deterministic uniform priority —
+    // a keyed window over the source partition, never a global sort.
+    // At 100 TB the partition key is the domain, cardinality millions,
+    // each group small; hot domains are exactly what the cap bounds.
+    "curate_domain_cap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(col("pri").asc, col("doc_id").asc)
+      t(s, d, "documents")
+        .withColumn("pri",
+          TextOps.strHash(concat(lit("cap:"), col("doc_id").cast("string"))))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"), col("rk"))
+    }),
+
+    // Exact-k uniform sample: ORDER BY deterministic hash LIMIT k
+    // plans as TakeOrderedAndProject — per-partition top-k then a
+    // driver merge of k-row partials, the distributed reservoir
+    // (no global sort, no rand() nondeterminism under retries).
+    "sample_uniform_k" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("pri",
+          TextOps.strHash(concat(lit("unif:"), col("doc_id").cast("string"))))
+        .orderBy(col("pri").asc, col("doc_id").asc)
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("lang"))),
+
+    // Cohort retention: users grouped by first-seen week, distinct
+    // actives per (cohort, week offset). Two keyed aggs + one keyed
+    // join on user_id — the week matrix never materializes wide.
+    "event_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort"), expr("datediff(wk, cohort) div 7").as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+    }),
+
+    // Item co-occurrence (the collaborative-filtering / related-items
+    // primitive): items sharing ≥3 users. The quadratic hazard is the
+    // per-user self-join fanout, so each user's item list is CAPPED at
+    // the top-20 by frequency first (keyed window) — per-user work is
+    // then ≤ C(20,2) pairs regardless of how hot a power user is, the
+    // same bound a production co-click pipeline enforces.
+    "event_item_cooccur" -> ((s, d) => {
+      val ui = t(s, d, "events")
+        .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("user_id", "item").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc, col("item").asc)
+      val capped = ui.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20).select("user_id", "item")
+      val l = capped.withColumnRenamed("item", "i1")
+      val r = capped.withColumnRenamed("item", "i2")
+      l.join(r, "user_id").filter(col("i1") < col("i2"))
+        .groupBy("i1", "i2").agg(countDistinct("user_id").as("n_users"))
+        .filter(col("n_users") >= 3)
     })
   )
 
@@ -305,6 +370,48 @@ object CurationOps {
         |UNION ALL
         |SELECT '2_click_after_view', COUNT(1) FROM c
         |UNION ALL
-        |SELECT '3_purchase_after_click', COUNT(1) FROM p""".stripMargin
+        |SELECT '3_purchase_after_click', COUNT(1) FROM p""".stripMargin,
+
+    "curate_domain_cap" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % $HashMod ASC, doc_id ASC) AS BIGINT) AS rk
+         |  FROM documents)
+         |WHERE rk <= 10""".stripMargin,
+
+    "sample_uniform_k" ->
+      s"""SELECT doc_id, source, lang FROM documents
+         |ORDER BY ('0x' || substr(md5('unif:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |  % $HashMod ASC, doc_id ASC
+         |LIMIT 100""".stripMargin,
+
+    "event_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST((wk - cohort) // 7 AS BIGINT) AS week_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY cohort, week_offset""".stripMargin,
+
+    "event_item_cooccur" ->
+      """WITH ui AS (
+        |  SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    COUNT(1) AS n
+        |  FROM events GROUP BY 1, 2),
+        |capped AS (
+        |  SELECT user_id, item FROM ui
+        |  QUALIFY ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY n DESC, item ASC) <= 20)
+        |SELECT a.item AS i1, b.item AS i2,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM capped a JOIN capped b
+        |  ON a.user_id = b.user_id AND a.item < b.item
+        |GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT a.user_id) >= 3""".stripMargin
   )
 }

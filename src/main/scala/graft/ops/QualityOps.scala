@@ -110,7 +110,32 @@ object QualityOps {
           "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")),
         fkChild = t(s, d, "lineitem"), fkCol = "l_orderkey",
         fkParent = t(s, d, "orders"), pkCol = "o_orderkey"))
-  )
+  ,
+
+    // Per-group IQR-fence outlier detection (the Tukey boxplot rule —
+    // the standard numeric-DQ primitive): exact interpolated quartiles
+    // per event_type (5 groups), broadcast back, count rows beyond
+    // q1/q3 ± 1.5·IQR. Two passes over the fact but the first reduces
+    // to one row per group, so the join side is always broadcastable.
+    // Cents domain keeps the quartile interpolation (and therefore the
+    // fence comparison) bit-identical across engines.
+    "dq_outliers" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("value_c", cents(col("value")))
+      val q = ev.groupBy("event_type").agg(
+        expr("percentile(value_c, 0.25)").as("q1_c"),
+        expr("percentile(value_c, 0.75)").as("q3_c"))
+      val iqr = col("q3_c") - col("q1_c")
+      ev.join(broadcast(q), "event_type")
+        .withColumn("lo", col("q1_c") - iqr * 1.5)
+        .withColumn("hi", col("q3_c") + iqr * 1.5)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value_c") < col("lo") || col("value_c") > col("hi"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          min("q1_c").as("q1_c"),
+          min("q3_c").as("q3_c"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "dq_profile" -> {
@@ -145,6 +170,24 @@ object QualityOps {
         |UNION ALL
         |SELECT 'fk_l_orderkey_in_o_orderkey',
         |  CAST((SELECT COUNT(1) FROM lineitem l LEFT JOIN orders o
-        |        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT)""".stripMargin
+        |        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT)""".stripMargin,
+
+    "dq_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS value_c FROM events),
+        |q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value_c, 0.25) AS q1_c,
+        |    quantile_cont(value_c, 0.75) AS q3_c
+        |  FROM ev GROUP BY 1)
+        |SELECT ev.event_type,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CASE WHEN value_c < q1_c - (q3_c - q1_c) * 1.5
+        |                  OR value_c > q3_c + (q3_c - q1_c) * 1.5
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  MIN(q1_c) AS q1_c,
+        |  MIN(q3_c) AS q3_c
+        |FROM ev JOIN q USING (event_type)
+        |GROUP BY ev.event_type""".stripMargin
   )
 }

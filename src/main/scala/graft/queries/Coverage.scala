@@ -838,6 +838,23 @@ object Coverage {
                      WHERE l3.l_partkey = ps.l_partkey
                        AND l3.l_shipdate < TIMESTAMP '1996-01-01'))
       """)
+    }),
+
+    // Edit-distance-≤1 fuzzy join via the deletion-neighborhood key
+    // (graft.operators.FuzzyJoin): canonical part names vs variants
+    // with one deterministically-chosen character deleted. The naive
+    // formulation is a levenshtein theta-join → BroadcastNestedLoop;
+    // this plans as explode → shuffled equi-join → residual filter.
+    "join_fuzzy_levenshtein" -> ((s, d) => {
+      val canon = t(s, d, "part").select(col("p_name").as("canon")).distinct()
+      val pos = (lit(1) +
+        graft.ops.TextOps.strHash(col("canon")) % length(col("canon")).cast("long"))
+        .cast("int")
+      val corrupt = canon.select(
+        concat(col("canon").substr(lit(1), pos - 1),
+          col("canon").substr(pos + 1, length(col("canon")) - pos))
+          .as("corrupt")).distinct()
+      graft.operators.FuzzyJoin.editDistance1Join(corrupt, "corrupt", canon, "canon")
     })
   )
 
@@ -1361,6 +1378,22 @@ object Coverage {
         |          > (SELECT COALESCE(SUM(CAST(ROUND(l3.l_quantity*100) AS BIGINT)), 0)
         |             FROM lineitem l3
         |             WHERE l3.l_partkey = ps.l_partkey
-        |               AND l3.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin
+        |               AND l3.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin,
+
+    // the oracle runs the honest cross join + levenshtein filter —
+    // same pairs the deletion-key join must produce, no more, no less
+    "join_fuzzy_levenshtein" ->
+      """WITH canon AS (SELECT DISTINCT p_name AS canon FROM part),
+        |corrupt AS (
+        |  SELECT DISTINCT
+        |    substr(canon, 1, pos - 1) || substr(canon, pos + 1) AS corrupt
+        |  FROM (SELECT canon,
+        |          CAST(1 + ('0x' || substr(md5(canon), 1, 15))::BIGINT
+        |            % 1000000007 % len(canon) AS INT) AS pos
+        |        FROM canon))
+        |SELECT corrupt, canon,
+        |  CAST(levenshtein(corrupt, canon) AS BIGINT) AS dist
+        |FROM corrupt, canon
+        |WHERE levenshtein(corrupt, canon) <= 1""".stripMargin
   )
 }
