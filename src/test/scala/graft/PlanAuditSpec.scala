@@ -45,6 +45,15 @@ class PlanAuditSpec extends AnyFunSuite {
       l.contains("PushedFilters") && l.contains("IsNotNull")), p)
   }
 
+  test("sample_uniform_k: ORDER BY hash LIMIT k plans as TakeOrderedAndProject") {
+    // per-partition top-k + driver merge of k-row partials — never a
+    // global sort (the difference between O(n log k) per partition and
+    // a full range-shuffle at corpus scale)
+    val p = plan("sample_uniform_k")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked in:\n$p")
+  }
+
   test("dedup_lsh_pairs: band join is an equi-join, not a cartesian") {
     val p = plan("dedup_lsh_pairs")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
