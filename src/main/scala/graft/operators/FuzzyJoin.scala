@@ -29,12 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** {s} ∪ all single-character deletions of s, deduplicated. */
+  /** {s} ∪ all single-character deletions of s, deduplicated.
+    * Empty strings get just {s}: `sequence(1, 0)` counts DOWN in
+    * Spark, which would fabricate bogus i=0 deletion keys. */
   def deletionKeys(c: Column): Column =
-    array_union(
-      array(c),
-      transform(sequence(lit(1), length(c)), i =>
-        concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i))))
+    when(length(c) === 0, array(c)).otherwise(
+      array_union(
+        array(c),
+        transform(sequence(lit(1), length(c)), i =>
+          concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i)))))
 
   /** All (left, right) pairs with `levenshtein(left, right) <= 1`.
     * Inputs must be single-column DataFrames of distinct strings; the

@@ -53,6 +53,25 @@ class FuzzyJoinSpec extends AnyFunSuite {
       s"fuzzy join fell back to a nested loop:\n$plan")
   }
 
+  test("exhaustive parity on the full {a,b}<=4 language (incl. empty string)") {
+    import spark.implicits._
+    // 31 strings; every unordered pair is some edit-distance case:
+    // equal, insert, delete, substitute, repeated-char collapses, ""
+    val lang = (0 to 4).flatMap(n =>
+      Seq.fill(n)(Seq("a", "b")).foldLeft(Seq("")) { (acc, cs) =>
+        for (p <- acc; c <- cs) yield p + c
+      }).distinct
+    val l = lang.toDF("a")
+    val r = lang.toDF("b")
+    val got = FuzzyJoin.editDistance1Join(l, "a", r, "b")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val want = l.crossJoin(r)
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == want,
+      s"missing=${want -- got}\nextra=${got -- want}")
+  }
+
   test("deletionKeys: {s} plus unique single-deletions") {
     import spark.implicits._
     val keys = Seq("aab").toDF("s")
