@@ -225,6 +225,22 @@ object CurationOps {
           col("week_offset"), col("n_users"))
     }),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis): each
+    // row races with priority -ln(u)/w (u = deterministic hash uniform,
+    // w = n_chars), smallest k win — longer docs proportionally more
+    // likely, yet every row's fate is a pure function of its own key.
+    // Same TakeOrderedAndProject shape as sample_uniform_k; priority
+    // rounded to 9 dp so the ln ulp can't flip the cross-engine cut.
+    "sample_weighted" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("u",
+          (TextOps.strHash(concat(lit("wgt:"), col("doc_id").cast("string"))) + 1L)
+            .cast("double") / lit((TextOps.HashMod + 1L).toDouble))
+        .withColumn("priority", round(-log(col("u")) / col("n_chars"), 9))
+        .orderBy(col("priority").asc, col("doc_id").asc)
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))),
+
     // Item co-occurrence (the collaborative-filtering / related-items
     // primitive): items sharing ≥3 users. The quadratic hazard is the
     // per-user self-join fanout, so each user's item list is CAPPED at
@@ -396,6 +412,17 @@ object CurationOps {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM ev JOIN cohort USING (user_id)
         |GROUP BY cohort, week_offset""".stripMargin,
+
+    "sample_weighted" ->
+      s"""SELECT doc_id, source, n_chars, priority FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    ROUND(-ln(
+         |      (('0x' || substr(md5('wgt:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |        % $HashMod + 1)::DOUBLE / ${TextOps.HashMod + 1L}.0)
+         |      / n_chars, 9) AS priority
+         |  FROM documents)
+         |ORDER BY priority ASC, doc_id ASC
+         |LIMIT 100""".stripMargin,
 
     "event_item_cooccur" ->
       """WITH ui AS (
