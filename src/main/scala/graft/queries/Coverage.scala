@@ -840,6 +840,40 @@ object Coverage {
       """)
     }),
 
+    // Explicit null placement under a LIMIT: Spark's ASC default is
+    // NULLS FIRST, DuckDB's is NULLS LAST — a top-k over a nullable
+    // key silently diverges between engines unless the placement is
+    // pinned. 30 synthesized nulls + 20 real keys cross the k=50 cut.
+    "topk_nulls_first" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("pri",
+          when(col("o_orderkey") % 500 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+        .orderBy(col("pri").asc_nulls_first, col("o_orderkey").asc)
+        .limit(50)
+        .select(col("o_orderkey"), col("pri"))),
+
+    // Recursive CTE (new in Spark 4): BFS over the implicit binary
+    // heap on p_partkey (parent = (k-1) div 2) — 11 recursion rounds
+    // for 2000 nodes, each a keyed join of the table against the
+    // previous frontier. The linear-recursion + frontier-join shape is
+    // how SQL-level transitive closure / org-hierarchy queries run;
+    // GraphOps' pointer-jumping CC remains the scale path for graphs
+    // with deep diameters.
+    "rec_cte_tree" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("rec_part")
+      s.sql("""
+        WITH RECURSIVE tree(k, depth) AS (
+          SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+          UNION ALL
+          SELECT p.p_partkey, t.depth + 1
+          FROM rec_part p JOIN tree t ON (p.p_partkey - 1) div 2 = t.k
+          WHERE p.p_partkey >= 1)
+        SELECT depth, COUNT(1) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM tree GROUP BY depth
+      """)
+    }),
+
     // Edit-distance-≤1 fuzzy join via the deletion-neighborhood key
     // (graft.operators.FuzzyJoin): canonical part names vs variants
     // with one deterministically-chosen character deleted. The naive
@@ -1379,6 +1413,24 @@ object Coverage {
         |             FROM lineitem l3
         |             WHERE l3.l_partkey = ps.l_partkey
         |               AND l3.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin,
+
+    "topk_nulls_first" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 500 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS pri
+        |FROM orders
+        |ORDER BY pri ASC NULLS FIRST, o_orderkey ASC
+        |LIMIT 50""".stripMargin,
+
+    "rec_cte_tree" ->
+      """WITH RECURSIVE tree(k, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT p.p_partkey, t.depth + 1
+        |  FROM part p JOIN tree t ON (p.p_partkey - 1) // 2 = t.k
+        |  WHERE p.p_partkey >= 1)
+        |SELECT depth, COUNT(1) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM tree GROUP BY depth""".stripMargin,
 
     // the oracle runs the honest cross join + levenshtein filter —
     // same pairs the deletion-key join must produce, no more, no less
