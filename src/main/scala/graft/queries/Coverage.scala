@@ -840,6 +840,21 @@ object Coverage {
       """)
     }),
 
+    // Spark 4 collations: case-insensitive grouping via the column's
+    // collation (COLLATE UTF8_LCASE) instead of lower()-normalizing
+    // every expression site — mixed-case keys synthesized so the
+    // collation actually merges groups. Output keys re-normalized and
+    // cast back to the default collation (parquet/oracle comparability).
+    "str_collation" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumn("seg",
+          when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")))
+        .groupBy(expr("seg COLLATE UTF8_LCASE").as("seg_ci"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"))
+        .select(lower(col("seg_ci")).cast("string").as("segment"),
+          col("n"), col("sum_key"))),
+
     // Explicit null placement under a LIMIT: Spark's ASC default is
     // NULLS FIRST, DuckDB's is NULLS LAST — a top-k over a nullable
     // key silently diverges between engines unless the placement is
@@ -1413,6 +1428,14 @@ object Coverage {
         |             FROM lineitem l3
         |             WHERE l3.l_partkey = ps.l_partkey
         |               AND l3.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin,
+
+    "str_collation" ->
+      """SELECT lower(seg) AS segment, COUNT(1) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |             ELSE c_mktsegment END AS seg, c_custkey
+        |      FROM customer)
+        |GROUP BY lower(seg)""".stripMargin,
 
     "topk_nulls_first" ->
       """SELECT o_orderkey,
