@@ -840,6 +840,22 @@ object Coverage {
       """)
     }),
 
+    // Correlated LATERAL subquery with LIMIT (top-N per outer row):
+    // the decorrelation stressor the window-function route avoids —
+    // Catalyst must rewrite the per-row ORDER BY ... LIMIT 2 into a
+    // rank-over-partition, not execute the subquery per nation.
+    "join_lateral_topn" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("lat_nation")
+      t(s, d, "supplier").createOrReplaceTempView("lat_supplier")
+      s.sql("""
+        SELECT n.n_name, t.s_suppkey, t.s_name, t.bal_c
+        FROM lat_nation n JOIN LATERAL (
+          SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c
+          FROM lat_supplier WHERE s_nationkey = n.n_nationkey
+          ORDER BY bal_c DESC, s_suppkey LIMIT 2) t
+      """)
+    }),
+
     // Spark 4 collations: case-insensitive grouping via the column's
     // collation (COLLATE UTF8_LCASE) instead of lower()-normalizing
     // every expression site — mixed-case keys synthesized so the
@@ -1428,6 +1444,13 @@ object Coverage {
         |             FROM lineitem l3
         |             WHERE l3.l_partkey = ps.l_partkey
         |               AND l3.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin,
+
+    "join_lateral_topn" ->
+      """SELECT n.n_name, t.s_suppkey, t.s_name, t.bal_c
+        |FROM nation n JOIN LATERAL (
+        |  SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c
+        |  FROM supplier WHERE s_nationkey = n.n_nationkey
+        |  ORDER BY bal_c DESC, s_suppkey LIMIT 2) t ON TRUE""".stripMargin,
 
     "str_collation" ->
       """SELECT lower(seg) AS segment, COUNT(1) AS n,
