@@ -840,6 +840,24 @@ object Coverage {
       """)
     }),
 
+    // Statistical aggregates (corr / covariance / stddev / variance):
+    // one pass, mergeable moment sketches under the hood — the profile
+    // primitives behind feature analysis. samp/pop variants matched to
+    // the oracle's; rounding chosen per magnitude so summation-order
+    // noise (~1e-12 relative) can never flip a digit while the check
+    // still pins ~7 significant figures.
+    "agg_stats" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("qty_c", cents(col("l_quantity")))
+        .withColumn("px_c", cents(col("l_extendedprice")))
+      li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        round(corr(col("qty_c"), col("px_c")), 6).as("corr_qp"),
+        round(covar_samp(col("qty_c"), col("px_c")) / 1e6, 4).as("covar_m"),
+        round(stddev_samp(col("qty_c")) / 1e3, 6).as("sd_qty_k"),
+        round(var_pop(col("qty_c")) / 1e6, 6).as("var_qty_m"))
+    }),
+
     // Correlated LATERAL subquery with LIMIT (top-N per outer row):
     // the decorrelation stressor the window-function route avoids —
     // Catalyst must rewrite the per-row ORDER BY ... LIMIT 2 into a
@@ -1444,6 +1462,18 @@ object Coverage {
         |             FROM lineitem l3
         |             WHERE l3.l_partkey = ps.l_partkey
         |               AND l3.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag, COUNT(1) AS n,
+        |  ROUND(corr(qty_c, px_c), 6) AS corr_qp,
+        |  ROUND(covar_samp(qty_c, px_c) / 1e6, 4) AS covar_m,
+        |  ROUND(stddev_samp(qty_c) / 1e3, 6) AS sd_qty_k,
+        |  ROUND(var_pop(qty_c) / 1e6, 6) AS var_qty_m
+        |FROM (SELECT l_returnflag,
+        |        CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c,
+        |        CAST(ROUND(l_extendedprice*100) AS BIGINT) AS px_c
+        |      FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
 
     "join_lateral_topn" ->
       """SELECT n.n_name, t.s_suppkey, t.s_name, t.bal_c
