@@ -103,6 +103,30 @@ object CurationOps {
     conv(substring(md5(concat(lit("smp:"), key.cast("string"))), 1, 15), 16, 10)
       .cast("long") % HashMod % 10000L
 
+  // ------------------------------------------------- item co-occurrence
+
+  /** Item co-occurrence over a (user_id, item) interaction table:
+    * pairs of items sharing ≥ minUsers users. The quadratic hazard is
+    * the per-user self-join fanout, so each user's item list is CAPPED
+    * at the capN most frequent first (keyed window) — per-user work is
+    * then ≤ C(capN, 2) pairs no matter how hot a power user is, the
+    * bound a production co-click pipeline enforces (ScaleProfile
+    * measures the capped curve staying flat while the uncapped one
+    * grows ~k² in items-per-user). */
+  def itemCooccur(userItem: DataFrame, capN: Int = 20,
+      minUsers: Long = 3L): DataFrame = {
+    val ui = userItem.groupBy("user_id", "item").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n").desc, col("item").asc)
+    val capped = ui.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= capN).select("user_id", "item")
+    val l = capped.withColumnRenamed("item", "i1")
+    val r = capped.withColumnRenamed("item", "i2")
+    l.join(r, "user_id").filter(col("i1") < col("i2"))
+      .groupBy("i1", "i2").agg(countDistinct("user_id").as("n_users"))
+      .filter(col("n_users") >= minUsers)
+  }
+
   // --------------------------------------------------------- queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -242,25 +266,11 @@ object CurationOps {
         .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))),
 
     // Item co-occurrence (the collaborative-filtering / related-items
-    // primitive): items sharing ≥3 users. The quadratic hazard is the
-    // per-user self-join fanout, so each user's item list is CAPPED at
-    // the top-20 by frequency first (keyed window) — per-user work is
-    // then ≤ C(20,2) pairs regardless of how hot a power user is, the
-    // same bound a production co-click pipeline enforces.
-    "event_item_cooccur" -> ((s, d) => {
-      val ui = t(s, d, "events")
+    // primitive) over the event log — see [[itemCooccur]].
+    "event_item_cooccur" -> ((s, d) =>
+      itemCooccur(t(s, d, "events")
         .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
-        .groupBy("user_id", "item").agg(count(lit(1)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("n").desc, col("item").asc)
-      val capped = ui.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 20).select("user_id", "item")
-      val l = capped.withColumnRenamed("item", "i1")
-      val r = capped.withColumnRenamed("item", "i2")
-      l.join(r, "user_id").filter(col("i1") < col("i2"))
-        .groupBy("i1", "i2").agg(countDistinct("user_id").as("n_users"))
-        .filter(col("n_users") >= 3)
-    })
+        .select("user_id", "item")))
   )
 
   private val sqlToks =

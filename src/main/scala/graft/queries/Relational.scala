@@ -313,6 +313,17 @@ object Relational {
         .groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(sum(cents(col("l_quantity"))))
+    }),
+
+    // Multi-aggregate pivot: each pivot value explodes into one column
+    // PER aggregate (value_aggname suffixing) — still one Expand +
+    // hash-agg pass, the column explosion is purely logical.
+    "pivot_multi" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          count(lit(1)).as("n"))
     })
   )
 
@@ -533,6 +544,14 @@ object Relational {
         |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS BIGINT) AS "A",
         |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS BIGINT) AS "N",
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS BIGINT) AS "R"
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "pivot_multi" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS BIGINT) AS "A_sum_qty_c",
+        |  CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS "A_n",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS BIGINT) AS "N_sum_qty_c",
+        |  CAST(COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS BIGINT) AS "N_n"
         |FROM lineitem GROUP BY l_linestatus""".stripMargin
   )
 }

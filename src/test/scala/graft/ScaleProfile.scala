@@ -77,6 +77,25 @@ object ScaleProfile {
         Seq(col("n_chars").desc, col("doc_id").asc)).count())
       time(s"${k}x tfidf")(graft.ops.TextOps.tfidfTopTerms(docs).count())
       time(s"${k}x quantize_int8")(graft.ops.SimilarityOps.quantizeInt8(emb).count())
+      // item co-occurrence: replicas get DISJOINT item universes
+      // (item + i*101), so items-per-user grows ~k× — the self-join
+      // worst case. The top-20 cap must hold the curve flat; the
+      // uncapped contrast (capN=1e6, measured to 4x only) shows the
+      // ~k² pair blowup the cap prevents.
+      def userItemX(kk: Int): DataFrame = {
+        val base = Tables.t(spark, d, "events")
+          .withColumn("item",
+            get_json_object(col("props"), "$.k").cast("long"))
+        (0 until kk).map(i =>
+            base.withColumn("item", col("item") + lit(i * 101L)))
+          .reduce(_ unionByName _)
+          .select("user_id", "item")
+      }
+      time(s"${k}x item_cooccur_cap20")(
+        graft.ops.CurationOps.itemCooccur(userItemX(k)).count())
+      if (k <= 4)
+        time(s"${k}x item_cooccur_uncapped")(
+          graft.ops.CurationOps.itemCooccur(userItemX(k), capN = 1000000).count())
     }
     spark.stop()
   }
