@@ -840,6 +840,37 @@ object Coverage {
       """)
     }),
 
+    // Schema-evolution union: batches with drifting schemas merged by
+    // COLUMN NAME with absent columns null-filled — the ingest shape
+    // when a source adds fields mid-stream (positional UNION would
+    // silently misalign). Spark: unionByName(allowMissingColumns);
+    // DuckDB: UNION ALL BY NAME.
+    "setop_union_by_name" -> ((s, d) => {
+      val old = t(s, d, "supplier")
+        .filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey"), col("s_name"))
+      val neu = t(s, d, "supplier")
+        .filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey"), col("s_name"),
+          cents(col("s_acctbal")).as("bal_c"))
+      old.unionByName(neu, allowMissingColumns = true)
+        .groupBy(col("bal_c").isNull.as("legacy_batch"))
+        .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("sum_bal_c"),
+          min(col("s_suppkey")).as("min_key"))
+    }),
+
+    // width_bucket: the SQL-standard equi-width binning scalar (incl.
+    // its two overflow buckets 0 and n+1), run in the integer-cents
+    // domain so no bucket boundary can misround; DuckDB lacks the
+    // function, so the oracle is the standard's closed form.
+    "agg_width_bucket" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("value_c", cents(col("value")))
+        .groupBy(width_bucket(col("value_c"), lit(0L), lit(20000L), lit(8L))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_c")).as("sum_value_c"))),
+
     // Statistical aggregates (corr / covariance / stddev / variance):
     // one pass, mergeable moment sketches under the hood — the profile
     // primitives behind feature analysis. samp/pop variants matched to
@@ -1462,6 +1493,26 @@ object Coverage {
         |             FROM lineitem l3
         |             WHERE l3.l_partkey = ps.l_partkey
         |               AND l3.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin,
+
+    "setop_union_by_name" ->
+      """WITH u AS (
+        |  SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c
+        |  FROM supplier WHERE s_suppkey % 2 = 1)
+        |SELECT bal_c IS NULL AS legacy_batch, COUNT(1) AS n,
+        |  CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c,
+        |  MIN(s_suppkey) AS min_key
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "agg_width_bucket" ->
+      """SELECT CASE WHEN value_c < 0 THEN 0
+        |       WHEN value_c >= 20000 THEN 9
+        |       ELSE 1 + value_c * 8 // 20000 END AS bucket,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+        |FROM (SELECT CAST(ROUND(value*100) AS BIGINT) AS value_c FROM events)
+        |GROUP BY 1""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(1) AS n,

@@ -90,4 +90,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got("2_click_after_view") >= got("3_purchase_after_click"))
     assert(got("1_view") > 0)
   }
+
+  test("itemCooccur: generous cap = exact pairs; tight cap truncates per user") {
+    import spark.implicits._
+    // user 1 touches items 1-5, user 2 items 1-3, user 3 items 1-2
+    val ui = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L)).toDF("user_id", "item")
+    def pairs(capN: Int) = CurationOps.itemCooccur(ui, capN, minUsers = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // cap above every user's item count == the honest all-pairs answer
+    assert(pairs(100) == Map((1L, 2L) -> 3L, (1L, 3L) -> 2L, (2L, 3L) -> 2L))
+    // cap 2: every user keeps {1,2} (count ties break by item asc), so
+    // only that pair survives — bounded fanout, deterministic keep-set
+    assert(pairs(2) == Map((1L, 2L) -> 3L))
+  }
 }
