@@ -840,6 +840,24 @@ object Coverage {
       """)
     }),
 
+    // listagg (SQL:2016 WITHIN GROUP ordered string aggregation — new
+    // in Spark 4) + mode(): the ordered-concat and most-frequent-value
+    // aggregates. The per-group priority counts are tie-free in this
+    // data, so mode() is deterministic cross-engine; listagg's ORDER BY
+    // pins the concat order a bare collect would leave partitioning-
+    // dependent.
+    "agg_listagg_mode" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("la_orders")
+      s.sql("""
+        SELECT o_orderstatus,
+          mode(o_orderpriority) AS mode_pri,
+          listagg(DISTINCT o_orderpriority, ',')
+            WITHIN GROUP (ORDER BY o_orderpriority) AS pris,
+          COUNT(1) AS n
+        FROM la_orders GROUP BY o_orderstatus
+      """)
+    }),
+
     // Schema-evolution union: batches with drifting schemas merged by
     // COLUMN NAME with absent columns null-filled — the ingest shape
     // when a source adds fields mid-stream (positional UNION would
@@ -1493,6 +1511,13 @@ object Coverage {
         |             FROM lineitem l3
         |             WHERE l3.l_partkey = ps.l_partkey
         |               AND l3.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin,
+
+    "agg_listagg_mode" ->
+      """SELECT o_orderstatus,
+        |  mode(o_orderpriority) AS mode_pri,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS pris,
+        |  COUNT(1) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "setop_union_by_name" ->
       """WITH u AS (
