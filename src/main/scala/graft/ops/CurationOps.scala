@@ -122,8 +122,12 @@ object CurationOps {
       .filter(col("rk") <= capN).select("user_id", "item")
     val l = capped.withColumnRenamed("item", "i1")
     val r = capped.withColumnRenamed("item", "i2")
+    // Each (user_id, item) is unique after the pre-aggregation above, so
+    // every (user, i1, i2) triple out of the self-join is too: a plain
+    // count is the same number as COUNT(DISTINCT user_id) minus the
+    // extra dedup pass on the hottest aggregation of the operator.
     l.join(r, "user_id").filter(col("i1") < col("i2"))
-      .groupBy("i1", "i2").agg(countDistinct("user_id").as("n_users"))
+      .groupBy("i1", "i2").agg(count(lit(1)).as("n_users"))
       .filter(col("n_users") >= minUsers)
   }
 
@@ -445,10 +449,10 @@ object CurationOps {
         |  QUALIFY ROW_NUMBER() OVER (
         |    PARTITION BY user_id ORDER BY n DESC, item ASC) <= 20)
         |SELECT a.item AS i1, b.item AS i2,
-        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |  CAST(COUNT(1) AS BIGINT) AS n_users
         |FROM capped a JOIN capped b
         |  ON a.user_id = b.user_id AND a.item < b.item
         |GROUP BY 1, 2
-        |HAVING COUNT(DISTINCT a.user_id) >= 3""".stripMargin
+        |HAVING COUNT(1) >= 3""".stripMargin
   )
 }

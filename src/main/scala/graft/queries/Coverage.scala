@@ -841,20 +841,31 @@ object Coverage {
     }),
 
     // listagg (SQL:2016 WITHIN GROUP ordered string aggregation — new
-    // in Spark 4) + mode(): the ordered-concat and most-frequent-value
-    // aggregates. The per-group priority counts are tie-free in this
-    // data, so mode() is deterministic cross-engine; listagg's ORDER BY
-    // pins the concat order a bare collect would leave partitioning-
-    // dependent.
+    // in Spark 4) + mode-with-explicit-tie-break: the ordered-concat
+    // and most-frequent-value aggregates. mode() breaks count ties
+    // engine-specifically and the data genuinely HAS a tie (status P at
+    // sf0.001: two priorities at count 111 — pinned in
+    // RankTableTextOpsSpec), so the query computes the mode via a
+    // window (ORDER BY n DESC, pri ASC): deterministic at any scale.
     "agg_listagg_mode" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("la_orders")
       s.sql("""
-        SELECT o_orderstatus,
-          mode(o_orderpriority) AS mode_pri,
-          listagg(DISTINCT o_orderpriority, ',')
-            WITHIN GROUP (ORDER BY o_orderpriority) AS pris,
-          COUNT(1) AS n
-        FROM la_orders GROUP BY o_orderstatus
+        WITH md AS (
+          SELECT o_orderstatus, o_orderpriority AS mode_pri
+          FROM (
+            SELECT o_orderstatus, o_orderpriority,
+              ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                ORDER BY COUNT(1) DESC, o_orderpriority ASC) AS rk
+            FROM la_orders GROUP BY o_orderstatus, o_orderpriority)
+          WHERE rk = 1),
+        la AS (
+          SELECT o_orderstatus,
+            listagg(DISTINCT o_orderpriority, ',')
+              WITHIN GROUP (ORDER BY o_orderpriority) AS pris,
+            COUNT(1) AS n
+          FROM la_orders GROUP BY o_orderstatus)
+        SELECT la.o_orderstatus, md.mode_pri, la.pris, la.n
+        FROM la JOIN md USING (o_orderstatus)
       """)
     }),
 
@@ -1513,11 +1524,19 @@ object Coverage {
         |               AND l3.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin,
 
     "agg_listagg_mode" ->
-      """SELECT o_orderstatus,
-        |  mode(o_orderpriority) AS mode_pri,
-        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS pris,
-        |  COUNT(1) AS n
-        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+      """WITH md AS (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_pri
+        |  FROM (SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n
+        |        FROM orders GROUP BY 1, 2)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY n DESC, o_orderpriority ASC) = 1),
+        |la AS (
+        |  SELECT o_orderstatus,
+        |    string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS pris,
+        |    COUNT(1) AS n
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT la.o_orderstatus, md.mode_pri, la.pris, la.n
+        |FROM la JOIN md USING (o_orderstatus)""".stripMargin,
 
     "setop_union_by_name" ->
       """WITH u AS (

@@ -42,6 +42,10 @@ object SessionsTws {
       // Spark gives no intra-group order — restore event time order
       // (value_c tiebreak matches the FMGWS path bit-for-bit)
       val sorted = rows.toSeq.sortBy(e => (e.us, e.value_c))
+      // Contract allows an empty batch iterator for a key; without this
+      // guard `cur` stays null and update/registerTimer below NPE (the
+      // FMGWS path guards the same case with !it.hasNext).
+      if (sorted.isEmpty) return Iterator.empty
       var cur = if (session.exists()) session.get() else null
       val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
       sorted.foreach { e =>

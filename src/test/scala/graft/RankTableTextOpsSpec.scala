@@ -175,4 +175,38 @@ class RankTableTextOpsSpec extends AnyFunSuite {
     // tf(common)=2 df=3 → 2e6
     assert(got.toSeq == Seq(("rare", 6000000L, 1L), ("zeta", 3000000L, 2L)))
   }
+
+  test("mode ties exist in the data, so agg_listagg_mode's window tie-break is load-bearing") {
+    // at sf0.001, status P has a genuine count tie (2-HIGH and
+    // 4-NOT SPECIFIED both 111) — a bare mode() in the driver query
+    // WOULD flake cross-engine, which is why agg_listagg_mode breaks
+    // ties explicitly (ORDER BY n DESC, priority ASC). This pins (a)
+    // the builtin mode() still honors its contract — it returns one of
+    // the max-count values per group — and (b) the window tie-break is
+    // the deterministic min-priority among max-count rows.
+    spark.sparkContext.setLogLevel("WARN")
+    val orders = Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    val counts = orders.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val maxCountPris: Map[String, Set[String]] = counts.groupBy(_._1).map {
+      case (st, rows) =>
+        val mx = rows.map(_._3).max
+        st -> rows.filter(_._3 == mx).map(_._2).toSet
+    }
+    val builtinMode = orders.groupBy("o_orderstatus")
+      .agg(mode(col("o_orderpriority")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    builtinMode.foreach { case (st, m) =>
+      assert(maxCountPris(st).contains(m),
+        s"mode() returned non-max value $m for $st (max set ${maxCountPris(st)})")
+    }
+    // the explicit tie-break in the driver query resolves to min priority
+    val got = SparkEntry.queries("agg_listagg_mode")(spark, "/root/testdata/sf0.001")
+      .select("o_orderstatus", "mode_pri")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    maxCountPris.foreach { case (st, pris) =>
+      assert(got(st) == pris.min, s"$st: expected ${pris.min}, got ${got(st)}")
+    }
+  }
 }
