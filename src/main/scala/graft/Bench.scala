@@ -16,6 +16,12 @@ import java.util.concurrent.atomic.AtomicLong
   * function of bytes exchanged, so a query whose runtime looks fine
   * but shuffles the whole input is flagged by the number that actually
   * predicts cluster cost.
+  *
+  * Each query also carries a `plan_fp` physical-plan fingerprint
+  * ([[graft.tools.PlanFingerprint]]): canonicalized-plan hash,
+  * exchange count, scan/pushdown summary. Round-over-round timing
+  * deltas with an UNCHANGED fingerprint are machine noise by
+  * construction; a changed fingerprint names the plan diff to explain.
   */
 object Bench {
 
@@ -52,6 +58,12 @@ object Bench {
     def run(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       entries.map { case (name, fn) =>
         var shuffleMb = -1.0
+        // plan fingerprint (canonicalized-plan hash + exchange count +
+        // scan/pushdown summary, NOT executed): converts a round-over-
+        // round timing delta into signal — same fingerprint = machine
+        // noise, different fingerprint = a real plan change to explain
+        val fp = try graft.tools.PlanFingerprint.of(fn(spark, sfDir)).render
+          catch { case _: Throwable => "unavailable" }
         val times = (1 to 2).map { _ =>
           meter.bytes.set(0L)
           val t0 = System.nanoTime()
@@ -67,7 +79,7 @@ object Bench {
             -1.0 // sentinel: a broken query must not make the bench "faster"
           }
         }
-        (name, (if (times.contains(-1.0)) -1.0 else times.min), shuffleMb)
+        (name, (if (times.contains(-1.0)) -1.0 else times.min), shuffleMb, fp)
       }
     // pipe_* queries are pinned to the reference fixture (they ignore
     // sfDir by design — the KMZ is the dataset), so they are timed and
@@ -77,20 +89,22 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.startsWith("pipe_"))
     val results = run(sfEntries)
     val fixtureResults = run(fixtureEntries)
-    def js(rs: Seq[(String, Double, Double)]) =
-      rs.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    def jsMb(rs: Seq[(String, Double, Double)]) =
-      rs.map { case (k, _, mb) => f""""$k":$mb%.1f""" }.mkString("{", ",", "}")
+    def js(rs: Seq[(String, Double, Double, String)]) =
+      rs.map { case (k, v, _, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    def jsMb(rs: Seq[(String, Double, Double, String)]) =
+      rs.map { case (k, _, mb, _) => f""""$k":$mb%.1f""" }.mkString("{", ",", "}")
+    def jsFp(rs: Seq[(String, Double, Double, String)]) =
+      rs.map { case (k, _, _, fp) => s""""$k":"$fp"""" }.mkString("{", ",", "}")
     val failed = (results ++ fixtureResults).count(_._2 < 0)
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val fixtureTotal = fixtureResults.collect { case (_, v, _) if v >= 0 => v }.sum
-    val shuffleTotalMb = results.collect { case (_, _, mb) if mb >= 0 => mb }.sum
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val fixtureTotal = fixtureResults.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val shuffleTotalMb = results.collect { case (_, _, mb, _) if mb >= 0 => mb }.sum
     // machine-load context so a contended driver run is self-evident
     // (round-1 driver bench read 152 s vs 39 s reproducible on idle)
     val loadavg = try {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     } catch { case _: Throwable => "unknown" }
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"shuffle_mb":${jsMb(results)},"fixture_total":$fixtureTotal%.3f,"fixture_queries":${js(fixtureResults)},"queries":${js(results)},"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"shuffle_mb":${jsMb(results)},"fixture_total":$fixtureTotal%.3f,"fixture_queries":${js(fixtureResults)},"queries":${js(results)},"plan_fp":${jsFp(results ++ fixtureResults)},"sf":"$sfDir"}"""
     println(fullLine)
     // The harness keeps only the LAST ~2000 chars of output and
     // json.loads a line from it; the full per-query line above is ~3.5k
@@ -104,7 +118,7 @@ object Bench {
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"fixture_total":$fixtureTotal%.3f,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
     val compact = new StringBuilder(head)
     var first = true
-    for ((k, v, _) <- results.sortBy(-_._2)) {
+    for ((k, v, _, _) <- results.sortBy(-_._2)) {
       val e = (if (first) "" else ",") + f""""$k":$v%.2f"""
       if (compact.length + e.length <= 1500) { compact.append(e); first = false }
     }
