@@ -75,12 +75,28 @@ object Extras {
         .agg(sum("pc").as("n_events"), sum("ps").as("sum_value_c"))
     }),
 
-    // sketches: engine-specific algorithms — no oracle (rows-only)
+    // HLL + approx-percentile sketches, SELF-ORACLED: the estimates are
+    // engine-specific (DuckDB's HLL yields different values), so the
+    // query emits the exact answers (hashed cross-engine) plus 0/1
+    // accuracy verdicts computed against them — the oracle asserts the
+    // verdicts as literal 1s, so an estimator drifting out of bound
+    // becomes a hash FAIL, not an unverifiable grey row. Bounds: HLL at
+    // rsd=0.02 held to 10 % (5× the target rsd — deterministic for
+    // fixed data, generous to hash-seed/merge-order variation across
+    // Spark versions); approx-median at accuracy=10000 held to ±1 of
+    // the exact median (l_quantity is integer 1..50).
     "agg_sketch" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("percentile_approx(l_quantity, 0.5, 1000)").as("approx_median_qty"))),
+          approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
+          countDistinct(col("l_partkey")).as("exact_distinct"),
+          expr("percentile_approx(l_quantity, 0.5, 10000)").as("amed"),
+          expr("percentile(l_quantity, 0.5)").as("emed"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("hll") - col("exact_distinct")) * lit(10)
+            <= col("exact_distinct")).cast("long").as("hll_within_10pct"),
+          (abs(col("amed") - col("emed")) <= lit(1.0))
+            .cast("long").as("amed_within_1"))),
 
     // KMV distinct sketch — unlike agg_sketch's HLL this sketch is
     // DETERMINISTIC (md5 hashes, k-min set), so it carries a full
@@ -195,7 +211,15 @@ object Extras {
       """SELECT event_type, COUNT(1) AS n_events,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY event_type""".stripMargin,
-    // agg_sketch: intentionally no oracle (rows-only check)
+    // agg_sketch: exact columns recomputed by DuckDB; the accuracy
+    // verdicts are asserted as literal 1s (see the query comment — a
+    // drifting estimator flips a verdict to 0 and fails the hash)
+    "agg_sketch" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+        |  CAST(1 AS BIGINT) AS hll_within_10pct,
+        |  CAST(1 AS BIGINT) AS amed_within_1
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "agg_kmv_distinct" ->
       s"""WITH h AS (
