@@ -135,6 +135,72 @@ class KmvAgg(k: Int, hashMod: Long) extends Aggregator[Long, Array[Long], KmvOut
 
 final case class KmvOut(n_kept: Long, kth_h: Long, est_distinct: Double)
 
+/** Misra–Gries / space-saving heavy-hitters sketch as a typed
+  * Aggregator — the classic mergeable frequent-items primitive for
+  * corpus token/domain monitoring (the one mergeable-sketch family
+  * member KMV's distinct-count and TopKSimAgg's exact top-k don't
+  * cover).
+  *
+  * Buffer = at most k-1 (item, weight) counters. `reduce` is textbook
+  * MG: increment a tracked item, adopt an untracked one while there is
+  * room, otherwise decrement ALL counters by one (dropping zeros) —
+  * each decrement destroys k units of total weight, so an item with
+  * true count > n/k can never be fully cancelled. `merge` is the
+  * Agarwal et al. ("Mergeable Summaries", PODS'12) combine: add
+  * counts, then subtract the k-th largest weight from every counter
+  * and drop the non-positive ones — back to ≤ k-1 counters with the
+  * same additive-error bound, fully associative AND commutative, so
+  * partials combine map-side in any order Spark chooses.
+  *
+  * Guarantees (MisraGriesSpec property-checks both under randomized
+  * merge trees): the sketch contains EVERY item with true count
+  * > n/k, and each kept weight underestimates its true count by at
+  * most n/k. The sketch alone therefore yields a candidate SUPERSET;
+  * [[graft.queries.Extras]] `agg_heavy_hitters` re-filters it by an
+  * exact count join (≤ k-1 broadcast keys) for a deterministic,
+  * oracle-able result no matter how merges interleaved.
+  */
+final case class MgEntry(item: Long, w: Long)
+
+class MisraGriesAgg(k: Int)
+    extends Aggregator[Long, Map[Long, Long], Seq[MgEntry]] {
+  require(k >= 2, "Misra-Gries needs k >= 2")
+
+  override def zero: Map[Long, Long] = Map.empty
+
+  override def reduce(b: Map[Long, Long], x: Long): Map[Long, Long] =
+    b.get(x) match {
+      case Some(w) => b.updated(x, w + 1L)
+      case None if b.size < k - 1 => b.updated(x, 1L)
+      case None =>
+        b.flatMap { case (i, w) =>
+          if (w > 1L) Some(i -> (w - 1L)) else None
+        }
+    }
+
+  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+    val sum = b.foldLeft(a) { case (m, (i, w)) =>
+      m.updated(i, m.getOrElse(i, 0L) + w)
+    }
+    if (sum.size <= k - 1) sum
+    else {
+      val kth = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k - 1)
+      sum.flatMap { case (i, w) =>
+        if (w > kth) Some(i -> (w - kth)) else None
+      }
+    }
+  }
+
+  override def finish(b: Map[Long, Long]): Seq[MgEntry] =
+    b.toSeq.map { case (i, w) => MgEntry(i, w) }
+      .sortBy(e => (-e.w, e.item))
+
+  override def bufferEncoder: Encoder[Map[Long, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+  override def outputEncoder: Encoder[Seq[MgEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[MgEntry]]()
+}
+
 final case class BboxBuf(
     minLon: Double, maxLon: Double, minLat: Double, maxLat: Double,
     sumLon: Double, sumLat: Double, n: Long)

@@ -8,10 +8,10 @@ import graft.Tables.{t, cents}
 /** Second wave of the generic surface: exact percentiles, GROUPING
   * SETS, map functions, explicit window frames, the salted two-phase
   * aggregation (the skew pattern from the brief, here proven
-  * result-identical to the direct aggregation), and sketch aggregates
-  * (approx_count_distinct / percentile_approx — engine-specific
-  * algorithms, so no cross-engine oracle: driver records the weaker
-  * rows-only check).
+  * result-identical to the direct aggregation), and the sketch
+  * aggregates — HLL/approx-percentile self-oracled against in-query
+  * exact answers, KMV and Misra–Gries heavy-hitters with full
+  * deterministic cross-engine oracles.
   */
 object Extras {
 
@@ -124,6 +124,31 @@ object Extras {
           col("kmv.est_distinct").as("est_distinct"), col("exact_distinct"))
     }),
 
+    // Misra–Gries heavy hitters over a Zipf-like item stream (the item
+    // column derives 1000 div (event_id%1000+1) from the event log —
+    // item 1 covers ~50 % of rows, ~63 distinct values, so the sketch
+    // genuinely compresses: k-1 = 19 counters track 63 items). The
+    // sketch's candidate SUPERSET (guaranteed to contain every item
+    // with count > n/k) is re-filtered by exact counts — one broadcast
+    // semi-join on ≤ 19 keys + a tiny aggregation — so the output is
+    // deterministic and fully oracle-able no matter how Spark
+    // interleaved the partial merges. At 100 TB: one narrow scan for
+    // the sketch, one filtered scan for the re-count; nothing wide.
+    "agg_heavy_hitters" -> ((s, d) => {
+      s.udf.register("mg20", udaf(new graft.functions.MisraGriesAgg(20)))
+      val ev = t(s, d, "events")
+        .withColumn("item", expr("1000 div (pmod(event_id, 1000) + 1)"))
+      val cand = ev.agg(expr("mg20(item)").as("mg"))
+        .select(explode(col("mg.item")).as("item"))
+      val counts = ev.join(broadcast(cand), "item")
+        .groupBy("item").agg(count(lit(1)).as("n_item"))
+      val tot = ev.agg(count(lit(1)).as("total"))
+      counts.crossJoin(tot)
+        .filter(col("n_item") * lit(20) > col("total"))
+        .select(col("item").cast("long").as("item"),
+          col("n_item"), col("total"))
+    }),
+
     // typed Aggregator (UDAF surface): bbox + centroid of the
     // (quantity_c, price_c) point cloud per return flag. Integer-valued
     // doubles sum exactly, so the centroid is cross-engine-exact.
@@ -220,6 +245,20 @@ object Extras {
         |  CAST(1 AS BIGINT) AS hll_within_10pct,
         |  CAST(1 AS BIGINT) AS amed_within_1
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // agg_heavy_hitters: the MG sketch only proposes candidates; the
+    // exact re-filter makes the result the plain frequent-items set,
+    // which DuckDB recomputes directly
+    "agg_heavy_hitters" ->
+      """WITH it AS (
+        |  SELECT 1000 // (event_id % 1000 + 1) AS item FROM events),
+        |tot AS (SELECT COUNT(1) AS total FROM it)
+        |SELECT CAST(item AS BIGINT) AS item,
+        |  CAST(COUNT(1) AS BIGINT) AS n_item,
+        |  CAST(tot.total AS BIGINT) AS total
+        |FROM it, tot
+        |GROUP BY item, tot.total
+        |HAVING COUNT(1) * 20 > tot.total""".stripMargin,
 
     "agg_kmv_distinct" ->
       s"""WITH h AS (
