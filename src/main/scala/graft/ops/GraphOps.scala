@@ -39,7 +39,16 @@ object GraphOps {
     * @return (`node`, `comp`) with `comp` = min node id reachable
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    ccWithStats(nodes, edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagate+jump rounds
+    * actually run — the observable behind the O(log diameter) claim.
+    * CcAdversarialProfile measures it on worst-case topologies (path /
+    * ring: diameter = n; skewed star: one component = half the graph)
+    * and GraphOpsSpec pins the logarithmic bound in CI. */
+  def ccWithStats(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 30): (DataFrame, Int) = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -81,9 +90,9 @@ object GraphOps {
       labels = next.select("node", "comp")
       it += 1
     }
-    labels.unionByName(
+    (labels.unionByName(
       allNodes.join(labels.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("comp", col("node")))
+        .withColumn("comp", col("node"))), it)
   }
 
   // ------------------------------------------------------------ queries

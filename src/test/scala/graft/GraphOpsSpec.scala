@@ -42,6 +42,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 1L))
   }
 
+  test("rounds stay logarithmic in diameter (the O(log d) claim, pinned)") {
+    import spark.implicits._
+    // path graphs with diameter 256 vs 4096: plain propagation would
+    // need d rounds; pointer jumping must stay ~log2(d) — and growing
+    // the diameter 16x may add only ~log2(16)=4 rounds
+    def rounds(n: Long): Int = {
+      val (ccDf, r) = GraphOps.ccWithStats(
+        spark.range(n).select(org.apache.spark.sql.functions.col("id").as("node")),
+        spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst"),
+        maxIter = 64)
+      assert(ccDf.filter("comp != 0").isEmpty, s"path $n: wrong labels")
+      r
+    }
+    val r256 = rounds(256)
+    val r4096 = rounds(4096)
+    assert(r256 <= 2 * 8 + 4, s"diameter 256 took $r256 rounds")
+    assert(r4096 <= 2 * 12 + 4, s"diameter 4096 took $r4096 rounds")
+    assert(r4096 - r256 <= 10,
+      s"16x diameter added ${r4096 - r256} rounds — not logarithmic")
+  }
+
   test("duplicate and self edges are harmless") {
     val got = cc(Seq(1L, 2L, 3L),
       Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))

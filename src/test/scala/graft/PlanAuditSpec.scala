@@ -93,6 +93,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), s"hint must force shuffle-hash:\n$p")
   }
 
+  test("committed plans for the top-10 expensive queries match regeneration") {
+    // fixtures/plans/*.txt are written by graft.tools.PlanDump and
+    // committed; regenerating them here means a plan regression (lost
+    // broadcast, extra exchange, dropped pushdown) fails CI and shows
+    // up as a git diff on the committed artifact — refresh with
+    //   sbt "runMain graft.tools.PlanDump"
+    // after an INTENTIONAL plan change. Isolated newSession: the dump
+    // context pins AQE on / 4 partitions, this suite's base session
+    // runs AQE off.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.tools.PlanDump.Audited.foreach { name =>
+      val committed = java.nio.file.Paths.get(
+        graft.tools.PlanDump.PlansDir, s"$name.txt")
+      assert(java.nio.file.Files.exists(committed),
+        s"missing committed plan for $name — run graft.tools.PlanDump")
+      val want = java.nio.file.Files.readString(committed)
+      val got = graft.tools.PlanDump.normalizedPlan(s2, name)
+      assert(got == want,
+        s"plan drift for $name — if intentional, refresh fixtures/plans " +
+          s"via PlanDump and commit the diff")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     val conf = spark.conf
@@ -126,12 +152,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // intentional BroadcastNestedLoopJoin / cross shapes:
     //  - sim_topk / sim_ivf_topk: corpus x broadcast(tiny filtered set)
     //    (non-equi or all-centroid condition, small side broadcast)
-    //  - pipe_totals / pipe_effective_length: crossJoin of 1-ROW
-    //    aggregates — depending on inherited session conf these plan as
-    //    BroadcastNestedLoopJoin or CartesianProduct; both are scalar x
-    //    scalar and irrelevant at any scale
+    //  - pipe_totals / pipe_effective_length / agg_heavy_hitters:
+    //    crossJoin of 1-ROW aggregates — depending on inherited session
+    //    conf these plan as BroadcastNestedLoopJoin or CartesianProduct;
+    //    both are scalar x scalar and irrelevant at any scale
     val allowNested = Set("sim_topk", "sim_ivf_topk")
-    val allowCross = Set("pipe_totals", "pipe_effective_length")
+    val allowCross = Set("pipe_totals", "pipe_effective_length", "agg_heavy_hitters")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = try fn(spark, sf).queryExecution.executedPlan.toString catch {
