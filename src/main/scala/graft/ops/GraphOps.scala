@@ -49,10 +49,15 @@ object GraphOps {
     * and GraphOpsSpec pins the logarithmic bound in CI. */
   def ccWithStats(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 30): (DataFrame, Int) = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(eager = false)
+    // NOT pre-partitioned on src: AQE's partition coalescing defeats
+    // the would-be exchange reuse anyway, and hash-partitioning the
+    // edge list by src funnels a hub vertex's whole edge set into one
+    // partition (measured: star-1M wall 6.5 s → 35 s). The per-round
+    // |E| re-shuffle is the honest cost, linear in touched vertices.
+    val sym = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
     // Iterate ONLY over edge-touched vertices: in a dedup graph the
     // overwhelming majority of docs has no candidate edge at all, and
     // an isolated vertex can never change label — keeping them out of
@@ -61,9 +66,15 @@ object GraphOps {
     // end as comp = own id.
     val allNodes = nodes.select(col("node")).distinct()
       .localCheckpoint(eager = false)
+    // The labels chain uses the stats-resetting checkpoint
+    // (Bridge.freshLocalCheckpoint): the pointer-jump SELF-join cubes
+    // Catalyst's size estimate every round (S³ per round ⇒ million-
+    // digit BigInts by round ~20), which stalls the DRIVER in stats
+    // arithmetic on high-diameter graphs — found by the adversarial
+    // path-topology profile, invisible on low-diameter dedup graphs.
     val touched = sym.select(col("src").as("node")).distinct()
-    var labels = touched.withColumn("comp", col("node"))
-      .localCheckpoint(eager = false)
+    var labels = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
+      touched.withColumn("comp", col("node")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -82,10 +93,9 @@ object GraphOps {
         .select(col("node"), coalesce(col("p_comp"), col("comp")).as("comp"))
       // carry the changed flag INTO the materialized frame so the
       // convergence probe and the checkpoint are one action, not two
-      val next = jumped
+      val next = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(jumped
         .join(labels.select(col("node"), col("comp").as("prev")), "node")
-        .select(col("node"), col("comp"), (col("comp") =!= col("prev")).as("changed"))
-        .localCheckpoint(eager = false)
+        .select(col("node"), col("comp"), (col("comp") =!= col("prev")).as("changed")))
       converged = next.filter(col("changed")).isEmpty
       labels = next.select("node", "comp")
       it += 1

@@ -16,4 +16,34 @@ object Bridge {
     * metrics deterministically after a sequential query finishes. */
   def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** `localCheckpoint` WITHOUT origin-stats propagation.
+    *
+    * Spark 4's `Dataset.localCheckpoint` wraps the materialized RDD in
+    * a `LogicalRDD` that KEEPS the origin plan's statistics. For an
+    * iterative dataflow whose round contains a self-join (connected
+    * components' pointer jump), the size-in-bytes estimate then grows
+    * as S_{k+1} ≈ S_k³ — after ~20 rounds the estimate is a BigInt
+    * with millions of digits and Catalyst's stats visitor spends
+    * MINUTES per round inside BigInteger.multiply (observed on a
+    * diameter-3M path graph: the driver, not the cluster, became the
+    * bottleneck). Rewrapping the same checkpointed RDD in a LogicalRDD
+    * with `originStats = None` resets every round's estimate to the
+    * session default — constant-size stats, identical results, and the
+    * broadcast decisions inside the loop don't WANT origin stats
+    * anyway (label frames are never broadcastable at scale).
+    */
+  def freshLocalCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    // fromDataset keeps outputPartitioning/ordering (so a frame
+    // pre-partitioned on its join key re-enters the next round with
+    // ZERO exchange); the copy then drops originStats/originConstraints
+    // — partitioning is cheap metadata, stats are the poison
+    val withStats = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, ds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark,
+      withStats.copy()(spark, None, None))
+  }
 }
