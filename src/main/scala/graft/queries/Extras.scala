@@ -85,18 +85,26 @@ object Extras {
     // fixed data, generous to hash-seed/merge-order variation across
     // Spark versions); approx-median at accuracy=10000 held to ±1 of
     // the exact median (l_quantity is integer 1..50).
-    "agg_sketch" -> ((s, d) =>
-      t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
-          countDistinct(col("l_partkey")).as("exact_distinct"),
-          expr("percentile_approx(l_quantity, 0.5, 10000)").as("amed"),
-          expr("percentile(l_quantity, 0.5)").as("emed"))
+    "agg_sketch" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      // sketches and the exact distinct run as SEPARATE aggregations
+      // joined on the 3-key group column (same reason as
+      // agg_kmv_distinct below: countDistinct in the same agg forces an
+      // Expand and kicks the buffered aggregates out of hash mode —
+      // measured 12.7 s vs 1.3 s at sf0.1)
+      val sk = li.groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("amed"),
+        expr("percentile(l_quantity, 0.5)").as("emed"))
+      val ex = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      sk.join(ex, "l_returnflag")
         .select(col("l_returnflag"), col("exact_distinct"),
           (abs(col("hll") - col("exact_distinct")) * lit(10)
             <= col("exact_distinct")).cast("long").as("hll_within_10pct"),
           (abs(col("amed") - col("emed")) <= lit(1.0))
-            .cast("long").as("amed_within_1"))),
+            .cast("long").as("amed_within_1"))
+    }),
 
     // KMV distinct sketch — unlike agg_sketch's HLL this sketch is
     // DETERMINISTIC (md5 hashes, k-min set), so it carries a full

@@ -45,14 +45,23 @@ object PlanDump {
       .replaceAll("RDD\\[\\d+\\]", "RDD[*]")
   }
 
+  /** Every conf a plan CHOICE depends on is pinned explicitly — the
+    * regeneration check runs inside the shared test JVM where earlier
+    * suites may have rebuilt the root session with different creation
+    * options (e.g. GeodesicJoinRuleSpec disables broadcast), and
+    * `newSession()` inherits those as initial options. */
+  val PinnedConfs: Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> "4",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.autoBroadcastJoinThreshold" -> "10485760")
+
   def session(): SparkSession = {
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    PinnedConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -99,13 +99,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcast, extra exchange, dropped pushdown) fails CI and shows
     // up as a git diff on the committed artifact — refresh with
     //   sbt "runMain graft.tools.PlanDump"
-    // after an INTENTIONAL plan change. Isolated newSession: the dump
-    // context pins AQE on / 4 partitions, this suite's base session
-    // runs AQE off.
+    // after an INTENTIONAL plan change. Isolated newSession with every
+    // plan-relevant conf pinned from PlanDump.PinnedConfs: newSession
+    // inherits the ROOT session's creation options, and earlier suites
+    // may have rebuilt the root with e.g. broadcast disabled
+    // (GeodesicJoinRuleSpec) — observed as a broadcast→SMJ flip here.
     val s2 = spark.newSession()
-    s2.conf.set("spark.sql.adaptive.enabled", "true")
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
-    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.tools.PlanDump.PinnedConfs.foreach { case (k, v) => s2.conf.set(k, v) }
     graft.tools.PlanDump.Audited.foreach { name =>
       val committed = java.nio.file.Paths.get(
         graft.tools.PlanDump.PlansDir, s"$name.txt")
@@ -113,9 +113,16 @@ class PlanAuditSpec extends AnyFunSuite {
         s"missing committed plan for $name — run graft.tools.PlanDump")
       val want = java.nio.file.Files.readString(committed)
       val got = graft.tools.PlanDump.normalizedPlan(s2, name)
-      assert(got == want,
-        s"plan drift for $name — if intentional, refresh fixtures/plans " +
-          s"via PlanDump and commit the diff")
+      if (got != want) {
+        val diff = want.linesIterator.zipAll(got.linesIterator, "<EOF>", "<EOF>")
+          .zipWithIndex.find { case ((w, g), _) => w != g }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"/tmp/plan_drift_$name.txt"), got)
+        fail(s"plan drift for $name at line ${diff.map(_._2)}: " +
+          s"committed=${diff.map(_._1._1)} regenerated=${diff.map(_._1._2)} " +
+          s"(full regenerated plan: /tmp/plan_drift_$name.txt) — " +
+          s"if intentional, refresh fixtures/plans via PlanDump and commit")
+      }
     }
   }
 
