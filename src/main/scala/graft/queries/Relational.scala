@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.{t, cents, revenueC4}
@@ -41,13 +41,22 @@ object Relational {
         unix_micros(max(col("l_shipdate")).cast("timestamp")).as("max_ship_us"))
     }),
 
+    // Three exact distincts per group. NOT one agg with three
+    // countDistinct calls — Catalyst plans that as a 4x Expand of the
+    // whole scan (every input row replicated per distinct aggregate);
+    // distinct-first two-phase per target collapses duplicates in the
+    // map-side partial instead, and the three 3-row results join on
+    // the group key for free (measured 2.0 s -> ~0.6 s at sf0.1; at
+    // 100 TB the Expand version quadruples the shuffle).
     "agg_countdistinct" -> ((s, d) => {
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+      val li = t(s, d, "lineitem")
+      def dcount(name: String, keys: Column*) =
+        li.select(col("l_returnflag") +: keys: _*).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(name))
+      dcount("n_parts", col("l_partkey"))
+        .join(dcount("n_supps", col("l_suppkey")), "l_returnflag")
+        .join(dcount("n_part_supp", col("l_partkey"), col("l_suppkey")),
+          "l_returnflag")
     }),
 
     "agg_rollup" -> ((s, d) => {
