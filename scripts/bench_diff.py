@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Diff two BENCH_FULL.json files, classifying every timing delta.
+
+Usage: python3 scripts/bench_diff.py OLD.json NEW.json [threshold_sec]
+       python3 scripts/bench_diff.py <(git show r4:BENCH_FULL.json) BENCH_FULL.json
+
+For each query present in both files, the delta is labeled:
+  PLAN   — the physical-plan fingerprint changed: a real plan diff to
+           explain (broadcast lost, exchange added, pushdown dropped ...)
+  NOISE  — fingerprint identical: the plan Spark chose is byte-identical,
+           so the timing delta is machine load / JIT / GC, not a change
+           in the engine.
+Queries only in one file are listed as ADDED/REMOVED.
+"""
+import json
+import sys
+
+
+def main(old_path, new_path, threshold=0.25):
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    ofp, nfp = old.get("plan_fp", {}), new.get("plan_fp", {})
+
+    rows = []
+    for k in sorted(set(oq) & set(nq)):
+        d = nq[k] - oq[k]
+        if abs(d) < threshold:
+            continue
+        fp_changed = k in ofp and k in nfp and ofp[k] != nfp[k]
+        fp_known = k in ofp and k in nfp
+        label = "PLAN " if fp_changed else ("NOISE" if fp_known else "??   ")
+        rows.append((abs(d), label, k, oq[k], nq[k], d,
+                     f"{ofp.get(k,'-')} -> {nfp.get(k,'-')}" if fp_changed else ""))
+    rows.sort(reverse=True)
+    for _, label, k, o, n, d, fp in rows:
+        print(f"{label} {k:36s} {o:7.2f} -> {n:7.2f}  ({d:+.2f} s)  {fp}")
+
+    for k in sorted(set(nq) - set(oq)):
+        print(f"ADDED {k:36s}            {nq[k]:7.2f}")
+    for k in sorted(set(oq) - set(nq)):
+        print(f"REMOVED {k:34s} {oq[k]:7.2f}")
+
+    ot, nt = old.get("value"), new.get("value")
+    print(f"\ntotal: {ot:.1f} -> {nt:.1f} s "
+          f"(loadavg {old.get('loadavg','?')} -> {new.get('loadavg','?')}); "
+          f"deltas >= {threshold}s shown; PLAN = fingerprint changed, "
+          f"NOISE = identical plan (machine variance)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         float(sys.argv[3]) if len(sys.argv) > 3 else 0.25)
