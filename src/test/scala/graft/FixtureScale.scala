@@ -67,12 +67,23 @@ object FixtureScale {
     val nSections = sections.count()
     println(f"[fixture-scale] ${k}x sessionize+sections: $nSections%,d sections " +
       f"in ${(System.nanoTime() - t3) / 1e9}%.1f s")
+
+    // effective survey length is additive across independent copies, so
+    // the 1x golden (278,828.050 m, BASELINE.md) must scale EXACTLY —
+    // a float drift or cross-copy pair leak shows up here as meters
+    val t4 = System.nanoTime()
+    val lengths = an.pipelineLengths(pipes)
+    val effM = an.effectiveLengthMeters(segs, pairs, lengths)
+    println(f"[fixture-scale] ${k}x effective length: $effM%.3f m " +
+      f"in ${(System.nanoTime() - t4) / 1e9}%.1f s")
     println(f"[fixture-scale] ${k}x TOTAL wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     assert(nSegs == k * 59190L, s"segments $nSegs != ${k * 59190L}")
     assert(nGroups == k * 17L, s"pair groups $nGroups != ${k * 17L}")
     assert(nSections == k * 351L, s"sections $nSections != ${k * 351L}")
-    println(s"[fixture-scale] GOLDEN OK: ${k}x counts are exactly k * fixture")
+    assert(math.abs(effM - k * 278828.050) < 0.01 * k,
+      s"effective $effM != $k * 278828.050")
+    println(s"[fixture-scale] GOLDEN OK: ${k}x counts and effective length are exactly k * fixture")
     spark.stop()
   }
 }
