@@ -46,16 +46,24 @@ object DedupOps {
       .select((col("doc_id") +: sigCols): _*)
   }
 
-  /** Banded LSH candidate pairs: 2 bands × 2 rows over the 4-hash
-    * signature; docs agreeing on all rows of any band become a pair.
-    * The join is keyed on (band_id, band_hash) — bounded shuffle. */
-  def lshCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  /** Per-doc LSH band keys (doc_id, band, key): 2 bands × 2 rows over
+    * the 4-hash signature. Shared by the batch pair join below and the
+    * streaming claim operator ([[graft.streaming.StreamLshDedup]]) —
+    * narrow ops only, so the same derivation runs on a stream. */
+  def bandKeys(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val sigs = minhashSignatures(docs, textCol)
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band"), concat_ws("_", col("m0"), col("m1")).as("key")),
         struct(lit(1).as("band"), concat_ws("_", col("m2"), col("m3")).as("key")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  /** Banded LSH candidate pairs: docs agreeing on all rows of any band
+    * become a pair. The join is keyed on (band_id, band_hash) —
+    * bounded shuffle. */
+  def lshCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val bands = bandKeys(docs, textCol)
     val l = bands.select(col("band"), col("key"), col("doc_id").as("d1"))
     val r = bands.select(col("band").as("band2"), col("key").as("key2"), col("doc_id").as("d2"))
     l.join(r, col("band") === col("band2") && col("key") === col("key2") &&
@@ -233,6 +241,17 @@ object DedupOps {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // streaming ingest-time dedup contract, batch-relational form:
+    // bucket owner = min doc_id per LSH band bucket, doc kept iff it
+    // owns EVERY one of its buckets (the aggressive candidate-level
+    // filter — any collision drops, no rerank). The streaming operator
+    // (graft.streaming.StreamLshDedup, chained transformWithState with
+    // TTL'd bucket state on RocksDB) is output-parity-pinned against
+    // this exact formulation in StreamLshDedupSpec.
+    "dedup_stream_keep" -> ((s, d) =>
+      graft.streaming.StreamLshDedup.batchEquivalent(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // the end-to-end materializer: the deduplicated corpus itself
     // (keeper = lowest doc_id per exact content group)
     "dedup_keep" -> ((s, d) => {
@@ -289,6 +308,26 @@ object DedupOps {
          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_stream_keep" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
+         |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
+         |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, m2::VARCHAR || '_' || m3::VARCHAR AS key FROM sigs),
+         |owners AS (
+         |  SELECT band, key, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2),
+         |verdict AS (
+         |  SELECT b.doc_id,
+         |    MAX(CASE WHEN o.owner != b.doc_id THEN 1 ELSE 0 END) AS collided
+         |  FROM bands b JOIN owners o ON b.band = o.band AND b.key = o.key
+         |  GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM verdict v JOIN documents d ON v.doc_id = d.doc_id
+         |WHERE v.collided = 0""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH ds AS (
