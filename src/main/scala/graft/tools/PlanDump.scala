@@ -41,8 +41,11 @@ object PlanDump {
       .replaceAll("@[0-9a-f]{6,}", "@*")
       .replaceAll("#\\d+", "#*")
       // iterative ops (CC) scan localCheckpoint'd RDDs whose ids are
-      // session counters: "MapPartitionsRDD[137] at localCheckpoint"
+      // session counters: "MapPartitionsRDD[137] at localCheckpoint";
+      // the call-site LINE would churn the fixture on any unrelated
+      // edit above it — keep the file, mask the line
       .replaceAll("RDD\\[\\d+\\]", "RDD[*]")
+      .replaceAll("\\.scala:\\d+", ".scala:*")
   }
 
   /** Every conf a plan CHOICE depends on is pinned explicitly — the
