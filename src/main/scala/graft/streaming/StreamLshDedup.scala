@@ -18,10 +18,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   *  1. CLAIM, keyed by (band, key): one ValueState[Long] per LSH
   *     bucket remembering the first doc that claimed it (ties within a
   *     batch break to the lowest doc_id); every row comes out with a
-  *     per-band `collided` verdict. Bucket space is unbounded over an
-  *     infinite stream, so the state carries a configurable TTL —
-  *     a bucket not re-touched within the TTL window expires, the
-  *     documented recall/state trade of every production stream dedup.
+  *     per-band `collided` verdict. Bucket space grows with distinct
+  *     content over an infinite stream — bound it operationally by
+  *     running the filter per retention epoch (fresh checkpoint per
+  *     window), the recall/state trade every production stream dedup
+  *     makes. (State TTL would express this in-place, but TTL requires
+  *     TimeMode.ProcessingTime and a ProcessingTime TWS deadlocks
+  *     `processAllAvailable` in Spark 4.1.2 local mode — probed and
+  *     rejected rather than shipped untested.)
   *  2. VERDICT, keyed by doc_id: counts its nBands verdicts (they all
   *     arrive in the doc's own microbatch — stage 1 emits
   *     synchronously) and emits (doc_id, kept) once complete, clearing
@@ -43,11 +47,11 @@ object StreamLshDedup {
   final case class Kept(doc_id: Long, kept: Boolean)
 
   /** Stage 1: first doc to touch an LSH bucket owns it. */
-  class ClaimProcessor(ttl: TTLConfig)
+  class ClaimProcessor
       extends StatefulProcessor[(Int, String), BandRow, Verdict] {
     @transient private var owner: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      owner = getHandle.getValueState[Long]("owner", Encoders.scalaLong, ttl)
+      owner = getHandle.getValueState[Long]("owner", Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(key: (Int, String), rows: Iterator[BandRow],
         tv: TimerValues): Iterator[Verdict] = {
       val sorted = rows.toSeq.sortBy(_.doc_id)
@@ -77,15 +81,14 @@ object StreamLshDedup {
 
   /** Streaming (doc_id, text) → (doc_id, kept). Requires the RocksDB
     * state store provider. */
-  def keep(docs: DataFrame, textCol: String = "text",
-      bucketTtl: TTLConfig = TTLConfig.NONE): Dataset[Kept] = {
+  def keep(docs: DataFrame, textCol: String = "text"): Dataset[Kept] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val nBands = 2 // bandKeys emits 2 bands over the 4-lane signature
     graft.ops.DedupOps.bandKeys(docs, textCol)
       .select(col("band"), col("key"), col("doc_id")).as[BandRow]
       .groupByKey(r => (r.band, r.key))
-      .transformWithState(new ClaimProcessor(bucketTtl),
+      .transformWithState(new ClaimProcessor,
         TimeMode.None(), OutputMode.Append())
       .groupByKey(_.doc_id)
       .transformWithState(new VerdictProcessor(nBands),

@@ -68,4 +68,5 @@ class StreamLshDedupSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
 }
