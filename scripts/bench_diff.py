@@ -16,9 +16,24 @@ import json
 import sys
 
 
+def load(path):
+    """Load a bench artifact: either Bench's own JSON line (BENCH_FULL.json)
+    or the driver wrapper (BENCH_r0N.json), which nests it under 'parsed'."""
+    try:
+        d = json.load(open(path))
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        sys.exit(f"{path}: not JSON ({e})")
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    if not isinstance(d.get("queries"), dict):
+        sys.exit(f"{path}: no 'queries' map found — not a bench artifact "
+                 f"(keys: {sorted(d)[:8]})")
+    return d
+
+
 def main(old_path, new_path, threshold=0.25):
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
+    old = load(old_path)
+    new = load(new_path)
     oq, nq = old.get("queries", {}), new.get("queries", {})
     ofp, nfp = old.get("plan_fp", {}), new.get("plan_fp", {})
 
@@ -42,7 +57,10 @@ def main(old_path, new_path, threshold=0.25):
         print(f"REMOVED {k:34s} {oq[k]:7.2f}")
 
     ot, nt = old.get("value"), new.get("value")
-    print(f"\ntotal: {ot:.1f} -> {nt:.1f} s "
+    totals = (f"total: {ot:.1f} -> {nt:.1f} s"
+              if isinstance(ot, (int, float)) and isinstance(nt, (int, float))
+              else "total: n/a (missing 'value' in one file)")
+    print(f"\n{totals} "
           f"(loadavg {old.get('loadavg','?')} -> {new.get('loadavg','?')}); "
           f"deltas >= {threshold}s shown; PLAN = fingerprint changed, "
           f"NOISE = identical plan (machine variance)")
