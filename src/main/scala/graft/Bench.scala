@@ -43,6 +43,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // full (untruncated) scan metadata in plan text: the default
+      // 100-char cut falls mid-DataFilters at a point that shifts with
+      // exprId digit width (a session counter), destabilizing the
+      // plan fingerprint (round-5 q15/q19 hash churn)
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -57,7 +57,11 @@ object PlanDump {
     "spark.sql.shuffle.partitions" -> "4",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.autoBroadcastJoinThreshold" -> "10485760")
+    "spark.sql.autoBroadcastJoinThreshold" -> "10485760",
+    // no mid-metadata truncation: the default 100-char cut lands at a
+    // position that depends on exprId digit width (session counter),
+    // so truncated DataFilters text churns fingerprints and fixtures
+    "spark.sql.maxMetadataStringLength" -> "100000")
 
   def session(): SparkSession = {
     val b = SparkSession.builder()

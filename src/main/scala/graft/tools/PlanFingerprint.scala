@@ -18,7 +18,7 @@ import org.apache.spark.sql.execution.exchange.Exchange
   */
 object PlanFingerprint {
 
-  /** @param hash     12-hex md5 of the canonicalized pre-AQE physical plan
+  /** @param hash     12-hex md5 of the masked pre-AQE physical plan text
     * @param exchanges  shuffle + broadcast exchange nodes in the plan
     * @param scans      leaf scan nodes
     * @param pushedFilters  filters pushed into file scans (sum)
@@ -36,23 +36,8 @@ object PlanFingerprint {
     * after execution) — the initial plan is fully determined by
     * code + statistics, i.e. reproducible across rounds. */
   def of(df: DataFrame): Fp = {
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.initialPlan
-      case p => p
-    }
-    // canonicalization normalizes exprIds but NOT (a) the session-global
-    // plan_id counter ("[plan_id=175]") — depends on how many queries
-    // ran earlier in the session; (b) typed-lambda identities
-    // ("$Lambda$3667/0x00007fb6...@71bb6009") — JVM memory addresses;
-    // (c) subquery/exchange tags ("scalar-subquery#123", "[id=#45]") —
-    // session counters. Mask all of them or fingerprints differ across
-    // runs of the IDENTICAL query.
-    val canon = plan.canonicalized.toString
-      .replaceAll("plan_id=\\d+", "plan_id=*")
-      .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$Lambda\\$*")
-      .replaceAll("@[0-9a-f]{6,}", "@*")
-      .replaceAll("#\\d+", "#*")
+    val plan = initialPlan(df)
+    val canon = canonText(plan)
     val md5 = java.security.MessageDigest.getInstance("MD5")
     val hash = md5.digest(canon.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -68,4 +53,45 @@ object PlanFingerprint {
     val readCols = fileScans.map(_.requiredSchema.size).sum
     Fp(hash, exchanges, leaves.size, pushed, readCols)
   }
+
+  /** The pre-AQE plan whose text gets fingerprinted. */
+  def initialPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+
+  /** Masked fingerprint text for `df` — what [[of]] hashes. */
+  def textOf(df: DataFrame): String = canonText(initialPlan(df))
+
+  /** The masked plan text that gets hashed.
+    *
+    * Hashes the plan's OWN toString, NOT `plan.canonicalized.toString`:
+    * canonicalization reorders commutative comparisons by expression
+    * hashCode (`Canonicalize.expressionReorder`), and expression
+    * hashCodes include `ExprId.jvmId` — a RANDOM per-JVM UUID. A
+    * predicate containing a scalar subquery therefore rendered as
+    * `(subquery < a)` in one JVM and `(a > subquery)` in another,
+    * flipping the hash between bench runs with zero plan change (the
+    * round-5 q15/q17/q19/subquery_above_avg instability). The raw plan
+    * text is deterministic optimizer output; session-varying tokens in
+    * it are masked instead: (a) the session-global plan_id counter
+    * ("[plan_id=175]"); (b) typed-lambda identities
+    * ("$Lambda$3667/0x00007fb6...@71bb6009") — JVM memory addresses;
+    * (c) exprIds and subquery/exchange tags ("l_orderkey#123",
+    * "scalar-subquery#123", "[id=#45]") — session counters. Exposed
+    * (not inlined in [[of]]) so the stability spec and the FpDebug
+    * tool can diff the exact hashed bytes when a mask class is missing.
+    */
+  def canonText(plan: org.apache.spark.sql.execution.SparkPlan): String =
+    plan.toString
+      .replaceAll("plan_id=\\d+", "plan_id=*")
+      .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$Lambda\\$*")
+      .replaceAll("@[0-9a-f]{6,}", "@*")
+      .replaceAll("#\\d+", "#*")
+      // iterative ops (CC) embed localCheckpoint'd RDD ids (session
+      // counters) and call-site line numbers (churn on unrelated edits)
+      .replaceAll("RDD\\[\\d+\\]", "RDD[*]")
+      .replaceAll("\\.scala:\\d+", ".scala:*")
 }

@@ -126,6 +126,54 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("plan fingerprint is session-stable on scalar-subquery plans") {
+    // Round-5 instability, two independent causes, both fixed:
+    //  1. hashing `canonicalized.toString` — canonicalization reorders
+    //     commutative comparisons by expression hashCode, which embeds
+    //     ExprId.jvmId (a RANDOM per-JVM UUID), so `a > subquery`
+    //     rendered as `(subquery < a)` or `(a > subquery)` per JVM.
+    //     Fixed by hashing the plan's own toString with exprIds masked.
+    //  2. the 100-char scan-metadata truncation cut DataFilters at a
+    //     point that shifts with exprId DIGIT WIDTH (a session
+    //     counter). Fixed by pinning spark.sql.maxMetadataStringLength
+    //     high in every fingerprinting session (PlanDump/Bench).
+    // Here: fingerprint the 4 affected queries in two fresh sessions
+    // with the exprId counter deliberately advanced in between; text
+    // and hash must match, and no volatile token may survive masking.
+    val names = Seq("q15_top_supplier", "subquery_above_avg",
+      "q19_brandqty", "q17_small_qty")
+    def inFreshSession(): Map[String, String] = {
+      val s = spark.newSession()
+      graft.tools.PlanDump.PinnedConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      names.map(n => n -> graft.tools.PlanFingerprint.textOf(
+        SparkEntry.queries(n)(s, sf))).toMap
+    }
+    val first = inFreshSession()
+    // advance exprId/plan_id counters the way a long bench run does
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(names.contains).take(25)
+      .foreach { n =>
+        try SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan
+        catch { case _: Throwable => () }
+      }
+    val second = inFreshSession()
+    names.foreach { n =>
+      assert(first(n) == second(n),
+        s"$n fingerprint text drifted between fresh sessions:\n" +
+          first(n).linesIterator.zipAll(second(n).linesIterator, "<EOF>", "<EOF>")
+            .find { case (a, b) => a != b }.mkString("\n"))
+      // mask completeness: any raw session counter or identity hash
+      // left in the text would reintroduce cross-run churn
+      val volatileToken = "#\\d+|plan_id=\\d+|@[0-9a-f]{6,}|\\$Lambda\\$\\d+|RDD\\[\\d+\\]".r
+      val leaked = volatileToken.findFirstIn(first(n))
+      assert(leaked.isEmpty, s"unmasked volatile token in $n: $leaked")
+      // truncation-free: a '...' inside scan metadata means the
+      // maxMetadataStringLength pin is not reaching this session
+      assert(!first(n).linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("..., ")),
+        s"truncated scan metadata in $n — maxMetadataStringLength not pinned")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     val conf = spark.conf
