@@ -38,25 +38,31 @@ object DedupOps {
   /** Sentinel for empty shingle sets (min over empty). */
   val EmptySig = HashMod
 
-  def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+      passthrough: Seq[String] = Nil): DataFrame = {
     // one-pass native kernel: all four lanes from a single shingle scan
     val sig = graft.functions.TextNative.minhash_sig(col(textCol), A, B)
     val sigCols = A.indices.map(i => element_at(col("_sig"), i + 1).as(s"m$i"))
     docs.withColumn("_sig", sig)
-      .select((col("doc_id") +: sigCols): _*)
+      .select((col("doc_id") +: passthrough.map(col) ++: sigCols): _*)
   }
 
   /** Per-doc LSH band keys (doc_id, band, key): 2 bands × 2 rows over
     * the 4-hash signature. Shared by the batch pair join below and the
     * streaming claim operator ([[graft.streaming.StreamLshDedup]]) —
-    * narrow ops only, so the same derivation runs on a stream. */
-  def bandKeys(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol)
-    sigs.select(col("doc_id"),
+    * narrow ops only, so the same derivation runs on a stream.
+    * `passthrough` columns ride along per band row (the expiring
+    * streaming variant needs the watermarked event-time column to
+    * survive into the keyed state operator). */
+  def bandKeys(docs: DataFrame, textCol: String = "text",
+      passthrough: Seq[String] = Nil): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, passthrough)
+    sigs.select(col("doc_id") +: passthrough.map(col) :+
       explode(array(
         struct(lit(0).as("band"), concat_ws("_", col("m0"), col("m1")).as("key")),
-        struct(lit(1).as("band"), concat_ws("_", col("m2"), col("m3")).as("key")))).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+        struct(lit(1).as("band"), concat_ws("_", col("m2"), col("m3")).as("key")))).as("b"): _*)
+      .select(col("doc_id") +: passthrough.map(col) :+
+        col("b.band").as("band") :+ col("b.key").as("key"): _*)
   }
 
   /** Banded LSH candidate pairs: docs agreeing on all rows of any band

@@ -51,7 +51,13 @@ object Relational {
     "agg_countdistinct" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       def dcount(name: String, keys: Column*) =
-        li.select(col("l_returnflag") +: keys: _*).distinct()
+        // NULL parity with countDistinct: count(DISTINCT a, b) skips
+        // rows with ANY null arg, but count(1)-after-distinct would
+        // count a null tuple as a value — filter them out first
+        // (no-op on TPC-H keys, which are non-null)
+        li.select(col("l_returnflag") +: keys: _*)
+          .filter(keys.map(_.isNotNull).reduce(_ && _))
+          .distinct()
           .groupBy("l_returnflag").agg(count(lit(1)).as(name))
       dcount("n_parts", col("l_partkey"))
         .join(dcount("n_supps", col("l_suppkey")), "l_returnflag")

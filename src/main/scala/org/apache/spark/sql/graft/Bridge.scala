@@ -32,6 +32,17 @@ object Bridge {
     * session default — constant-size stats, identical results, and the
     * broadcast decisions inside the loop don't WANT origin stats
     * anyway (label frames are never broadcastable at scale).
+    *
+    * VERSION PIN (Spark 4.1.x): this leans on three internal shapes —
+    * the `classic.Dataset` cast, `LogicalRDD.fromDataset(rdd, ds,
+    * isStreaming)`, and the curried `copy()(session, originStats,
+    * originConstraints)` whose two `None`s are exactly the stats-drop
+    * this method exists for. A Spark upgrade that changes any of them
+    * fails COMPILATION here (good — loud), but if `copy`'s signature
+    * gains parameters with defaults it could silently stop dropping
+    * stats: BridgeStatsSpec pins the behavior (estimate stays at the
+    * session default through self-join rounds, vs the cubing plain
+    * localCheckpoint baseline), so a silent regression fails CI.
     */
   def freshLocalCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]

@@ -69,4 +69,107 @@ class StreamLshDedupSpec extends AnyFunSuite {
     }
   }
 
+  // base minute offset: events at epoch-0 would tie the INITIAL
+  // watermark and be dropped as late rows before reaching the operator
+  private def ts(min: Long) = new java.sql.Timestamp((1000000L + min) * 60000L)
+
+  /** Claim-store row count from the most recent DATA batch: TWS
+    * operators report numRowsTotal=0 on the no-data batches
+    * processAllAvailable appends, so lastProgress is useless — scan
+    * recentProgress for the last batch that actually took input. The
+    * claim operator is the max across operators (stage-2 verdict state
+    * is transient within a batch, so it reports 0 or near-0). */
+  private def claimRowsLastDataBatch(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.filter(_.numInputRows > 0).lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).max).getOrElse(-1L)
+
+  test("keepExpiring: buckets are watermark-evicted in place; dup after horizon kept") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.sparkContext.setLogLevel("WARN")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDb)
+    val retentionMs = 30L * 60000 // 30 min of event-time silence
+    try {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val stream = mem.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "0 seconds")
+      val q = graft.streaming.StreamLshDedup.keepExpiring(
+          stream, retentionMs = retentionMs)
+        .writeStream.format("memory").queryName("lsh_dedup_exp")
+        .outputMode("append").start()
+      try {
+        // batch 1 at T+0: dup pair 1≈2 within one batch + one unique.
+        // Bucket timers arm at T+30min.
+        mem.addData((1L, "duplicate payload arriving in two different micro batches here", ts(0)),
+          (2L, "duplicate payload arriving in two different micro batches here", ts(0)),
+          (3L, "completely different text about spark query engines at scale", ts(0)))
+        q.processAllAvailable()
+        assert(claimRowsLastDataBatch(q) > 0, "claim state must hold live buckets")
+        // batch 2 at T+60: watermark reaches T+60 after it, so the
+        // T+30 timers fire and every batch-1 bucket forgets its owner
+        mem.addData((4L, "yet another unrelated document mentioning parquet and shuffles", ts(60)))
+        q.processAllAvailable()
+        mem.addData((5L, "fresh filler document to push the event time watermark forward", ts(120)))
+        q.processAllAvailable()
+        // batch 4: doc 6 re-sends doc 1's text AFTER its buckets
+        // expired -> no collision recorded, doc 6 is KEPT (the
+        // retention recall trade, made in place, no epoch restart)
+        mem.addData((6L, "duplicate payload arriving in two different micro batches here", ts(150)))
+        q.processAllAvailable()
+        val out = spark.table("lsh_dedup_exp")
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        assert(out(1L) && !out(2L), "within-horizon dup must still drop (parity)")
+        assert(out(3L) && out(4L) && out(5L), "uniques kept")
+        assert(out(6L), s"dup after retention horizon must be kept, got $out")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("keepExpiring: claim state-row count drops after the horizon passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.sparkContext.setLogLevel("WARN")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDb)
+    try {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val stream = mem.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "0 seconds")
+      val q = graft.streaming.StreamLshDedup.keepExpiring(
+          stream, retentionMs = 30L * 60000)
+        .writeStream.format("memory").queryName("lsh_dedup_exp2")
+        .outputMode("append").start()
+      try {
+        // 3 unique docs -> 6 claimed buckets, timers at T+30min
+        mem.addData(
+          (1L, "one document claiming a pair of lsh buckets right now", ts(0)),
+          (2L, "a second unrelated document claiming two more buckets here", ts(0)),
+          (3L, "a third distinct text occupying its own two lsh buckets", ts(0)))
+        q.processAllAvailable()
+        val before = claimRowsLastDataBatch(q)
+        assert(before >= 6, s"3 docs x 2 bands must claim >= 6 buckets, saw $before")
+        // two watermark pushers an hour apart: by the second pusher's
+        // data batch the T+30 timers have fired, so its end-of-batch
+        // total holds only the pushers' own (still-live) buckets
+        mem.addData((4L, "watermark pusher number one far in the future of them", ts(60)))
+        q.processAllAvailable()
+        mem.addData((5L, "watermark pusher number two even further in the future", ts(120)))
+        q.processAllAvailable()
+        val after = claimRowsLastDataBatch(q)
+        assert(after >= 0 && after < before,
+          s"expired buckets must leave the store: before=$before after=$after")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
 }
