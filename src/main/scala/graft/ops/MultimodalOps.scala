@@ -63,13 +63,50 @@ object MultimodalOps {
     }
   // ---------------------------------------------------------------------
 
+  /** REAL raster decode via `javax.imageio` (pure JVM — PNG/JPEG/GIF/
+    * BMP, no external libs): width/height from the decoded
+    * `BufferedImage`, channels from its ColorModel, n_frames = 1
+    * (still images). Runs through the SAME batch contract as the stub.
+    * Payloads ImageIO can't decode (audio/video rows, corrupt bytes)
+    * fall back to the deterministic stub so the batch function stays
+    * total — a real pipeline would route those to format-specific
+    * decoders instead. */
+  private def decodeBatchImageIO(batch: Seq[MediaRow]): Seq[DecodedMeta] =
+    batch.map { m =>
+      val img =
+        if (m.media_type != "image") None
+        else
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload)))
+          catch { case _: java.io.IOException => None }
+      img match {
+        case Some(i) => DecodedMeta(
+          m.doc_id, m.media_type, m.payload.length.toLong,
+          width = i.getWidth, height = i.getHeight,
+          channels = i.getColorModel.getNumComponents, n_frames = 1)
+        case None => decodeBatchStub(Seq(m)).head
+      }
+    }
+
+  /** Decoder selector: `Stub` keeps the md5-derived fake (the
+    * DuckDB-oracle-checkable default the driver queries use);
+    * `ImageIO` is the real JVM raster decoder above. */
+  sealed trait Decoder
+  case object Stub extends Decoder
+  case object ImageIO extends Decoder
+
   /** Batched decode over partitions: iterator-of-batches in/out, the
     * mapInPandas shape. No shuffle — decode parallelism = partitions. */
   def decodeMeta(mediaDs: Dataset[MediaRow],
-      batchSize: Int = DecodeBatchSize): Dataset[DecodedMeta] = {
+      batchSize: Int = DecodeBatchSize,
+      decoder: Decoder = Stub): Dataset[DecodedMeta] = {
     val spark = mediaDs.sparkSession
     import spark.implicits._
-    mediaDs.mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatchStub))
+    val decodeBatch: Seq[MediaRow] => Seq[DecodedMeta] = decoder match {
+      case Stub => decodeBatchStub
+      case ImageIO => decodeBatchImageIO
+    }
+    mediaDs.mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
   }
 
   /** Fit-into-`target`×`target` resize: pure integer metadata math

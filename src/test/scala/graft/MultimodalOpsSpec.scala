@@ -38,4 +38,61 @@ class MultimodalOpsSpec extends AnyFunSuite {
     val plan = MultimodalOps.decodeMeta(ds).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
   }
+
+  /** Encode a real raster in memory and return its bytes. */
+  private def imageBytes(w: Int, h: Int, argb: Boolean, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      if (argb) java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 7) | 0xff000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+    bos.toByteArray
+  }
+
+  test("ImageIO decoder: real PNG/JPEG metadata through the batched path") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // real images with known dimensions/bands + one audio row and one
+    // corrupt "image" that must fall back to the deterministic stub
+    val png3 = imageBytes(5, 3, argb = false, "png")    // 3-channel RGB
+    val png4 = imageBytes(8, 2, argb = true, "png")     // 4-channel ARGB
+    val jpg = imageBytes(7, 4, argb = false, "jpg")     // JPEG, 3 bands
+    val rows = Seq(
+      MediaRow(1L, png3, "image"),
+      MediaRow(2L, png4, "image"),
+      MediaRow(3L, jpg, "image"),
+      MediaRow(4L, "not an image at all".getBytes("UTF-8"), "audio"),
+      MediaRow(5L, Array[Byte](1, 2, 3, 4), "image")) // undecodable
+    // batchSize 2 -> partial batches; 2 partitions -> the real decoder
+    // runs through exactly the stub's mapPartitions/grouped plumbing
+    val out = MultimodalOps.decodeMeta(
+        spark.createDataset(rows).repartition(2),
+        batchSize = 2, decoder = MultimodalOps.ImageIO)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.size == 5, "no row loss through the real decoder")
+    assert((out(1L).width, out(1L).height, out(1L).channels, out(1L).n_frames)
+      == ((5, 3, 3, 1)))
+    assert((out(2L).width, out(2L).height, out(2L).channels) == ((8, 2, 4)))
+    assert((out(3L).width, out(3L).height, out(3L).channels) == ((7, 4, 3)))
+    assert(out(1L).n_bytes == png3.length.toLong)
+    // fallback rows carry the stub's md5-derived dimensions
+    val stubbed = Seq(out(4L), out(5L))
+    assert(stubbed.forall(r => r.width >= 16 && r.height >= 16),
+      s"fallback rows must come from the stub: $stubbed")
+  }
+
+  test("driver query output is unchanged by the decoder flag (stub default)") {
+    import spark.implicits._
+    val rows = (0L until 50L).map(i =>
+      MediaRow(i, s"payload-$i".getBytes("UTF-8"),
+        Seq("image", "audio", "video")((i % 3).toInt)))
+    val ds = spark.createDataset(rows)
+    val default = MultimodalOps.decodeMeta(ds).collect().sortBy(_.doc_id)
+    val explicitStub = MultimodalOps.decodeMeta(ds,
+      decoder = MultimodalOps.Stub).collect().sortBy(_.doc_id)
+    assert(default.sameElements(explicitStub),
+      "default decoder must remain the oracle-checkable stub")
+  }
 }
