@@ -23,7 +23,13 @@ object PlanDump {
   val Audited: Seq[String] = Seq(
     "emb_dedup_keep", "dedup_cc_groups", "dedup_containment",
     "dedup_cc_keep", "rec_cte_tree", "q9_profit", "event_funnel",
-    "layout_compact", "dedup_ngram_jaccard", "dq_profile")
+    "layout_compact", "dedup_ngram_jaccard", "dq_profile",
+    // the 9 reference-core fixture stages: cheap individually, but
+    // their plan shape IS the reference pipeline — a silently lost
+    // broadcast or extra exchange here regresses every pipe_* run
+    "pipe_lengths", "pipe_segments_count", "pipe_pair_groups",
+    "pipe_sections", "pipe_sections_all", "pipe_overlaps",
+    "pipe_top_sections", "pipe_totals", "pipe_effective_length")
 
   val PlansDir = "fixtures/plans"
   val Sf = "/root/testdata/sf0.01"

@@ -93,7 +93,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), s"hint must force shuffle-hash:\n$p")
   }
 
-  test("committed plans for the top-10 expensive queries match regeneration") {
+  test("committed plans (top-10 expensive + 9 pipe_* fixture stages) match regeneration") {
     // fixtures/plans/*.txt are written by graft.tools.PlanDump and
     // committed; regenerating them here means a plan regression (lost
     // broadcast, extra exchange, dropped pushdown) fails CI and shows
