@@ -258,6 +258,21 @@ object DedupOps {
       graft.streaming.StreamLshDedup.batchEquivalent(t(s, d, "documents"))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // the EXPIRING streaming contract, batch-relational form: bucket
+    // touches sessionized by event time (gap > retention = the expiry
+    // timer cleared the claim), session's first toucher owns, doc kept
+    // iff it owns every bucket session. Synthetic event time 1 s per
+    // doc_id; retention 100 s splits the corpus's bucket-revisit gaps
+    // (median ~154 s at sf0.01) so both expired and live collisions
+    // occur. Streaming side: StreamLshDedup.keepExpiring (event-time
+    // timers, watermark eviction), parity-pinned in StreamLshDedupSpec.
+    "dedup_stream_keep_recent" -> ((s, d) =>
+      graft.streaming.StreamLshDedup.batchEquivalentExpiring(
+          t(s, d, "documents")
+            .withColumn("ts_us", col("doc_id") * lit(1000000L)),
+          retentionUs = 100L * 1000000)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // the end-to-end materializer: the deduplicated corpus itself
     // (keeper = lowest doc_id per exact content group)
     "dedup_keep" -> ((s, d) => {
@@ -331,6 +346,40 @@ object DedupOps {
          |    MAX(CASE WHEN o.owner != b.doc_id THEN 1 ELSE 0 END) AS collided
          |  FROM bands b JOIN owners o ON b.band = o.band AND b.key = o.key
          |  GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM verdict v JOIN documents d ON v.doc_id = d.doc_id
+         |WHERE v.collided = 0""".stripMargin,
+
+    // sessionized ownership: ts_us = doc_id * 1e6, retention 100 s
+    "dedup_stream_keep_recent" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
+         |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
+         |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, doc_id * 1000000 AS ts_us,
+         |    0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, doc_id * 1000000, 1,
+         |    m2::VARCHAR || '_' || m3::VARCHAR FROM sigs),
+         |sess AS (
+         |  SELECT doc_id, ts_us, band, key,
+         |    CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+         |           OR ts_us - lag(ts_us) OVER w > 100000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM bands WINDOW w AS (PARTITION BY band, key ORDER BY ts_us, doc_id)),
+         |numbered AS (
+         |  SELECT *, SUM(new_sess) OVER
+         |    (PARTITION BY band, key ORDER BY ts_us, doc_id) AS sess_id
+         |  FROM sess),
+         |owned AS (
+         |  SELECT doc_id, FIRST_VALUE(doc_id) OVER
+         |    (PARTITION BY band, key, sess_id ORDER BY ts_us, doc_id) AS owner
+         |  FROM numbered),
+         |verdict AS (
+         |  SELECT doc_id,
+         |    MAX(CASE WHEN owner != doc_id THEN 1 ELSE 0 END) AS collided
+         |  FROM owned GROUP BY 1)
          |SELECT d.doc_id, d.lang, d.source
          |FROM verdict v JOIN documents d ON v.doc_id = d.doc_id
          |WHERE v.collided = 0""".stripMargin,

@@ -213,4 +213,43 @@ object StreamLshDedup {
       .agg(max(when(col("owner") =!= col("doc_id"), 1).otherwise(0)).as("collided"))
     docs.join(verdict.filter(col("collided") === 0).select("doc_id"), "doc_id")
   }
+
+  /** Batch-relational equivalent of [[keepExpiring]]: bucket touches
+    * are SESSIONIZED by event time (a gap > retentionUs between
+    * consecutive touches of a bucket starts a fresh ownership — the
+    * relational mirror of the expiry timer clearing the claim), the
+    * session's first toucher owns it, and a doc survives iff it owns
+    * every one of its buckets' sessions.
+    *
+    * One shuffle on (band, key) feeds both windows and the final
+    * per-doc aggregation regroups on doc_id — no state, no corpus
+    * re-scan, oracle-checkable (driver query `dedup_stream_keep_recent`).
+    *
+    * Streaming convergence caveat: the streaming operator expires a
+    * bucket when the WATERMARK passes last-touch + retention, so a
+    * duplicate can land in a microbatch where the gap already exceeds
+    * retention but the watermark has not yet crossed the deadline —
+    * it is then dropped where this formulation keeps it. With the
+    * watermark advancing between touches (steady-state streams; the
+    * parity spec's feed), the two agree exactly. */
+  def batchEquivalentExpiring(docs: DataFrame, textCol: String = "text",
+      tsUsCol: String = "ts_us", retentionUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = graft.ops.DedupOps.bandKeys(docs, textCol,
+      passthrough = Seq(tsUsCol))
+    val touchW = Window.partitionBy("band", "key")
+      .orderBy(col(tsUsCol), col("doc_id"))
+    val sess = bands
+      .withColumn("gap_us", col(tsUsCol) - lag(col(tsUsCol), 1).over(touchW))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > retentionUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(touchW))
+    val sessW = Window.partitionBy("band", "key", "sess_id")
+      .orderBy(col(tsUsCol), col("doc_id"))
+    val verdict = sess
+      .withColumn("owner", first(col("doc_id")).over(sessW))
+      .groupBy("doc_id")
+      .agg(max(when(col("owner") =!= col("doc_id"), 1).otherwise(0)).as("collided"))
+    docs.join(verdict.filter(col("collided") === 0).select("doc_id"), "doc_id")
+  }
 }

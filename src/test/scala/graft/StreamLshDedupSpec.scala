@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamLshDedup
 
@@ -124,6 +125,58 @@ class StreamLshDedupSpec extends AnyFunSuite {
         assert(out(1L) && !out(2L), "within-horizon dup must still drop (parity)")
         assert(out(3L) && out(4L) && out(5L), "uniques kept")
         assert(out(6L), s"dup after retention horizon must be kept, got $out")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("keepExpiring ≡ batchEquivalentExpiring on a watermark-advancing feed") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.sparkContext.setLogLevel("WARN")
+    val retentionMs = 30L * 60000
+    // one doc per microbatch, ascending time — the regime where the
+    // streaming watermark eviction and the relational gap-sessionized
+    // ownership agree exactly. d2 collides in-horizon (gap 10 < 30 min
+    // from d1's buckets), d5 re-sends d1's text after two intermediate
+    // docs pushed the watermark past the deadline (gap 80 > 30) — the
+    // batch side must KEEP d5 for the same reason the stream does.
+    val feed = Seq(
+      (1L, "duplicate payload arriving in two different micro batches here", 0L),
+      (2L, "duplicate payload arriving in two different micro batches here", 10L),
+      (3L, "completely different text about spark query engines at scale", 50L),
+      (4L, "yet another unrelated document mentioning parquet and shuffles", 80L),
+      (5L, "duplicate payload arriving in two different micro batches here", 90L))
+
+    val batchDf = feed.toDF("doc_id", "text", "min")
+      .withColumn("ts_us", col("min") * 60000000L).drop("min")
+    val want = graft.streaming.StreamLshDedup.batchEquivalentExpiring(
+        batchDf, retentionUs = retentionMs * 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want == Set(1L, 3L, 4L, 5L),
+      s"batch side: expected in-horizon dup 2 dropped, post-horizon dup 5 kept, got $want")
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDb)
+    try {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val stream = mem.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "0 seconds")
+      val q = graft.streaming.StreamLshDedup.keepExpiring(
+          stream, retentionMs = retentionMs)
+        .writeStream.format("memory").queryName("lsh_dedup_parity")
+        .outputMode("append").start()
+      try {
+        feed.foreach { case (id, text, min) =>
+          mem.addData((id, text, ts(min)))
+          q.processAllAvailable()
+        }
+        val kept = spark.table("lsh_dedup_parity")
+          .filter(col("kept")).collect().map(_.getLong(0)).toSet
+        assert(kept == want, s"stream kept $kept, batch equivalent kept $want")
       } finally q.stop()
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)
