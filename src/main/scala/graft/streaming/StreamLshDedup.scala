@@ -201,6 +201,26 @@ object StreamLshDedup {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Offline snapshot of the claim store from a [[keepExpiring]] (or
+    * [[keep]]) checkpoint, via Spark 4's `statestore` reader: one row
+    * per live LSH bucket with its owning doc_id, as of the latest
+    * committed batch — the operational "what does the dedup filter
+    * currently remember" view, readable without touching the running
+    * query (point-in-time via `.option("batchId", n)` upstream if
+    * needed). `operatorId` 1 is the claim stage's position in the
+    * chained plan (0 = the downstream verdict stage — Spark numbers
+    * stateful operators sink-first); StateIntrospectionSpec pins both
+    * the numbering and the key layout against the relational bandKeys
+    * derivation, so a Spark change to either fails CI. */
+  def ownerState(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String): DataFrame =
+    spark.read.format("statestore")
+      .option("operatorId", 1)
+      .option("stateVarName", "owner")
+      .load(checkpointDir)
+      .select(col("key._1").as("band"), col("key._2").as("key"),
+        col("value.value").as("owner"))
+
   /** Batch-relational equivalent of [[keep]] for a doc_id-ascending
     * feed: bucket owner = MIN doc_id, a doc survives iff it owns every
     * bucket. Two keyed aggregations + one semi-filter join — no state,

@@ -58,10 +58,18 @@ class StreamLshDedupSpec extends AnyFunSuite {
         mem.addData(docs.take(3): _*); q.processAllAvailable()
         mem.addData(docs.slice(3, 5): _*); q.processAllAvailable()
         mem.addData(docs.drop(5): _*); q.processAllAvailable()
+        // TWO more dups of doc 5's text in ONE batch: the bucket's
+        // owner already exists, so this exercises the zero-buffering
+        // lazy verdict path with a MULTI-row group (the map over the
+        // live input iterator) — both must collide
+        mem.addData(7L -> docs(4)._2, 8L -> docs(4)._2); q.processAllAvailable()
       } finally q.stop()
       val out = spark.table("lsh_dedup")
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-      assert(out.keySet == docs.map(_._1).toSet, "every doc must get a verdict")
+      assert(out.keySet == docs.map(_._1).toSet + 7L + 8L,
+        "every doc must get a verdict")
+      assert(!out(7L) && !out(8L),
+        s"multi-row lazy claim path must report both collisions, got $out")
       assert(out.filter(_._2).keySet == want,
         s"stream kept ${out.filter(_._2).keySet}, batch kept $want")
     } finally prev match {
