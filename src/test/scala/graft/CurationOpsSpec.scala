@@ -106,4 +106,31 @@ class CurationOpsSpec extends AnyFunSuite {
     // only that pair survives — bounded fanout, deterministic keep-set
     assert(pairs(2) == Map((1L, 2L) -> 3L))
   }
+
+  test("observedHealth: metrics ride the main scan — no second pass") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val df = Seq(
+      (1L, "some actual document text", "en"),
+      (2L, "", "en"),
+      (3L, "   ", null.asInstanceOf[String]),
+      (4L, "more text here", "de")).toDF("doc_id", "text", "lang")
+    val (observed, obs) = CurationOps.observedHealth(df)
+    // the observed frame is the same rows (pass-through operator) ...
+    assert(observed.count() == 4)
+    // ... and after that ONE action the counters are available
+    val m = obs.get
+    assert(m("n_docs") == 4L)
+    assert(m("n_empty_text") == 2L, s"blank + whitespace-only: $m")
+    assert(m("n_null_lang") == 1L)
+    assert(m("total_chars") == df.select(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length($"text"))).head.getLong(0))
+    // single-pass claim, verified against the plan: CollectMetrics is
+    // a pass-through node, no extra exchange or subtree duplication
+    val plan = observed.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectMetrics"), plan)
+    assert(!plan.contains("Exchange"),
+      s"observe must not add a shuffle to a narrow pipeline:\n$plan")
+  }
 }
