@@ -20,25 +20,36 @@ object CurationOps {
 
   // ------------------------------------------------ observed metrics
 
-  /** Attach single-pass corpus health counters to a curation frame via
-    * `Dataset.observe` (Catalyst CollectMetrics): row count, empty-text
-    * count, null-lang count, total chars. The metrics ride the SAME
-    * scan that produces `df`'s output — at 100 TB that is the
-    * difference between "data-quality dashboard for free" and a second
-    * full pass over the corpus. Read the values from the returned
-    * [[org.apache.spark.sql.Observation]] after any action on the
-    * frame; in streaming the same call surfaces per-batch metrics in
-    * `StreamingQueryProgress.observedMetrics`. */
+  /** The corpus health counters both observe variants collect: row
+    * count, empty-text count, null-lang count, total chars. */
+  private def healthMetrics(textCol: String): Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    count(when(length(trim(col(textCol))) === 0, 1)).as("n_empty_text"),
+    count(when(col("lang").isNull, 1)).as("n_null_lang"),
+    sum(length(col(textCol))).cast("long").as("total_chars"))
+
+  /** Attach single-pass corpus health counters to a BATCH curation
+    * frame via `Dataset.observe` (Catalyst CollectMetrics). The
+    * metrics ride the SAME scan that produces `df`'s output — at
+    * 100 TB that is the difference between "data-quality dashboard for
+    * free" and a second full pass over the corpus. Read the values
+    * from the returned [[org.apache.spark.sql.Observation]] after any
+    * action on the frame. (Observation handles are batch-only in
+    * Spark — use [[observedHealthStream]] on a stream.) */
   def observedHealth(docs: DataFrame, textCol: String = "text")
       : (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation("corpus_health")
-    val observed = docs.observe(obs,
-      count(lit(1)).as("n_docs"),
-      count(when(length(trim(col(textCol))) === 0, 1)).as("n_empty_text"),
-      count(when(col("lang").isNull, 1)).as("n_null_lang"),
-      sum(length(col(textCol))).cast("long").as("total_chars"))
-    (observed, obs)
+    (docs.observe(obs, healthMetrics(textCol).head,
+      healthMetrics(textCol).tail: _*), obs)
   }
+
+  /** Streaming variant: same counters through the named-observation
+    * overload (the only one streams support); each microbatch's values
+    * surface as `StreamingQueryProgress.observedMetrics("corpus_health")`
+    * — per-batch ingest health without a second stateful operator. */
+  def observedHealthStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.observe("corpus_health", healthMetrics(textCol).head,
+      healthMetrics(textCol).tail: _*)
 
   // ------------------------------------------------- repetition stats
 

@@ -133,4 +133,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"observe must not add a shuffle to a narrow pipeline:\n$plan")
   }
+
+  test("observedHealthStream: per-batch counters surface in query progress") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.sparkContext.setLogLevel("WARN")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = CurationOps.observedHealthStream(
+        mem.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      mem.addData((1L, "text one", "en"), (2L, "", null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("corpus_health"))).lastOption
+        .getOrElse(fail("no corpus_health metrics in any progress"))
+      assert(m.getAs[Long]("n_docs") == 2L)
+      assert(m.getAs[Long]("n_empty_text") == 1L)
+      assert(m.getAs[Long]("n_null_lang") == 1L)
+    } finally q.stop()
+  }
 }
