@@ -37,13 +37,29 @@ def main(old_path, new_path, threshold=0.25):
     oq, nq = old.get("queries", {}), new.get("queries", {})
     ofp, nfp = old.get("plan_fp", {}), new.get("plan_fp", {})
 
+    # Rebaseline detection: if the HASH differs on nearly every common
+    # query while the structural suffix (x/s/pf/rc) is identical, the
+    # fingerprint algorithm changed between the two files (round 6 did
+    # this once), not the plans — classify those rows by structure.
+    def struct(fp):
+        return fp.split(":", 1)[1] if ":" in fp else fp
+    common_fp = [k for k in set(oq) & set(nq) if k in ofp and k in nfp]
+    hash_only = [k for k in common_fp
+                 if ofp[k] != nfp[k] and struct(ofp[k]) == struct(nfp[k])]
+    rebaseline = len(common_fp) > 10 and len(hash_only) > 0.9 * len(common_fp)
+    if rebaseline:
+        print(f"NOTE: {len(hash_only)}/{len(common_fp)} queries changed hash "
+              "with identical x/s/pf/rc structure — fingerprint-algorithm "
+              "rebaseline detected; classifying by structural fields only\n")
+
     rows = []
     for k in sorted(set(oq) & set(nq)):
         d = nq[k] - oq[k]
         if abs(d) < threshold:
             continue
-        fp_changed = k in ofp and k in nfp and ofp[k] != nfp[k]
         fp_known = k in ofp and k in nfp
+        fp_changed = fp_known and (
+            struct(ofp[k]) != struct(nfp[k]) if rebaseline else ofp[k] != nfp[k])
         label = "PLAN " if fp_changed else ("NOISE" if fp_known else "??   ")
         rows.append((abs(d), label, k, oq[k], nq[k], d,
                      f"{ofp.get(k,'-')} -> {nfp.get(k,'-')}" if fp_changed else ""))
