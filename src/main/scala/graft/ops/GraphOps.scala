@@ -105,6 +105,64 @@ object GraphOps {
         .withColumn("comp", col("node"))), it)
   }
 
+  /** Per-vertex triangle counts + local clustering coefficient via
+    * degree-ordered edge orientation — the standard bound that makes
+    * distributed triangle counting feasible at scale: orienting every
+    * edge from its lower-(degree, id) endpoint to the higher caps every
+    * out-degree at O(√m), so the wedge self-join materializes at most
+    * O(m^{3/2}) candidate wedges TOTAL regardless of skew (a hub vertex
+    * with degree 10⁶ contributes ZERO wedges — all its edges point
+    * inward). Without orientation the same join is Σ deg(v)² , which a
+    * single celebrity vertex turns into 10¹² rows.
+    *
+    * Plan shape: two keyed joins to attach endpoint degrees, one
+    * self-equi-join on the wedge corner, one closing equi-join on the
+    * (v,w) pair, then a map-side-combinable per-corner count. Nothing
+    * is broadcast (degree table is |V|-sized); nothing is collected.
+    *
+    * @param edges undirected edge list, columns `src` < `dst`, distinct
+    * @return (`node`, `deg`, `tri`, `lcc_ppm`) — lcc in integer parts
+    *         per million (2·tri·10⁶ div deg·(deg−1); 0 for deg<2),
+    *         bit-exact across engines (no float division)
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").as("s"), col("dst").as("d"))
+    val deg = e.select(col("s").as("n")).unionAll(e.select(col("d").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val ed = e
+      .join(deg.select(col("n").as("s"), col("dg").as("sdg")), "s")
+      .join(deg.select(col("n").as("d"), col("dg").as("ddg")), "d")
+    val sFirst = col("sdg") < col("ddg") ||
+      (col("sdg") === col("ddg") && col("s") < col("d"))
+    // oriented edge u→v with ord(u) < ord(v); carry the head's degree
+    // so the wedge join can order its two heads without a re-join
+    val o = ed.select(
+      when(sFirst, col("s")).otherwise(col("d")).as("u"),
+      when(sFirst, col("d")).otherwise(col("s")).as("v"),
+      when(sFirst, col("ddg")).otherwise(col("sdg")).as("vdg"))
+      .localCheckpoint(eager = false) // reused 3× below — scan once
+    // wedge (u; v, w) with ord(v) < ord(w); the closing edge v—w, if
+    // present, is oriented v→w under the SAME total order, so one
+    // equi-join on (v, w) closes every triangle exactly once (at its
+    // lowest-ordered corner)
+    val headLt = col("w1.vdg") < col("w2.vdg") ||
+      (col("w1.vdg") === col("w2.vdg") && col("w1.v") < col("w2.v"))
+    val tri = o.as("w1").join(o.as("w2"),
+        col("w1.u") === col("w2.u") && headLt)
+      .select(col("w1.u").as("a"), col("w1.v").as("b"), col("w2.v").as("c"))
+      .join(o.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    val corners = tri.select(col("a").as("n"))
+      .unionAll(tri.select(col("b").as("n")))
+      .unionAll(tri.select(col("c").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    deg.join(corners, Seq("n"), "left")
+      .select(col("n").as("node"), col("dg").as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("dg") >= 2,
+          expr("2 * coalesce(tri, 0L) * 1000000 div (dg * (dg - 1))"))
+          .otherwise(lit(0L)).as("lcc_ppm"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -148,6 +206,28 @@ object GraphOps {
         .join(embs.select(col("vec_id"), col("label").cast("long").as("label")),
           col("node") === col("vec_id"))
         .select(col("vec_id"), col("label"))
+    }),
+
+    // Triangle census of the support-2 co-purchase graph: parts are
+    // adjacent when they appear together in ≥ 2 orders (the frequent-
+    // itemset support threshold that keeps a co-occurrence graph sparse
+    // as draws grow). Output = per-part degree, triangle count and
+    // integer-ppm clustering coefficient — the community-structure
+    // signal used to cluster items/documents before curation. The
+    // expensive step at 100 TB is the pair-support aggregation (one
+    // shuffle, map-side combinable); the census itself is bounded by
+    // the degree orientation (see triangleStats).
+    "graph_triangles" -> ((s, d) => {
+      val op = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+        .select("src", "dst")
+      triangleStats(edges)
     })
   )
 
@@ -210,6 +290,41 @@ object GraphOps {
          |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
          |FROM comp c JOIN embeddings e ON c.node = e.vec_id
          |WHERE c.node = c.comp""".stripMargin
-    }
+    },
+
+    // Independent recomputation: the oracle enumerates each triangle
+    // once as an id-ordered triple a<b<c over the canonical (s<d) edge
+    // list — NO degree orientation — so a bug in the engine's
+    // orientation/wedge machinery cannot be mirrored here. lcc is the
+    // same integer-ppm division (DuckDB // ≡ Spark div on BIGINT ≥ 0).
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS s, b.l_partkey AS d
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(1) >= 2),
+        |deg AS (
+        |  SELECT n, COUNT(1) AS dg
+        |  FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)
+        |  GROUP BY 1),
+        |tri3 AS (
+        |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.s = e1.s AND e2.d > e1.d
+        |  JOIN e e3 ON e3.s = e1.d AND e3.d = e2.d),
+        |corners AS (
+        |  SELECT n, COUNT(1) AS tri
+        |  FROM (SELECT a AS n FROM tri3 UNION ALL
+        |        SELECT b FROM tri3 UNION ALL
+        |        SELECT c FROM tri3)
+        |  GROUP BY 1)
+        |SELECT deg.n AS node, deg.dg AS deg,
+        |  COALESCE(corners.tri, 0) AS tri,
+        |  CASE WHEN deg.dg >= 2
+        |       THEN (2 * COALESCE(corners.tri, 0) * 1000000)
+        |              // (deg.dg * (deg.dg - 1))
+        |       ELSE 0 END AS lcc_ppm
+        |FROM deg LEFT JOIN corners ON corners.n = deg.n""".stripMargin
   )
 }

@@ -77,4 +77,73 @@ class GraphOpsSpec extends AnyFunSuite {
     assert((1L to 10L).forall(got(_) == 1L))
     assert((100L to 110L).forall(got(_) == 100L))
   }
+
+  // ------------------------------------------------- triangle census
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    GraphOps.triangleStats(edges.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  /** Brute-force per-vertex triangle counts over id-ordered triples. */
+  private def bruteTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val cnt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- nodes; b <- adj(a).filter(_ > a); c <- adj(a).filter(_ > b)
+      if adj(b).contains(c)
+    } { cnt(a) += 1; cnt(b) += 1; cnt(c) += 1 }
+    nodes.map { n =>
+      val dg = adj(n).size.toLong
+      val t = cnt(n)
+      val lcc = if (dg >= 2) 2 * t * 1000000L / (dg * (dg - 1)) else 0L
+      n -> ((dg, t, lcc))
+    }.toMap
+  }
+
+  test("triangles: K4 + pendant + disjoint triangle, exact counts") {
+    // K4 on 1..4 (every vertex in C(3,2)=3 triangles, lcc=1), a
+    // pendant 5 hanging off 4 (deg 1, no triangles), triangle 7-8-9
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (7L, 8L), (8L, 9L), (7L, 9L))
+    val got = tri(edges)
+    assert(got(1L) == ((3L, 3L, 1000000L)))
+    assert(got(2L) == ((3L, 3L, 1000000L)))
+    assert(got(4L) == ((4L, 3L, 500000L))) // 2*3/(4*3) = 1/2
+    assert(got(5L) == ((1L, 0L, 0L)))
+    assert(got(7L) == ((2L, 1L, 1000000L)))
+    assert(got == bruteTri(edges))
+  }
+
+  test("triangles: hub star produces zero wedges at the hub") {
+    // star = no triangles at all; a degree-10 hub must not blow up
+    val edges = (1L to 10L).map(i => (0L, i))
+    val got = tri(edges)
+    assert(got(0L) == ((10L, 0L, 0L)))
+    assert((1L to 10L).forall(got(_) == ((1L, 0L, 0L))))
+  }
+
+  test("triangles: random graph matches brute force (property)") {
+    // deterministic LCG so the case is reproducible
+    var seed = 0x2545F4914F6CDD1DL
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    val n = 40
+    val edges = (1 to 260).map { _ =>
+      val a = math.floorMod(next() >>> 33, n).toLong
+      val b = math.floorMod(next() >>> 33, n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val got = tri(edges)
+    val want = bruteTri(edges)
+    val diff = (got.keySet ++ want.keySet).toSeq.sorted
+      .filter(k => got.get(k) != want.get(k))
+      .map(k => s"$k: got=${got.get(k)} want=${want.get(k)}")
+    assert(got == want, s"rows ${got.size}/${want.size}; " + diff.mkString("; "))
+    assert(want.values.map(_._2).sum > 0, "degenerate case: no triangles")
+  }
 }
