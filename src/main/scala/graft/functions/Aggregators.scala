@@ -201,6 +201,125 @@ class MisraGriesAgg(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[MgEntry]]()
 }
 
+/** q-digest quantile sketch (Shrivastava et al., SenSys'04) as a typed
+  * Aggregator — the mergeable-summaries family member for QUANTILES,
+  * next to KMV (distinct count) and Misra–Gries (heavy hitters). The
+  * sketch is a partial dyadic tree over the integer universe
+  * [0, 2^logU): buffer = node-id → count, values enter at their leaf,
+  * and compression moves weight UP the tree (child + sibling + parent
+  * ≤ ⌊n/k⌋ ⇒ fold into parent), so a buffer never exceeds the size
+  * cap and partials merge by pointwise count addition — map-side
+  * combinable in any order Spark picks, like any sum.
+  *
+  * Deterministic worst-case guarantee, independent of merge order:
+  * the value reported for quantile q has true rank r with
+  * ⌈q·n⌉ ≤ r_le and r_lt ≤ q·n + logU·n/k — weight only ever moves to
+  * ANCESTORS of its leaf, a value's count is smeared over at most
+  * logU nodes, and every compressed node holds ≤ ⌊n/k⌋. The rank walk
+  * (nodes by ascending range-hi, ties smaller-range-first) then
+  * over/under-shoots by at most the ancestor weight. QDigestSpec
+  * property-checks both bounds under randomized merge trees; the
+  * driver query asserts them in-query as 0/1 verdict columns the
+  * DuckDB oracle requires to be literal 1 (the agg_sketch self-oracle
+  * pattern — estimator drift = hash FAIL).
+  *
+  * At 100 TB: ≤ sizeCap (= 4k) longs per partial, one narrow shuffle
+  * of O(groups · k) rows total — quantiles without a global sort.
+  */
+class QDigestAgg(logU: Int, k: Int)
+    extends Aggregator[Long, Map[Long, Long], QdOut] {
+  require(logU >= 1 && logU <= 40 && k >= 8)
+  private val leafBase = 1L << logU
+  private val sizeCap = 4 * k
+
+  override def zero: Map[Long, Long] = Map.empty
+
+  override def reduce(b: Map[Long, Long], v: Long): Map[Long, Long] = {
+    // clamp into the universe: the sketch promises rank bounds, and a
+    // clamped outlier only ever lands in the extreme leaf
+    val x = math.min(math.max(v, 0L), leafBase - 1)
+    val leaf = leafBase + x
+    val nb = b.updated(leaf, b.getOrElse(leaf, 0L) + 1L)
+    if (nb.size > sizeCap) compress(nb) else nb
+  }
+
+  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+    val sum = b.foldLeft(a) { case (m, (id, c)) =>
+      m.updated(id, m.getOrElse(id, 0L) + c)
+    }
+    if (sum.size > sizeCap) compress(sum) else sum
+  }
+
+  private def depthOf(id: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(id)
+
+  /** Bottom-up fold: children whose (self + sibling + parent) weight
+    * fits in τ = ⌊n/k⌋ collapse into the parent. One pass per level;
+    * O(size · logU). */
+  private[graft] def compress(m: Map[Long, Long]): Map[Long, Long] = {
+    val n = m.valuesIterator.sum
+    val tau = n / k
+    if (tau == 0) return m
+    val buf = scala.collection.mutable.LongMap[Long]()
+    m.foreach { case (id, c) => buf(id) = c }
+    var depth = logU
+    while (depth >= 1) {
+      // snapshot ids at this depth; visit each sibling pair once
+      val ids = buf.keys.filter(id => depthOf(id) == depth)
+        .map(id => id & ~1L).toArray.distinct.sorted
+      ids.foreach { left =>
+        val sib = left | 1L
+        val par = left >> 1
+        val self = buf.getOrElse(left, 0L) + buf.getOrElse(sib, 0L)
+        if (self > 0 && self + buf.getOrElse(par, 0L) <= tau) {
+          buf -= left; buf -= sib
+          buf(par) = buf.getOrElse(par, 0L) + self
+        }
+      }
+      depth -= 1
+    }
+    buf.toMap
+  }
+
+  /** Rank walk: nodes ordered by ascending hi (ties: narrower range
+    * first), cumulate until ⌈q·n⌉ — report that node's hi. */
+  private def quantile(sorted: Array[(Long, Long, Long)], n: Long,
+      qNum: Long, qDen: Long): Long = {
+    val target = (qNum * n + qDen - 1) / qDen
+    var cum = 0L; var i = 0; var ans = leafBase - 1
+    var done = false
+    while (!done && i < sorted.length) {
+      cum += sorted(i)._3
+      if (cum >= target) { ans = math.min(sorted(i)._2, leafBase - 1); done = true }
+      i += 1
+    }
+    ans
+  }
+
+  override def finish(b: Map[Long, Long]): QdOut = {
+    val n = b.valuesIterator.sum
+    if (n == 0) return QdOut(0L, 0L, 0L, 0L, 0L)
+    val sorted = b.toArray.map { case (id, c) =>
+      val d = depthOf(id)
+      val width = 1L << (logU - d)
+      val lo = (id - (1L << d)) * width
+      (lo, lo + width - 1, c)
+    }.sortBy { case (lo, hi, _) => (hi, -lo) }
+    QdOut(n,
+      quantile(sorted, n, 1, 2),
+      quantile(sorted, n, 9, 10),
+      quantile(sorted, n, 99, 100),
+      b.size.toLong)
+  }
+
+  override def bufferEncoder: Encoder[Map[Long, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+  override def outputEncoder: Encoder[QdOut] = Encoders.product[QdOut]
+}
+
+/** nodes (buffer size) is merge-order-dependent — NEVER emit it in an
+  * oracle-checked query; the driver query outputs only verdicts. */
+final case class QdOut(n: Long, p50: Long, p90: Long, p99: Long, nodes: Long)
+
 final case class BboxBuf(
     minLon: Double, maxLon: Double, minLat: Double, maxLat: Double,
     sumLon: Double, sumLat: Double, n: Long)

@@ -157,6 +157,55 @@ object Extras {
           col("n_item"), col("total"))
     }),
 
+    // q-digest mergeable quantile sketch (the quantile member of the
+    // sketch family, next to HLL/KMV/MG) with the agg_sketch
+    // self-oracle: the sketch's p50/p90/p99 estimates are merge-order-
+    // dependent so they never reach the output — instead the query
+    // re-ranks each estimate against the data (one broadcast join on 3
+    // group rows + one conditional re-count) and emits 0/1 verdicts of
+    // the THEOREM bound (rank_le >= ceil(q*n), rank_lt <= ceil(q*n)-1
+    // + logU*floor(n/k); internal q-digest nodes stay <= floor(n/k)
+    // under any merge interleaving by floor-superadditivity), which
+    // the DuckDB oracle asserts as literal 1s. Exact p25/p50/p75 ride
+    // along as cross-engine anchors (binary-exact interpolation
+    // fractions only — 0.9/0.99 thetas are not ulp-safe across
+    // engines; the sketched p90/p99 are covered by their verdicts).
+    "agg_quantile_sketch" -> ((s, d) => {
+      s.udf.register("qd24",
+        udaf(new graft.functions.QDigestAgg(24, 480)))
+      val li = t(s, d, "lineitem")
+        .withColumn("px_c", cents(col("l_extendedprice")))
+      val sk = li.groupBy("l_returnflag").agg(expr("qd24(px_c)").as("qd"))
+        .select(col("l_returnflag"), col("qd.n").as("n"),
+          col("qd.p50").as("e50"), col("qd.p90").as("e90"),
+          col("qd.p99").as("e99"))
+      val ranks = li.join(broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag", "n", "e50", "e90", "e99")
+        .agg(
+          sum(when(col("px_c") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("px_c") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("px_c") < col("e90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("px_c") <= col("e90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("px_c") < col("e99"), 1L).otherwise(0L)).as("lt99"),
+          sum(when(col("px_c") <= col("e99"), 1L).otherwise(0L)).as("le99"))
+      val ex = li.groupBy("l_returnflag").agg(
+        expr("percentile(px_c, 0.25)").as("p25_exact"),
+        expr("percentile(px_c, 0.5)").as("p50_exact"),
+        expr("percentile(px_c, 0.75)").as("p75_exact"))
+      val slack = expr("24 * (n div 480)")
+      def ok(qNum: Int, qDen: Int, lt: String, le: String) = {
+        val target = expr(s"($qNum * n + ${qDen - 1}) div $qDen")
+        (col(le) >= target && col(lt) <= target - lit(1L) + slack)
+          .cast("long")
+      }
+      ranks.join(ex, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          col("p25_exact"), col("p50_exact"), col("p75_exact"),
+          ok(1, 2, "lt50", "le50").as("p50_rank_ok"),
+          ok(9, 10, "lt90", "le90").as("p90_rank_ok"),
+          ok(99, 100, "lt99", "le99").as("p99_rank_ok"))
+    }),
+
     // typed Aggregator (UDAF surface): bbox + centroid of the
     // (quantity_c, price_c) point cloud per return flag. Integer-valued
     // doubles sum exactly, so the centroid is cross-engine-exact.
@@ -267,6 +316,19 @@ object Extras {
         |FROM it, tot
         |GROUP BY item, tot.total
         |HAVING COUNT(1) * 20 > tot.total""".stripMargin,
+
+    // agg_quantile_sketch: the verdict columns are guaranteed 1 by the
+    // q-digest rank theorem for ANY merge order, so the oracle asserts
+    // them as literals; the exact anchors are recomputed directly
+    "agg_quantile_sketch" ->
+      """SELECT l_returnflag, COUNT(1) AS n,
+        |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25) AS p25_exact,
+        |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5) AS p50_exact,
+        |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.75) AS p75_exact,
+        |  CAST(1 AS BIGINT) AS p50_rank_ok,
+        |  CAST(1 AS BIGINT) AS p90_rank_ok,
+        |  CAST(1 AS BIGINT) AS p99_rank_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "agg_kmv_distinct" ->
       s"""WITH h AS (
