@@ -320,6 +320,59 @@ class QDigestAgg(logU: Int, k: Int)
   * oracle-checked query; the driver query outputs only verdicts. */
 final case class QdOut(n: Long, p50: Long, p90: Long, p99: Long, nodes: Long)
 
+/** Distributed Bloom-filter build as a typed Aggregator — the engine's
+  * hand-rolled rendering of Spark's own runtime-filter shape
+  * (InjectRuntimeFilter's bloom_filter_agg + might_contain): build a
+  * compact bit-set over the SELECTIVE side's join keys, broadcast it
+  * (bits/8 bytes, vs. a broadcast hash table's per-key overhead), and
+  * drop non-joining fact rows BEFORE the join's shuffle. False
+  * positives only cost wasted shuffle rows — the exact join still runs
+  * after the prefilter — so the query result is bit-identical to the
+  * plain join and fully oracle-able by it.
+  *
+  * Input is a pre-hashed (h1, h2) pair (columns, so build and probe
+  * sides share one definition); bit i of the classic double-hash
+  * scheme is (h1 + i·h2) mod bits. reduce mutates the buffer in place
+  * (the group owns it); merge ORs word-wise — commutative and
+  * idempotent, so partials combine map-side in any order and
+  * duplicate keys are free.
+  *
+  * At 100 TB: the aggregation is one narrow pass over the dim side
+  * producing a single bits/64-long array row; every executor probes
+  * the broadcast copy with pure codegen'd bit arithmetic (no UDF in
+  * the per-row path — see Coverage.join_bloom_prefilter's predicate).
+  */
+class BloomAgg(bits: Long, j: Int)
+    extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+  require(bits % 64 == 0 && bits > 0 && j >= 1)
+  private val words = (bits / 64).toInt
+
+  override def zero: Array[Long] = new Array[Long](words)
+
+  override def reduce(b: Array[Long], h: (Long, Long)): Array[Long] = {
+    var i = 0
+    while (i < j) {
+      val pos = java.lang.Math.floorMod(h._1 + i.toLong * h._2, bits)
+      b((pos >>> 6).toInt) |= (1L << (pos & 63))
+      i += 1
+    }
+    b
+  }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { x(i) |= y(i); i += 1 }
+    x
+  }
+
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 final case class BboxBuf(
     minLon: Double, maxLon: Double, minLat: Double, maxLat: Double,
     sumLon: Double, sumLat: Double, n: Long)

@@ -30,6 +30,24 @@ object Coverage {
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_roundtrip/" +
       s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}/$fmt"
 
+  /** Bloom prefilter geometry: 2^18 bits (32 KB) / 4 probes. At the
+    * bench scale (~30 k urgent orderkeys) that is n/m ≈ 0.11 → fpp ≈
+    * 2 % — the prefilter passes ~22 % of fact rows instead of 100 %. */
+  private[graft] val BloomBits = 1L << 18
+  private[graft] val BloomJ = 4
+
+  /** Shared build/probe-side key hash (the two sides MUST agree). */
+  private[graft] def bloomH(salt: String, key: org.apache.spark.sql.Column) =
+    graft.ops.TextOps.strHash(concat(lit(salt), key.cast("string")))
+
+  /** Unrolled might-contain over columns `bf` (array<bigint>), `h1`,
+    * `h2` — plain SQL bit arithmetic, stays inside whole-stage codegen. */
+  private[graft] val bloomMightContain: String = (0 until BloomJ).map { i =>
+    val pos = s"((h1 + $i * h2) % $BloomBits)"
+    s"((shiftright(element_at(bf, CAST($pos div 64 AS INT) + 1), " +
+      s"CAST($pos % 64 AS INT)) & 1) = 1)"
+  }.mkString(" AND ")
+
   /** Write nation out in `fmt`, read it back, and aggregate — if the
     * sink or source mangles anything (types, quoting, encoding), the
     * aggregate diverges from the parquet-based oracle. */
@@ -763,6 +781,41 @@ object Coverage {
           col("n_items"), col("sum_px_c"))
     }),
 
+    // Runtime-filter join: a Bloom filter built over the SELECTIVE dim
+    // side's keys (urgent orders, ~20 %) prefilters the fact scan
+    // BEFORE the join shuffle — Spark's InjectRuntimeFilter shape,
+    // hand-rolled so it is deterministic and works on any join the
+    // optimizer won't rewrite itself. The bloom is one 32 KB
+    // array<bigint> row broadcast to every executor; the probe is
+    // unrolled codegen'd bit arithmetic (shiftright/element_at — no
+    // UDF per row). False positives only add shuffle rows; the exact
+    // join still decides membership, so the result — and the oracle —
+    // is the plain join's. BloomPrefilterSpec pins zero false
+    // negatives, the measured row reduction, and that the prefilter
+    // adds no exchange.
+    "join_bloom_prefilter" -> ((s, d) => {
+      s.udf.register("bloom_or",
+        udaf(new graft.functions.BloomAgg(BloomBits, BloomJ)))
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val bloom = urgent
+        .select(bloomH("bf1:", col("o_orderkey")).as("h1"),
+          bloomH("bf2:", col("o_orderkey")).as("h2"))
+        .agg(expr("bloom_or(h1, h2)").as("bf"))
+      val li = t(s, d, "lineitem")
+        .withColumn("h1", bloomH("bf1:", col("l_orderkey")))
+        .withColumn("h2", bloomH("bf2:", col("l_orderkey")))
+      val pre = li.crossJoin(broadcast(bloom))
+        .where(expr(bloomMightContain))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      pre.join(urgent.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(revenueC4(col("l_extendedprice"), col("l_discount")))
+            .as("sum_rev_c4"))
+    }),
+
     // ---- format-roundtrip sources ----
     "source_csv_roundtrip" -> ((s, d) => roundtrip(s, d, "csv")),
     "source_json_roundtrip" -> ((s, d) => roundtrip(s, d, "json")),
@@ -1473,6 +1526,18 @@ object Coverage {
         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_px_c
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
+
+    // join_bloom_prefilter: the bloom is pure shuffle-reduction
+    // machinery — zero false negatives and an exact post-join mean the
+    // result IS the plain join, which the oracle recomputes directly
+    "join_bloom_prefilter" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |  COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_rev_c4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
 
     "source_corrupt_tolerance" ->
       """SELECT
