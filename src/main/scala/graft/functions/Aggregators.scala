@@ -205,8 +205,9 @@ class MisraGriesAgg(k: Int)
   * Aggregator — the mergeable-summaries family member for QUANTILES,
   * next to KMV (distinct count) and Misra–Gries (heavy hitters). The
   * sketch is a partial dyadic tree over the integer universe
-  * [0, 2^logU): buffer = node-id → count, values enter at their leaf,
-  * and compression moves weight UP the tree (child + sibling + parent
+  * [0, 2^logU): conceptually node-id → count (physically an append-log
+  * array, see the layout note below), values enter at their leaf, and
+  * compression moves weight UP the tree (child + sibling + parent
   * ≤ ⌊n/k⌋ ⇒ fold into parent), so a buffer never exceeds the size
   * cap and partials merge by pointwise count addition — map-side
   * combinable in any order Spark picks, like any sum.
@@ -227,57 +228,136 @@ class MisraGriesAgg(k: Int)
   * of O(groups · k) rows total — quantiles without a global sort.
   */
 class QDigestAgg(logU: Int, k: Int)
-    extends Aggregator[Long, Map[Long, Long], QdOut] {
+    extends Aggregator[Long, Array[Long], QdOut] {
   require(logU >= 1 && logU <= 40 && k >= 8)
   private val leafBase = 1L << logU
   private val sizeCap = 4 * k
+  // Buffer layout — an APPEND LOG, not a map: slot 0 = pair count,
+  // pairs (node-id, count) at (1+2i, 2+2i), possibly with DUPLICATE
+  // ids. reduce is two array writes (no per-row allocation — the
+  // immutable-Map rendering of this buffer spent ~5 s/600 k rows in
+  // HAMT garbage); when the log fills it is consolidated in place
+  // (duplicates merged, q-digest compression applied), which frees
+  // ≥ half the slots, so the amortized per-row cost stays O(1).
+  private val startLen = 1 + 2 * 1024
+  private val maxLen = 1 + 2 * 8192
 
-  override def zero: Map[Long, Long] = Map.empty
+  override def zero: Array[Long] = new Array[Long](startLen)
 
-  override def reduce(b: Map[Long, Long], v: Long): Map[Long, Long] = {
+  override def reduce(b: Array[Long], v: Long): Array[Long] = {
     // clamp into the universe: the sketch promises rank bounds, and a
     // clamped outlier only ever lands in the extreme leaf
     val x = math.min(math.max(v, 0L), leafBase - 1)
-    val leaf = leafBase + x
-    val nb = b.updated(leaf, b.getOrElse(leaf, 0L) + 1L)
-    if (nb.size > sizeCap) compress(nb) else nb
+    append(b, leafBase + x, 1L)
   }
 
-  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
-    val sum = b.foldLeft(a) { case (m, (id, c)) =>
-      m.updated(id, m.getOrElse(id, 0L) + c)
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var a = x
+    val used = y(0).toInt
+    var i = 0
+    while (i < used) { a = append(a, y(1 + 2 * i), y(2 + 2 * i)); i += 1 }
+    a
+  }
+
+  private def append(b: Array[Long], id: Long, c: Long): Array[Long] = {
+    var a = b
+    var u = a(0).toInt
+    if (1 + 2 * (u + 1) > a.length) {
+      if (a.length < maxLen)
+        a = java.util.Arrays.copyOf(a, math.min(maxLen, (a.length - 1) * 2 + 1))
+      else {
+        consolidate(a)
+        u = a(0).toInt
+        // compress bounds the digest well under the log capacity; if a
+        // pathological parameterization ever defeated that, grow past
+        // maxLen rather than drop data
+        if (1 + 2 * (u + 1) > a.length)
+          a = java.util.Arrays.copyOf(a, (a.length - 1) * 2 + 1)
+      }
     }
-    if (sum.size > sizeCap) compress(sum) else sum
+    a(1 + 2 * u) = id
+    a(2 + 2 * u) = c
+    a(0) = u + 1
+    a
+  }
+
+  /** Merge duplicate log entries and q-digest-compress, writing the
+    * result back into the log's prefix. */
+  private def consolidate(a: Array[Long]): Unit = {
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    val used = a(0).toInt
+    var i = 0
+    while (i < used) {
+      val id = a(1 + 2 * i)
+      val c = a(2 + 2 * i)
+      if (c != 0) m(id) = m.getOrElse(id, 0L) + c
+      i += 1
+    }
+    if (m.size > sizeCap) compressL(m)
+    var w = 0
+    m.foreachEntry { (id, c) => a(1 + 2 * w) = id; a(2 + 2 * w) = c; w += 1 }
+    a(0) = w
+  }
+
+  /** The consolidated digest of a buffer — the spec's window into the
+    * structural invariant (internal nodes ≤ ⌊n/k⌋). */
+  private[graft] def digest(b: Array[Long]): Map[Long, Long] = {
+    val copy = java.util.Arrays.copyOf(b, b.length)
+    consolidate(copy)
+    val used = copy(0).toInt
+    (0 until used).map(i => copy(1 + 2 * i) -> copy(2 + 2 * i)).toMap
   }
 
   private def depthOf(id: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(id)
 
-  /** Bottom-up fold: children whose (self + sibling + parent) weight
-    * fits in τ = ⌊n/k⌋ collapse into the parent. One pass per level;
-    * O(size · logU). */
+  /** Immutable-map compression entry point (spec use). */
   private[graft] def compress(m: Map[Long, Long]): Map[Long, Long] = {
-    val n = m.valuesIterator.sum
-    val tau = n / k
-    if (tau == 0) return m
-    val buf = scala.collection.mutable.LongMap[Long]()
+    val buf = scala.collection.mutable.LongMap.empty[Long]
     m.foreach { case (id, c) => buf(id) = c }
+    compressL(buf)
+    buf.toMap
+  }
+
+  /** Bottom-up fold: children whose (self + sibling + parent) weight
+    * fits in τ = ⌊n/k⌋ collapse into the parent. Per-level WORKLISTS,
+    * not per-level key scans — a full-map filter per level made each
+    * consolidation O(size · logU) with allocation churn (measured ~4 s
+    * of a 600 k-row aggregation); worklists visit each id O(1) times
+    * total. Mutates `buf`. */
+  private def compressL(buf: scala.collection.mutable.LongMap[Long]): Unit = {
+    var n = 0L
+    buf.foreachValue(n += _)
+    val tau = n / k
+    if (tau == 0) return
+    val levels = Array.fill(logU + 1)(
+      new scala.collection.mutable.ArrayBuffer[Long](16))
+    buf.foreachKey { id =>
+      val d = depthOf(id); if (d >= 1) levels(d) += id
+    }
     var depth = logU
     while (depth >= 1) {
-      // snapshot ids at this depth; visit each sibling pair once
-      val ids = buf.keys.filter(id => depthOf(id) == depth)
-        .map(id => id & ~1L).toArray.distinct.sorted
-      ids.foreach { left =>
+      val lv = levels(depth)
+      var i = 0
+      while (i < lv.length) {
+        val left = lv(i) & ~1L
         val sib = left | 1L
-        val par = left >> 1
-        val self = buf.getOrElse(left, 0L) + buf.getOrElse(sib, 0L)
-        if (self > 0 && self + buf.getOrElse(par, 0L) <= tau) {
-          buf -= left; buf -= sib
-          buf(par) = buf.getOrElse(par, 0L) + self
+        // both-siblings-listed duplicates skip here: already folded
+        if (buf.contains(left) || buf.contains(sib)) {
+          val par = left >> 1
+          val self = buf.getOrElse(left, 0L) + buf.getOrElse(sib, 0L)
+          if (self > 0 && self + buf.getOrElse(par, 0L) <= tau) {
+            val parNew = !buf.contains(par)
+            buf -= left; buf -= sib
+            buf(par) = buf.getOrElse(par, 0L) + self
+            // a parent minted by this fold must itself be visited at
+            // its level; pre-existing parents are already listed
+            if (parNew && depth > 1) levels(depth - 1) += par
+          }
         }
+        i += 1
       }
       depth -= 1
     }
-    buf.toMap
   }
 
   /** Rank walk: nodes ordered by ascending hi (ties: narrower range
@@ -295,10 +375,11 @@ class QDigestAgg(logU: Int, k: Int)
     ans
   }
 
-  override def finish(b: Map[Long, Long]): QdOut = {
-    val n = b.valuesIterator.sum
+  override def finish(b: Array[Long]): QdOut = {
+    val dg = digest(b)
+    val n = dg.valuesIterator.sum
     if (n == 0) return QdOut(0L, 0L, 0L, 0L, 0L)
-    val sorted = b.toArray.map { case (id, c) =>
+    val sorted = dg.toArray.map { case (id, c) =>
       val d = depthOf(id)
       val width = 1L << (logU - d)
       val lo = (id - (1L << d)) * width
@@ -308,11 +389,11 @@ class QDigestAgg(logU: Int, k: Int)
       quantile(sorted, n, 1, 2),
       quantile(sorted, n, 9, 10),
       quantile(sorted, n, 99, 100),
-      b.size.toLong)
+      dg.size.toLong)
   }
 
-  override def bufferEncoder: Encoder[Map[Long, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[QdOut] = Encoders.product[QdOut]
 }
 

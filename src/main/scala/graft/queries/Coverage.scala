@@ -36,14 +36,22 @@ object Coverage {
   private[graft] val BloomBits = 1L << 18
   private[graft] val BloomJ = 4
 
-  /** Shared build/probe-side key hash (the two sides MUST agree). */
+  /** Shared build/probe-side key hash (the two sides MUST agree).
+    * xxhash64, not md5: the hash runs once per FACT row, and the md5
+    * rendering (string concat + hex digest) measured ~2 s of the
+    * query's 2.8 s at sf0.1. No cross-engine portability is needed —
+    * the oracle recomputes the plain join. The raw hash is reduced mod
+    * `bits` HERE (double-hash positions survive modular reduction:
+    * (h1 + i·h2) mod m ≡ (h1 mod m + i·(h2 mod m)) mod m), so the
+    * downstream combine can never overflow a Long — ANSI mode throws
+    * on wrap-around. */
   private[graft] def bloomH(salt: String, key: org.apache.spark.sql.Column) =
-    graft.ops.TextOps.strHash(concat(lit(salt), key.cast("string")))
+    pmod(xxhash64(lit(salt), key), lit(BloomBits))
 
   /** Unrolled might-contain over columns `bf` (array<bigint>), `h1`,
     * `h2` — plain SQL bit arithmetic, stays inside whole-stage codegen. */
   private[graft] val bloomMightContain: String = (0 until BloomJ).map { i =>
-    val pos = s"((h1 + $i * h2) % $BloomBits)"
+    val pos = s"pmod(h1 + $i * h2, ${BloomBits}L)"
     s"((shiftright(element_at(bf, CAST($pos div 64 AS INT) + 1), " +
       s"CAST($pos % 64 AS INT)) & 1) = 1)"
   }.mkString(" AND ")

@@ -188,10 +188,15 @@ object Extras {
           sum(when(col("px_c") <= col("e90"), 1L).otherwise(0L)).as("le90"),
           sum(when(col("px_c") < col("e99"), 1L).otherwise(0L)).as("lt99"),
           sum(when(col("px_c") <= col("e99"), 1L).otherwise(0L)).as("le99"))
-      val ex = li.groupBy("l_returnflag").agg(
-        expr("percentile(px_c, 0.25)").as("p25_exact"),
-        expr("percentile(px_c, 0.5)").as("p50_exact"),
-        expr("percentile(px_c, 0.75)").as("p75_exact"))
+      // one percentile buffer for all three anchors (three separate
+      // percentile aggs each build their own value-count map over the
+      // full scan — measured 2.7 s vs 1.6 s at sf0.1)
+      val ex = li.groupBy("l_returnflag")
+        .agg(expr("percentile(px_c, array(0.25D, 0.5D, 0.75D))").as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p25_exact"),
+          element_at(col("ps"), 2).as("p50_exact"),
+          element_at(col("ps"), 3).as("p75_exact"))
       val slack = expr("24 * (n div 480)")
       def ok(qNum: Int, qDen: Int, lt: String, le: String) = {
         val target = expr(s"($qNum * n + ${qDen - 1}) div $qDen")

@@ -211,7 +211,10 @@ class PlanAuditSpec extends AnyFunSuite {
     //    crossJoin of 1-ROW aggregates — depending on inherited session
     //    conf these plan as BroadcastNestedLoopJoin or CartesianProduct;
     //    both are scalar x scalar and irrelevant at any scale
-    val allowNested = Set("sim_topk", "sim_ivf_topk")
+    //  - join_bloom_prefilter: fact x broadcast(1-ROW bloom aggregate)
+    //    — the runtime-filter scalar attach; BloomPrefilterSpec pins
+    //    that the bit-test still lands below the fact-side exchange
+    val allowNested = Set("sim_topk", "sim_ivf_topk", "join_bloom_prefilter")
     val allowCross = Set("pipe_totals", "pipe_effective_length", "agg_heavy_hitters")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

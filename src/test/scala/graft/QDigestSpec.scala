@@ -13,7 +13,7 @@ import graft.functions.{QDigestAgg, QdOut}
 class QDigestSpec extends AnyFunSuite {
 
   private def build(agg: QDigestAgg, data: Seq[Long],
-      rng: scala.util.Random): Map[Long, Long] = {
+      rng: scala.util.Random): Array[Long] = {
     val nChunks = 1 + rng.nextInt(8)
     val chunks = data.grouped(math.max(1, data.size / nChunks)).toSeq
     var parts = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
@@ -75,9 +75,10 @@ class QDigestSpec extends AnyFunSuite {
             Seq.fill(400)(rng.nextLong(U))
       }
       val buf = build(agg, data, rng)
-      val n = buf.valuesIterator.sum
+      val dg = agg.digest(buf)
+      val n = dg.valuesIterator.sum
       // the proof's structural invariant: internal nodes <= floor(n/k)
-      val bad = buf.filter { case (id, c) => id < U && c > n / k }
+      val bad = dg.filter { case (id, c) => id < U && c > n / k }
       assert(bad.isEmpty, s"seed=$seed internal nodes over tau: $bad")
       // sketch actually compresses (else the property is vacuous)
       val out = agg.finish(buf)
