@@ -24,6 +24,10 @@ object PlanDump {
     "emb_dedup_keep", "dedup_cc_groups", "dedup_containment",
     "dedup_cc_keep", "rec_cte_tree", "q9_profit", "event_funnel",
     "layout_compact", "dedup_ngram_jaccard", "dq_profile",
+    // round-6 additions in the same cost band, plus the bloom
+    // runtime-filter whose PLAN (bit-test below the fact exchange)
+    // is the operator's entire value
+    "graph_triangles", "agg_quantile_sketch", "join_bloom_prefilter",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
