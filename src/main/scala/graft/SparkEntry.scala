@@ -30,6 +30,7 @@ object SparkEntry {
       graft.ops.GraphOps.queries ++
       graft.ops.CurationOps.queries ++
       graft.ops.LayoutOps.queries ++
+      graft.ops.SkylineOps.queries ++
       graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.ops.GraphOps.oracle ++
       graft.ops.CurationOps.oracle ++
       graft.ops.LayoutOps.oracle ++
+      graft.ops.SkylineOps.oracle ++
       graft.queries.PipelineQueries.oracle
 }

@@ -125,7 +125,7 @@ class KmvAgg(k: Int, hashMod: Long) extends Aggregator[Long, Array[Long], KmvOut
     val est =
       if (b.length >= k) (k - 1).toDouble * hashMod.toDouble / b.last.toDouble
       else b.length.toDouble
-    KmvOut(b.length.toLong, if (b.isEmpty) -1L else b.last, est)
+    KmvOut(b.length.toLong, if (b.isEmpty) -1L else b.last, est, b.toSeq)
   }
 
   override def bufferEncoder: Encoder[Array[Long]] =
@@ -133,7 +133,12 @@ class KmvAgg(k: Int, hashMod: Long) extends Aggregator[Long, Array[Long], KmvOut
   override def outputEncoder: Encoder[KmvOut] = Encoders.product[KmvOut]
 }
 
-final case class KmvOut(n_kept: Long, kth_h: Long, est_distinct: Double)
+/** `ks` is the k-min set itself (sorted ascending) — the part that
+  * makes KMV a THETA sketch: set algebra (union / intersection /
+  * Jaccard, `agg_kmv_ops`) operates on the kept hashes below the
+  * threshold, not on the scalar estimate. */
+final case class KmvOut(n_kept: Long, kth_h: Long, est_distinct: Double,
+    ks: Seq[Long])
 
 /** Misra–Gries / space-saving heavy-hitters sketch as a typed
   * Aggregator — the classic mergeable frequent-items primitive for

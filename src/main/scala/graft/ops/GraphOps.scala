@@ -168,9 +168,87 @@ object GraphOps {
           .otherwise(lit(0L)).as("lcc_ppm"))
   }
 
+  /** Fixed-point PageRank: `iters` power-iteration rounds over an
+    * undirected edge list, ALL arithmetic in integer pico-rank units
+    * (1 rank-mass = 10¹²). Floating-point PageRank is not reproducible
+    * on a cluster — `sum(double)` depends on partial-aggregation
+    * order, which AQE re-plans, speculative retries and partition
+    * count all perturb — so two runs over identical 100 TB inputs
+    * disagree in the low bits and any rank-derived downstream fate
+    * (keep/drop, ordering) silently churns. With ranks as longs and
+    * contributions as `rank div degree`, every reduction is exact
+    * integer addition: associative, commutative, identical on any
+    * topology, and bit-equal to an independent engine's recomputation
+    * (the DuckDB oracle runs the same five unrolled rounds).
+    *
+    * Cost shape: per round one |E| equi-join (rank lookup) + one
+    * map-side-combinable sum into the destination — two keyed
+    * shuffles, same as one CC round; rounds are FIXED (no convergence
+    * probe), so the 100 TB cost is exactly `iters` × that. Per-round
+    * frames are stats-resetting localCheckpoints (same driver-stall
+    * guard as [[connectedComponents]]).
+    *
+    * Mass conservation: `div` floors, so each round leaks < 1 pico per
+    * edge plus the damping remainder — deterministic leak, same in
+    * both engines, irrelevant at 10¹² scale.
+    *
+    * @param edges undirected, distinct, `src` < `dst` (LONG)
+    * @return (`node`, `deg`, `rank_pico`) after `iters` rounds
+    */
+  def pageRankFixed(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val sym = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(eager = false)
+    // one scalar action to fold N into the plan as a literal (keeps
+    // the teleport term inside codegen); NOT a per-round collect
+    val n = deg.count()
+    val scale = 1000000000000L
+    val tele = (15L * scale) / (100L * n)
+    var ranks = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
+      deg.select(col("node"), lit(scale / n).as("r")))
+    var it = 0
+    while (it < iters) {
+      val contrib = ranks.join(deg, "node")
+        .select(col("node").as("src"), expr("r div dg").as("c"))
+      ranks = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
+        sym.join(contrib, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum("c").as("m"))
+          .select(col("node"), (lit(tele) + expr("(85 * m) div 100")).as("r")))
+      it += 1
+    }
+    ranks.join(deg, "node")
+      .select(col("node"), col("dg").as("deg"), col("r").as("rank_pico"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
+
+  /** Support-2 co-purchase edges over lineitem: parts adjacent when
+    * they share ≥ 2 orders. Pairs via per-order collect_set +
+    * higher-order-function explosion, NOT a self-join: one exchange on
+    * l_orderkey (with map-side partial collect) instead of distinct's
+    * (okey, pkey) exchange plus two more join-side okey exchanges —
+    * baskets are small (≤ a few parts/order), so the pair blow-up is
+    * bounded per row and stays inside codegen (measured 3.4 → 2.1 s).
+    * The support threshold is what keeps a co-occurrence graph sparse
+    * as draws grow. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS s, y AS d))))""".stripMargin)).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+      .select("src", "dst")
 
   val queries: Map[String, QFn] = Map(
     // MinHash-LSH candidate pairs → transitive dup groups. comp is the
@@ -222,27 +300,15 @@ object GraphOps {
     // expensive step at 100 TB is the pair-support aggregation (one
     // shuffle, map-side combinable); the census itself is bounded by
     // the degree orientation (see triangleStats).
-    "graph_triangles" -> ((s, d) => {
-      // pairs via per-order collect_set + higher-order-function
-      // explosion, NOT a self-join: one exchange on l_orderkey (with
-      // map-side partial collect) instead of distinct's (okey, pkey)
-      // exchange plus two more join-side okey exchanges — baskets are
-      // small (≤ a few parts/order), so the pair blow-up is bounded
-      // per row and stays inside codegen (measured 3.4 → 2.1 s)
-      val pairs = t(s, d, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)), y ->
-            |    struct(x AS s, y AS d))))""".stripMargin)).as("e"))
-        .select(col("e.s").as("src"), col("e.d").as("dst"))
-      val edges = pairs.groupBy("src", "dst")
-        .agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= 2)
-        .select("src", "dst")
-      triangleStats(edges)
-    })
+    "graph_triangles" -> ((s, d) => triangleStats(coPurchaseEdges(s, d))),
+
+    // Item centrality on the same graph: five fixed power-iteration
+    // rounds of integer-arithmetic PageRank — the popularity prior
+    // used to weight items/documents before sampling. Deterministic by
+    // construction (see pageRankFixed): the oracle re-runs the
+    // identical rounds in DuckDB and the hashes must be bit-equal,
+    // something float PageRank cannot promise on ANY engine pair.
+    "graph_pagerank" -> ((s, d) => pageRankFixed(coPurchaseEdges(s, d)))
   )
 
   /** Oracle: DuckDB recursive transitive closure over the SAME LSH
@@ -312,12 +378,7 @@ object GraphOps {
     // orientation/wedge machinery cannot be mirrored here. lcc is the
     // same integer-ppm division (DuckDB // ≡ Spark div on BIGINT ≥ 0).
     "graph_triangles" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e AS (
-        |  SELECT a.l_partkey AS s, b.l_partkey AS d
-        |  FROM op a JOIN op b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(1) >= 2),
+      s"""WITH $coPurchaseEdgeCte,
         |deg AS (
         |  SELECT n, COUNT(1) AS dg
         |  FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)
@@ -339,6 +400,43 @@ object GraphOps {
         |       THEN (2 * COALESCE(corners.tri, 0) * 1000000)
         |              // (deg.dg * (deg.dg - 1))
         |       ELSE 0 END AS lcc_ppm
-        |FROM deg LEFT JOIN corners ON corners.n = deg.n""".stripMargin
+        |FROM deg LEFT JOIN corners ON corners.n = deg.n""".stripMargin,
+
+    // Independent recomputation of the SAME five integer rounds —
+    // DuckDB's BIGINT // is Spark's div on non-negative values, and
+    // integer sums are order-free, so the match is exact by design.
+    "graph_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT sym.d AS node,
+           |    CAST((SELECT tele FROM consts)
+           |      + (85 * SUM(r${i - 1}.r // deg.dg)) // 100 AS BIGINT) AS r
+           |  FROM sym
+           |  JOIN r${i - 1} ON r${i - 1}.node = sym.s
+           |  JOIN deg ON deg.n = sym.s
+           |  GROUP BY sym.d)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coPurchaseEdgeCte,
+         |sym AS (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+         |deg AS (SELECT s AS n, COUNT(1) AS dg FROM sym GROUP BY 1),
+         |consts AS (SELECT
+         |  1000000000000 // COUNT(1) AS r0v,
+         |  15000000000000 // (100 * COUNT(1)) AS tele FROM deg),
+         |r0 AS (SELECT n AS node, (SELECT r0v FROM consts) AS r FROM deg),
+         |$rounds
+         |SELECT r5.node, deg.dg AS deg, r5.r AS rank_pico
+         |FROM r5 JOIN deg ON deg.n = r5.node""".stripMargin
+    }
   )
+
+  /** The co-purchase edge list as a SQL CTE pair (`op`, `e`) — shared
+    * by every graph-query oracle so engine and oracle agree on the
+    * graph by construction. */
+  private def coPurchaseEdgeCte: String =
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_partkey AS s, b.l_partkey AS d
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(1) >= 2)""".stripMargin
 }

@@ -132,6 +132,84 @@ object Extras {
           col("kmv.est_distinct").as("est_distinct"), col("exact_distinct"))
     }),
 
+    // Theta-sketch SET ALGEBRA on two KMV sketches — estimate
+    // |A ∩ B|, |A ∪ B| and Jaccard between the part catalogues bought
+    // by two nations' customers WITHOUT ever joining the underlying
+    // sets: θ = min of the two sketches' effective thresholds (kth
+    // value when saturated, else the hash modulus M), survivors
+    // STRICTLY below θ form a uniform hash-sample of each set, so
+    // |common < θ| · M/θ estimates the intersection and
+    // |union < θ| · M/θ the union (the DataSketches theta algebra).
+    // This is the 100 TB shape for audience-overlap / cross-corpus-
+    // contamination questions: each side compresses to ≤ k longs
+    // wherever it lives, the algebra runs on two tiny arrays, and
+    // partition sketches union first (KMV merge is associative).
+    // Note the sketch path feeds RAW (nation, partkey) rows — the
+    // aggregator dedups hashes inside its k-long buffer, so no
+    // distinct shuffle of the full sets ever runs; only the exact-
+    // anchor path (which exists for the oracle) pays one. All of it
+    // is deterministic (md5 k-min sets, fixed-order IEEE arithmetic),
+    // so the DuckDB oracle recomputes sketches AND algebra bit-
+    // exactly; the two accuracy verdicts are asserted as literal 1s
+    // oracle-side (driver-enforced error bounds, measured ≤ 0.071·U /
+    // 0.186·U across sf0.001–0.1 vs bounds 0.20·U / 0.25·U).
+    "agg_kmv_ops" -> ((s, d) => {
+      import graft.ops.TextOps.HashMod
+      s.udf.register("kmv64",
+        udaf(new graft.functions.KmvAgg(64, HashMod)))
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").filter(col("c_nationkey").isin(1, 2))
+          .select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nat"), col("l_partkey"))
+      val m = lit(HashMod)
+      val md = lit(HashMod.toDouble)
+      val sk = li
+        .withColumn("h", graft.ops.TextOps.strHash(
+          concat(lit("kmvo:"), col("l_partkey").cast("string"))))
+        .groupBy("nat").agg(expr("kmv64(h)").as("kmv"))
+        .groupBy().pivot("nat", Seq(1, 2)).agg(first(col("kmv")))
+        .withColumnRenamed("1", "ska").withColumnRenamed("2", "skb")
+      val est = sk.select(
+          col("ska.n_kept").as("n_a"), col("skb.n_kept").as("n_b"),
+          least(
+            when(col("ska.n_kept") >= 64, col("ska.kth_h")).otherwise(m),
+            when(col("skb.n_kept") >= 64, col("skb.kth_h")).otherwise(m)
+          ).as("theta"),
+          col("ska.ks").as("ka"), col("skb.ks").as("kb"))
+        .select(col("n_a"), col("n_b"), col("theta"),
+          size(filter(array_intersect(col("ka"), col("kb")),
+            x => x < col("theta"))).cast("long").as("common"),
+          size(filter(array_union(col("ka"), col("kb")),
+            x => x < col("theta"))).cast("long").as("n_u"))
+        .select(col("n_a"), col("n_b"), col("theta"), col("common"),
+          (col("common").cast("double") * md / col("theta").cast("double"))
+            .as("est_inter"),
+          (col("n_u").cast("double") * md / col("theta").cast("double"))
+            .as("est_union"))
+      val ex = li.groupBy("l_partkey").agg(
+          max(when(col("nat") === 1, 1).otherwise(0)).as("a"),
+          max(when(col("nat") === 2, 1).otherwise(0)).as("b"))
+        .agg(sum(col("a")).cast("long").as("exact_a"),
+          sum(col("b")).cast("long").as("exact_b"),
+          sum(col("a") * col("b")).cast("long").as("exact_inter"),
+          count(lit(1)).as("exact_union"))
+      est.crossJoin(ex).select(
+        col("n_a"), col("n_b"), col("theta"), col("common"),
+        col("est_inter"), col("est_union"),
+        (col("est_inter") / col("est_union")).as("jaccard_est"),
+        col("exact_a"), col("exact_b"),
+        col("exact_inter"), col("exact_union"),
+        (abs(col("est_inter") - col("exact_inter").cast("double"))
+          <= lit(0.20) * col("exact_union").cast("double"))
+          .cast("long").as("inter_ok"),
+        (abs(col("est_union") - col("exact_union").cast("double"))
+          <= lit(0.25) * col("exact_union").cast("double"))
+          .cast("long").as("union_ok"))
+    }),
+
     // Misra–Gries heavy hitters over a Zipf-like item stream (the item
     // column derives 1000 div (event_id%1000+1) from the event log —
     // item 1 covers ~50 % of rows, ~63 distinct values, so the sketch
@@ -357,6 +435,61 @@ object Extras {
          |    ELSE n_kept::DOUBLE END AS est_distinct,
          |  exact_distinct
          |FROM km JOIN ex USING (l_returnflag)""".stripMargin,
+
+    // agg_kmv_ops: the sketches AND the theta algebra recomputed from
+    // scratch (deterministic md5 k-min sets, mirrored IEEE op order);
+    // only the two error-bound verdicts are literal 1s — the driver
+    // fails the row if either estimate drifts out of bound.
+    "agg_kmv_ops" -> {
+      val m = graft.ops.TextOps.HashMod
+      s"""WITH pn AS (
+         |  SELECT c.c_nationkey AS nat, l.l_partkey
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  WHERE c.c_nationkey IN (1, 2)),
+         |h AS (
+         |  SELECT DISTINCT nat,
+         |    ('0x' || substr(md5('kmvo:' || l_partkey::VARCHAR), 1, 15))::BIGINT
+         |      % $m AS hv
+         |  FROM pn),
+         |keep AS (
+         |  SELECT nat, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY nat ORDER BY hv) AS rn
+         |  FROM h),
+         |ka AS (SELECT hv FROM keep WHERE nat = 1 AND rn <= 64),
+         |kb AS (SELECT hv FROM keep WHERE nat = 2 AND rn <= 64),
+         |sa AS (SELECT COUNT(1) AS n_a, MAX(hv) AS kth_a FROM ka),
+         |sb AS (SELECT COUNT(1) AS n_b, MAX(hv) AS kth_b FROM kb),
+         |th AS (SELECT LEAST(
+         |    CASE WHEN n_a >= 64 THEN kth_a ELSE $m END,
+         |    CASE WHEN n_b >= 64 THEN kth_b ELSE $m END) AS theta FROM sa, sb),
+         |cm AS (SELECT COUNT(1) AS common FROM ka, kb, th
+         |       WHERE ka.hv = kb.hv AND ka.hv < theta),
+         |un AS (SELECT COUNT(1) AS n_u
+         |       FROM (SELECT hv FROM ka UNION SELECT hv FROM kb) u, th
+         |       WHERE u.hv < theta),
+         |ex AS (
+         |  SELECT CAST(SUM(a) AS BIGINT) AS exact_a,
+         |    CAST(SUM(b) AS BIGINT) AS exact_b,
+         |    CAST(SUM(a*b) AS BIGINT) AS exact_inter,
+         |    COUNT(1) AS exact_union FROM (
+         |    SELECT l_partkey,
+         |      MAX(CASE WHEN nat = 1 THEN 1 ELSE 0 END) AS a,
+         |      MAX(CASE WHEN nat = 2 THEN 1 ELSE 0 END) AS b
+         |    FROM pn GROUP BY 1)),
+         |base AS (
+         |  SELECT n_a, n_b, theta, common,
+         |    (common::DOUBLE * $m.0) / theta::DOUBLE AS est_inter,
+         |    (n_u::DOUBLE * $m.0) / theta::DOUBLE AS est_union,
+         |    exact_a, exact_b, exact_inter, exact_union
+         |  FROM sa, sb, th, cm, un, ex)
+         |SELECT n_a, n_b, theta, common, est_inter, est_union,
+         |  est_inter / est_union AS jaccard_est,
+         |  exact_a, exact_b, exact_inter, exact_union,
+         |  CAST(1 AS BIGINT) AS inter_ok, CAST(1 AS BIGINT) AS union_ok
+         |FROM base""".stripMargin
+    },
 
     "udaf_bbox" ->
       """SELECT l_returnflag,

@@ -146,4 +146,47 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == want, s"rows ${got.size}/${want.size}; " + diff.mkString("; "))
     assert(want.values.map(_._2).sum > 0, "degenerate case: no triangles")
   }
+
+  // ---------------------------------------------------- pagerank
+
+  private def pr(edges: Seq[(Long, Long)], parts: Int = 4)
+      : Map[Long, Long] = {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    GraphOps.pageRankFixed(edges.toDF("src", "dst").repartition(parts))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+  }
+
+  test("pagerank: star hub dominates; symmetric leaves rank equal") {
+    val got = pr((1L to 8L).map(i => (0L, i)))
+    assert(got(0L) > 3 * got(1L)) // hub collects every leaf's mass
+    assert((1L to 8L).map(got).toSet.size == 1) // leaves interchangeable
+    // floor-division leaks mass but never mints it; leak is tiny
+    val mass = got.values.sum
+    assert(mass <= 1000000000000L && mass > 950000000000L, s"mass $mass")
+  }
+
+  test("pagerank: cycle is exactly uniform") {
+    val got = pr((0L until 6L).map(i => (i, (i + 1) % 6)).map {
+      case (a, b) => (math.min(a, b), math.max(a, b)) })
+    assert(got.values.toSet.size == 1) // perfect symmetry, bit-equal
+  }
+
+  test("pagerank: bit-identical across partition counts (determinism)") {
+    var seed = 0x9E3779B97F4A7C15L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    val n = 50
+    val edges = (1 to 300).map { _ =>
+      val a = math.floorMod(next() >>> 33, n).toLong
+      val b = math.floorMod(next() >>> 33, n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    // same graph, three physical layouts: the integer arithmetic must
+    // produce the SAME longs regardless of partial-aggregation order —
+    // the property float pagerank cannot offer
+    val a = pr(edges, parts = 1)
+    val b = pr(edges, parts = 7)
+    val c = pr(edges, parts = 32)
+    assert(a == b && b == c)
+  }
 }

@@ -34,13 +34,14 @@ class KmvAggSpec extends AnyFunSuite {
 
   test("finish: exact below k, estimator at k, sentinel when empty") {
     assert(agg.finish(Array(3L, 9L)) ==
-      graft.functions.KmvOut(2L, 9L, 2.0))
+      graft.functions.KmvOut(2L, 9L, 2.0, Seq(3L, 9L)))
     val full = Array(1L, 2L, 3L, 100L)
     val out = agg.finish(full)
     assert(out.n_kept == 4L && out.kth_h == 100L)
     assert(math.abs(out.est_distinct - 3.0 * M / 100.0) < 1e-9)
+    assert(out.ks == Seq(1L, 2L, 3L, 100L))
     assert(agg.finish(Array.emptyLongArray) ==
-      graft.functions.KmvOut(0L, -1L, 0.0))
+      graft.functions.KmvOut(0L, -1L, 0.0, Seq.empty))
   }
 
   test("estimator accuracy on uniform hashes (k=64, n=10000)") {
