@@ -196,27 +196,38 @@ object GraphOps {
     * @return (`node`, `deg`, `rank_pico`) after `iters` rounds
     */
   def pageRankFixed(edges: DataFrame, iters: Int = 5): DataFrame = {
+    // materialize the symmetrized edges once: deg and symd both read
+    // them, and the caller's edge derivation may be expensive
     val sym = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
       .localCheckpoint(eager = false)
+    // degree rides ON the edge list (materialized once): each round is
+    // then ONE |E| join + one map-side-combinable sum — the
+    // rank-to-degree lookup join disappears from the loop entirely
+    val symd = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
+      sym.join(deg.select(col("node").as("src"), col("dg")), "src"))
     // one scalar action to fold N into the plan as a literal (keeps
     // the teleport term inside codegen); NOT a per-round collect
     val n = deg.count()
     val scale = 1000000000000L
     val tele = (15L * scale) / (100L * n)
-    var ranks = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
-      deg.select(col("node"), lit(scale / n).as("r")))
+    var ranks = deg.select(col("node"), lit(scale / n).as("r"))
+    // Unlike the CC loop there is NO per-round checkpoint: rounds are
+    // FIXED (no convergence probe forcing a driver action), so the
+    // whole computation is one declarative `iters`-deep plan — Spark
+    // materializes each round's exchange on shuffle disk anyway (the
+    // fault-tolerance story), Catalyst optimizes the pipeline as a
+    // unit, and stats cannot cube unboundedly at a bounded depth.
     var it = 0
     while (it < iters) {
-      val contrib = ranks.join(deg, "node")
-        .select(col("node").as("src"), expr("r div dg").as("c"))
-      ranks = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
-        sym.join(contrib, "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum("c").as("m"))
-          .select(col("node"), (lit(tele) + expr("(85 * m) div 100")).as("r")))
+      ranks = symd
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div dg")).as("m"))
+        .select(col("dst").as("node"),
+          (lit(tele) + expr("(85 * m) div 100")).as("r"))
       it += 1
     }
     ranks.join(deg, "node")

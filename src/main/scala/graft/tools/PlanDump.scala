@@ -28,6 +28,9 @@ object PlanDump {
     // runtime-filter whose PLAN (bit-test below the fact exchange)
     // is the operator's entire value
     "graph_triangles", "agg_quantile_sketch", "join_bloom_prefilter",
+    // round-6 second wave: pagerank joins the cost band; kmv_ops'
+    // plan must show the sketch path free of any distinct exchange
+    "graph_pagerank", "agg_kmv_ops",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
@@ -56,6 +59,10 @@ object PlanDump {
       // edit above it — keep the file, mask the line
       .replaceAll("RDD\\[\\d+\\]", "RDD[*]")
       .replaceAll("\\.scala:\\d+", ".scala:*")
+      // higher-order-function lambda variables are numbered by a
+      // session-global counter ("lambda x_7"), so the same plan
+      // renders different names depending on what ran before it
+      .replaceAll("lambda x_\\d+", "lambda x_*")
   }
 
   /** Every conf a plan CHOICE depends on is pinned explicitly — the

@@ -94,4 +94,8 @@ object PlanFingerprint {
       // counters) and call-site line numbers (churn on unrelated edits)
       .replaceAll("RDD\\[\\d+\\]", "RDD[*]")
       .replaceAll("\\.scala:\\d+", ".scala:*")
+      // higher-order-function lambda variables are numbered by a
+      // session-global counter ("lambda x_7") — same plan, different
+      // names depending on everything that ran before it in the JVM
+      .replaceAll("lambda x_\\d+", "lambda x_*")
 }

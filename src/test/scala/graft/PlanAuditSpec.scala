@@ -214,8 +214,15 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - join_bloom_prefilter: fact x broadcast(1-ROW bloom aggregate)
     //    — the runtime-filter scalar attach; BloomPrefilterSpec pins
     //    that the bit-test still lands below the fact-side exchange
-    val allowNested = Set("sim_topk", "sim_ivf_topk", "join_bloom_prefilter")
-    val allowCross = Set("pipe_totals", "pipe_effective_length", "agg_heavy_hitters")
+    //  - skyline_parts: phase-2 dominance anti-join IS a deliberate
+    //    BNLJ — the probe side is the frontier-sized candidate set
+    //    (broadcast), and dominance is inherently non-equi
+    //  - agg_kmv_ops: crossJoin of two 1-ROW frames (sketch algebra x
+    //    exact anchors), scalar x scalar like pipe_totals
+    val allowNested = Set("sim_topk", "sim_ivf_topk", "join_bloom_prefilter",
+      "skyline_parts")
+    val allowCross = Set("pipe_totals", "pipe_effective_length",
+      "agg_heavy_hitters", "agg_kmv_ops")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = try fn(spark, sf).queryExecution.executedPlan.toString catch {
