@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // auto-rewrite naive geodesic theta-joins into grid-cell equi-joins
     ext.injectOptimizerRule(_ => graft.plans.GeodesicJoinRule)
+    // lower AsofJoinNode to the native streaming-merge physical operator
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
 
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")

@@ -35,6 +35,26 @@ object TemporalOps {
           (col("us") - col("click_us")).as("gap_us"))
     }),
 
+    // identical semantics via the custom physical operator
+    // (AsofJoinNode → AsofJoinStrategy → AsofJoinExec streaming merge):
+    // same oracle as asof_purchase_click, so the DuckDB hash compare
+    // pins the tier-(c) extension path end-to-end, not just in specs
+    "asof_native_purchase_click" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("us"))
+      graft.plans.AsofJoinNative.asof(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Map("event_id" -> "click_event_id", "us" -> "click_us"),
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          col("us").as("purchase_us"),
+          col("click_event_id"), col("click_us"),
+          (col("us") - col("click_us")).as("gap_us"))
+    }),
+
     // all same-user event pairs within 60 s of each other
     "range_event_pairs" -> ((s, d) =>
       RangeJoin.bandedSelfPairs(events(s, d),
@@ -89,6 +109,14 @@ object TemporalOps {
 
   val oracle: Map[String, String] = Map(
     "asof_purchase_click" ->
+      """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  c.event_id AS click_event_id, epoch_us(c.ts) AS click_us,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "asof_native_purchase_click" ->
       """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
         |  c.event_id AS click_event_id, epoch_us(c.ts) AS click_us,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us

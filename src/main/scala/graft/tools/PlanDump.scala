@@ -31,6 +31,10 @@ object PlanDump {
     // round-6 second wave: pagerank joins the cost band; kmv_ops'
     // plan must show the sketch path free of any distinct exchange
     "graph_pagerank", "agg_kmv_ops",
+    // tier-(c) custom physical operator: the plan must keep showing
+    // AsofJoinExec fed by exactly two ENSURE_REQUIREMENTS exchanges
+    // + two sorts (EnsureRequirements owns the distributed contract)
+    "asof_native_purchase_click",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

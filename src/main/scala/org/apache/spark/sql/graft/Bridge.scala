@@ -17,6 +17,18 @@ object Bridge {
   def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
 
+  /** `Dataset.ofRows` (private[sql]) — lets graft operators hand a
+    * custom LogicalPlan (e.g. `AsofJoinNode`) back to the session. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (classic-mode accessor). */
+  def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
   /** `localCheckpoint` WITHOUT origin-stats propagation.
     *
     * Spark 4's `Dataset.localCheckpoint` wraps the materialized RDD in
