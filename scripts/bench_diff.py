@@ -13,12 +13,44 @@ For each query present in both files, the delta is labeled:
 Queries only in one file are listed as ADDED/REMOVED.
 """
 import json
+import os
+import subprocess
 import sys
+
+
+def resolve_fp_from_git(path):
+    """A driver wrapper (BENCH_r0N.json) carries no plan_fp — its stdout
+    tail line is size-capped below what 185 fingerprints need. But the
+    driver commits the wrapper TOGETHER with the BENCH_FULL.json that the
+    same Bench run wrote as a side effect, so the same-commit
+    BENCH_FULL.json's plan_fp map is exactly this run's fingerprints.
+    Returns (plan_fp dict, describing commit) or (None, reason)."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path)
+    try:
+        sha = subprocess.run(
+            ["git", "-C", d, "rev-list", "-1", "HEAD", "--", base],
+            capture_output=True, text=True, timeout=30).stdout.strip()
+        if not sha:
+            return None, "file not in git history"
+        full = subprocess.run(
+            ["git", "-C", d, "show", f"{sha}:BENCH_FULL.json"],
+            capture_output=True, text=True, timeout=30)
+        if full.returncode != 0:
+            return None, f"no BENCH_FULL.json at commit {sha[:10]}"
+        fp = json.loads(full.stdout).get("plan_fp")
+        if not isinstance(fp, dict):
+            return None, f"BENCH_FULL.json at {sha[:10]} has no plan_fp"
+        return fp, sha[:10]
+    except Exception as e:  # git absent, timeout, bad JSON ...
+        return None, str(e)
 
 
 def load(path):
     """Load a bench artifact: either Bench's own JSON line (BENCH_FULL.json)
-    or the driver wrapper (BENCH_r0N.json), which nests it under 'parsed'."""
+    or the driver wrapper (BENCH_r0N.json), which nests it under 'parsed'.
+    Wrappers without plan_fp get it joined in from the same-commit
+    BENCH_FULL.json (see resolve_fp_from_git)."""
     try:
         d = json.load(open(path))
     except (json.JSONDecodeError, UnicodeDecodeError) as e:
@@ -28,6 +60,16 @@ def load(path):
     if not isinstance(d.get("queries"), dict):
         sys.exit(f"{path}: no 'queries' map found — not a bench artifact "
                  f"(keys: {sorted(d)[:8]})")
+    if "plan_fp" not in d:
+        fp, how = resolve_fp_from_git(path)
+        if fp is not None:
+            d["plan_fp"] = fp
+            print(f"NOTE: {path} carries no plan_fp — joined "
+                  f"{len(fp)} fingerprints from BENCH_FULL.json at "
+                  f"commit {how}")
+        else:
+            print(f"NOTE: {path} carries no plan_fp and git resolution "
+                  f"failed ({how}) — its deltas will label as '??'")
     return d
 
 

@@ -37,10 +37,12 @@ import org.apache.spark.sql.graft.Bridge
   * by the LAST right row in ascending `tieBreak` order (DuckDB
   * `ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts` convention).
   *
-  * Preconditions (checked by the wrapper where cheap): join keys and
-  * timestamps are non-null on both sides — the SQL equi-join and
-  * `<=` comparison both reject NULLs, so rows violating this would
-  * need DuckDB-NULL semantics the merge does not model.
+  * NULL semantics (SQL, pinned in AsofNativeSpec): a NULL key or NULL
+  * timestamp on either side never matches — the equi-join and `<=`
+  * comparison both reject NULLs. Left rows with NULLs still appear,
+  * null-padded. [[graft.operators.AsofJoin.asof]] implements the same
+  * contract (it drops null-key/null-ts RIGHT rows before its union),
+  * so the two forms are interchangeable per workload.
   */
 case class AsofJoinNode(
     left: LogicalPlan,

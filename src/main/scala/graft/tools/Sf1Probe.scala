@@ -68,7 +68,10 @@ object Sf1Probe {
     // codegen/shuffle warmup, same as Bench
     spark.range(1000000).selectExpr("sum(id)")
       .write.format("noop").mode("overwrite").save()
-    val rows = PlanDump.Audited.map { name =>
+    // pipe_* stages read the KMZ fixture, not the sf directory — at
+    // "both scales" they'd run the identical workload (slope ≡ 1), so
+    // they carry no headroom signal and are excluded
+    val rows = PlanDump.Audited.filterNot(_.startsWith("pipe_")).map { name =>
       // min of 2 per scale, interleaved: the first execution of a query
       // carries its whole-stage-codegen compile, which at sf0.1 is a
       // large share of wall time and would understate every slope

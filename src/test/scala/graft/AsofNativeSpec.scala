@@ -66,21 +66,39 @@ class AsofNativeSpec extends AnyFunSuite {
 
   test("plan: AsofJoinExec with two EnsureRequirements-placed exchanges+sorts") {
     import spark.implicits._
-    val l = Seq((1L, 1L), (2L, 2L)).toDF("k", "ts")
-    val r = Seq((1L, 1L), (2L, 2L)).toDF("k", "ts2")
-    val df = AsofJoinNative.asof(l, r, Seq("k"), "ts", "ts2",
-      Map("ts2" -> "m"))
-    df.collect() // finalize the adaptive plan
-    // the AQE plan string repeats the tree (Final + Initial) — count
-    // operators in the final section only
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(plan.contains("AsofJoin"), plan)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 2, s"expected 2 hash exchanges, plan:\n$plan")
-    assert("Sort \\[".r.findAllIn(plan).size == 2, s"expected 2 sorts, plan:\n$plan")
-    // AQE coalesced BOTH shuffle reads (one coalesce group for a
-    // non-union binary node — partition alignment the merge relies on)
-    assert("AQEShuffleRead coalesced".r.findAllIn(plan).size == 2, plan)
+    // The session is shared across suites in one JVM and several suites
+    // flip spark.sql.adaptive.* on it via getOrCreate, so pin every conf
+    // this plan assertion depends on and restore afterwards — the test
+    // must not depend on suite ordering.
+    val pinned = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      // parallelismFirst keeps tiny partitions alive to fill cores; for
+      // a deterministic coalesce-to-1 on toy input, size must drive
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")
+    val saved = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = Seq((1L, 1L), (2L, 2L)).toDF("k", "ts")
+      val r = Seq((1L, 1L), (2L, 2L)).toDF("k", "ts2")
+      val df = AsofJoinNative.asof(l, r, Seq("k"), "ts", "ts2",
+        Map("ts2" -> "m"))
+      df.collect() // finalize the adaptive plan
+      // the AQE plan string repeats the tree (Final + Initial) — count
+      // operators in the final section only
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("AdaptiveSparkPlan"), plan)
+      assert(plan.contains("AsofJoin"), plan)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 2, s"expected 2 hash exchanges, plan:\n$plan")
+      assert("Sort \\[".r.findAllIn(plan).size == 2, s"expected 2 sorts, plan:\n$plan")
+      // AQE coalesced BOTH shuffle reads (one coalesce group for a
+      // non-union binary node — partition alignment the merge relies on)
+      assert("AQEShuffleRead coalesced".r.findAllIn(plan).size == 2, plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("edges: non-strict ts, tie-break last-wins, null semantics, no match") {
@@ -115,10 +133,18 @@ class AsofNativeSpec extends AnyFunSuite {
       (21L, None: Option[Long], Some(1L)),  // null right key: never a match
       (22L, Some(1L), None: Option[Long])   // null right ts: never a match
     ).toDF("r_id", "k", "ts")
-    val out = AsofJoinNative.asof(left, right, Seq("k"), "ts", "ts",
+    val expected = Map(1L -> Some(20L), 2L -> None, 3L -> None)
+    val native = AsofJoinNative.asof(left, right, Seq("k"), "ts", "ts",
       Map("r_id" -> "m"))
       .select("l_id", "m").as[(Long, Option[Long])].collect().toMap
-    assert(out == Map(1L -> Some(20L), 2L -> None, 3L -> None))
+    assert(native == expected)
+    // the composed union+window form must agree: a caller switching
+    // forms per workload (e.g. to asofSalted for a hot key) must not
+    // silently change NULL behavior
+    val composed = AsofJoin.asof(left, right, Seq("k"), "ts", "ts",
+      Map("r_id" -> "m"))
+      .select("l_id", "m").as[(Long, Option[Long])].collect().toMap
+    assert(composed == expected)
   }
 
   test("edges: empty right side → all-null matches, row count preserved") {
