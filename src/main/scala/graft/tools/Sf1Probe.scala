@@ -72,11 +72,31 @@ object Sf1Probe {
     // "both scales" they'd run the identical workload (slope ≡ 1), so
     // they carry no headroom signal and are excluded
     val rows = PlanDump.Audited.filterNot(_.startsWith("pipe_")).map { name =>
-      // min of 2 per scale, interleaved: the first execution of a query
-      // carries its whole-stage-codegen compile, which at sf0.1 is a
-      // large share of wall time and would understate every slope
+      // one DISCARDED run per SCALE first. sf0.1: the first execution
+      // carries whole-stage-codegen compile and (for the first queries
+      // in the list) JVM-wide C2/reader warmup — round 6's
+      // emb_dedup_keep "slope 2.10" divided by a cold-start-inflated
+      // sf0.1 denominator (10.12 s probed vs 1.97 s idle bench). sf1:
+      // the heavy inner loops only reach C2 + a warmed execution-memory
+      // pool at sf1 iteration counts — StageProf measured the
+      // candidate-distinct stage of emb_dedup_keep at 436 task-seconds
+      // cold vs 71 warm (same JVM, same input, 407 MB shuffle write
+      // both times), a 6× first-run artifact that sf0.1 warmup does
+      // not remove. A cluster job amortizes exactly this across
+      // thousands of tasks, so warm numbers are the slope signal.
+      run(name, Src); run(name, Dst)
       val s1 = run(name, Src); val d1 = run(name, Dst)
       val s2 = run(name, Src); val d2 = run(name, Dst)
+      // Post-query hygiene, OUTSIDE any timed region: the CC-family
+      // queries leave lazy localCheckpoint RDD blocks pinned in the
+      // block manager until their DataFrames are GC'd AND the async
+      // ContextCleaner drains — with a large heap nothing triggers GC,
+      // so sf1-sized blocks accumulate across the probe and degrade
+      // the back half of the run (observed: graph_triangles 5.1 s →
+      // 37.1 s purely by position). A driver GC nudge lets the cleaner
+      // unpersist between queries, which is what a per-query cluster
+      // job gets for free from JVM teardown.
+      System.gc(); Thread.sleep(500)
       val t01 = math.min(s1, s2)
       val t1 = math.min(d1, d2)
       println(f"[sf1] $name%-22s sf0.1=$t01%6.2f s  sf1=$t1%7.2f s  slope=${t1 / t01}%5.2f")
@@ -85,7 +105,11 @@ object Sf1Probe {
     val json = rows.map { case (n, a, b) =>
       f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"slope":${b / a}%.2f}"""
     }.mkString(",")
-    val out = s"""{"metric":"sf1_headroom","k":$K,"queries":{$json}}"""
+    val loadavg = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+    } catch { case _: Throwable => "unknown" }
+    val out = s"""{"metric":"sf1_headroom","k":$K,"loadavg_end":"$loadavg","queries":{$json}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SF1.json"), out + "\n")
     println(s"[sf1] wrote BENCH_SF1.json")
   }
