@@ -288,14 +288,25 @@ object GraphOps {
 
     // embedding-space analogue of dedup_cc_keep: cosine near-dup PAIRS
     // (hashed-plane LSH gate + exact rerank) become transitive groups,
-    // keeper = min vec_id — the canonical corpus after semantic dedup
+    // keeper = min vec_id — the canonical corpus after semantic dedup.
+    // Exact-canonicalization first (SimilarityOps.exactCanonicalReps):
+    // LSH/rerank/CC run over one rep per DISTINCT vector, so the
+    // candidate stage scales with distinct content, not corpus size —
+    // byte-identical copies form cliques the pair join would otherwise
+    // rediscover O(copies²) per bucket. Output-identical to the direct
+    // form (rep = min id of its copy-group ⇒ min-over-reps ≡
+    // min-over-copies; keepers ARE reps), pinned in
+    // SimilarityCanonicalSpec; on the 10× exact-replica sf1 probe this
+    // is the difference between ~100× and ~1× candidate growth.
     "emb_dedup_keep" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
-      val edges = SimilarityOps.nearDupPairs(embs, tau = SimilarityOps.NdTau,
+      val reps = SimilarityOps.exactCanonicalReps(embs)
+        .localCheckpoint(eager = false) // reused 4× below — shuffle once
+      val edges = SimilarityOps.nearDupPairs(reps, tau = SimilarityOps.NdTau,
           nBands = SimilarityOps.NdBands, bitsPerBand = SimilarityOps.NdBits,
           dim = SimilarityOps.OracleDim)
         .select(col("d1").as("src"), col("d2").as("dst"))
-      connectedComponents(embs.select(col("vec_id").as("node")), edges)
+      connectedComponents(reps.select(col("vec_id").as("node")), edges)
         .filter(col("node") === col("comp"))
         .join(embs.select(col("vec_id"), col("label").cast("long").as("label")),
           col("node") === col("vec_id"))

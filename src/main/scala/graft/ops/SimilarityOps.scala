@@ -73,6 +73,37 @@ object SimilarityOps {
     * cos ≥ 0.95 recall is high; at cos ≈ 0.45 (60°) no hyperplane
     * scheme separates well — that regime needs IVF-style partitioning.
     */
+  /** Exact-canonicalization pre-pass for near-dup pipelines: one
+    * representative row (min `vec_id`) per DISTINCT embedding, plus
+    * every row whose vector can't legitimately participate in cosine
+    * grouping (NULL embedding, zero norm, non-finite norm — for those,
+    * cos(x,x) ≠ 1, so the direct LSH path leaves them as singletons
+    * and grouping them here would MERGE what the direct path keeps
+    * apart; they pass through one-row-per-row instead).
+    *
+    * Why this exists: candidate generation in [[nearDupPairs]] scales
+    * with CORPUS size, but at 100 TB a large share of the corpus is
+    * byte-identical repeats (the reason exact dedup is a standard
+    * pre-stage). Identical bytes ⇒ identical band signatures and
+    * cosine 1, so copies of a vector form a clique the LSH stage
+    * rediscovers pair by pair — O(copies²) per bucket for information
+    * the hash join already had. Canonicalizing first makes the LSH /
+    * rerank / CC stages scale with DISTINCT content; component labels
+    * are preserved because each rep is the MIN id of its copy-group,
+    * so min-over-reps ≡ min-over-all-copies (pinned path-identical to
+    * the direct form in SimilarityCanonicalSpec; measured on the 10×
+    * exact-replica sf1 probe).
+    */
+  def exactCanonicalReps(embeddings: DataFrame): DataFrame = {
+    val nrm = norm(col("embedding"))
+    val groupable = coalesce(
+      col("embedding").isNotNull && nrm > 0d && !isnan(nrm), lit(false))
+    embeddings.filter(groupable)
+      .groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id", "embedding")
+      .unionByName(embeddings.filter(!groupable).select("vec_id", "embedding"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, tau: Double,
       nBands: Int = 8, bitsPerBand: Int = 16, dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else dataDim(embeddings)
@@ -95,8 +126,20 @@ object SimilarityOps {
         col("nrm").as("nrm1")), "d1")
       .join(docs.select(col("vec_id").as("d2"), col("embedding").as("e2"),
         col("nrm").as("nrm2")), "d2")
-      .withColumn("sim", dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
-      .filter(col("sim") >= tau)
+      // zero-norm vectors CAN collide (an all-zero vector has a
+      // deterministic all-zero signature, so two of them share every
+      // band key) and their cosine is undefined — the guarded divide
+      // yields NULL, which the tau filter drops, instead of an ANSI
+      // DIVIDE_BY_ZERO crash killing the whole pipeline. The NaN
+      // screens are load-bearing BOTH times: Spark orders NaN GREATER
+      // than every number (total-order semantics, not IEEE), so
+      // without them `NaN > 0` admits NaN-norm vectors and
+      // `NaN >= tau` then emits sim=NaN pairs that silently weld all
+      // pathological vectors into one dedup component.
+      .withColumn("sim", when(
+        col("nrm1") * col("nrm2") > 0d && !isnan(col("nrm1") * col("nrm2")),
+        dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2"))))
+      .filter(col("sim") >= tau && !isnan(col("sim")))
       .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
   }
 
@@ -129,8 +172,13 @@ object SimilarityOps {
     val b = embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2"),
       norm(col("embedding")).as("nrm2"))
     a.join(b, col("d1") < col("d2"))
-      .withColumn("sim", dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
-      .filter(col("sim") >= tau)
+      // same zero-norm + NaN guards as nearDupPairs (NaN sorts GREATER
+      // than every number in Spark, so an unscreened NaN passes both
+      // `> 0` and `>= tau`)
+      .withColumn("sim", when(
+        col("nrm1") * col("nrm2") > 0d && !isnan(col("nrm1") * col("nrm2")),
+        dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2"))))
+      .filter(col("sim") >= tau && !isnan(col("sim")))
       .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
   }
 
