@@ -30,6 +30,18 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** True iff a precomputed norm admits a DEFINED cosine: positive and
+    * finite. Null-safe (NULL embedding → NULL norm → false). The isnan
+    * screen is load-bearing: Spark's total order ranks NaN GREATER
+    * than every number, so an unscreened NaN norm passes `> 0` — and a
+    * NaN similarity then outranks every real one in a `>= tau` filter
+    * or a top-k sort. Every similarity operator filters its corpus
+    * through this (zero/NaN-norm vectors can neither match nor rank;
+    * ANSI mode would otherwise raise DIVIDE_BY_ZERO on the first
+    * zero-norm collision). */
+  private[graft] def definedNrm(nrm: Column): Column =
+    coalesce(nrm > 0d && !isnan(nrm), lit(false))
+
   /** Exact cosine top-k neighbors for query vectors. Norms are computed
     * once per side BEFORE the join — the naive per-pair cosine pays the
     * two norm traversals |Q|×|C| times instead of |Q|+|C|.
@@ -45,8 +57,10 @@ object SimilarityOps {
     val q = embeddings.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
+      .filter(definedNrm(col("q_nrm")))
     val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       norm(col("embedding")).as("n_nrm"))
+      .filter(definedNrm(col("n_nrm")))
     val topk = udaf(new graft.functions.TopKSimAgg(k))
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("sim", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
@@ -263,9 +277,11 @@ object SimilarityOps {
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
+      .filter(definedNrm(col("nrm"))) // zero/NaN-norm rows can't vote
     var cents = embeddings.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
     for (_ <- 0 until iters) {
       val assigned = assignBest(vecs, cents,
         struct(col("embedding").as("emb"), col("cid")))
@@ -279,6 +295,10 @@ object SimilarityOps {
         .select(col("cid"),
           transform(col("pm"), x => x.getField("m").cast("float")).as("c_emb"))
         .withColumn("c_nrm", norm(col("c_emb")))
+        // a mean CAN cancel to the zero vector — such a centroid drops
+        // out like an emptied cluster (standard Lloyd degeneracy)
+        // instead of crashing the next iteration's divide
+        .filter(definedNrm(col("c_nrm")))
         .localCheckpoint()
     }
     cents
@@ -303,13 +323,20 @@ object SimilarityOps {
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 3,
       centroids: Option[DataFrame] = None): DataFrame = {
+    // both sides screened for defined cosines: a zero/NaN-norm corpus
+    // row can neither probe nor match, and an unscreened one either
+    // ANSI-crashes the divide (zero) or NaN-outranks every real
+    // neighbor (Spark sorts NaN greatest). Caller-supplied centroids
+    // get the same screen — a degenerate centroid must not own a cell.
     val cents = centroids.getOrElse(
       embeddings.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
           norm(col("embedding")).as("c_nrm")))
+      .filter(definedNrm(col("c_nrm")))
 
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
+      .filter(definedNrm(col("nrm")))
 
     val assign = assignBest(vecs, cents,
       struct(col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("cid")))
