@@ -292,8 +292,12 @@ object CurationOps {
     // likely, yet every row's fate is a pure function of its own key.
     // Same TakeOrderedAndProject shape as sample_uniform_k; priority
     // rounded to 9 dp so the ln ulp can't flip the cross-engine cut.
+    // Zero-weight rows are FILTERED, not divided: w=0 means priority=∞
+    // (never sampled) in ES semantics, and an unfiltered n_chars=0 doc
+    // would ANSI-crash the divide; the oracle carries the same WHERE.
     "sample_weighted" -> ((s, d) =>
       t(s, d, "documents")
+        .filter(col("n_chars") > 0)
         .withColumn("u",
           (TextOps.strHash(concat(lit("wgt:"), col("doc_id").cast("string"))) + 1L)
             .cast("double") / lit((TextOps.HashMod + 1L).toDouble))
@@ -467,7 +471,8 @@ object CurationOps {
          |      (('0x' || substr(md5('wgt:' || doc_id::VARCHAR), 1, 15))::BIGINT
          |        % $HashMod + 1)::DOUBLE / ${TextOps.HashMod + 1L}.0)
          |      / n_chars, 9) AS priority
-         |  FROM documents)
+         |  FROM documents
+         |  WHERE n_chars > 0)
          |ORDER BY priority ASC, doc_id ASC
          |LIMIT 100""".stripMargin,
 
