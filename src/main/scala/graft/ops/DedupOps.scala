@@ -224,6 +224,56 @@ object DedupOps {
       .withColumn("contaminated", col("n_hit_shingles") > 0)
   }
 
+  /** Exact duplicated-span detection — the exact-substring training-
+    * data dedup shape (Lee et al. 2021's "Deduplicating Training Data
+    * Makes Language Models Better") at span granularity: a suffix
+    * array finds every repeated ≥50-token substring; the distributed
+    * approximation hashes overlapping fixed-size token windows and
+    * counts windows whose hash appears in ≥ 2 DISTINCT documents
+    * (within-doc repetition is [[graft.ops.CurationOps]]'s repetition
+    * signal, not cross-doc duplication). Any repeated substring of
+    * length ≥ spanSize + stride − 1 is guaranteed to contain at least
+    * one aligned window on both sides, so recall at that granularity
+    * is structural, not probabilistic.
+    *
+    * Shape at scale: spans are a stride-thinned explode of the scan
+    * (|tokens|/stride rows — spanSize/stride ≈ 2× the token stream,
+    * never quadratic), the shared-span table is a keyed count agg with
+    * map-side combine, and duplicated spans are rare, so the join back
+    * is a broadcast of the (small) dup-span set in practice. Per-doc
+    * rollup partial-combines. No all-pairs comparison anywhere. */
+  val SpanSize = 20
+  val SpanStride = 10
+
+  def spanDups(docs: DataFrame, textCol: String = "text",
+      spanSize: Int = SpanSize, stride: Int = SpanStride): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val nToks = size(col("toks")).cast("long")
+    // sequence(a, b) runs DESCENDING when b < a — guard short docs to
+    // an empty start list instead (docs shorter than one span window
+    // carry no spans at all)
+    val starts = when(nToks >= spanSize,
+      sequence(lit(1L), nToks - (spanSize - 1), lit(stride.toLong)))
+      .otherwise(array().cast("array<bigint>"))
+    val spans = tk
+      .select(col("doc_id"), explode(transform(starts,
+        s => md5(array_join(slice(col("toks"), s.cast("int"), spanSize), " "))))
+        .as("span_h"))
+    val shared = spans.groupBy("span_h")
+      .agg(countDistinct("doc_id").as("n_docs_span"))
+      .filter(col("n_docs_span") >= 2)
+    val perDoc = spans.join(shared, Seq("span_h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs_span").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac_ppm",
+        expr("(n_dup_spans * 1000000) div greatest(n_spans, 1)"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -239,6 +289,7 @@ object DedupOps {
     "dedup_containment" -> ((s, d) => containmentPairs(t(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(t(s, d, "documents"))),
+    "dedup_span_exact" -> ((s, d) => spanDups(t(s, d, "documents"))),
     // deterministic eval split (doc_id % 50) stands in for the
     // benchmark corpus; every 49/50 "train" doc is probed against it
     "dedup_decontaminate" -> ((s, d) => {

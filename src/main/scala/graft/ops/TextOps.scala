@@ -247,6 +247,58 @@ object TextOps {
       .select("w1", "w2", "c_ab", "c_a", "c_b", "score_ppm")
   }
 
+  /** Bigram-LM "surprise" quality score — the CCNet-style perplexity
+    * filter shape: train a stupid-backoff bigram model on the corpus
+    * (two keyed count aggregations with map-side partial combine,
+    * bigram table pruned to `c_ab >= minCount`), then score every
+    * document by the mean inverse conditional probability of its
+    * bigrams. Low score = fluent/common text, high = rare or garbled —
+    * the signal CCNet thresholds to drop low-quality web text.
+    *
+    * Exact integer math in ppm (same discipline as [[tfidfTopTerms]]):
+    * in-model surprise = `c(w1) * 1e6 div c(w1,w2)` (≈ 1/p(w2|w1));
+    * a pruned bigram backs off to the unigram with a 10× stupid-backoff
+    * penalty, `N * 1e7 div c(w2)` (≈ 1/(0.1·p(w2))). True perplexity
+    * exponentiates a mean log — the arithmetic mean of inverse
+    * probabilities is the rank-compatible integer sibling, bit-exact
+    * across engines where libm log/exp rounding is not.
+    *
+    * Shape at scale: the model tables are vocabulary-sized (pruned by
+    * `minCount`), every join is a keyed equi-join on the token, and the
+    * per-doc aggregation partial-combines map-side. N is one count
+    * action up front — joining a constant-folded single row would plan
+    * as a nested loop, which the suite-wide plan audit rejects. */
+  def lmSurprise(docs: DataFrame, textCol: String = "text",
+      minCount: Int = 2): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val n1 = greatest(size(col("toks")) - 1, lit(0))
+    val bg = tk.select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = tk.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nTok = tk.agg(sum(size(col("toks")))).first().getLong(0)
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val scored = bg
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+      .withColumn("surprise_ppm",
+        when(col("c_ab").isNotNull, expr("(c_a * 1000000) div c_ab"))
+          .otherwise(expr(s"(${nTok}L * 10000000) div c_b")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(surprise_ppm) div count(1)").as("avg_surprise_ppm"))
+    // single-token / empty docs carry no bigrams: keep them with a
+    // null score so the filter stage decides their fate explicitly
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_surprise_ppm"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -271,6 +323,7 @@ object TextOps {
         .limit(50)),
     "txt_tfidf" -> ((s, d) => tfidfTopTerms(t(s, d, "documents"))),
     "txt_pmi_bigrams" -> ((s, d) => pmiBigrams(t(s, d, "documents"))),
+    "txt_lm_surprise" -> ((s, d) => lmSurprise(t(s, d, "documents"))),
     // deterministic train/valid/test split: hash-bucket assignment is
     // reproducible across runs/engines (RNG sampling is not) — the
     // standard trick for stable dataset splits at any scale
@@ -404,6 +457,36 @@ object TextOps {
          |  CAST((c_ab * n.n_tok * 1000000) // (u1.c_w * u2.c_w) AS BIGINT) AS score_ppm
          |FROM pairs JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w CROSS JOIN n
          |ORDER BY score_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "txt_lm_surprise" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |n AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok FROM tk),
+         |bg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM tk, unnest(range(1, len(toks))) AS t(i)),
+         |uni AS (
+         |  SELECT w, CAST(COUNT(1) AS BIGINT) AS c_w
+         |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+         |bi AS (
+         |  SELECT w1, w2, CAST(COUNT(1) AS BIGINT) AS c_ab
+         |  FROM bg GROUP BY w1, w2 HAVING COUNT(1) >= 2),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |    CASE WHEN bi.c_ab IS NOT NULL THEN (u1.c_w * 1000000) // bi.c_ab
+         |         ELSE (n.n_tok * 10000000) // u2.c_w END AS s
+         |  FROM bg
+         |  JOIN uni u1 ON bg.w1 = u1.w
+         |  JOIN uni u2 ON bg.w2 = u2.w
+         |  LEFT JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+         |  CROSS JOIN n),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(s) // COUNT(1) AS BIGINT) AS avg_surprise_ppm
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_bigrams, 0::BIGINT) AS n_bigrams,
+         |  a.avg_surprise_ppm
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "txt_chunks" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
