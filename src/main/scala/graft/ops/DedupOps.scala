@@ -257,7 +257,7 @@ object DedupOps {
       .otherwise(array().cast("array<bigint>"))
     val spans = tk
       .select(col("doc_id"), explode(transform(starts,
-        s => md5(array_join(slice(col("toks"), s.cast("int"), spanSize), " "))))
+        s => md5(array_join(slice(col("toks"), s.cast("int"), lit(spanSize)), " "))))
         .as("span_h"))
     val shared = spans.groupBy("span_h")
       .agg(countDistinct("doc_id").as("n_docs_span"))
@@ -463,6 +463,40 @@ object DedupOps {
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY ROW_NUMBER() OVER (
         |  PARTITION BY md5(lower(trim(text))) ORDER BY doc_id ASC) = 1""".stripMargin,
+
+    // strided span windows: starts 1, 1+stride, … ≤ nToks−(spanSize−1);
+    // DuckDB range() is stop-exclusive so stop = len − (spanSize − 2)
+    "dedup_span_exact" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x != '') AS toks
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks,
+         |    unnest(CASE WHEN len(toks) >= ${SpanSize}
+         |      THEN range(1, len(toks) - ${SpanSize - 2}, ${SpanStride})
+         |      ELSE []::BIGINT[] END) AS s
+         |  FROM tk),
+         |spans AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(toks[s : s + ${SpanSize - 1}], ' ')) AS span_h
+         |  FROM st),
+         |shared AS (
+         |  SELECT span_h FROM spans GROUP BY 1
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |perdoc AS (
+         |  SELECT sp.doc_id, COUNT(1) AS n_spans,
+         |    SUM(CASE WHEN sh.span_h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_dup_spans
+         |  FROM spans sp LEFT JOIN shared sh ON sp.span_h = sh.span_h
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+         |  COALESCE(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+         |  (COALESCE(p.n_dup_spans, 0) * 1000000
+         |    // GREATEST(COALESCE(p.n_spans, 0), 1))::BIGINT AS dup_frac_ppm
+         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH ds AS (
