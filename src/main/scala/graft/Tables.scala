@@ -16,15 +16,27 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and truncate to micros (exactly
-    * what DuckDB's epoch_us does on a nanosecond timestamp). */
+  /** The events table's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (rejected by Spark's reader unless
+    * read as long), and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which
+    * Spark 4 infers as TIMESTAMP_NTZ, incompatible with the LTZ-typed
+    * temporal surface: unix_micros, window(), watermarks). Normalize all
+    * of them to TIMESTAMP_LTZ micros, which with the UTC session
+    * timezone carries the identical epoch-micros DuckDB's oracle sees.
+    * `inferTimestampNTZ.enabled=false` keeps the scan emitting LTZ
+    * directly so ts predicates still push down to parquet; the NTZ cast
+    * branch is a belt-and-braces fallback for already-cached scans. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Exact integer cents of a 2-decimal double column. */
