@@ -39,25 +39,36 @@ object GraphOps {
     * @return (`node`, `comp`) with `comp` = min node id reachable
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 30): DataFrame =
-    ccWithStats(nodes, edges, maxIter)._1
+      maxIter: Int = 30, edgesUnique: Boolean = false): DataFrame =
+    ccWithStats(nodes, edges, maxIter, edgesUnique)._1
 
   /** [[connectedComponents]] plus the number of propagate+jump rounds
     * actually run — the observable behind the O(log diameter) claim.
     * CcAdversarialProfile measures it on worst-case topologies (path /
     * ring: diameter = n; skewed star: one component = half the graph)
-    * and GraphOpsSpec pins the logarithmic bound in CI. */
+    * and GraphOpsSpec pins the logarithmic bound in CI.
+    *
+    * @param edgesUnique caller guarantees `edges` holds DISTINCT
+    *        unordered pairs with src < dst (true for every LSH
+    *        candidate generator — they end in `.distinct()` on ordered
+    *        pairs). Skips the symmetrize-then-distinct shuffle: the
+    *        union of (a,b) and (b,a) images of a distinct a<b set
+    *        cannot collide, so the dedupe is a full |E| shuffle spent
+    *        proving nothing. At 100 TB that is the single largest
+    *        avoidable cost in the CC pipeline; correctness is
+    *        unaffected either way (duplicate edges only re-derive the
+    *        same min). */
   def ccWithStats(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 30): (DataFrame, Int) = {
+      maxIter: Int = 30, edgesUnique: Boolean = false): (DataFrame, Int) = {
     // NOT pre-partitioned on src: AQE's partition coalescing defeats
     // the would-be exchange reuse anyway, and hash-partitioning the
     // edge list by src funnels a hub vertex's whole edge set into one
     // partition (measured: star-1M wall 6.5 s → 35 s). The per-round
     // |E| re-shuffle is the honest cost, linear in touched vertices.
+    val symRaw = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val sym = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+      if (edgesUnique) symRaw else symRaw.distinct())
     // Iterate ONLY over edge-touched vertices: in a dedup graph the
     // overwhelming majority of docs has no candidate edge at all, and
     // an isolated vertex can never change label — keeping them out of
@@ -267,7 +278,8 @@ object GraphOps {
     "dedup_cc_groups" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val edges = DedupOps.lshCandidatePairs(docs).toDF("src", "dst")
-      val cc = connectedComponents(docs.select(col("doc_id").as("node")), edges)
+      val cc = connectedComponents(docs.select(col("doc_id").as("node")), edges,
+        edgesUnique = true)
       val sizes = cc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
       cc.join(sizes, "comp")
         .select(col("node").as("doc_id"), col("comp"), col("comp_size"))
@@ -280,7 +292,8 @@ object GraphOps {
     "dedup_cc_keep" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val edges = DedupOps.lshCandidatePairs(docs).toDF("src", "dst")
-      connectedComponents(docs.select(col("doc_id").as("node")), edges)
+      connectedComponents(docs.select(col("doc_id").as("node")), edges,
+          edgesUnique = true)
         .filter(col("node") === col("comp"))
         .join(docs, col("node") === col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"))
@@ -306,7 +319,8 @@ object GraphOps {
           nBands = SimilarityOps.NdBands, bitsPerBand = SimilarityOps.NdBits,
           dim = SimilarityOps.OracleDim)
         .select(col("d1").as("src"), col("d2").as("dst"))
-      connectedComponents(reps.select(col("vec_id").as("node")), edges)
+      connectedComponents(reps.select(col("vec_id").as("node")), edges,
+          edgesUnique = true)
         .filter(col("node") === col("comp"))
         .join(embs.select(col("vec_id"), col("label").cast("long").as("label")),
           col("node") === col("vec_id"))
