@@ -12,9 +12,18 @@ import org.apache.spark.sql.functions._
   * order can never flip a comparison.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The regenerated testdata stores ALL timestamp columns
+    // (events.ts, o_orderdate, l_shipdate) as TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ by
+    // default. Pin the inference off for EVERY table read, not just
+    // events: otherwise the type a query sees depends on whether an
+    // events read already flipped the session conf — an order-dependent
+    // schema is poison for committed plan fingerprints.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** The events table's `ts` physical type has varied across testdata
     * generations — TIMESTAMP(NANOS) (rejected by Spark's reader unless

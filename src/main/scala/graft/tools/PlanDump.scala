@@ -35,6 +35,9 @@ object PlanDump {
     // AsofJoinExec fed by exactly two ENSURE_REQUIREMENTS exchanges
     // + two sorts (EnsureRequirements owns the distributed contract)
     "asof_native_purchase_click",
+    // round-8 bucketed layout: the plan (bucket-aware scans, SMJ with
+    // zero exchanges below the join) is the operator's entire value
+    "layout_bucket_join",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -3,60 +3,99 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.LayoutOps
 
-/** Bucketing = the co-located join pattern from the brief: two fact
-  * tables bucketed on the join key join with ZERO exchanges — at 100 TB
-  * the difference between a full-cluster shuffle and a local merge. */
+/** Plan evidence for [[LayoutOps.writeBucketed]] — the part the DuckDB
+  * oracle can't see (it checks the rollup is lossless; this checks the
+  * layout actually deletes the join's exchanges).
+  *
+  * The claim at 100 TB: bucketing both fact tables on the join key
+  * moves the shuffle to write time, so every subsequent join on that
+  * key runs exchange-free. The observable on the executed plan:
+  *   - both scans report the bucket count ("SelectedBucketsCount"),
+  *   - a SortMergeJoin is present,
+  *   - ZERO Exchange nodes exist below the join (the only exchange in
+  *     the full rollup is the post-join re-aggregation on a DIFFERENT
+  *     key, which no layout on the join key can remove),
+  * while the identical join over the raw parquet plans 2 exchanges.
+  */
 class BucketedJoinSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach(_.stop())
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fmt(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE so the formatted plan is the executed one
+    df.queryExecution.executedPlan.toString
   }
 
-  test("bucketed-by-key join plans with zero exchanges and exact results") {
+  private def nExchanges(plan: String): Int = {
+    // AQE's toString appends the pre-adaptive "== Initial Plan ==";
+    // count exchanges only in the executed (final) section
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    "(?m)^.*Exchange hashpartitioning".r.findAllIn(finalSection).length
+  }
+
+  test("bucketed orders-lineitem join runs with zero exchanges below the join") {
     spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.001"
-    val li = graft.Tables.t(spark, sf, "lineitem")
-    val ord = graft.Tables.t(spark, sf, "orders")
+    val tag = sf.replaceAll("[^A-Za-z0-9_]", "_")
+    val base =
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_buckets_spec/$tag"
+    LayoutOps.writeBucketed(
+      Tables.t(spark, sf, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+      s"graft_spec_b_orders_$tag", s"$base/orders", 4, "o_orderkey",
+      Seq("o_orderkey"))
+    LayoutOps.writeBucketed(
+      Tables.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      s"graft_spec_b_lineitem_$tag", s"$base/lineitem", 4, "l_orderkey",
+      Seq("l_orderkey"))
 
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
-    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("ord_b")
+    val o = spark.table(s"graft_spec_b_orders_$tag")
+    val l = spark.table(s"graft_spec_b_lineitem_$tag")
 
-    val joined = spark.table("li_b")
-      .join(spark.table("ord_b"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum(round(col("l_extendedprice") * 100).cast("long")).as("px_c"))
+    // the join alone: NO exchange anywhere — both sides arrive
+    // pre-hashed from the bucketed files
+    val joined = o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+    val joinPlan = fmt(joined)
+    assert(joinPlan.contains("SortMergeJoin"), s"expected SMJ:\n$joinPlan")
+    assert(nExchanges(joinPlan) == 0,
+      s"bucketed join should be exchange-free:\n$joinPlan")
+    assert(joinPlan.contains("SelectedBucketsCount"),
+      s"scans should be bucket-aware:\n$joinPlan")
 
-    val plan = joined.queryExecution.executedPlan.toString
-    // the join itself reads co-located buckets: no exchange below it
-    val joinIdx = plan.indexOf("SortMergeJoin")
-    assert(joinIdx >= 0, s"expected SortMergeJoin:\n$plan")
-    val belowJoin = plan.substring(joinIdx)
-    assert(!belowJoin.contains("Exchange hashpartitioning"),
-      s"bucketed join must not shuffle its inputs:\n$plan")
+    // one file per bucket: the pre-write repartition uses the same
+    // murmur3 hash as the bucket assignment, so writer task i holds
+    // exactly bucket i
+    assert(LayoutOps.countParquetFiles(spark, s"$base/orders") == 4,
+      "expected exactly one file per bucket for orders")
 
-    // results identical to the unbucketed join
-    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum(round(col("l_extendedprice") * 100).cast("long")).as("px_c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val got = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == expected)
+    // full rollup: the ONLY exchange is the post-join groupBy on
+    // o_orderpriority (different key — no join-key layout removes it)
+    val rollup = joined.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"))
+    val rollupPlan = fmt(rollup)
+    assert(nExchanges(rollupPlan) == 1,
+      s"expected exactly the agg exchange:\n$rollupPlan")
 
-    spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE ord_b")
+    // the identical join over raw parquet needs both join shuffles
+    val rawO = Tables.t(spark, sf, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val rawL = Tables.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val rawPlan = fmt(rawO.hint("merge").join(rawL, col("o_orderkey") === col("l_orderkey")))
+    assert(nExchanges(rawPlan) == 2,
+      s"unbucketed baseline should shuffle both sides:\n$rawPlan")
+  }
+
+  test("aggregation on the bucket key is also exchange-free") {
+    val tag = sf.replaceAll("[^A-Za-z0-9_]", "_")
+    val o = spark.table(s"graft_spec_b_orders_$tag")
+    val agg = o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+    val plan = fmt(agg)
+    assert(nExchanges(plan) == 0,
+      s"groupBy(bucket key) should reuse the bucket layout:\n$plan")
   }
 }
