@@ -98,4 +98,66 @@ class BucketedJoinSpec extends AnyFunSuite {
     assert(nExchanges(plan) == 0,
       s"groupBy(bucket key) should reuse the bucket layout:\n$plan")
   }
+
+  test("native as-of join over a bucketed events table is exchange-free and sort-free") {
+    val tag = sf.replaceAll("[^A-Za-z0-9_]", "_")
+    val base =
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_buckets_spec/$tag"
+    // bucket by the as-of key, sort buckets by (key, ts): the scan then
+    // satisfies BOTH AsofJoinExec child requirements —
+    // ClusteredDistribution(key) via the bucket hash and
+    // (key, ts)-ascending ordering via the per-bucket sort (Spark only
+    // trusts bucket sort order with ONE file per bucket, which
+    // writeBucketed guarantees — AND only when
+    // legacy.bucketedTableScan.outputOrdering is on: reporting the
+    // ordering needs a file listing at planning, so Spark defaults it
+    // off; flipping it is the documented opt-in for sorted-bucket
+    // layouts). Filters and the wrapper's re-aliasing Project both
+    // preserve partitioning and ordering in Spark 4
+    // (PartitioningPreserving/OrderPreservingUnaryExecNode), so the
+    // whole as-of runs with zero exchanges AND zero sorts.
+    val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prevOrdering = spark.conf.getOption(orderingConf)
+    spark.conf.set(orderingConf, "true")
+    try {
+    LayoutOps.writeBucketed(
+      Tables.t(spark, sf, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value")),
+      s"graft_spec_b_events_$tag", s"$base/events", 4, "user_id",
+      Seq("user_id", "ts"))
+    val ev = spark.table(s"graft_spec_b_events_$tag")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val joined = graft.plans.AsofJoinNative.asof(
+      purchases, clicks, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "ts",
+      rightPayload = Map("click_value" -> "last_click_value"))
+    val plan = fmt(joined)
+    assert(plan.contains("AsofJoin"), s"expected the native exec:\n$plan")
+    assert(nExchanges(plan) == 0,
+      s"bucketed as-of should be exchange-free:\n$plan")
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    assert(!"(?m)^\\s*[+:]- \\*?\\(?\\d*\\)? ?Sort ".r.findFirstIn(finalSection).isDefined,
+      s"bucketed as-of should need no Sort:\n$plan")
+
+    // parity: same result as the unbucketed native as-of
+    val rawEv = Tables.t(spark, sf, "events")
+    val rawP = rawEv.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val rawC = rawEv.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val rawJoined = graft.plans.AsofJoinNative.asof(
+      rawP, rawC, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      rightPayload = Map("click_value" -> "last_click_value"))
+    assert(joined.exceptAll(rawJoined).isEmpty && rawJoined.exceptAll(joined).isEmpty,
+      "bucketed and raw as-of results differ")
+    } finally {
+      prevOrdering match {
+        case Some(v) => spark.conf.set(orderingConf, v)
+        case None    => spark.conf.unset(orderingConf)
+      }
+    }
+  }
 }
