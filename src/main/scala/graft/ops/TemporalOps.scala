@@ -48,6 +48,34 @@ object TemporalOps {
       graft.plans.AsofJoinNative.asof(purchases, clicks,
           keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
           rightPayload = Map("event_id" -> "click_event_id", "us" -> "click_us"),
+          tieBreak = Seq("event_id"),
+          broadcast = Some(false)) // pin the co-partitioned merge: this
+          // query IS the committed x2:s2 shuffle-contract evidence;
+          // asof_bcast_purchase_click exercises the size-based pick
+        .select(col("user_id"), col("event_id"),
+          col("us").as("purchase_us"),
+          col("click_event_id"), col("click_us"),
+          (col("us") - col("click_us")).as("gap_us"))
+    }),
+
+    // same semantics a THIRD time, via the broadcast as-of exec: the
+    // strategy is left UNHINTED here, so the size-based pick itself is
+    // under oracle — at correctness-gate scale the click timeline's
+    // plan stats sit under autoBroadcastJoinThreshold and
+    // AsofJoinStrategy lowers to BroadcastAsofJoinExec (asserted in
+    // BroadcastAsofSpec): the purchase side keeps its scan
+    // partitioning, never shuffles, never sorts; clicks broadcast once
+    // and index per executor. The 100 TB shape for "enrich every event
+    // with the in-force config/price at its timestamp".
+    "asof_bcast_purchase_click" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("us"))
+      graft.plans.AsofJoinNative.asof(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Map("event_id" -> "click_event_id", "us" -> "click_us"),
           tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"),
           col("us").as("purchase_us"),
@@ -117,6 +145,14 @@ object TemporalOps {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "asof_native_purchase_click" ->
+      """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  c.event_id AS click_event_id, epoch_us(c.ts) AS click_us,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "asof_bcast_purchase_click" ->
       """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
         |  c.event_id AS click_event_id, epoch_us(c.ts) AS click_us,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us

@@ -46,6 +46,12 @@ import org.apache.spark.sql.graft.Bridge
   * contract (it drops null-key/null-ts RIGHT rows before its union),
   * so the two forms are interchangeable per workload.
   */
+/** @param broadcastRight physical-strategy hint, mirroring join hints:
+  *        `Some(true)` forces the broadcast exec, `Some(false)` forces
+  *        the shuffle exec, `None` lets [[AsofJoinStrategy]] pick by
+  *        the right child's size statistics against
+  *        `autoBroadcastJoinThreshold` — the same size-based selection
+  *        JoinSelection applies to equi-joins. */
 case class AsofJoinNode(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -53,7 +59,8 @@ case class AsofJoinNode(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryNode {
+    rightTieBreak: Seq[Expression],
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
 
   // left row always emitted (LEFT as-of join); right side null-padded
   override def output: Seq[Attribute] =
@@ -64,14 +71,30 @@ case class AsofJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: one-to-one lowering of [[AsofJoinNode]]. Injected
-  * by [[graft.GraftExtensions]] and self-registered by
+/** Planner strategy: lowers [[AsofJoinNode]] to one of TWO physical
+  * operators — the same shuffle-vs-broadcast fork `JoinSelection`
+  * applies to equi-joins, because a 100 TB event log as-of-joined
+  * against a small keyed timeline (price changes, config history, a
+  * dimension's validity intervals) must NOT shuffle the log:
+  *  - [[BroadcastAsofJoinExec]] when the node carries a broadcast hint
+  *    or (unhinted) the right child's plan-stats size fits under
+  *    `spark.sql.autoBroadcastJoinThreshold`;
+  *  - [[AsofJoinExec]] (co-partitioned streaming merge) otherwise.
+  * Injected by [[graft.GraftExtensions]] and self-registered by
   * [[AsofJoinNative.asof]] via `spark.experimental.extraStrategies`.
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt, tb) =>
-      AsofJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, tb, bcast) =>
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val pickBroadcast = bcast.getOrElse(
+        threshold > 0 && r.stats.sizeInBytes >= 0 &&
+          r.stats.sizeInBytes <= threshold)
+      if (pickBroadcast)
+        BroadcastAsofJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+      else
+        AsofJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -357,6 +380,167 @@ case class AsofJoinExec(
   }
 }
 
+/** Broadcast as-of join: the small-right-side physical strategy.
+  *
+  * The left side keeps its existing partitioning AND ordering — no
+  * exchange, no sort, `UnspecifiedDistribution`. The right side is
+  * broadcast whole (`IdentityBroadcastMode` via a planner-inserted
+  * `BroadcastExchangeExec`) and indexed ONCE PER EXECUTOR into a hash
+  * map keyed by the join key, each key's rows sorted by
+  * (ts, tieBreak...) — the executor-local build is memoized on the
+  * broadcast value (identity `WeakHashMap`, dropped with the broadcast
+  * block), so a 2 000-task scan builds the index once per JVM, not
+  * 2 000 times. Each left row then binary-searches its key's timeline
+  * for the LAST entry with `r.ts <= l.ts` — identical match semantics
+  * to [[AsofJoinExec]]'s streaming merge (ties: greatest tieBreak
+  * wins, because the search returns the last entry in (ts, tieBreak)
+  * order), pinned row-identical in BroadcastAsofSpec.
+  *
+  * NULL semantics are shared with the merge exec: null-key/null-ts
+  * right rows are dropped at index build; null left rows pass through
+  * null-padded.
+  *
+  * At 100 TB this is the shape for "enrich every event with the
+  * in-force config/price/version at its timestamp": the event log is
+  * never shuffled, never sorted, and the probe is O(log m) per row
+  * against an executor-local index — the as-of analogue of a broadcast
+  * hash join.
+  */
+case class BroadcastAsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    left: SparkPlan,
+    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  // the left side streams through untouched — both survive
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "left rows with a match"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val rightOutput = right.output
+    val rKeys = rightKeys
+    val rSortExprs = rightTime +: rightTieBreak
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val lKeysLocal = leftKeys
+    val lTimeLocal = leftTime
+    val leftOutput = left.output
+    val outAttrs = output
+
+    left.execute().mapPartitions({ lIter =>
+      val index = BroadcastAsofJoinExec.indexFor(bc.value) {
+        val rKeyProj = UnsafeProjection.create(rKeys, rightOutput)
+        val rSortProj = UnsafeProjection.create(rSortExprs, rightOutput)
+        val sortOrd = RowOrdering.createNaturalAscendingOrdering(
+          rSortExprs.map(_.dataType))
+        val m = new java.util.HashMap[InternalRow,
+          scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]()
+        bc.value.foreach { r =>
+          val k = rKeyProj(r)
+          if (!k.anyNull) {
+            val sk = rSortProj(r)
+            if (!sk.isNullAt(0)) { // null ts matches nothing
+              var buf = m.get(k)
+              if (buf == null) {
+                buf = new scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]()
+                m.put(k.copy(), buf)
+              }
+              buf += ((sk.copy(), r)) // broadcast rows are stable copies
+            }
+          }
+        }
+        val tupOrd =
+          Ordering.by[(InternalRow, InternalRow), InternalRow](_._1)(sortOrd)
+        m.values.forEach(b => b.sortInPlace()(tupOrd))
+        m
+      }
+      val lKeyProj = UnsafeProjection.create(lKeysLocal, leftOutput)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeLocal), leftOutput)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rightOutput.length)
+      val joined = new JoinedRow
+
+      lIter.map { l =>
+        numOutputRows += 1
+        val lKey = lKeyProj(l)
+        val lTime = lTimeProj(l)
+        var m: InternalRow = null
+        if (!lKey.anyNull && !lTime.isNullAt(0)) {
+          val buf = index.get(lKey)
+          if (buf != null) {
+            // last entry with ts <= lTime; entries sorted (ts, tieBreak)
+            var lo = 0
+            var hi = buf.length - 1
+            var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(buf(mid)._1, lTime) <= 0) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0) m = buf(ans)._2
+          }
+        }
+        if (m != null) { numMatched += 1; resultProj(joined(l, m)) }
+        else resultProj(joined(l, nullRight))
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+object BroadcastAsofJoinExec {
+  // executor-local memo of built indexes, keyed on the broadcast
+  // VALUE's identity: entries vanish with the broadcast block (weak
+  // keys), and every task of every partition on the JVM reuses one
+  // build. The map is tiny (one entry per live broadcast as-of).
+  private val built =
+    new java.util.WeakHashMap[AnyRef, AnyRef]()
+
+  private[plans] def indexFor(bcValue: Array[InternalRow])(
+      build: => java.util.HashMap[InternalRow,
+        scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]])
+      : java.util.HashMap[InternalRow,
+        scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]] =
+    built.synchronized {
+      val cached = built.get(bcValue)
+      if (cached != null)
+        cached.asInstanceOf[java.util.HashMap[InternalRow,
+          scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]]
+      else {
+        val b = build
+        built.put(bcValue, b)
+        b
+      }
+    }
+}
+
 /** DataFrame-level wrapper with the same signature and semantics as
   * [[graft.operators.AsofJoin.asof]] (spec-pinned row-identical), so
   * callers can switch forms per workload: union+window when the sides
@@ -393,7 +577,8 @@ object AsofJoinNative {
       leftTs: String,
       rightTs: String,
       rightPayload: Map[String, String],
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      broadcast: Option[Boolean] = None): DataFrame = {
     val payload = rightPayload.toSeq
     require(payload.map(_._2).forall(d => !left.columns.contains(d)),
       "payload destination names must not collide with left columns")
@@ -419,7 +604,8 @@ object AsofJoinNative {
     val node = AsofJoinNode(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__rk_$k")),
       attr(lPlan, leftTs), attr(rPlan, "__rts"),
-      if (tieBreak.isEmpty) Nil else Seq(attr(rPlan, "__tb")))
+      if (tieBreak.isEmpty) Nil else Seq(attr(rPlan, "__tb")),
+      broadcast)
     Bridge.ofRows(spark, node)
       .drop(keys.map(k => s"__rk_$k") ++ Seq("__rts") ++
         (if (tieBreak.isEmpty) Nil else Seq("__tb")): _*)

@@ -35,7 +35,8 @@ object AsofCgBench {
 
     def query(): DataFrame =
       graft.plans.AsofJoinNative.asof(left, right, Seq("k"), "ts", "ts",
-        Map("r_id" -> "m_id", "rp" -> "m_rp"), tieBreak = Seq("r_id"))
+        Map("r_id" -> "m_id", "rp" -> "m_rp"), tieBreak = Seq("r_id"),
+        broadcast = Some(false))
         .filter(col("m_id").isNotNull)
         .groupBy((col("k") % 50).as("b"))
         .agg(count(lit(1)).as("c"), sum(length(col("m_rp"))).as("s"))

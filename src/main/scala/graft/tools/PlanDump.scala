@@ -38,6 +38,11 @@ object PlanDump {
     // round-8 bucketed layout: the plan (bucket-aware scans, SMJ with
     // zero exchanges below the join) is the operator's entire value
     "layout_bucket_join",
+    // round-8 broadcast as-of: the plan (BroadcastExchange right, no
+    // hash exchange, no sort, left untouched) is the operator's value,
+    // and the fixture also pins that the UNHINTED strategy keeps
+    // choosing broadcast at the audit scale
+    "asof_bcast_purchase_click",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -41,7 +41,8 @@ class AsofNativeCodegenSpec extends AnyFunSuite {
 
   private def asofAgg(l: DataFrame, r: DataFrame): DataFrame =
     AsofJoinNative.asof(l, r, Seq("k"), "ts", "ts",
-      Map("r_id" -> "m_id", "payload" -> "m_payload"), tieBreak = Seq("r_id"))
+      Map("r_id" -> "m_id", "payload" -> "m_payload"), tieBreak = Seq("r_id"),
+      broadcast = Some(false))
       .filter(col("ts") > 10)
       .groupBy("k")
       .agg(count(col("m_id")).as("hits"),
@@ -98,7 +99,8 @@ class AsofNativeCodegenSpec extends AnyFunSuite {
     def run(codegen: Boolean): Seq[String] = {
       spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
       try sortedRows(AsofJoinNative.asof(l, r, Seq("k"), "ts", "ts",
-        Map("r_id" -> "m_id", "payload" -> "m_payload"), tieBreak = Seq("r_id")))
+        Map("r_id" -> "m_id", "payload" -> "m_payload"), tieBreak = Seq("r_id"),
+        broadcast = Some(false)))
       finally spark.conf.unset("spark.sql.codegen.wholeStage")
     }
     assert(run(codegen = true) == run(codegen = false))

@@ -66,7 +66,8 @@ class AsofNativeShuffleSpec extends AnyFunSuite {
         Map("r_id" -> "m_id", "pa" -> "m_pa", "pb" -> "m_pb"), Seq("r_id"))
 
     val composed = run(AsofJoin.asof)
-    val native = run(AsofJoinNative.asof)
+    val native = run((l, r, k, lt, rt, p, tb) =>
+      AsofJoinNative.asof(l, r, k, lt, rt, p, tb, broadcast = Some(false)))
     // parity first (same wide workload the byte claim is made on)
     val cols = Seq("l_id", "k", "ts", "pl_0", "pl_5", "m_id", "m_pa", "m_pb")
     assert(native.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq

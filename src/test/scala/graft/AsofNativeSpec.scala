@@ -43,7 +43,8 @@ class AsofNativeSpec extends AnyFunSuite {
       Map("r_id" -> "match_id"), tieBreak = Seq("r_id"))
       .select("l_id", "k", "ts", "match_id")
     val native = AsofJoinNative.asof(left, right, Seq("k"), "ts", "ts",
-      Map("r_id" -> "match_id"), tieBreak = Seq("r_id"))
+      Map("r_id" -> "match_id"), tieBreak = Seq("r_id"),
+      broadcast = Some(false))
       .select("l_id", "k", "ts", "match_id")
     assert(sortedRows(native) == sortedRows(composed))
   }
@@ -57,7 +58,8 @@ class AsofNativeSpec extends AnyFunSuite {
     val l = ev.filter(col("typ") === "purchase").select("id", "user", "ts")
     val r = ev.filter(col("typ") === "click").select("id", "user", "ts")
     val native = AsofJoinNative.asof(l, r, Seq("user"), "ts", "ts",
-      Map("id" -> "click_id", "ts" -> "click_ts"), tieBreak = Seq("id"))
+      Map("id" -> "click_id", "ts" -> "click_ts"), tieBreak = Seq("id"),
+      broadcast = Some(false))
     val composed = AsofJoin.asof(l, r, Seq("user"), "ts", "ts",
       Map("id" -> "click_id", "ts" -> "click_ts"), tieBreak = Seq("id"))
     assert(sortedRows(native.select("id", "user", "ts", "click_id", "click_ts"))
@@ -82,7 +84,7 @@ class AsofNativeSpec extends AnyFunSuite {
       val l = Seq((1L, 1L), (2L, 2L)).toDF("k", "ts")
       val r = Seq((1L, 1L), (2L, 2L)).toDF("k", "ts2")
       val df = AsofJoinNative.asof(l, r, Seq("k"), "ts", "ts2",
-        Map("ts2" -> "m"))
+        Map("ts2" -> "m"), broadcast = Some(false))
       df.collect() // finalize the adaptive plan
       // the AQE plan string repeats the tree (Final + Initial) — count
       // operators in the final section only
@@ -115,7 +117,7 @@ class AsofNativeSpec extends AnyFunSuite {
       (23L, 3L, 101L)
     ).toDF("r_id", "k", "ts")
     val out = AsofJoinNative.asof(left, right, Seq("k"), "ts", "ts",
-      Map("r_id" -> "m"), tieBreak = Seq("r_id"))
+      Map("r_id" -> "m"), tieBreak = Seq("r_id"), broadcast = Some(false))
       .select("l_id", "m").as[(Long, Option[Long])].collect().toMap
     assert(out == Map(10L -> Some(21L), 11L -> Some(22L),
       12L -> None, 13L -> None))
@@ -135,7 +137,7 @@ class AsofNativeSpec extends AnyFunSuite {
     ).toDF("r_id", "k", "ts")
     val expected = Map(1L -> Some(20L), 2L -> None, 3L -> None)
     val native = AsofJoinNative.asof(left, right, Seq("k"), "ts", "ts",
-      Map("r_id" -> "m"))
+      Map("r_id" -> "m"), broadcast = Some(false))
       .select("l_id", "m").as[(Long, Option[Long])].collect().toMap
     assert(native == expected)
     // the composed union+window form must agree: a caller switching
@@ -152,7 +154,7 @@ class AsofNativeSpec extends AnyFunSuite {
     val left = Seq((1L, 1L, 10L), (2L, 2L, 20L)).toDF("l_id", "k", "ts")
     val right = Seq.empty[(Long, Long, Long)].toDF("r_id", "k", "ts")
     val out = AsofJoinNative.asof(left, right, Seq("k"), "ts", "ts",
-      Map("r_id" -> "m"))
+      Map("r_id" -> "m"), broadcast = Some(false))
     assert(out.count() == 2)
     assert(out.filter(col("m").isNotNull).count() == 0)
   }

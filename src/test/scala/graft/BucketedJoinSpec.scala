@@ -133,7 +133,8 @@ class BucketedJoinSpec extends AnyFunSuite {
     val joined = graft.plans.AsofJoinNative.asof(
       purchases, clicks, keys = Seq("user_id"),
       leftTs = "ts", rightTs = "ts",
-      rightPayload = Map("click_value" -> "last_click_value"))
+      rightPayload = Map("click_value" -> "last_click_value"),
+      broadcast = Some(false)) // the point here is the scan-fed merge
     val plan = fmt(joined)
     assert(plan.contains("AsofJoin"), s"expected the native exec:\n$plan")
     assert(nExchanges(plan) == 0,
@@ -150,7 +151,8 @@ class BucketedJoinSpec extends AnyFunSuite {
       .select(col("user_id"), col("ts"), col("value").as("click_value"))
     val rawJoined = graft.plans.AsofJoinNative.asof(
       rawP, rawC, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-      rightPayload = Map("click_value" -> "last_click_value"))
+      rightPayload = Map("click_value" -> "last_click_value"),
+      broadcast = Some(false))
     assert(joined.exceptAll(rawJoined).isEmpty && rawJoined.exceptAll(joined).isEmpty,
       "bucketed and raw as-of results differ")
     } finally {
