@@ -413,7 +413,7 @@ case class BroadcastAsofJoinExec(
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
     left: SparkPlan,
-    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    right: SparkPlan) extends SparkPlan with BinaryExecNode with CodegenSupport {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     s"as-of key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
@@ -444,74 +444,183 @@ case class BroadcastAsofJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     val bc = right.executeBroadcast[Array[InternalRow]]()
-    val rightOutput = right.output
-    val rKeys = rightKeys
-    val rSortExprs = rightTime +: rightTieBreak
-    val keyTypes = leftKeys.map(_.dataType)
-    val timeType = leftTime.dataType
+    val builder = indexBuilder
     val lKeysLocal = leftKeys
     val lTimeLocal = leftTime
     val leftOutput = left.output
+    val rightWidth = right.output.length
     val outAttrs = output
 
     left.execute().mapPartitions({ lIter =>
-      val index = BroadcastAsofJoinExec.indexFor(bc.value) {
-        val rKeyProj = UnsafeProjection.create(rKeys, rightOutput)
-        val rSortProj = UnsafeProjection.create(rSortExprs, rightOutput)
-        val sortOrd = RowOrdering.createNaturalAscendingOrdering(
-          rSortExprs.map(_.dataType))
-        val m = new java.util.HashMap[InternalRow,
-          scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]()
-        bc.value.foreach { r =>
-          val k = rKeyProj(r)
-          if (!k.anyNull) {
-            val sk = rSortProj(r)
-            if (!sk.isNullAt(0)) { // null ts matches nothing
-              var buf = m.get(k)
-              if (buf == null) {
-                buf = new scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]()
-                m.put(k.copy(), buf)
-              }
-              buf += ((sk.copy(), r)) // broadcast rows are stable copies
-            }
-          }
-        }
-        val tupOrd =
-          Ordering.by[(InternalRow, InternalRow), InternalRow](_._1)(sortOrd)
-        m.values.forEach(b => b.sortInPlace()(tupOrd))
-        m
-      }
+      val index = builder.buildOrGet(bc.value)
       val lKeyProj = UnsafeProjection.create(lKeysLocal, leftOutput)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeLocal), leftOutput)
-      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val nullRight = new GenericInternalRow(rightOutput.length)
+      val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
 
       lIter.map { l =>
         numOutputRows += 1
         val lKey = lKeyProj(l)
         val lTime = lTimeProj(l)
-        var m: InternalRow = null
-        if (!lKey.anyNull && !lTime.isNullAt(0)) {
-          val buf = index.get(lKey)
-          if (buf != null) {
-            // last entry with ts <= lTime; entries sorted (ts, tieBreak)
-            var lo = 0
-            var hi = buf.length - 1
-            var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (timeOrd.compare(buf(mid)._1, lTime) <= 0) { ans = mid; lo = mid + 1 }
-              else hi = mid - 1
-            }
-            if (ans >= 0) m = buf(ans)._2
-          }
-        }
+        val m =
+          if (!lKey.anyNull && !lTime.isNullAt(0)) builder.lookup(index, lKey, lTime)
+          else null
         if (m != null) { numMatched += 1; resultProj(joined(l, m)) }
         else resultProj(joined(l, nullRight))
       }
     }, preservesPartitioning = true)
+  }
+
+  private def indexBuilder: AsofIndexBuilder =
+    AsofIndexBuilder(rightKeys, rightTime +: rightTieBreak, right.output)
+
+  // ---- whole-stage codegen (BHJ-style stream-side fusion) ------------
+  //
+  // The left side is the ONLY streamed input: doProduce delegates to
+  // the left child's produce, so the probe fuses into the left scan's
+  // stage (scan -> filter -> probe -> parent, one generated loop, no
+  // iterator between them). The broadcast right side never enters the
+  // produce chain — doConsume materializes the executor-local index
+  // once into a mutable-state slot (via the same weak-identity memo as
+  // the interpreted path) and probes it with a generated-key lookup.
+  // The probe call itself stays a virtual call into
+  // [[AsofIndexBuilder.lookup]] (binary search over an object index is
+  // not worth inlining); the fusion win is everything around it.
+
+  override def supportCodegen: Boolean = true
+
+  // exactly one output row per streamed left row, built from fresh
+  // per-row variables (the matched row is a stable broadcast copy), so
+  // buffering parents need no defensive copy — same stance as BHJ's
+  // single-match paths. (The CodegenSupport default THROWS for binary
+  // nodes rather than guess.)
+  override def needCopyResult: Boolean = false
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  protected override def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val bcRef = ctx.addReferenceObj("asofBcastBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val builderRef = ctx.addReferenceObj("asofBcastBuilder", indexBuilder,
+      classOf[AsofIndexBuilder].getName)
+    val indexTerm = ctx.addMutableState("java.util.HashMap", "asofBcastIndex",
+      v => s"$v = $builderRef.buildOrGet(" +
+        s"(org.apache.spark.sql.catalyst.InternalRow[]) $bcRef.value());")
+
+    // generated key/time rows off the streamed vars (BHJ's
+    // genStreamSideJoinKey shape): one UnsafeRow each, null-screened
+    ctx.currentVars = input
+    val keyEv = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.createCode(ctx,
+        org.apache.spark.sql.catalyst.expressions.BindReferences
+          .bindReferences(leftKeys, left.output))
+    val timeEv = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.createCode(ctx,
+        Seq(org.apache.spark.sql.catalyst.expressions.BindReferences
+          .bindReference(leftTime, left.output)))
+    val matched = ctx.freshName("asofBcastMatched")
+    val hit = ctx.freshName("asofBcastHit")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numMatchedMetric = metricTerm(ctx, "numMatched")
+
+    def jt(dt: org.apache.spark.sql.types.DataType) = CodeGenerator.javaType(dt)
+    def get(r: String, dt: org.apache.spark.sql.types.DataType, i: Int) =
+      CodeGenerator.getValue(r, dt, i.toString)
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofBcastRIsNull")
+      val value = ctx.freshName("asofBcastRVal")
+      val cde =
+        code"""boolean $isNull = !$hit || $matched.isNullAt($i);
+              |${jt(a.dataType)} $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ${get(matched, a.dataType, i)};""".stripMargin
+      ExprCode(cde, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    val leftEval = evaluateVariables(input)
+
+    s"""
+       |$leftEval
+       |${keyEv.code}
+       |${timeEv.code}
+       |InternalRow $matched = null;
+       |if (!${keyEv.value}.anyNull() && !${timeEv.value}.isNullAt(0)) {
+       |  $matched = $builderRef.lookup($indexTerm, ${keyEv.value}, ${timeEv.value});
+       |}
+       |boolean $hit = $matched != null;
+       |$numOutput.add(1);
+       |if ($hit) $numMatchedMetric.add(1);
+       |${evaluateVariables(rightVars)}
+       |${consume(ctx, input ++ rightVars)}
+     """.stripMargin
+  }
+}
+
+/** Serializable build + probe kernel shared by
+  * [[BroadcastAsofJoinExec]]'s interpreted and codegen paths: groups
+  * the broadcast rows by join key, sorts each key's rows by
+  * (ts, tieBreak...), and answers "last right row with ts <= t" by
+  * binary search. Build is memoized per broadcast value (executor-
+  * local weak-identity map), so every task on a JVM shares one index.
+  */
+case class AsofIndexBuilder(
+    keys: Seq[Expression],
+    sortExprs: Seq[Expression],
+    rightOutput: Seq[Attribute]) {
+
+  type Index = java.util.HashMap[InternalRow,
+    scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]
+
+  @transient private lazy val timeOrd =
+    RowOrdering.createNaturalAscendingOrdering(Seq(sortExprs.head.dataType))
+
+  def buildOrGet(rows: Array[InternalRow]): Index =
+    BroadcastAsofJoinExec.indexFor(rows) {
+      val rKeyProj = UnsafeProjection.create(keys, rightOutput)
+      val rSortProj = UnsafeProjection.create(sortExprs, rightOutput)
+      val sortOrd =
+        RowOrdering.createNaturalAscendingOrdering(sortExprs.map(_.dataType))
+      val m: Index = new java.util.HashMap()
+      rows.foreach { r =>
+        val k = rKeyProj(r)
+        if (!k.anyNull) {
+          val sk = rSortProj(r)
+          if (!sk.isNullAt(0)) { // null ts matches nothing
+            var buf = m.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]()
+              m.put(k.copy(), buf)
+            }
+            buf += ((sk.copy(), r)) // broadcast rows are stable copies
+          }
+        }
+      }
+      val tupOrd =
+        Ordering.by[(InternalRow, InternalRow), InternalRow](_._1)(sortOrd)
+      m.values.forEach(b => b.sortInPlace()(tupOrd))
+      m
+    }
+
+  /** Last right row with ts <= `time` for `key`, or null. Entries are
+    * sorted (ts, tieBreak), so "last <= t" is also the tie winner. */
+  def lookup(index: java.util.HashMap[_, _], key: InternalRow,
+      time: InternalRow): InternalRow = {
+    val buf = index.asInstanceOf[Index].get(key)
+    if (buf == null) return null
+    var lo = 0
+    var hi = buf.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (timeOrd.compare(buf(mid)._1, time) <= 0) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans >= 0) buf(ans)._2 else null
   }
 }
 

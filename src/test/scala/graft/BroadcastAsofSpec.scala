@@ -107,6 +107,26 @@ class BroadcastAsofSpec extends AnyFunSuite {
     assert(out == Map(1L -> Some(20L), 2L -> None, 3L -> None))
   }
 
+  test("codegen: probe fuses into the left scan's stage; rows match interpreted") {
+    val (l, r) = workload()
+    def rows(codegen: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try run(l, r, broadcast = Some(true))
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+    assert(rows(codegen = true) == rows(codegen = false))
+    // the fused stage: a starred BroadcastAsofJoin with a parent
+    // filter consuming the probe's columns in the same stage
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    try {
+      val df = run(l, r, broadcast = Some(true)).filter(col("m_id").isNotNull)
+      val plan = finalPlan(df)
+      assert("\\*\\(\\d+\\) BroadcastAsofJoin".r.findFirstIn(plan).isDefined,
+        s"expected the broadcast as-of inside a codegen stage:\n$plan")
+    } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+  }
+
   test("empty right side → all-null matches, row count preserved") {
     import spark.implicits._
     val left = Seq((1L, 1L, 10L), (2L, 2L, 20L)).toDF("l_id", "k", "ts")
