@@ -109,7 +109,12 @@ object Bench {
     val loadavg = try {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     } catch { case _: Throwable => "unknown" }
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"shuffle_mb":${jsMb(results)},"fixture_total":$fixtureTotal%.3f,"fixture_queries":${js(fixtureResults)},"queries":${js(results)},"plan_fp":${jsFp(results ++ fixtureResults)},"sf":"$sfDir"}"""
+    // one-time layout-write (ingest) cost, reported as its own line
+    // item: the layout_* write steps are memoized per session
+    // (LayoutOps.writeOnce), so the per-query numbers above are pure
+    // read/aggregate latency and this is the amortized write bill
+    val layoutWriteSec = graft.ops.LayoutOps.writeNanos.get() / 1e9
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"layout_write_sec":$layoutWriteSec%.3f,"shuffle_mb":${jsMb(results)},"fixture_total":$fixtureTotal%.3f,"fixture_queries":${js(fixtureResults)},"queries":${js(results)},"plan_fp":${jsFp(results ++ fixtureResults)},"sf":"$sfDir"}"""
     println(fullLine)
     // The harness keeps only the LAST ~2000 chars of output and
     // json.loads a line from it; the full per-query line above is ~3.5k
@@ -120,7 +125,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"fixture_total":$fixtureTotal%.3f,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"loadavg":"$loadavg","shuffle_total_mb":$shuffleTotalMb%.1f,"layout_write_sec":$layoutWriteSec%.3f,"fixture_total":$fixtureTotal%.3f,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
     val compact = new StringBuilder(head)
     var first = true
     for ((k, v, _, _) <- results.sortBy(-_._2)) {

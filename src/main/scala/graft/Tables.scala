@@ -16,13 +16,33 @@ object Tables {
     // The regenerated testdata stores ALL timestamp columns
     // (events.ts, o_orderdate, l_shipdate) as TIMESTAMP(MICROS,
     // isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ by
-    // default. Pin the inference off for EVERY table read, not just
-    // events: otherwise the type a query sees depends on whether an
-    // events read already flipped the session conf — an order-dependent
-    // schema is poison for committed plan fingerprints.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // default. Pin every such column to TIMESTAMP_LTZ for EVERY table
+    // read, not just events: otherwise the type a query sees depends
+    // on session state — an order-dependent schema is poison for
+    // committed plan fingerprints. Pinning is done by re-reading with
+    // an EXPLICIT schema (inferred schema with NTZ mapped to LTZ), not
+    // by flipping `spark.sql.parquet.inferTimestampNTZ.enabled` on the
+    // shared session (which would leak into every other parquet read
+    // in the session and is ignored as a per-read option on the v1
+    // path). A schema-specified scan of an unadjusted-micros column as
+    // LTZ is exactly what the conf-off read produces, so predicates on
+    // these columns still push down to parquet.
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else pinTimestampsLtz(spark, s"$dir/$name.parquet")
+  }
+
+  private def pinTimestampsLtz(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val inferred = spark.read.parquet(path).schema
+    if (!inferred.exists(_.dataType == TimestampNTZType))
+      spark.read.schema(inferred).parquet(path)
+    else {
+      val pinned = StructType(inferred.map {
+        case f if f.dataType == TimestampNTZType => f.copy(dataType = TimestampType)
+        case f => f
+      })
+      spark.read.schema(pinned).parquet(path)
+    }
   }
 
   /** The events table's `ts` physical type has varied across testdata
@@ -32,19 +52,26 @@ object Tables {
     * temporal surface: unix_micros, window(), watermarks). Normalize all
     * of them to TIMESTAMP_LTZ micros, which with the UTC session
     * timezone carries the identical epoch-micros DuckDB's oracle sees.
-    * `inferTimestampNTZ.enabled=false` keeps the scan emitting LTZ
-    * directly so ts predicates still push down to parquet; the NTZ cast
-    * branch is a belt-and-braces fallback for already-cached scans. */
+    * The NTZ generation is pinned to LTZ via an explicit read schema
+    * (see [[t]]), so `ts` predicates still push down to parquet and no
+    * session conf is mutated. The NANOS generation cannot even be
+    * schema-inferred without `legacy.parquet.nanosAsLong`, so only that
+    * legacy fallback sets the conf (none of the current testdata
+    * generations hit it). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
+    val path = s"$dir/events.parquet"
+    val df =
+      try pinTimestampsLtz(spark, path)
+      catch {
+        case e: Exception
+            if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
     }
   }
 

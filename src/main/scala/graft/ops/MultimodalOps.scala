@@ -141,6 +141,37 @@ object MultimodalOps {
     mediaDf.select((col("doc_id") +: fs): _*)
   }
 
+  /** Committed raster fixtures for the REAL (non-stub) decoder's
+    * oracle row: four tiny images generated once with `javax.imageio`
+    * (deterministic pixel fill, dimensions/channels chosen to cover
+    * RGB / ARGB / grayscale PNG and JPEG) and embedded as base64 so
+    * the query needs no filesystem path. Their decoded metadata is
+    * literal-known to the DuckDB oracle; two non-decodable rows (a
+    * corrupt "image" and an audio payload) pin the stub fallback
+    * inside the same batch. */
+  object MediaFixtures {
+    private val b64 = java.util.Base64.getDecoder
+    // name, base64, all generated by tools doc'd above (w,h,ch in name)
+    val pngRgb37x23: Array[Byte] = b64.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAACUAAAAXCAIAAAADThHyAAADY0lEQVR4Xq3Wd/uQYxzG4fP6kb3Lys6IbCpRRBRpKCOrZJWVsivJrowmKu0UShHZsqKFFKFEKjJTqIwy87yI534D1/E9zs8fN8XbmK3Ynl3ZmxocTh3q04hmnMn5XMwVXENnbqUHvXmQoTzCeJ7mRV5nOrP5iM/4ku/5md/5pxjbkirsQjUO4DCO4jga0pQzOI+LuJxO3ER37uZ+HmAIoxnHJF7gNabxHvNYyFK+4yd+42+pkE2Lvarsxf4cSm2O5SSacDrnciGX0ZEbuYW7uI8BPMwoHucpnudV3uZdPuRTlvAtK/mVvySyiWwtOxR71TmEWtTjRE6lJefQlvZczQ10407upT+DGcljPMlzTOEt3uEDFrCYb1jBGv4UsrFsJdvLrlJgqUldGtCYFpzNBbSjA9dzM3dwD/0YxAgeZSLP8gpTmcVc5vMFX/Mjq1nHetlItpQqsotUkwOkwHICp3AarWjDpVzFdXTldnrRl4EMZywTmMzLvMlM5vAJi1jGclaxlv+kkmwhlaWq7CX7y6FSWwoszTmL1lzClVxLF26jJ314iGGM4Qme4SXeYAbv8zGf8xU/8At/8K9sKJvLdrKz7CnV5RCpJfXkRCmwygo9G8hmsq3sJHvIfnKw1JS60kAaSwspsMoKPdvIjrK77CsHyZFyjJwgp8hp0kraSIFVVujZTfaRA+UIOVqOl5OluZwlreUSuVIKrLJCTw05XOpIfWkkzeRMOV8ulivkGuksBVZZoecoOU4aSlM5Q86Ti+Ry6SQ3SXe5WwqsskLPSdJETpdz5UK5TDrKjXKL3CX3yQApsMoKPS3lHGkr7eVquUG6yZ1yr/SXwTJSCqyyQs8F0k46yPVys9wh90g/GSQj5FGZKAVWWaHnKrlOusrt0kv6ykAZLmNlgkyWl6XAKiv0dJHbpKf0kYdkmIyRJ+QZeUnekBlSYJUVenpIb3lQhsojMl6elhfldZkus+UjKbDKCj0PyBAZLeNkkrwgr8k0eU/myUJZKgVWWaFnlDwuT8nz8qq8Le/Kh/KpLJFvZaUUWGWFniflOZkib8k78oEskMXyjayQNfKniuK8skLPKzJVZslcmS9fyNfyo6yWdbJexUYqir9SWaFnpsyRT2SRLJPlskrWyn8qKqnYQkVlFVX9DxqbqR7xjkSpAAAAAElFTkSuQmCC")
+    val pngArgb16x16: Array[Byte] = b64.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAABAAAAAQCAYAAAAf8/9hAAABtUlEQVR4XiXMWREYKQBAwSS7OXZzIQEJSEACEpCABCSMBCQgAQlIQMJISFN5Ve+3P3z420d/8j/+15/9xV/9zf/5f3/3D//0L/92uAMCIAACIAACIAACIAACIAACIAACIFwg3gEREAEREAEREAEREAEREAEREAEREC+Q7oAESIAESIAESIAESIAESIAESIAESBfId0AGZEAGZEAGZEAGZEAGZEAGZEAG5AuUO6AACqAACqAACqAACqAACqAACqAAygXqHVABFVABFVABFVABFVABFVABFVAB9QLtDmiABmiABmiABmiABmiABmiABmiAdoF+B3RAB3RAB3RAB3RAB3RAB3RAB3RAv8BzBzyAB/AAHsADeAAP4AE8gAfwAB7AA3guMO6AARiAARiAARiAARiAARiAARiAARgXmHfABEzABEzABEzABEzABEzABEzABMwLrDtgARZgARZgARZgARZgARZgARZgAdYF9h2wARuwARuwARuwARuwARuwARuwAfsC5w44gAM4gAM4gAM4gAM4gAM4gAM4gHOB9w54AS/gBbyAF/ACXsALeAEv4AW8gBfw/v4DGeR/gSO7qDgAAAAASUVORK5CYII=")
+    val pngGray8x5: Array[Byte] = b64.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAgAAAAFCAAAAABd+vKJAAAAGUlEQVR4XmNgYGBkYmbj4GEAMVgQDE4sDAANRgCoHO1v7wAAAABJRU5ErkJggg==")
+    val jpeg19x11: Array[Byte] = b64.decode(
+      "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwhMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wAARCAALABMDASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwDwaNatxrVeOrcdfbZPh1oc1RkoXiis27/4+n/D+VFbYjiZUK06Psb8ravzdnb+USo3V7n/2Q==")
+
+    /** The six-row fixture table: four real decodes + two stub
+      * fallbacks (corrupt image bytes, audio payload). */
+    def rows: Seq[MediaRow] = Seq(
+      MediaRow(1L, pngRgb37x23, "image"),
+      MediaRow(2L, pngArgb16x16, "image"),
+      MediaRow(3L, pngGray8x5, "image"),
+      MediaRow(4L, jpeg19x11, "image"),
+      MediaRow(5L, "notanimage!".getBytes("UTF-8"), "image"),
+      MediaRow(6L, "audio-payload".getBytes("UTF-8"), "audio"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -166,7 +197,22 @@ object MultimodalOps {
           col("out_w"), col("out_h"))),
     "mm_frame_sample" -> ((s, d) =>
       frameSample(decodeMeta(mediaDs(s, d)).toDF())),
-    "mm_features" -> ((s, d) => featureExtract(media(t(s, d, "documents"))))
+    "mm_features" -> ((s, d) => featureExtract(media(t(s, d, "documents")))),
+    // the REAL decoder, oracled: committed raster fixtures with
+    // literal-known dimensions run through the ImageIO path (batchSize
+    // 3 forces a batch boundary inside the 6 rows); the corrupt-image
+    // and audio rows pin the stub fallback in the same run. The
+    // dataset dir is unused by design — the fixtures ARE the data.
+    "mm_decode_imageio" -> ((s, _) => {
+      import s.implicits._
+      decodeMeta(s.createDataset(MediaFixtures.rows), batchSize = 3,
+          decoder = ImageIO).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"))
+    })
   )
 
   private val sqlMediaType =
@@ -210,6 +256,32 @@ object MultimodalOps {
          |  ${(0 until 8).map(d =>
              s"('0x' || substr(md5(text), ${2 * d + 1}, 2))::BIGINT::DOUBLE / 255.0 AS f$d")
              .mkString(",\n  ")}
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // decoded dimensions/channels of the committed fixtures are
+    // literals (provenance: generated + round-trip-verified with the
+    // same javax.imageio that decodes them); the two fallback rows are
+    // recomputed from md5 of their known ASCII payloads, same formula
+    // as mm_decode_meta's stub oracle
+    "mm_decode_imageio" -> {
+      def stub(p: String, mt: String, id: Int) =
+        s"""($id, '$mt', octet_length(encode('$p')),
+           |  16 + ('0x' || substr(md5('$p'), 1, 6))::BIGINT % 4080,
+           |  16 + ('0x' || substr(md5('$p'), 7, 6))::BIGINT % 2160,
+           |  1 + ('0x' || substr(md5('$p'), 13, 2))::BIGINT % 4,
+           |  1 + ('0x' || substr(md5('$p'), 15, 6))::BIGINT % 300)""".stripMargin
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, media_type,
+         |  CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+         |  CAST(channels AS BIGINT) AS channels, CAST(n_frames AS BIGINT) AS n_frames
+         |FROM (VALUES
+         |  (1, 'image', 924, 37, 23, 3, 1),
+         |  (2, 'image', 494, 16, 16, 4, 1),
+         |  (3, 'image', 82, 8, 5, 1, 1),
+         |  (4, 'image', 676, 19, 11, 3, 1),
+         |  ${stub("notanimage!", "image", 5)},
+         |  ${stub("audio-payload", "audio", 6)}
+         |) AS v(doc_id, media_type, n_bytes, width, height, channels, n_frames)""".stripMargin
+    }
   )
 }

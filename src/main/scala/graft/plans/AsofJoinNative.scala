@@ -490,12 +490,17 @@ case class BroadcastAsofJoinExec(
 
   override def supportCodegen: Boolean = true
 
-  // exactly one output row per streamed left row, built from fresh
+  // Exactly one output row per streamed left row, built from fresh
   // per-row variables (the matched row is a stable broadcast copy), so
-  // buffering parents need no defensive copy — same stance as BHJ's
-  // single-match paths. (The CodegenSupport default THROWS for binary
-  // nodes rather than guess.)
-  override def needCopyResult: Boolean = false
+  // THIS operator adds no copy requirement — the multi-output term of
+  // BroadcastHashJoinExec's rule drops. But the streamed side's own
+  // flag must still propagate (BHJ: streamedPlan.needCopyResult ||
+  // multipleOutputForOneInput): if a multi-output operator below us
+  // (e.g. a multi-match broadcast join or Expand) fuses into the same
+  // stage, the stage root must report true or WholeStageCodegen skips
+  // the defensive .copy() and buffered rows alias one rowWriter.
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[CodegenSupport].needCopyResult
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     left.asInstanceOf[CodegenSupport].inputRDDs()
@@ -625,29 +630,50 @@ case class AsofIndexBuilder(
 }
 
 object BroadcastAsofJoinExec {
+  private type Index = java.util.HashMap[InternalRow,
+    scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]
+
+  /** One index's build cell: the global map lock only get-or-inserts
+    * the holder; the (possibly long) build runs under the HOLDER's
+    * monitor, so two broadcast as-ofs on one executor build
+    * concurrently and cached lookups never wait on a foreign build.
+    * The thunk is dropped after the build so the holder (the
+    * WeakHashMap VALUE) stops referencing the broadcast array (its
+    * KEY) — a retained thunk would pin the weak entry forever.
+    */
+  private final class IndexHolder(t: () => Index) {
+    @volatile private var thunk: () => Index = t
+    @volatile private var value: Index = _
+    def get: Index = {
+      val v = value
+      if (v != null) v
+      else synchronized {
+        if (value == null) { value = thunk(); thunk = null }
+        value
+      }
+    }
+  }
+
   // executor-local memo of built indexes, keyed on the broadcast
   // VALUE's identity: entries vanish with the broadcast block (weak
   // keys), and every task of every partition on the JVM reuses one
   // build. The map is tiny (one entry per live broadcast as-of).
   private val built =
-    new java.util.WeakHashMap[AnyRef, AnyRef]()
+    new java.util.WeakHashMap[AnyRef, IndexHolder]()
 
   private[plans] def indexFor(bcValue: Array[InternalRow])(
-      build: => java.util.HashMap[InternalRow,
-        scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]])
-      : java.util.HashMap[InternalRow,
-        scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]] =
-    built.synchronized {
+      build: => Index): Index = {
+    val holder = built.synchronized {
       val cached = built.get(bcValue)
-      if (cached != null)
-        cached.asInstanceOf[java.util.HashMap[InternalRow,
-          scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]]
+      if (cached != null) cached
       else {
-        val b = build
-        built.put(bcValue, b)
-        b
+        val h = new IndexHolder(() => build)
+        built.put(bcValue, h)
+        h
       }
     }
+    holder.get
+  }
 }
 
 /** DataFrame-level wrapper with the same signature and semantics as

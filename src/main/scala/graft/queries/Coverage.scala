@@ -870,34 +870,44 @@ object Coverage {
       """)
     }),
 
-    // Q20 shape (potential part promotion): doubly-nested IN
-    // subqueries with a correlated scalar aggregate on TWO correlation
-    // columns — availqty adapted to the pair's pre-1996 shipped total,
-    // "excess" = 2 × its 1996+ shipments exceed that. All quantities
-    // in integer cents so the comparison cannot flip between engines
+    // Q20 shape (potential part promotion): the oracle keeps the
+    // doubly-nested correlated form; the engine computes the same
+    // answer in ONE lineitem pass. The two correlated scalar SUMs are
+    // conditional aggregates over the same rows — group by
+    // (l_partkey, l_suppkey) with CASE-summed pre-/post-1996 cents,
+    // then derive the PART-level pre total (the l3 subquery correlates
+    // on partkey only, not the pair) as a window sum over the tiny
+    // pair table, and the 2× comparison becomes a plain filter. The
+    // gear-part predicate pushes BELOW the aggregate as a broadcast
+    // semi-join (it's on partkey, so it cannot change any surviving
+    // partkey's pre total). lineitem scans: 3+ → 1; at 100 TB that is
+    // the difference between one fact pass and three.
     "q20_excess_suppliers" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("q20_li")
       t(s, d, "part").createOrReplaceTempView("q20_part")
       t(s, d, "supplier").createOrReplaceTempView("q20_supp")
       t(s, d, "nation").createOrReplaceTempView("q20_nat")
       s.sql("""
+        WITH pair AS (
+          SELECT l_partkey, l_suppkey,
+            SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                THEN CAST(ROUND(l_quantity*100) AS BIGINT) ELSE 0 END) AS post_c,
+            SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                THEN CAST(ROUND(l_quantity*100) AS BIGINT) ELSE 0 END) AS pre_c
+          FROM q20_li
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM q20_part WHERE p_name LIKE '%gear%')
+          GROUP BY l_partkey, l_suppkey),
+        excess AS (
+          SELECT l_suppkey
+          FROM (SELECT l_suppkey, post_c,
+                  SUM(pre_c) OVER (PARTITION BY l_partkey) AS pre_part
+                FROM pair)
+          WHERE 2 * post_c > pre_part)
         SELECT s_suppkey, s_name
         FROM q20_supp JOIN q20_nat ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_2'
-          AND s_suppkey IN (
-            SELECT l_suppkey
-            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM q20_li) ps
-            WHERE l_partkey IN (
-                SELECT p_partkey FROM q20_part WHERE p_name LIKE '%gear%')
-              AND 2 * (SELECT COALESCE(SUM(CAST(ROUND(l2.l_quantity*100) AS BIGINT)), 0)
-                       FROM q20_li l2
-                       WHERE l2.l_partkey = ps.l_partkey
-                         AND l2.l_suppkey = ps.l_suppkey
-                         AND l2.l_shipdate >= TIMESTAMP '1996-01-01')
-                  > (SELECT COALESCE(SUM(CAST(ROUND(l3.l_quantity*100) AS BIGINT)), 0)
-                     FROM q20_li l3
-                     WHERE l3.l_partkey = ps.l_partkey
-                       AND l3.l_shipdate < TIMESTAMP '1996-01-01'))
+          AND s_suppkey IN (SELECT l_suppkey FROM excess)
       """)
     }),
 

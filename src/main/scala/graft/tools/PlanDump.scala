@@ -43,6 +43,9 @@ object PlanDump {
     // and the fixture also pins that the UNHINTED strategy keeps
     // choosing broadcast at the audit scale
     "asof_bcast_purchase_click",
+    // round-9 single-pass rewrite: the fixture pins that lineitem is
+    // scanned ONCE (conditional agg + partkey window), not 3×
+    "q20_excess_suppliers",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
@@ -60,21 +63,7 @@ object PlanDump {
     val df = graft.SparkEntry.queries(name)(spark, Sf)
     val formatted = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    formatted
-      .replaceAll("plan_id=\\d+", "plan_id=*")
-      .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$Lambda\\$*")
-      .replaceAll("@[0-9a-f]{6,}", "@*")
-      .replaceAll("#\\d+", "#*")
-      // iterative ops (CC) scan localCheckpoint'd RDDs whose ids are
-      // session counters: "MapPartitionsRDD[137] at localCheckpoint";
-      // the call-site LINE would churn the fixture on any unrelated
-      // edit above it — keep the file, mask the line
-      .replaceAll("RDD\\[\\d+\\]", "RDD[*]")
-      .replaceAll("\\.scala:\\d+", ".scala:*")
-      // higher-order-function lambda variables are numbered by a
-      // session-global counter ("lambda x_7"), so the same plan
-      // renders different names depending on what ran before it
-      .replaceAll("lambda x_\\d+", "lambda x_*")
+    PlanFingerprint.mask(formatted)
   }
 
   /** Every conf a plan CHOICE depends on is pinned explicitly — the

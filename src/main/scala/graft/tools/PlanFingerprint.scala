@@ -85,7 +85,12 @@ object PlanFingerprint {
     * tool can diff the exact hashed bytes when a mask class is missing.
     */
   def canonText(plan: org.apache.spark.sql.execution.SparkPlan): String =
-    plan.toString
+    mask(plan.toString)
+
+  /** The shared mask chain, applied to both the hashed plan text and
+    * the committed fixture rendering (PlanDump). */
+  def mask(text: String): String =
+    text
       .replaceAll("plan_id=\\d+", "plan_id=*")
       .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$Lambda\\$*")
       .replaceAll("@[0-9a-f]{6,}", "@*")
@@ -98,4 +103,9 @@ object PlanFingerprint {
       // session-global counter ("lambda x_7") — same plan, different
       // names depending on everything that ran before it in the JVM
       .replaceAll("lambda x_\\d+", "lambda x_*")
+      // layout operators write scratch tables under java.io.tmpdir with
+      // a per-JVM run tag (see LayoutOps.runTag): both the absolute
+      // location and the tag are machine/run-specific, not plan shape
+      .replaceAll("file:[^\\s,()\\[\\]]*?/graft_(buckets|compact)", "file:*/graft_$1")
+      .replaceAll("_run[0-9a-f]{8}", "_run*")
 }

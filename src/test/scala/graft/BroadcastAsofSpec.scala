@@ -127,6 +127,36 @@ class BroadcastAsofSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.codegen.wholeStage")
   }
 
+  test("needCopyResult propagates from a multi-output streamed side") {
+    import spark.implicits._
+    // A multi-match broadcast hash join BELOW the as-of fuses into the
+    // same codegen stage and appends several rows per processNext. The
+    // stage root (the as-of) must report the streamed side's
+    // needCopyResult=true, or WholeStageCodegen skips .copy() and every
+    // buffered row aliases the single reused rowWriter buffer — the
+    // collect comes back as N copies of the last row.
+    val l = (0 until 1000).map(i => (i.toLong, (i % 7).toLong, (i % 200).toLong))
+      .toDF("l_id", "k", "ts")
+    // two dim rows per key → BHJ multipleOutputForOneInput = true
+    val dup = (0 until 7).flatMap(k => Seq((k.toLong, s"a$k"), (k.toLong, s"b$k")))
+      .toDF("k", "tag")
+    val r = (0 until 300).map(i => (5000L + i, (i % 7).toLong, (i * 2 % 100).toLong))
+      .toDF("r_id", "k", "ts")
+    def rows(codegen: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try {
+        val enriched = l.join(broadcast(dup), "k")
+        AsofJoinNative.asof(enriched, r, Seq("k"), "ts", "ts",
+          Map("r_id" -> "m_id"), broadcast = Some(true))
+          .collect().map(_.toString).sorted.toSeq
+      } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+    val cg = rows(codegen = true)
+    assert(cg.distinct.size > 1000, "workload must produce distinct rows")
+    assert(cg == rows(codegen = false),
+      "codegen rows diverge from interpreted — buffered rows aliased")
+  }
+
   test("empty right side → all-null matches, row count preserved") {
     import spark.implicits._
     val left = Seq((1L, 1L, 10L), (2L, 2L, 20L)).toDF("l_id", "k", "ts")

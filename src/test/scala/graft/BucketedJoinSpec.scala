@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.LayoutOps
@@ -18,6 +18,9 @@ import graft.ops.LayoutOps
   *     the full rollup is the post-join re-aggregation on a DIFFERENT
   *     key, which no layout on the join key can remove),
   * while the identical join over the raw parquet plans 2 exchanges.
+  *
+  * Every bucketed table is created by a shared lazy fixture, so each
+  * test also passes under `testOnly -- -z <name>` in isolation.
   */
 class BucketedJoinSpec extends AnyFunSuite {
 
@@ -28,6 +31,36 @@ class BucketedJoinSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  private lazy val tag = sf.replaceAll("[^A-Za-z0-9_]", "_")
+  private lazy val base =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_buckets_spec/$tag"
+
+  // shared fixtures: each lazy val writes its table exactly once per
+  // suite run, whichever test touches it first
+  private lazy val bucketedOrders: DataFrame = {
+    spark.sparkContext.setLogLevel("WARN")
+    LayoutOps.writeBucketed(
+      Tables.t(spark, sf, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+      s"graft_spec_b_orders_$tag", s"$base/orders", 4, "o_orderkey",
+      Seq("o_orderkey"))
+    spark.table(s"graft_spec_b_orders_$tag")
+  }
+  private lazy val bucketedLineitem: DataFrame = {
+    LayoutOps.writeBucketed(
+      Tables.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      s"graft_spec_b_lineitem_$tag", s"$base/lineitem", 4, "l_orderkey",
+      Seq("l_orderkey"))
+    spark.table(s"graft_spec_b_lineitem_$tag")
+  }
+  private lazy val bucketedEvents: DataFrame = {
+    LayoutOps.writeBucketed(
+      Tables.t(spark, sf, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value")),
+      s"graft_spec_b_events_$tag", s"$base/events", 4, "user_id",
+      Seq("user_id", "ts"))
+    spark.table(s"graft_spec_b_events_$tag")
+  }
 
   private def fmt(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // finalize AQE so the formatted plan is the executed one
@@ -41,22 +74,28 @@ class BucketedJoinSpec extends AnyFunSuite {
     "(?m)^.*Exchange hashpartitioning".r.findAllIn(finalSection).length
   }
 
+  private def hasSort(plan: String): Boolean = {
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    "(?m)^\\s*[+:]- \\*?\\(?\\d*\\)? ?Sort ".r.findFirstIn(finalSection).isDefined
+  }
+
+  /** Runs `body` with sorted-bucket-scan ordering reporting on (the
+    * documented opt-in for one-file-per-bucket sorted layouts). */
+  private def withBucketOrdering[A](body: => A): A = {
+    val conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None    => spark.conf.unset(conf)
+    }
+  }
+
   test("bucketed orders-lineitem join runs with zero exchanges below the join") {
     spark.sparkContext.setLogLevel("WARN")
-    val tag = sf.replaceAll("[^A-Za-z0-9_]", "_")
-    val base =
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_buckets_spec/$tag"
-    LayoutOps.writeBucketed(
-      Tables.t(spark, sf, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-      s"graft_spec_b_orders_$tag", s"$base/orders", 4, "o_orderkey",
-      Seq("o_orderkey"))
-    LayoutOps.writeBucketed(
-      Tables.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-      s"graft_spec_b_lineitem_$tag", s"$base/lineitem", 4, "l_orderkey",
-      Seq("l_orderkey"))
-
-    val o = spark.table(s"graft_spec_b_orders_$tag")
-    val l = spark.table(s"graft_spec_b_lineitem_$tag")
+    val o = bucketedOrders
+    val l = bucketedLineitem
 
     // the join alone: NO exchange anywhere — both sides arrive
     // pre-hashed from the bucketed files
@@ -91,18 +130,13 @@ class BucketedJoinSpec extends AnyFunSuite {
   }
 
   test("aggregation on the bucket key is also exchange-free") {
-    val tag = sf.replaceAll("[^A-Za-z0-9_]", "_")
-    val o = spark.table(s"graft_spec_b_orders_$tag")
-    val agg = o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+    val agg = bucketedOrders.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
     val plan = fmt(agg)
     assert(nExchanges(plan) == 0,
       s"groupBy(bucket key) should reuse the bucket layout:\n$plan")
   }
 
   test("native as-of join over a bucketed events table is exchange-free and sort-free") {
-    val tag = sf.replaceAll("[^A-Za-z0-9_]", "_")
-    val base =
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_buckets_spec/$tag"
     // bucket by the as-of key, sort buckets by (key, ts): the scan then
     // satisfies BOTH AsofJoinExec child requirements —
     // ClusteredDistribution(key) via the bucket hash and
@@ -116,50 +150,89 @@ class BucketedJoinSpec extends AnyFunSuite {
     // preserve partitioning and ordering in Spark 4
     // (PartitioningPreserving/OrderPreservingUnaryExecNode), so the
     // whole as-of runs with zero exchanges AND zero sorts.
-    val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-    val prevOrdering = spark.conf.getOption(orderingConf)
-    spark.conf.set(orderingConf, "true")
-    try {
-    LayoutOps.writeBucketed(
-      Tables.t(spark, sf, "events")
-        .select(col("user_id"), col("ts"), col("event_type"), col("value")),
-      s"graft_spec_b_events_$tag", s"$base/events", 4, "user_id",
-      Seq("user_id", "ts"))
-    val ev = spark.table(s"graft_spec_b_events_$tag")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("value").as("click_value"))
-    val joined = graft.plans.AsofJoinNative.asof(
-      purchases, clicks, keys = Seq("user_id"),
-      leftTs = "ts", rightTs = "ts",
-      rightPayload = Map("click_value" -> "last_click_value"),
-      broadcast = Some(false)) // the point here is the scan-fed merge
-    val plan = fmt(joined)
-    assert(plan.contains("AsofJoin"), s"expected the native exec:\n$plan")
-    assert(nExchanges(plan) == 0,
-      s"bucketed as-of should be exchange-free:\n$plan")
-    val finalSection = plan.split("== Initial Plan ==")(0)
-    assert(!"(?m)^\\s*[+:]- \\*?\\(?\\d*\\)? ?Sort ".r.findFirstIn(finalSection).isDefined,
-      s"bucketed as-of should need no Sort:\n$plan")
+    withBucketOrdering {
+      val ev = bucketedEvents
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      val joined = graft.plans.AsofJoinNative.asof(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Map("click_value" -> "last_click_value"),
+        broadcast = Some(false)) // the point here is the scan-fed merge
+      val plan = fmt(joined)
+      assert(plan.contains("AsofJoin"), s"expected the native exec:\n$plan")
+      assert(nExchanges(plan) == 0,
+        s"bucketed as-of should be exchange-free:\n$plan")
+      assert(!hasSort(plan), s"bucketed as-of should need no Sort:\n$plan")
 
-    // parity: same result as the unbucketed native as-of
-    val rawEv = Tables.t(spark, sf, "events")
-    val rawP = rawEv.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("value"))
-    val rawC = rawEv.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("value").as("click_value"))
-    val rawJoined = graft.plans.AsofJoinNative.asof(
-      rawP, rawC, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-      rightPayload = Map("click_value" -> "last_click_value"),
-      broadcast = Some(false))
-    assert(joined.exceptAll(rawJoined).isEmpty && rawJoined.exceptAll(joined).isEmpty,
-      "bucketed and raw as-of results differ")
-    } finally {
-      prevOrdering match {
-        case Some(v) => spark.conf.set(orderingConf, v)
-        case None    => spark.conf.unset(orderingConf)
-      }
+      // parity: same result as the unbucketed native as-of
+      val rawEv = Tables.t(spark, sf, "events")
+      val rawP = rawEv.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val rawC = rawEv.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      val rawJoined = graft.plans.AsofJoinNative.asof(
+        rawP, rawC, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Map("click_value" -> "last_click_value"),
+        broadcast = Some(false))
+      assert(joined.exceptAll(rawJoined).isEmpty && rawJoined.exceptAll(joined).isEmpty,
+        "bucketed and raw as-of results differ")
+    }
+  }
+
+  test("broadcast as-of composes with the bucketed layout: zero exchanges end-to-end, " +
+      "one fused stage, and the bucket partitioning survives into a downstream agg") {
+    // The round-8 pieces, composed: a bucketed-sorted left (the 100 TB
+    // event log, laid out once at ingest) enriched by a BROADCAST
+    // as-of (the small in-force timeline) and then aggregated PER KEY.
+    // BroadcastAsofJoinExec demands nothing of its left child
+    // (UnspecifiedDistribution) and passes the scan's partitioning and
+    // ordering through (outputPartitioning/outputOrdering = left's), so
+    //   scan -> filter -> probe -> partial agg
+    // fuses into ONE codegen stage, and the groupBy(user_id) that
+    // follows needs NO exchange either — the bucket hash still holds
+    // after the as-of. Nothing in the whole plan moves data: the only
+    // exchange anywhere is the BroadcastExchange of the small side.
+    withBucketOrdering {
+      val ev = bucketedEvents
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        .filter(pmod(col("user_id"), lit(4)) === 0) // small deterministic slice: a keyed timeline that fits a broadcast
+      val enriched = graft.plans.AsofJoinNative.asof(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Map("click_value" -> "last_click_value"),
+        broadcast = Some(true))
+      val perUser = enriched.groupBy("user_id")
+        .agg(sum("last_click_value").as("s"), count(lit(1)).as("n"))
+      val plan = fmt(perUser)
+      assert(plan.contains("BroadcastAsofJoin"), s"expected the broadcast exec:\n$plan")
+      assert(nExchanges(plan) == 0,
+        s"bucketed left + broadcast right + agg-on-bucket-key should move no data:\n$plan")
+      assert(!hasSort(plan),
+        s"nothing in this plan should sort (agg is hash-based, as-of probes):\n$plan")
+      assert("\\*\\(\\d+\\) BroadcastAsofJoin".r.findFirstIn(plan).isDefined,
+        s"probe should fuse into the scan's codegen stage:\n$plan")
+
+      // value parity vs the same composition over raw parquet (which
+      // must shuffle for the agg instead)
+      val rawEv = Tables.t(spark, sf, "events")
+      val rawP = rawEv.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val rawJoined = graft.plans.AsofJoinNative.asof(
+        rawP, clicks, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Map("click_value" -> "last_click_value"),
+        broadcast = Some(true))
+      val rawAgg = rawJoined.groupBy("user_id")
+        .agg(sum("last_click_value").as("s"), count(lit(1)).as("n"))
+      assert(perUser.exceptAll(rawAgg).isEmpty && rawAgg.exceptAll(perUser).isEmpty,
+        "bucketed and raw compositions disagree")
+      assert(nExchanges(fmt(rawAgg)) == 1,
+        "raw baseline should need the agg shuffle the layout deletes")
     }
   }
 }
