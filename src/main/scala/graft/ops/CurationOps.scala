@@ -132,9 +132,49 @@ object CurationOps {
     * [[TextOps]] split_train_test — stable across engines, runs,
     * partitionings, and scale (a row's fate never depends on what
     * other rows exist, unlike rand()- or reservoir-based sampling). */
-  private def bucket10k(key: Column): Column =
-    conv(substring(md5(concat(lit("smp:"), key.cast("string"))), 1, 15), 16, 10)
+  private def bucket10k(key: Column, salt: String = "smp:"): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
       .cast("long") % HashMod % 10000L
+
+  // ------------------------------------------------- source mixing
+
+  /** Per-language sampling rate for the training mixture: >1 =
+    * up-sample (repeat whole epochs + a hash-selected fractional
+    * remainder), <1 = down-sample, 1 = pass through. The shape every
+    * LLM data recipe needs ("books ×2.4 epochs, low-resource web
+    * ×0.25"). */
+  val MixRates: Seq[(String, Double)] =
+    Seq("en" -> 2.4, "zh" -> 1.5, "de" -> 1.0, "fr" -> 0.6, "es" -> 0.25)
+
+  /** Deterministic epoch-style mixture materialization: each doc is
+    * emitted `floor(rate)` times, plus once more iff its salted hash
+    * bucket falls under the fractional remainder — so the realized
+    * mixture converges to the target rates, every copy is reproducible
+    * (retry/backfill-stable, independent of partitioning and of what
+    * other rows exist), and a doc's copies carry a 1..n epoch index the
+    * downstream shuffler can fold into its ordering key.
+    *
+    * Shape at scale: entirely map-side — no join, no aggregation, no
+    * shuffle (plan pins x0). The explode multiplies bytes by the
+    * mixture factor and nothing else; at 100 TB the output is written
+    * straight back out at input parallelism. */
+  def mixUpsample(docs: DataFrame, groupCol: String = "lang",
+      rates: Seq[(String, Double)] = MixRates): DataFrame = {
+    val rate = rates.tail.foldLeft(
+      when(col(groupCol) === rates.head._1, lit(rates.head._2))) {
+      case (acc, (k, v)) => acc.when(col(groupCol) === k, lit(v))
+    }.otherwise(lit(1.0))
+    // integer basis-points arithmetic for the fractional threshold:
+    // round(rate*10000) - floor(rate)*10000 is exact in both engines
+    val whole = floor(rate).cast("long")
+    val fracThr = round(rate * 10000).cast("long") - whole * lit(10000L)
+    docs
+      .withColumn("n_copies", whole +
+        when(bucket10k(col("doc_id"), "mix:") < fracThr, 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1) // also guards descending sequence(1, 0)
+      .select(col("doc_id"), col(groupCol), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
 
   // ------------------------------------------------- item co-occurrence
 
@@ -170,6 +210,8 @@ object CurationOps {
 
   val queries: Map[String, QFn] = Map(
     "txt_repetition" -> ((s, d) => repetitionStats(t(s, d, "documents"))),
+
+    "mix_upsample" -> ((s, d) => mixUpsample(t(s, d, "documents"))),
 
     // The synthetic corpus carries no real PII, so the query derives a
     // contact line from row data (email/phone/IP with nonzero matches
@@ -317,7 +359,28 @@ object CurationOps {
   private val sqlToks =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
 
+  private val sqlMixRateCase =
+    MixRates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+
   val oracle: Map[String, String] = Map(
+    "mix_upsample" ->
+      s"""WITH rated AS (
+         |  SELECT doc_id, lang,
+         |    (CASE lang $sqlMixRateCase ELSE 1.0 END) AS rate,
+         |    ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % $HashMod % 10000 AS b
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(rate) AS BIGINT) +
+         |    (CASE WHEN b < CAST(round(rate * 10000) AS BIGINT)
+         |                    - CAST(floor(rate) AS BIGINT) * 10000
+         |          THEN 1 ELSE 0 END) AS n_copies
+         |  FROM rated)
+         |SELECT doc_id, lang, n_copies, t.c AS copy
+         |FROM cnt, unnest(range(1, n_copies + 1)) AS t(c)
+         |WHERE n_copies >= 1""".stripMargin,
+
     "txt_repetition" ->
       s"""WITH base AS (SELECT doc_id, $sqlToks AS w FROM documents),
          |uni AS (

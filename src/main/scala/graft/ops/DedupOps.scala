@@ -274,6 +274,78 @@ object DedupOps {
         expr("(n_dup_spans * 1000000) div greatest(n_spans, 1)"))
   }
 
+  /** Winnowing (MOSS-style) document fingerprints: hash every k-char
+    * gram of the lowercased text, then keep the MINIMUM hash of each
+    * sliding window of w consecutive grams. The selected set has
+    * expected density 2/(w+1) of the gram stream, and carries the
+    * winnowing guarantee: any substring of length ≥ k+w−1 shared by two
+    * documents contains a full gram window on both sides, whose minimum
+    * is the same hash — so both fingerprint sets contain it. This is
+    * the substring-level locality the token-shingle family can't see
+    * (shingles move with token boundaries; winnowing survives
+    * reflow/truncation at character granularity).
+    *
+    * Shape at scale: the whole derivation is a NARROW projection —
+    * gram hashes and window minima are higher-order array functions
+    * over each row's text (no explode of the gram stream, no window
+    * shuffle), and only the ~2/(w+1)-dense fingerprint set is exploded
+    * for the downstream join. Hashes are 60-bit md5 prefixes (portable
+    * to the DuckDB oracle, and wide enough that fingerprint collisions
+    * are negligible at corpus scale). */
+  val WinnowK = 16
+  val WinnowW = 8
+
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text",
+      k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    // docs shorter than one full window (k+w-1 chars) carry no
+    // fingerprint; filtering them first also guards the descending-
+    // sequence pitfall (sequence(1, n) runs DESCENDING for n < 1)
+    val hs =
+      s"transform(sequence(1, length(_t) - ${k - 1}), i -> " +
+        s"cast(conv(substring(md5(substring(_t, i, $k)), 1, 15), 16, 10) AS bigint))"
+    docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .select(col("doc_id"), lower(col(textCol)).as("_t"))
+      .select(col("doc_id"), expr(hs).as("_hs"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(_hs) - ${w - 1}), i -> " +
+          s"array_min(slice(_hs, i, $w))))")).as("fp"))
+  }
+
+  /** Near-dup pairs by shared winnowing fingerprints: candidate join
+    * keyed on fingerprints with document frequency in [2, dfCap] (the
+    * same hot-key gate as the shingle family — a boilerplate
+    * fingerprint present in every doc can never fan out quadratically),
+    * scored by shared-fingerprint count over the SMALLER doc's
+    * fingerprint set (containment-style, so a short doc pasted into a
+    * long one still scores 1.0). One fingerprint-keyed shuffle join +
+    * two small aggregations — never all-pairs. */
+  def winnowPairs(docs: DataFrame, textCol: String = "text",
+      minOverlap: Double = 0.5, dfCap: Int = 50,
+      k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    // materialized once (same rationale as rerankedPairs: four
+    // consumers, and the md5 gram kernel is the dominant map cost)
+    val fps = winnowFingerprints(docs, textCol, k, w)
+      .localCheckpoint(eager = false)
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val gated = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= dfCap)
+        .select("fp"),
+      "fp")
+    val pairs = gated.select(col("fp"), col("doc_id").as("d1"))
+      .join(gated.select(col("fp").as("fp2"), col("doc_id").as("d2")),
+        col("fp") === col("fp2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("n_fp").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_fp").as("n2")), "d2")
+      .withColumn("overlap", col("n_shared").cast("double") /
+        least(col("n1"), col("n2")).cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select("d1", "d2", "n_shared", "overlap")
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -290,6 +362,7 @@ object DedupOps {
     "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(t(s, d, "documents"))),
     "dedup_span_exact" -> ((s, d) => spanDups(t(s, d, "documents"))),
+    "dedup_winnow_pairs" -> ((s, d) => winnowPairs(t(s, d, "documents"))),
     // deterministic eval split (doc_id % 50) stands in for the
     // benchmark corpus; every 49/50 "train" doc is probed against it
     "dedup_decontaminate" -> ((s, d) => {
@@ -357,7 +430,45 @@ object DedupOps {
   private val sqlSimhashCombine = (0 until 60).map(j =>
     s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
 
+  // the window-function form of winnowing: the fingerprint SET
+  // {min of each w-gram window} is identical to the engine's
+  // HOF-per-row derivation
+  private val sqlWinnow = {
+    val (k, w) = (WinnowK, WinnowW)
+    s"""WITH docs AS (
+       |  SELECT doc_id, lower(text) AS t FROM documents
+       |  WHERE length(text) >= ${k + w - 1}),
+       |grams AS (
+       |  SELECT doc_id, g.i AS pos,
+       |    ('0x' || substr(md5(substr(t, g.i::INT, $k)), 1, 15))::BIGINT AS h,
+       |    length(t) - ${k - 1} AS n_grams
+       |  FROM docs, unnest(range(1, greatest(length(t) - ${k - 1}, 0) + 1)) AS g(i)),
+       |wins AS (
+       |  SELECT doc_id, pos, n_grams,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |  FROM grams),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n_grams - ${w - 1})""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_winnow_pairs" ->
+      s"""$sqlWinnow,
+         |sizes AS (SELECT doc_id, COUNT(1) AS n_fp FROM fps GROUP BY 1),
+         |freq AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(1) BETWEEN 2 AND 50),
+         |pairs AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(1) AS n_shared
+         |  FROM (SELECT * FROM fps WHERE fp IN (SELECT fp FROM freq)) x
+         |  JOIN (SELECT * FROM fps WHERE fp IN (SELECT fp FROM freq)) y
+         |    ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.d1, p.d2, p.n_shared,
+         |  p.n_shared::DOUBLE / least(s1.n_fp, s2.n_fp)::DOUBLE AS overlap
+         |FROM pairs p
+         |JOIN sizes s1 ON p.d1 = s1.doc_id
+         |JOIN sizes s2 ON p.d2 = s2.doc_id
+         |WHERE p.n_shared::DOUBLE / least(s1.n_fp, s2.n_fp)::DOUBLE >= 0.5""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash,
         |  COUNT(1) AS n_docs, MIN(doc_id) AS keeper_doc_id

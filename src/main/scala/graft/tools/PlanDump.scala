@@ -46,6 +46,11 @@ object PlanDump {
     // round-9 single-pass rewrite: the fixture pins that lineitem is
     // scanned ONCE (conditional agg + partkey window), not 3×
     "q20_excess_suppliers",
+    // round-9 additions: winnowing joins the dedup cost band (the
+    // fingerprint derivation must stay a NARROW projection — no gram
+    // explode, no per-gram window shuffle); mix_upsample's plan value
+    // is the absence of any exchange (pure map-side explode)
+    "dedup_winnow_pairs", "mix_upsample",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
