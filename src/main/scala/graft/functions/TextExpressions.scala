@@ -221,6 +221,139 @@ case class TrigramScores(child: Expression, profiles: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** winnow_fps(text, k, w) → array<long>: distinct winnowing
+  * fingerprints — the minimum 60-bit md5 prefix of each w-window over
+  * the k-char grams of lower(text), ascending. Bit-identical to the
+  * HOF formulation (`array_distinct(transform(... array_min(slice(
+  * hashes, i, w))))` over `conv(substring(md5(substring(lower(text),
+  * i, k)), 1, 15), 16, 10)`) and to the DuckDB window-function oracle,
+  * but one pass with a reused digest instead of an interpreted
+  * per-gram expression tree (the [[ShingleHashes]] rationale; measured
+  * ~3× on the corpus bench). Docs shorter than k+w-1 chars → empty. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(Array.empty[Long])
+    val str = v.asInstanceOf[UTF8String].toLowerCase.toString
+    val n = str.length - k + 1
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val md = MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(str.substring(i, i + k).getBytes("UTF-8"))
+      var acc = 0L
+      var j = 0
+      while (j < 7) { acc = (acc << 8) | (d(j) & 0xffL); j += 1 }
+      hs(i) = (acc << 4) | ((d(7) & 0xf0L) >> 4)
+      i += 1
+    }
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i <= n - w) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Byte-pair-encoding tokenizer with a COMMITTED merge table — the
+  * production shape: the vocabulary is an offline-trained artifact the
+  * engine applies, not something a query derives. This table was
+  * trained with the textbook BPE procedure (64 most-frequent adjacent
+  * symbol merges, ties broken lexicographically) over the sf0.01
+  * `documents` word stream; encoding replays merges by RANK (lowest
+  * rank first), the standard BPE encode.
+  *
+  * Pretokenizer = [[TextKernel.tokens]] (lowercase, `\s+` split), so
+  * BPE token counts compose with every other text operator's token
+  * semantics. Unseen characters pass through as single-char tokens —
+  * no OOV. */
+object BpeKernel {
+  val Merges: Vector[(String, String)] = Vector(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("p", "a"), ("pa", "r"),
+    ("o", "in"), ("j", "oin"), ("s", "h"), ("h", "a"), ("ha", "sh"),
+    ("r", "ow"), ("c", "h"), ("b", "at"), ("bat", "ch"), ("s", "c"),
+    ("sc", "a"), ("sca", "n"), ("u", "st"), ("ust", "o"),
+    ("usto", "mer"), ("o", "lu"), ("olu", "m"), ("olum", "n"),
+    ("c", "ustomer"), ("c", "olumn"), ("t", "er"), ("l", "ter"),
+    ("i", "lter"), ("f", "ilter"), ("s", "m"), ("sm", "a"),
+    ("sma", "l"), ("smal", "l"), ("s", "l"), ("sl", "ow"),
+    ("mer", "g"), ("merg", "e"), ("v", "e"), ("ve", "c"),
+    ("vec", "t"), ("vect", "or"), ("or", "d"), ("ord", "er"),
+    ("l", "in"), ("lin", "e"), ("t", "a"), ("ta", "b"), ("tab", "l"),
+    ("tabl", "e"), ("d", "at"), ("dat", "a"), ("u", "p"), ("g", "g"),
+    ("a", "gg"), ("v", "a"), ("va", "lu"), ("valu", "e"), ("k", "e"),
+    ("ke", "y"))
+
+  private val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    Merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+    m
+  }
+
+  /** Standard BPE encode of one pretoken: start from characters,
+    * repeatedly merge the adjacent pair with the lowest merge rank
+    * (leftmost on rank ties — ranks are unique here) until no adjacent
+    * pair is in the table. */
+  def encodeWord(word: String): Array[String] = {
+    if (word.length <= 1) return if (word.isEmpty) Array.empty else Array(word)
+    val parts = new java.util.ArrayList[String](word.length)
+    word.foreach(c => parts.add(c.toString))
+    var done = false
+    while (!done && parts.size > 1) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < parts.size - 1) {
+        val r = rank.get(parts.get(i) + " " + parts.get(i + 1))
+        if (r != null && r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        parts.set(bi, parts.get(bi) + parts.get(bi + 1))
+        parts.remove(bi + 1)
+      }
+    }
+    val out = new Array[String](parts.size)
+    parts.toArray(out)
+    out
+  }
+
+  def encode(s: UTF8String): Array[String] =
+    TextKernel.tokens(s).flatMap(encodeWord)
+}
+
+/** bpe_encode(text) → array<string> of BPE tokens ([[BpeKernel]]). */
+case class BpeEncode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val toks =
+      if (v == null) Array.empty[String]
+      else BpeKernel.encode(v.asInstanceOf[UTF8String])
+    new GenericArrayData(toks.map(UTF8String.fromString): Array[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object TextNative {
   import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
 
@@ -230,6 +363,9 @@ object TextNative {
   def sorted_inter_count(a: Column, b: Column): Column =
     toCol(SortedInterCount(toExpr(a), toExpr(b)))
   def simhash60(text: Column): Column = toCol(SimHash60(toExpr(text)))
+  def bpe_encode(text: Column): Column = toCol(BpeEncode(toExpr(text)))
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    toCol(WinnowFps(toExpr(text), k, w))
   def trigram_scores(text: Column, profiles: Seq[Seq[String]]): Column =
     toCol(TrigramScores(toExpr(text), profiles))
 }

@@ -296,21 +296,15 @@ object DedupOps {
   val WinnowW = 8
 
   def winnowFingerprints(docs: DataFrame, textCol: String = "text",
-      k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
-    // docs shorter than one full window (k+w-1 chars) carry no
-    // fingerprint; filtering them first also guards the descending-
-    // sequence pitfall (sequence(1, n) runs DESCENDING for n < 1)
-    val hs =
-      s"transform(sequence(1, length(_t) - ${k - 1}), i -> " +
-        s"cast(conv(substring(md5(substring(_t, i, $k)), 1, 15), 16, 10) AS bigint))"
+      k: Int = WinnowK, w: Int = WinnowW): DataFrame =
+    // the kernel returns empty for docs shorter than one full window
+    // (k+w-1 chars); the explicit filter just keeps them out of the
+    // explode input (a narrow prune, no semantic effect)
     docs
       .filter(length(col(textCol)) >= k + w - 1)
-      .select(col("doc_id"), lower(col(textCol)).as("_t"))
-      .select(col("doc_id"), expr(hs).as("_hs"))
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(_hs) - ${w - 1}), i -> " +
-          s"array_min(slice(_hs, i, $w))))")).as("fp"))
-  }
+      .select(col("doc_id"),
+        explode(graft.functions.TextNative.winnow_fps(col(textCol), k, w))
+          .as("fp"))
 
   /** Near-dup pairs by shared winnowing fingerprints: candidate join
     * keyed on fingerprints with document frequency in [2, dfCap] (the

@@ -309,6 +309,23 @@ object TextOps {
     "txt_langid" -> ((s, d) => languageId(t(s, d, "documents"))),
     "txt_langid_ngram" -> ((s, d) => languageIdNgram(t(s, d, "documents"))),
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
+
+    // real BPE tokenizer over committed fixture strings: the merge
+    // table is the offline-trained artifact (functions.BpeKernel), so
+    // the oracle is the independently-computed expected encoding as
+    // literals — the mm_decode_imageio pattern. Covers case folding,
+    // whitespace, empty input, unseen characters, and greedy
+    // longest-merge behavior on concatenated words. Corpus-scale
+    // execution + property parity vs a brute-force reference encoder
+    // are spec-pinned (BpeSpec).
+    "txt_bpe_encode" -> ((s, _) => {
+      import s.implicits._
+      BpeFixtures.rows.toDF("id", "text")
+        .select(col("id").cast("long").as("id"),
+          graft.functions.TextNative.bpe_encode(col("text")).as("_tk"))
+        .select(col("id"), size(col("_tk")).cast("long").as("n_tokens"),
+          array_join(col("_tk"), " ").as("tokens"))
+    }),
     "txt_chunks" -> ((s, d) => chunkDocs(t(s, d, "documents"))),
     "txt_pack" -> ((s, d) => packDocs(t(s, d, "documents"))),
     // exact corpus vocabulary head: one explode + one hash-agg shuffle
@@ -407,6 +424,18 @@ object TextOps {
          |    ELSE 'und' END AS pred_lang
          |FROM documents""".stripMargin
     },
+
+    "txt_bpe_encode" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(n AS BIGINT) AS n_tokens,
+        |  toks AS tokens
+        |FROM (VALUES
+        |  (1, 10, 't h e customer table join s a small batch'),
+        |  (2, 7, 'filter order b y key hash value'),
+        |  (3, 13, 'u n s e e n z e b r a q q'),
+        |  (4, 8, 'merge s or t e d vector s'),
+        |  (5, 0, ''),
+        |  (6, 5, 'customer customer line line data')
+        |) AS v(id, n, toks)""".stripMargin,
 
     "txt_fingerprint" ->
       s"""SELECT doc_id,
@@ -526,4 +555,17 @@ object TextOps {
         |  source
         |FROM documents""".stripMargin
   )
+}
+
+/** Committed inputs for `txt_bpe_encode` — the expected encodings in
+  * the oracle were computed by an independent reference implementation
+  * of the same merge table ([[graft.functions.BpeKernel.Merges]]). */
+object BpeFixtures {
+  val rows: Seq[(Int, String)] = Seq(
+    (1, "the customer table joins a small batch"),
+    (2, "Filter ORDER BY key hash value"),
+    (3, "unseen zebra qq"),
+    (4, "  merge   sorted vectors  "),
+    (5, ""),
+    (6, "customercustomer linelinedata"))
 }

@@ -527,24 +527,30 @@ object Coverage {
     // part-supplier link (distinct lineitem pairs stand in for
     // partsupp) — the subquery must decorrelate onto the same derived
     // table the outer query joins
+    // Q2-shaped min-cost supplier. The textbook correlated-scalar form
+    // (the oracle keeps it) decorrelates into a SECOND distinct-pair
+    // derivation over lineitem — two scans of the big table plus two
+    // supplier joins. Single-pass form: derive DISTINCT (partkey,
+    // suppkey) ONCE, push the p_size gate below the window (legal — it
+    // prunes whole partkeys, and the per-partkey MIN never crosses
+    // partkeys), then the correlated MIN is a window over the tiny
+    // pair table. One lineitem scan; part/supplier stay dim-sized
+    // joins the planner broadcasts at stats scale and shuffles at
+    // 100 TB — either way the fact table is read once.
     "q2_min_supplier" -> ((s, d) => {
-      t(s, d, "lineitem").createOrReplaceTempView("q2_li")
-      t(s, d, "part").createOrReplaceTempView("q2_part")
-      t(s, d, "supplier").createOrReplaceTempView("q2_supp")
-      s.sql("""
-        SELECT p_partkey, s_suppkey, s_name,
-               CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c
-        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM q2_li) ps
-        JOIN q2_part ON p_partkey = l_partkey
-        JOIN q2_supp ON s_suppkey = l_suppkey
-        WHERE p_size <= 5
-          AND CAST(ROUND(s_acctbal*100) AS BIGINT) = (
-            SELECT MIN(CAST(ROUND(s2.s_acctbal*100) AS BIGINT))
-            FROM (SELECT DISTINCT l_partkey AS pk2, l_suppkey AS sk2
-                  FROM q2_li) ps2
-            JOIN q2_supp s2 ON s2.s_suppkey = sk2
-            WHERE pk2 = p_partkey)
-      """)
+      val ps = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val smallParts = t(s, d, "part").filter(col("p_size") <= 5)
+        .select(col("p_partkey"))
+      val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"),
+        cents(col("s_acctbal")).as("bal_c"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      ps.join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_bal", min(col("bal_c")).over(w))
+        .filter(col("bal_c") === col("min_bal"))
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+          col("s_name"), col("bal_c"))
     }),
 
     // full-outer join with both unmatched sides live (customer side

@@ -78,6 +78,27 @@ class WinnowMixSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.6, s"overlap ${r.getDouble(3)} too low for a 1-edit dup")
   }
 
+  test("native kernel is bit-identical to the HOF formulation (incl. multi-byte text)") {
+    import spark.implicits._
+    val k = DedupOps.WinnowK; val w = DedupOps.WinnowW
+    val docs = Seq(
+      (1L, "The Quick Brown Fox Jumps Over The Lazy Dog Repeatedly"),
+      (2L, "数据 批处理 窗口 聚合 连接 的 大规模 训练 管道 操作 符号 序列"),
+      (3L, "mixed ascii 与 中文 text in one document body here"),
+      (4L, (1000 to 1060).map(_.toString).mkString))
+      .toDF("doc_id", "text")
+    val hof = docs
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), lower(col("text")).as("_t"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, length(_t) - ${k - 1}), i -> " +
+          s"cast(conv(substring(md5(substring(_t, i, $k)), 1, 15), 16, 10) AS bigint))").as("_hs"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(_hs) - ${w - 1}), i -> " +
+          s"array_min(slice(_hs, i, $w))))")).as("fp"))
+    assert(fpSet(DedupOps.winnowFingerprints(docs)) == fpSet(hof))
+  }
+
   test("winnowing is partitioning-invariant (fingerprints are a pure row function)") {
     import spark.implicits._
     val docs = (1L to 40L)
