@@ -176,6 +176,84 @@ object CurationOps {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
   }
 
+  // -------------------------------------------- token-budget mixture
+
+  /** Per-language share of the global token budget (fractions sum to
+    * 1) — the other half of the mixture story: [[mixUpsample]] fixes
+    * epoch RATES, this fixes absolute token COUNTS ("the run trains on
+    * 10 B tokens, half of them English"). */
+  val MixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.50, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.10, "zh" -> 0.10)
+
+  /** Driver-query global budget — sized so every stratum genuinely
+    * truncates at the sf0.01 gate (corpus ≈ 27 k tokens there). */
+  val MixBudgetTokens = 10000L
+
+  /** Token-budget mixture selection: per language, take documents in
+    * deterministic hash order until that language's share of the
+    * global token budget is exhausted. Greedy prefix rule: a doc is
+    * kept iff the tokens BEFORE it are still under budget, so the
+    * boundary-crossing doc is included and a stratum is never
+    * under-filled (overshoot ≤ one document).
+    *
+    * Shape at scale: the window runs over a NARROW projection —
+    * (lang, priority-hash, n_tokens), ~24 bytes/doc — so the exchange
+    * never moves document text no matter how large the corpus rows
+    * are; selected ids then join back to the full rows if the caller
+    * needs them. Per-stratum ordering is the inherently sequential
+    * part of any quota sampler; with few strata each sort is one
+    * partition, which is exactly why the projection-first form (not a
+    * window over full rows) is the 100 TB-safe one. */
+  def mixTokenBudget(docs: DataFrame, budget: Long = MixBudgetTokens,
+      weights: Seq[(String, Double)] = MixWeights): DataFrame = {
+    val budgets = weights.map { case (k, f) => (k, Math.round(f * budget)) }
+    val langBudget = budgets.tail.foldLeft(
+      when(col("lang") === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (k, v)) => acc.when(col("lang") === k, lit(v))
+    }.otherwise(lit(0L)) // unlisted strata are excluded entirely
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("pri").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.strHash(concat(lit("budget:"), col("doc_id").cast("string")))
+          .as("pri"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("cum_before") < langBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
+  }
+
+  // ----------------------------------------------- export sharding
+
+  /** Deterministic training-export sharding: shard = hash(doc_id) mod
+    * nShards, position = dense rank within the shard by the same hash,
+    * cum_bytes = running byte offset — everything a shard writer needs
+    * to emit `shard-00007-of-00016` files with fixed-size rolling
+    * splits, reproducibly (a doc's shard/position/offset is a pure
+    * function of the corpus content, never of partitioning, retries,
+    * or execution order — the property that makes a 100 TB export
+    * resumable mid-way).
+    *
+    * Shape at scale: one hash exchange on `shard` + an in-partition
+    * sort — NO global sort (the per-shard orders are independent), and
+    * like [[mixTokenBudget]] the shuffle carries only (id, hash,
+    * n_chars). The hash-derived order IS the global shuffle step of a
+    * training pipeline: consecutive docs in a shard are unrelated,
+    * so sequential readers see an i.i.d.-like stream. */
+  def exportShards(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("pri").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("n_chars"),
+        TextOps.strHash(concat(lit("shard:"), col("doc_id").cast("string")))
+          .as("pri"))
+      .withColumn("shard", (col("pri") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(part).cast("long"))
+      .withColumn("cum_bytes",
+        sum("n_chars").over(part.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("shard"), col("pos"), col("cum_bytes"))
+  }
+
   // ------------------------------------------------- item co-occurrence
 
   /** Item co-occurrence over a (user_id, item) interaction table:
@@ -212,6 +290,10 @@ object CurationOps {
     "txt_repetition" -> ((s, d) => repetitionStats(t(s, d, "documents"))),
 
     "mix_upsample" -> ((s, d) => mixUpsample(t(s, d, "documents"))),
+
+    "mix_token_budget" -> ((s, d) => mixTokenBudget(t(s, d, "documents"))),
+
+    "export_shards" -> ((s, d) => exportShards(t(s, d, "documents"))),
 
     // The synthetic corpus carries no real PII, so the query derives a
     // contact line from row data (email/phone/IP with nonzero matches
@@ -362,6 +444,11 @@ object CurationOps {
   private val sqlMixRateCase =
     MixRates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
 
+  private val sqlMixBudgetCase =
+    MixWeights.map { case (k, f) =>
+      s"WHEN '$k' THEN ${Math.round(f * MixBudgetTokens)}"
+    }.mkString(" ")
+
   val oracle: Map[String, String] = Map(
     "mix_upsample" ->
       s"""WITH rated AS (
@@ -380,6 +467,37 @@ object CurationOps {
          |SELECT doc_id, lang, n_copies, t.c AS copy
          |FROM cnt, unnest(range(1, n_copies + 1)) AS t(c)
          |WHERE n_copies >= 1""".stripMargin,
+
+    "mix_token_budget" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5('budget:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % $HashMod AS pri
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens, cum_before FROM (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY pri ASC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM meta) s
+         |WHERE cum_before < (CASE lang $sqlMixBudgetCase ELSE 0 END)""".stripMargin,
+
+    "export_shards" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id, n_chars,
+         |    ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % $HashMod AS pri
+         |  FROM documents)
+         |SELECT doc_id, CAST(pri % 16 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY pri % 16
+         |    ORDER BY pri ASC, doc_id ASC) AS BIGINT) AS pos,
+         |  CAST(SUM(n_chars) OVER (PARTITION BY pri % 16
+         |    ORDER BY pri ASC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_bytes
+         |FROM meta""".stripMargin,
 
     "txt_repetition" ->
       s"""WITH base AS (SELECT doc_id, $sqlToks AS w FROM documents),
