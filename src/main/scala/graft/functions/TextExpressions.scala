@@ -302,7 +302,7 @@ object BpeKernel {
 
   private val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    Merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+    Merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + "\u0000" + b, i) }
     m
   }
 
@@ -320,7 +320,7 @@ object BpeKernel {
       var bi = -1
       var i = 0
       while (i < parts.size - 1) {
-        val r = rank.get(parts.get(i) + " " + parts.get(i + 1))
+        val r = rank.get(parts.get(i) + "\u0000" + parts.get(i + 1))
         if (r != null && r < best) { best = r; bi = i }
         i += 1
       }

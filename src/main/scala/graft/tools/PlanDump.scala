@@ -51,6 +51,10 @@ object PlanDump {
     // explode, no per-gram window shuffle); mix_upsample's plan value
     // is the absence of any exchange (pure map-side explode)
     "dedup_winnow_pairs", "mix_upsample",
+    // round-9 second wave: both plans' value is what they DON'T do —
+    // the budget window and the shard layout each move one narrow
+    // hash exchange (no text through the shuffle, no global sort)
+    "mix_token_budget", "export_shards",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
