@@ -299,6 +299,66 @@ object TextOps {
         col("avg_surprise_ppm"))
   }
 
+  /** Merge rounds for the driver's `bpe_train_merges` query. */
+  val BpeTrainRounds = 4
+
+  /** Symbol separator for BPE training state — a control char that
+    * whitespace tokenization guarantees absent from any token. */
+  val BpeSepChar = "\u0001"
+
+  /** Distributed BPE merge TRAINING (the learner behind the
+    * [[graft.functions.BpeKernel]] ENCODER's merge table): the
+    * textbook two-phase trainer. Phase 1 is the only full-corpus pass
+    * — the word-frequency vocabulary (same shuffle as
+    * [[tfidfTopTerms]]'s df table, map-side combined). Phase 2
+    * iterates on that vocabulary-sized table: each round counts
+    * adjacent symbol pairs weighted by word frequency (overlapping
+    * pairs, the standard BPE count), picks the most frequent pair
+    * (ties broken lexicographically), records it, and applies the
+    * merge to every word via leftmost non-overlapping replacement —
+    * `replace` has identical greedy semantics in Spark and DuckDB, so
+    * the oracle replays training exactly.
+    *
+    * Shape at scale: corpus size enters ONLY through phase 1; the R
+    * training rounds touch a vocabulary whose size is corpus-sublinear
+    * (Heaps' law), each round one keyed agg + a 1-row argmax collect
+    * (a driver-side SCALAR, the same discipline as [[pmiBigrams]]'s N)
+    * + one map-side replace. The vocab is cached once, so the corpus
+    * is scanned once no matter how many rounds run. */
+  def bpeTrainMerges(docs: DataFrame, textCol: String = "text",
+      rounds: Int = BpeTrainRounds): DataFrame = {
+    val spark = docs.sparkSession
+    val sep = BpeSepChar
+    // phase 1: word-frequency vocab; word → sep-delimited char symbols
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit(sep), array_join(split(col("w"), ""), sep),
+        lit(sep)).as("s"), col("n"))
+      .persist()
+    try {
+      var sym = vocab
+      val merges = (1 to rounds).map { r =>
+        val best = sym
+          .select(col("n"), filter(split(col("s"), sep), x => x =!= "").as("c"))
+          .filter(size(col("c")) >= 2)
+          .select(col("n"), explode(transform(
+            sequence(lit(1), size(col("c")) - 1),
+            i => struct(element_at(col("c"), i).as("a"),
+              element_at(col("c"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()(0)
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        sym = sym.withColumn("s",
+          replace(col("s"), lit(sep + a + sep + b + sep), lit(sep + a + b + sep)))
+        (r.toLong, a, b, cnt)
+      }
+      spark.createDataFrame(merges)
+        .toDF("round", "sym_a", "sym_b", "n_pairs")
+    } finally vocab.unpersist()
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -326,6 +386,11 @@ object TextOps {
         .select(col("id"), size(col("_tk")).cast("long").as("n_tokens"),
           array_join(col("_tk"), " ").as("tokens"))
     }),
+    // BPE merge TRAINING over the corpus (the learner that produces
+    // merge tables like the encoder's) — see [[bpeTrainMerges]]; the
+    // oracle replays all four rounds in SQL (identical greedy-replace
+    // semantics verified in both engines).
+    "bpe_train_merges" -> ((s, d) => bpeTrainMerges(t(s, d, "documents"))),
     "txt_chunks" -> ((s, d) => chunkDocs(t(s, d, "documents"))),
     "txt_pack" -> ((s, d) => packDocs(t(s, d, "documents"))),
     // exact corpus vocabulary head: one explode + one hash-agg shuffle
@@ -364,6 +429,40 @@ object TextOps {
 
   // Shared SQL fragments keep the Spark and DuckDB formulations aligned.
   private val sqlToks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
+  /** Oracle for [[bpeTrainMerges]]: the full R-round training replay —
+    * word-frequency vocab, per-round overlapping pair counts weighted
+    * by word count, lexicographic-tie argmax, and greedy leftmost
+    * non-overlapping merge application (`replace` semantics are
+    * identical in Spark and DuckDB, verified on the "aaa" overlap
+    * case). Generated from the same round count as the operator. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT c[i] AS a, c[i+1] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+         |    SELECT list_filter(string_split(s, chr(1)), x -> x != '') AS c, n
+         |    FROM sym${r - 1}) t, unnest(range(1, len(c))) AS u(i)
+         |  GROUP BY 1, 2),
+         |best$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |sym$r AS (
+         |  SELECT replace(s,
+         |    chr(1) || (SELECT a FROM best$r) || chr(1) || (SELECT b FROM best$r) || chr(1),
+         |    chr(1) || (SELECT a || b FROM best$r) || chr(1)) AS s, n
+         |  FROM sym${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b, cnt AS n_pairs FROM best$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH vocab AS (
+       |  SELECT w, COUNT(1) AS n
+       |  FROM (SELECT unnest($sqlToks) AS w FROM documents) tw GROUP BY 1),
+       |sym0 AS (
+       |  SELECT chr(1) || array_to_string(
+       |    list_transform(range(1, length(w) + 1), i -> substr(w, i::INT, 1)),
+       |    chr(1)) || chr(1) AS s, n FROM vocab),
+       |$stages
+       |$out""".stripMargin
+  }
   private def sqlScore(words: Seq[String]) =
     s"len(list_filter($sqlToks, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
 
@@ -424,6 +523,8 @@ object TextOps {
          |    ELSE 'und' END AS pred_lang
          |FROM documents""".stripMargin
     },
+
+    "bpe_train_merges" -> bpeTrainSql(BpeTrainRounds),
 
     "txt_bpe_encode" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(n AS BIGINT) AS n_tokens,

@@ -83,4 +83,64 @@ class BpeSpec extends AnyFunSuite {
         "customer table value hash batch scan"))
     assert(one.length == 6, s"got ${one.mkString("|")}")
   }
+
+  /** Independent reference TRAINER: word-frequency map, overlapping
+    * adjacent pair counts, (count desc, pair asc) argmax, greedy
+    * left-to-right merge application via an explicit list walk — no
+    * separator strings, no replace(), so it can't share a bug with
+    * the operator's string-based formulation. */
+  private def refTrain(corpus: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Map[List[String], Long] = corpus
+      .flatMap(_.toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toList -> ws.size.toLong
+      }
+    (1 to rounds).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + n
+        }
+      }
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      def merge(s: List[String]): List[String] = s match {
+        case `a` :: `b` :: rest => (a + b) :: merge(rest)
+        case h :: rest => h :: merge(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.toSeq.map { case (s, n) => (merge(s), n) }
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      (r.toLong, a, b, cnt)
+    }
+  }
+
+  test("trainer matches the independent list-walk reference, incl. the overlap case") {
+    import spark.implicits._
+    val corpus = Seq(
+      "the theme thesis then the the",
+      "aaa aaa aa baaab",          // overlap: greedy leftmost (aa)(a)
+      "order order order by key",
+      "zz qq zz qq zz")
+    val expected = refTrain(corpus, 6)
+    val got = graft.ops.TextOps.bpeTrainMerges(
+      corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), rounds = 6)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+  }
+
+  test("trainer is partitioning-invariant and merges compose left-to-right") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"pipeline pipeline value id$i"))
+      .toDF("doc_id", "text")
+    val a = graft.ops.TextOps.bpeTrainMerges(docs, rounds = 3).collect().toSeq
+    val b = graft.ops.TextOps.bpeTrainMerges(docs.repartition(11), rounds = 3)
+      .collect().toSeq
+    assert(a.map(_.toString) == b.map(_.toString))
+    // round k's merged symbol can feed round k+1 (pair symbols grow)
+    val syms = a.map(r => (r.getString(1), r.getString(2)))
+    assert(syms.exists { case (x, y) => (x + y).length > 2 },
+      s"no composed merge in $syms")
+  }
 }
