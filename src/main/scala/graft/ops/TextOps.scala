@@ -391,6 +391,19 @@ object TextOps {
     // oracle replays all four rounds in SQL (identical greedy-replace
     // semantics verified in both engines).
     "bpe_train_merges" -> ((s, d) => bpeTrainMerges(t(s, d, "documents"))),
+    // corpus-scale BPE tokenization with the NATIVE kernel (the
+    // fixture-literal txt_bpe_encode pins encoder edge cases; this one
+    // runs the encoder over every document). The oracle replays the
+    // full 64-entry merge table as chained greedy replaces — valid
+    // because sequential in-rank-order application is equivalent to
+    // lowest-rank-first priority encoding for a well-formed merge list
+    // (every composite part is produced by a lower-ranked merge).
+    "txt_bpe_corpus" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.TextNative.bpe_encode(col("text")).as("_tk"))
+        .select(col("doc_id"), size(col("_tk")).cast("long").as("n_bpe"),
+          array_join(col("_tk"), " ").as("bpe_text"))),
     "txt_chunks" -> ((s, d) => chunkDocs(t(s, d, "documents"))),
     "txt_pack" -> ((s, d) => packDocs(t(s, d, "documents"))),
     // exact corpus vocabulary head: one explode + one hash-agg shuffle
@@ -525,6 +538,25 @@ object TextOps {
     },
 
     "bpe_train_merges" -> bpeTrainSql(BpeTrainRounds),
+
+    "txt_bpe_corpus" -> {
+      // replay the encoder's merge table in rank order as nested
+      // greedy replaces over a chr(1)-delimited symbol string per word
+      val word0 = "chr(1) || array_to_string(list_transform(" +
+        "range(1, length(w) + 1), i -> substr(w, i::INT, 1)), chr(1)) || chr(1)"
+      val replayed = graft.functions.BpeKernel.Merges.foldLeft(word0) {
+        case (acc, (a, b)) =>
+          s"replace($acc, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+      }
+      val wordToks = "array_to_string(list_filter(string_split(" +
+        s"$replayed, chr(1)), x -> x != ''), ' ')"
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN s = '' THEN 0 ELSE len(string_split(s, ' ')) END AS BIGINT) AS n_bpe,
+         |  s AS bpe_text
+         |FROM (SELECT doc_id,
+         |  array_to_string(list_transform($sqlToks, w -> $wordToks), ' ') AS s
+         |  FROM documents)""".stripMargin
+    },
 
     "txt_bpe_encode" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(n AS BIGINT) AS n_tokens,
