@@ -254,6 +254,59 @@ object CurationOps {
       .select(col("doc_id"), col("shard"), col("pos"), col("cum_bytes"))
   }
 
+  /** Temperature-based mixture reweighting (the multilingual-LM
+    * sampling rule: q_l ∝ p_l^(1/T), here T = 2) — up-weights
+    * low-resource groups and down-weights dominant ones while
+    * preserving the total token budget: rate_l = (√n_l / Σ√n_m) ·
+    * (Σn_m / n_l), so Σ rate_l·n_l = Σ n_m exactly.
+    *
+    * Determinism discipline: T = 2 is hardcoded BECAUSE its power
+    * function is sqrt — IEEE-754 requires sqrt correctly rounded
+    * (pow is not), so both engines compute the identical double; the
+    * √n_l values are then snapped to exact integers (round ×1e6) and
+    * summed as BIGINTs (float summation order can never differ), and
+    * every subsequent step — the rate's two IEEE divisions, the
+    * floor/round split into whole epochs + fractional basis points,
+    * and the per-doc salted-hash fractional draw — is the same exact
+    * machinery as [[mixUpsample]]. Per-group realized copies converge
+    * to rate_l·n_docs_l and every doc's fate is retry/partition-
+    * independent.
+    *
+    * Shape at scale: one corpus scan for per-doc token counts, one
+    * tiny per-group aggregate (|groups| rows carries the whole rate
+    * computation; the unpartitioned window runs on |groups| rows, not
+    * the corpus), a broadcast join of the rates back onto the doc
+    * scan, and one keyed agg for the realized counts. */
+  def mixTemperature(docs: DataFrame, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val perDoc = docs.select(col(groupCol).as("g"), col("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tok"))
+    val rates = perDoc.groupBy("g")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("s_u",
+        round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+      .withColumn("rate",
+        (col("s_u").cast("double") / sum(col("s_u")).over(w).cast("double")) *
+          (sum(col("n_tokens")).over(w).cast("double") /
+            col("n_tokens").cast("double")))
+      .withColumn("whole", floor(col("rate")).cast("long"))
+      .withColumn("frac_bp",
+        round(col("rate") * 10000).cast("long") - col("whole") * lit(10000L))
+    val realized = perDoc
+      .join(broadcast(rates.select(col("g"), col("whole"), col("frac_bp"))), "g")
+      .withColumn("n_copies", col("whole") +
+        when(bucket10k(col("doc_id"), "temp:") < col("frac_bp"), 1L)
+          .otherwise(0L))
+      .groupBy("g").agg(sum("n_copies").as("n_out"))
+    rates.join(realized, "g")
+      .select(col("g").as(groupCol), col("n_docs"), col("n_tokens"),
+        col("s_u"), round(col("rate"), 6).as("rate_r6"), col("n_out"))
+  }
+
   // ------------------------------------------------- item co-occurrence
 
   /** Item co-occurrence over a (user_id, item) interaction table:
@@ -292,6 +345,8 @@ object CurationOps {
     "mix_upsample" -> ((s, d) => mixUpsample(t(s, d, "documents"))),
 
     "mix_token_budget" -> ((s, d) => mixTokenBudget(t(s, d, "documents"))),
+
+    "mix_temperature" -> ((s, d) => mixTemperature(t(s, d, "documents"))),
 
     "export_shards" -> ((s, d) => exportShards(t(s, d, "documents"))),
 
@@ -483,6 +538,39 @@ object CurationOps {
          |      AS cum_before
          |  FROM meta) s
          |WHERE cum_before < (CASE lang $sqlMixBudgetCase ELSE 0 END)""".stripMargin,
+
+    "mix_temperature" ->
+      s"""WITH tk AS (
+         |  SELECT lang, doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |pl AS (
+         |  SELECT lang, COUNT(1) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM tk GROUP BY 1),
+         |r0 AS (
+         |  SELECT lang, n_docs, n_tokens,
+         |    CAST(round(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT) AS s_u
+         |  FROM pl),
+         |r2 AS (
+         |  SELECT lang, n_docs, n_tokens, s_u, rate,
+         |    CAST(floor(rate) AS BIGINT) AS whole,
+         |    CAST(round(rate * 10000) AS BIGINT)
+         |      - CAST(floor(rate) AS BIGINT) * 10000 AS frac_bp
+         |  FROM (
+         |    SELECT *,
+         |      (s_u::DOUBLE / (CAST(SUM(s_u) OVER () AS BIGINT))::DOUBLE) *
+         |      ((CAST(SUM(n_tokens) OVER () AS BIGINT))::DOUBLE / n_tokens::DOUBLE)
+         |        AS rate
+         |    FROM r0) s),
+         |cp AS (
+         |  SELECT tk.lang,
+         |    CAST(SUM(r2.whole + (CASE WHEN
+         |      ('0x' || substr(md5('temp:' || tk.doc_id::VARCHAR), 1, 15))::BIGINT
+         |        % $HashMod % 10000 < r2.frac_bp
+         |      THEN 1 ELSE 0 END)) AS BIGINT) AS n_out
+         |  FROM tk JOIN r2 USING (lang) GROUP BY 1)
+         |SELECT r2.lang, r2.n_docs, r2.n_tokens, r2.s_u,
+         |  round(r2.rate, 6) AS rate_r6, cp.n_out
+         |FROM r2 JOIN cp USING (lang)""".stripMargin,
 
     "export_shards" ->
       s"""WITH meta AS (

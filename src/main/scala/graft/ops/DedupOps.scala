@@ -340,6 +340,57 @@ object DedupOps {
       .select("d1", "d2", "n_shared", "overlap")
   }
 
+  /** Cut between "historical corpus" and "new ingest batch" for the
+    * driver's incremental-dedup query (shared with the oracle SQL). */
+  val IncrCutTs = "2024-01-25 00:00:00"
+
+  /** Incremental batch-vs-corpus novelty dedup — the continuous-
+    * ingestion shape: a new batch arrives, and only the keys never
+    * seen in the historical corpus survive. Here the key is the
+    * (user_id, item) interaction from the events stream; for document
+    * pipelines the same plan runs on content fingerprints
+    * ([[graft.queries.Coverage]] `dedup_exact`'s md5).
+    *
+    * The scale problem is the CONFIRM join: the batch is hours of
+    * data, the history is the 100 TB archive — an anti-join shuffles
+    * both. The fix is the bloom-prefilter direction that matters:
+    * build the filter from the SMALL side (the batch's distinct keys,
+    * [[graft.functions.BloomAgg]], one 32 KB broadcast) and stream the
+    * HISTORY scan through it, so the history side of the anti-join
+    * shrinks from the full archive to ≈ the true overlap (plus the
+    * controlled false-positive fraction). Exactness is unconditional:
+    * a bloom false positive only admits an extra history key that
+    * matches no batch row (it would be a true positive if it did);
+    * false negatives are impossible — so the result IS the plain
+    * anti-join, which is exactly what the oracle recomputes. */
+  def incrementalNovelPairs(events: DataFrame,
+      cutTs: String = IncrCutTs): DataFrame = {
+    import graft.queries.Coverage.{bloomH, bloomMightContain, BloomBits, BloomJ}
+    val keyed = events
+      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+    val batch = keyed.filter(col("ts") >= lit(cutTs).cast("timestamp"))
+    val history = keyed.filter(col("ts") < lit(cutTs).cast("timestamp"))
+    val spark = events.sparkSession
+    spark.udf.register("bloom_or",
+      udaf(new graft.functions.BloomAgg(BloomBits, BloomJ)))
+    val batchKeys = batch.groupBy("user_id", "item")
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"))
+    val keyStr = concat_ws(":", col("user_id"), col("item"))
+    val bloom = batchKeys
+      .select(bloomH("ib1:", keyStr).as("h1"), bloomH("ib2:", keyStr).as("h2"))
+      .agg(expr("bloom_or(h1, h2)").as("bf"))
+    val histKeys = history
+      .select(col("user_id"), col("item"))
+      .withColumn("h1", bloomH("ib1:", keyStr))
+      .withColumn("h2", bloomH("ib2:", keyStr))
+      .crossJoin(broadcast(bloom))
+      .where(expr(bloomMightContain))
+      .select("user_id", "item").distinct()
+    batchKeys.join(histKeys, Seq("user_id", "item"), "left_anti")
+      .select(col("user_id"), col("item"), col("n_events"),
+        col("first_event_id"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -357,6 +408,7 @@ object DedupOps {
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(t(s, d, "documents"))),
     "dedup_span_exact" -> ((s, d) => spanDups(t(s, d, "documents"))),
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(t(s, d, "documents"))),
+    "dedup_incr_bloom" -> ((s, d) => incrementalNovelPairs(t(s, d, "events"))),
     // deterministic eval split (doc_id % 50) stands in for the
     // benchmark corpus; every 49/50 "train" doc is probed against it
     "dedup_decontaminate" -> ((s, d) => {
@@ -467,6 +519,27 @@ object DedupOps {
       """SELECT md5(lower(trim(text))) AS content_hash,
         |  COUNT(1) AS n_docs, MIN(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the bloom is pure shuffle-reduction machinery (zero false
+    // negatives + exact anti-join confirm), so the result IS the plain
+    // batch-vs-history anti-join the oracle recomputes directly
+    "dedup_incr_bloom" ->
+      s"""WITH e AS (
+         |  SELECT user_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+         |    event_id, ts
+         |  FROM events),
+         |batch AS (
+         |  SELECT user_id, item, COUNT(1) AS n_events,
+         |    MIN(event_id) AS first_event_id
+         |  FROM e WHERE ts >= TIMESTAMP '$IncrCutTs'
+         |  GROUP BY 1, 2),
+         |hist AS (
+         |  SELECT DISTINCT user_id, item FROM e
+         |  WHERE ts < TIMESTAMP '$IncrCutTs')
+         |SELECT b.user_id, b.item, b.n_events, b.first_event_id
+         |FROM batch b ANTI JOIN hist h
+         |  ON b.user_id = h.user_id AND b.item = h.item""".stripMargin,
 
     "dedup_minhash_sig" ->
       s"""SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,

@@ -364,6 +364,63 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Cluster-scoped semantic dedup — the SemDeDup shape (Abbas et al.
+    * 2023): assign every vector to a coarse cluster, compare pairs
+    * ONLY within a cluster, and drop all but one representative of
+    * each semantic-duplicate set (greedy keep-lowest-id: a vector is
+    * dropped iff a smaller-id clustermate sits within cosine ≥ tau).
+    *
+    * Shape at scale: this is the published answer to "cosine dedup on
+    * billions of embeddings" — the all-pairs O(n²) collapses to
+    * Σ|cell|² with K chosen so cells stay bounded (K ≈ n/target_cell);
+    * assignment is a broadcast join against K centroids + a max_by
+    * hash-agg (one ~1-row-per-vector shuffle, the [[assignBest]]
+    * shape), and the within-cell pair join is a keyed equi-join on the
+    * cluster id — never a cross join. Compared to the LSH route
+    * ([[nearDupPairs]] → [[GraphOps]] CC in `emb_dedup_keep`):
+    * LSH+CC finds exact cosine components at any radius but pays
+    * banding recall tuning; SemDeDup trades boundary pairs that
+    * straddle two cells (quantization-miss, measured in
+    * SimilarityOpsSpec) for a fixed two-join plan with no tuning.
+    * Deterministic end to end — first-K centroids (the IVF sample-
+    * training convention, [[ivfTopK]]), (sim, −cid) argmax tie-break,
+    * min-id keeper — so the full pipeline is DuckDB-replayable.
+    * Zero/NaN-norm vectors cannot cosine-match anything and are
+    * screened out (same [[definedNrm]] stance as every similarity
+    * operator). */
+  def semDedup(embeddings: DataFrame, tau: Double = SemTau,
+      nCentroids: Int = SemCentroids): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+      .filter(definedNrm(col("nrm")))
+    val assign = assignBest(vecs, cents,
+      struct(col("embedding").as("emb"), col("nrm").as("nrm"), col("cid")))
+      .select(col("vec_id"), col("best.emb").as("emb"),
+        col("best.nrm").as("nrm"), col("best.cid").as("cid"))
+    val dropped = assign
+      .select(col("cid"), col("vec_id").as("id1"), col("emb").as("e1"),
+        col("nrm").as("nrm1"))
+      .join(assign.select(col("cid").as("cid2"), col("vec_id").as("id2"),
+          col("emb").as("e2"), col("nrm").as("nrm2")),
+        col("cid") === col("cid2") && col("id1") < col("id2"))
+      .filter(dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")) >= tau)
+      .select(col("id2").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assign.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(!col("is_dropped"), lit(true)).as("kept"))
+  }
+
+  /** SemDeDup parameters for the driver query (shared with the oracle
+    * SQL). tau sits at the corpus's near-pair cosine knee (the same
+    * 0.45 regime as [[NdTau]]) so the demo actually drops rows. */
+  val SemTau = 0.45
+  val SemCentroids = 64
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -423,6 +480,7 @@ object SimilarityOps {
     "sim_ivf_topk" -> ((s, d) =>
       ivfTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0,
         nCentroids = IvfCentroids, nProbe = IvfProbe)),
+    "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     // Per-label centroid, one row per (label, dimension): posexplode →
     // keyed agg with map-side partials — the distributed shape for
     // class centroids / cluster means at any corpus size. Sums run in
@@ -558,6 +616,26 @@ object SimilarityOps {
          |  FROM sims)
          |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
          |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "emb_semdedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $SemCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id, e.emb, e.nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT vec_id, emb, nrm, cid FROM asg0 WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.emb", "b.emb")} / (a.nrm * b.nrm) >= $SemTau)
+         |SELECT asg.vec_id, asg.cid,
+         |  (dropped.vec_id IS NULL) AS kept
+         |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id""".stripMargin,
 
     "sim_lsh_buckets_hashed" -> {
       // weight literals precomputed with the same md5 derivation

@@ -359,6 +359,60 @@ object TextOps {
     } finally vocab.unpersist()
   }
 
+  /** Query-term set for the driver's `txt_bm25` query (shared with the
+    * oracle SQL literals). High-frequency corpus terms so every doc
+    * has a chance to score. */
+  val Bm25Terms = Seq("vector", "spark", "query", "data", "hash")
+  val Bm25TopK = 20
+
+  /** BM25 document ranking for a fixed query-term set — the retrieval
+    * scorer behind corpus search / RAG candidate generation. Classic
+    * Okapi shape (k1 = 1.2, b = 0.75) re-derived in EXACT integer
+    * arithmetic (same discipline as [[tfidfTopTerms]]): with
+    * k1 = 6/5 and b = 3/4, the length-normalized tf factor
+    * `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` multiplied through by
+    * `10·T` (T = total corpus tokens, avgdl = T/N) becomes the integer
+    * ratio `22·T·tf / (10·T·tf + 3·T + 9·dl·N)`, and the idf keeps the
+    * raw Robertson rarity ratio `(2N−2df+1)/(2df+1)` in milli-units
+    * instead of its log — monotone per term, so per-term contributions
+    * preserve rank, and the summed score stays a bit-exact BIGINT
+    * (float summation order and libm log rounding can never flip a
+    * comparison between engines). Integer headroom: contributions are
+    * ≤ idf_milli·22·T·tf ≈ 1e17 at sf1 — rescale milli→centi before
+    * the corpus outgrows int64.
+    *
+    * Shape at scale: one corpus scan produces (doc, term, tf) for ONLY
+    * the query terms (the isin prunes before the aggregation); df is a
+    * |terms|-row aggregate joined back by broadcast; N and T are two
+    * scalar actions up front (a constant-folded join would plan as a
+    * nested loop, which the plan audit rejects); the final top-k is
+    * TakeOrderedAndProject — per-partition top-k, never a global sort. */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String] = Bm25Terms,
+      k: Int = Bm25TopK, textCol: String = "text"): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val nDocs = docs.count()
+    val nTok = tk.agg(sum(size(col("toks")))).first().getLong(0)
+    val dl = tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = tk.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .withColumn("idf_milli",
+        expr(s"((2 * ${nDocs}L - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("contrib_u", expr(
+        s"(idf_milli * 22 * ${nTok}L * tf) div " +
+          s"(10 * ${nTok}L * tf + 3 * ${nTok}L + 9 * dl * ${nDocs}L)"))
+      .groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"),
+        count(lit(1)).as("n_hit_terms"),
+        sum(col("contrib_u")).as("score_u"))
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), col("n_hit_terms"), col("score_u"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -369,6 +423,7 @@ object TextOps {
     "txt_langid" -> ((s, d) => languageId(t(s, d, "documents"))),
     "txt_langid_ngram" -> ((s, d) => languageIdNgram(t(s, d, "documents"))),
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
+    "txt_bm25" -> ((s, d) => bm25TopDocs(t(s, d, "documents"))),
 
     // real BPE tokenizer over committed fixture strings: the merge
     // table is the offline-trained artifact (functions.BpeKernel), so
@@ -585,6 +640,33 @@ object TextOps {
          |GROUP BY t.term
          |ORDER BY n DESC, t.term ASC
          |LIMIT 50""".stripMargin,
+
+    "txt_bm25" -> {
+      val termList = Bm25Terms.map(t0 => s"'$t0'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |n AS (SELECT COUNT(1) AS n_docs FROM documents),
+         |tt AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok FROM tk),
+         |dld AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+         |tf AS (
+         |  SELECT doc_id, tok, COUNT(1) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+         |  WHERE tok IN ($termList)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT tok, COUNT(1) AS df FROM tf GROUP BY 1),
+         |c AS (
+         |  SELECT t.doc_id, dld.dl,
+         |    ((((2 * n.n_docs - 2 * d.df + 1) * 1000) // (2 * d.df + 1))
+         |       * 22 * tt.n_tok * t.tf)
+         |      // (10 * tt.n_tok * t.tf + 3 * tt.n_tok + 9 * dld.dl * n.n_docs)
+         |      AS contrib_u
+         |  FROM tf t JOIN dfq d USING (tok) JOIN dld USING (doc_id)
+         |  CROSS JOIN n CROSS JOIN tt)
+         |SELECT doc_id, MAX(dl) AS dl, COUNT(1) AS n_hit_terms,
+         |  CAST(SUM(contrib_u) AS BIGINT) AS score_u
+         |FROM c GROUP BY doc_id
+         |ORDER BY score_u DESC, doc_id ASC
+         |LIMIT $Bm25TopK""".stripMargin
+    },
 
     "txt_tfidf" ->
       s"""WITH toks AS (
