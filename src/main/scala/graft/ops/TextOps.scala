@@ -381,33 +381,50 @@ object TextOps {
     * ≤ idf_milli·22·T·tf ≈ 1e17 at sf1 — rescale milli→centi before
     * the corpus outgrows int64.
     *
-    * Shape at scale: one corpus scan produces (doc, term, tf) for ONLY
-    * the query terms (the isin prunes before the aggregation); df is a
-    * |terms|-row aggregate joined back by broadcast; N and T are two
-    * scalar actions up front (a constant-folded join would plan as a
-    * nested loop, which the plan audit rejects); the final top-k is
-    * TakeOrderedAndProject — per-partition top-k, never a global sort. */
+    * Shape at scale: a FIXED small query-term set means the whole
+    * scorer is one corpus scan — per-term tf via codegen'd array HOFs
+    * (no explode, no per-term re-scan), per-term df + corpus totals
+    * fetched as driver scalars up front (three small actions; a
+    * constant-key broadcast of a stats row would plan as a nested
+    * loop, which the plan audit rejects) and baked into the score
+    * expression as integer literals. The final top-k is
+    * TakeOrderedAndProject — per-partition top-k, never a global sort.
+    * (An unbounded/ad-hoc term set would need the explode → groupBy →
+    * df-join form instead; that variant re-scans the corpus per
+    * aggregation and shuffles (doc, term) pairs.) */
   def bm25TopDocs(docs: DataFrame, terms: Seq[String] = Bm25Terms,
       k: Int = Bm25TopK, textCol: String = "text"): DataFrame = {
     val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
     val nDocs = docs.count()
-    val nTok = tk.agg(sum(size(col("toks")))).first().getLong(0)
-    val dl = tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val tf = tk.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "tok")
-      .join(dl, "doc_id")
-      .withColumn("idf_milli",
-        expr(s"((2 * ${nDocs}L - 2 * df + 1) * 1000) div (2 * df + 1)"))
-      .withColumn("contrib_u", expr(
-        s"(idf_milli * 22 * ${nTok}L * tf) div " +
-          s"(10 * ${nTok}L * tf + 3 * ${nTok}L + 9 * dl * ${nDocs}L)"))
-      .groupBy("doc_id")
-      .agg(max(col("dl")).as("dl"),
-        count(lit(1)).as("n_hit_terms"),
-        sum(col("contrib_u")).as("score_u"))
+    val totals = tk.agg(
+      sum(size(col("toks"))).as("n_tok"),
+      terms.zipWithIndex.map { case (t0, i) =>
+        sum(when(array_contains(col("toks"), t0), 1L).otherwise(0L))
+          .as(s"df_$i")
+      }: _*).first()
+    val nTok = totals.getLong(0)
+    val dfs = terms.indices.map(i => totals.getLong(i + 1))
+    val scored = tk.select(
+      (col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t0, i) =>
+          size(filter(col("toks"), x => x === t0)).cast("long").as(s"tf_$i")
+        }): _*)
+    // per-term idf is a driver-side exact integer (Long `/` truncates
+    // toward zero = DuckDB `//` on positives); df = 0 terms contribute
+    // nothing because their tf is 0 everywhere
+    val contribs = terms.indices.map { i =>
+      val idfMilli = ((2 * nDocs - 2 * dfs(i) + 1) * 1000) / (2 * dfs(i) + 1)
+      expr(s"CASE WHEN tf_$i > 0 THEN " +
+        s"(${idfMilli}L * 22 * ${nTok}L * tf_$i) div " +
+        s"(10 * ${nTok}L * tf_$i + 3 * ${nTok}L + 9 * dl * ${nDocs}L) " +
+        "ELSE 0L END")
+    }
+    val hits = terms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+    scored
+      .withColumn("score_u", contribs.reduce(_ + _))
+      .withColumn("n_hit_terms", hits.reduce(_ + _))
+      .filter(col("n_hit_terms") > 0)
       .orderBy(col("score_u").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("dl"), col("n_hit_terms"), col("score_u"))
