@@ -55,6 +55,15 @@ object PlanDump {
     // the budget window and the shard layout each move one narrow
     // hash exchange (no text through the shuffle, no global sort)
     "mix_token_budget", "export_shards",
+    // round-9 third wave: txt_bm25's fixture pins the single-scan
+    // zero-exchange shape (per-term HOF counts + TakeOrdered — a
+    // regression to the explode/df-join form shows up as x>0);
+    // dedup_incr_bloom's value is the bloom bit-test BELOW the
+    // history-side distinct, ahead of the anti-join; emb_semdedup
+    // must keep the pair join keyed on the cluster id (a lost key
+    // degenerates to all-pairs); mix_temperature's window must stay
+    // on the group-sized frame with the rate join broadcast
+    "txt_bm25", "dedup_incr_bloom", "emb_semdedup", "mix_temperature",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -219,8 +219,13 @@ class PlanAuditSpec extends AnyFunSuite {
     //    (broadcast), and dominance is inherently non-equi
     //  - agg_kmv_ops: crossJoin of two 1-ROW frames (sketch algebra x
     //    exact anchors), scalar x scalar like pipe_totals
+    //  - emb_semdedup: corpus x broadcast(K centroids) assignment —
+    //    the same all-centroid shape as sim_ivf_topk's assign step
+    //  - dedup_incr_bloom: history x broadcast(1-ROW bloom aggregate),
+    //    the join_bloom_prefilter scalar attach on the anti-join's
+    //    archive side
     val allowNested = Set("sim_topk", "sim_ivf_topk", "join_bloom_prefilter",
-      "skyline_parts")
+      "skyline_parts", "emb_semdedup", "dedup_incr_bloom")
     val allowCross = Set("pipe_totals", "pipe_effective_length",
       "agg_heavy_hitters", "agg_kmv_ops")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
