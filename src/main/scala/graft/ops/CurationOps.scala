@@ -335,6 +335,84 @@ object CurationOps {
       .filter(col("n_users") >= minUsers)
   }
 
+  // ------------------------------------------------------------- DSIR
+
+  /** DSIR hash space / selection width for the driver query (shared
+    * with the oracle SQL). 64 buckets keep the weight table a 64-entry
+    * broadcast array at ANY corpus size; production DSIR uses 10k–1M
+    * buckets — the plan shape is identical, only the array grows. */
+  val DsirBuckets = 64
+  val DsirKeep = 200
+  val DsirTargetLang = "en"
+
+  /** Portable hashed-unigram bucket: low bits of the word's md5 — the
+    * same engine-agnostic derivation every hashed op here uses. */
+  private def dsirBucket(w: Column): Column =
+    conv(substring(md5(w), 1, 4), 16, 10).cast("long") % DsirBuckets
+
+  /** Data selection via hashed n-gram importance weights — the DSIR
+    * shape (Xie et al., NeurIPS 2023): estimate target vs raw unigram
+    * bucket distributions, weight every document by how target-like
+    * its token mix is, keep the top slice. Here target = the
+    * [[DsirTargetLang]] documents (the "looks like the high-quality
+    * distribution" proxy), raw = the whole corpus.
+    *
+    * Re-derived in EXACT integer arithmetic (the [[TextOps]]
+    * lm_surprise / BM25 stance): the paper's per-bucket log-ratio
+    * becomes the Laplace-smoothed probability RATIO in ppm —
+    * `w_b = ((1+tgt_b)·(rawTot+B)·1e6) div ((1+raw_b)·(tgtTot+B))` —
+    * monotone per bucket, and the per-doc score Σ count_{d,b}·w_b is a
+    * bit-exact BIGINT immune to float summation order and libm log
+    * rounding (products stay < 2^62 through ~sf1-scale corpora; a
+    * 100 TB run rescales the two totals or widens to 128-bit).
+    *
+    * Scale shape: ONE token-explode aggregation keyed on the 64-value
+    * bucket (map-side partials collapse it to B rows per partition —
+    * at 100 TB the shuffle carries B rows × partitions, not tokens);
+    * the totals window runs on the B-row frame; the weight table
+    * broadcasts as a single 64-element array row and SCORING is a pure
+    * narrow expression over the corpus scan — zero shuffle, ending in
+    * a TakeOrdered top-[[DsirKeep]]. */
+  def dsirSelect(docs: DataFrame, targetLang: String = DsirTargetLang,
+      keep: Int = DsirKeep, textCol: String = "text"): DataFrame = {
+    val b = DsirBuckets
+    val bc = docs
+      .select(col("lang"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(dsirBucket(col("w")).as("b"))
+      .agg(count(lit(1)).as("raw_c"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_c"))
+    // totals over the ≤B-row weight frame: a partition-less window is
+    // deliberate — the frame is bounded by construction, never by data
+    val W = org.apache.spark.sql.expressions.Window
+    val wTot = W.partitionBy()
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val wts = bc
+      .withColumn("raw_tot", sum(col("raw_c")).over(wTot))
+      .withColumn("tgt_tot", sum(col("tgt_c")).over(wTot))
+      .withColumn("w", expr(
+        s"((1 + tgt_c) * (raw_tot + $b) * 1000000) div ((1 + raw_c) * (tgt_tot + $b))"))
+    // complete 64-entry array: buckets no word hashed to get the
+    // zero-count smoothed weight
+    val warrRow = wts
+      .agg(map_from_entries(collect_list(struct(col("b"), col("w")))).as("wm"),
+        first(col("raw_tot")).as("rt"), first(col("tgt_tot")).as("tt"))
+      .select(transform(sequence(lit(0), lit(b - 1)), i =>
+        coalesce(element_at(col("wm"), i.cast("long")),
+          expr(s"((rt + $b) * 1000000) div (tt + $b)"))).as("warr"))
+    docs
+      .select(col("doc_id"), col("lang"), tokens(col(textCol)).as("toks"))
+      .crossJoin(broadcast(warrRow))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("score", aggregate(col("toks"), lit(0L), (acc, w) =>
+        acc + element_at(col("warr"), (dsirBucket(w) + 1).cast("int"))))
+      .withColumn("avg_w_ppm", expr("score div n_tok"))
+      .orderBy(col("avg_w_ppm").desc, col("doc_id").asc)
+      .limit(keep)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("score"),
+        col("avg_w_ppm"))
+  }
+
   // --------------------------------------------------------- queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -343,6 +421,8 @@ object CurationOps {
     "txt_repetition" -> ((s, d) => repetitionStats(t(s, d, "documents"))),
 
     "mix_upsample" -> ((s, d) => mixUpsample(t(s, d, "documents"))),
+
+    "curate_dsir_select" -> ((s, d) => dsirSelect(t(s, d, "documents"))),
 
     "mix_token_budget" -> ((s, d) => mixTokenBudget(t(s, d, "documents"))),
 
@@ -504,7 +584,54 @@ object CurationOps {
       s"WHEN '$k' THEN ${Math.round(f * MixBudgetTokens)}"
     }.mkString(" ")
 
+  /** DuckDB replay of the full DSIR pipeline: bucket counts, smoothed
+    * ppm importance weights, 64-entry weight array, per-doc integer
+    * score, top-[[DsirKeep]] selection. The window totals CAST to
+    * BIGINT (DuckDB windowed SUM over ints widens to HUGEINT). */
+  private def dsirOracle: String = {
+    val b = DsirBuckets
+    val bkt = (w: String) => s"('0x' || substr(md5($w), 1, 4))::BIGINT % $b"
+    s"""WITH tk AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+       |wrd AS (SELECT lang, unnest(toks) AS w FROM tk),
+       |bc AS (
+       |  SELECT ${bkt("w")} AS b, CAST(COUNT(1) AS BIGINT) AS raw_c,
+       |    CAST(COUNT(1) FILTER (WHERE lang = '$DsirTargetLang') AS BIGINT) AS tgt_c
+       |  FROM wrd GROUP BY 1),
+       |wt AS (
+       |  SELECT b,
+       |    CAST(SUM(raw_c) OVER () AS BIGINT) AS raw_tot,
+       |    CAST(SUM(tgt_c) OVER () AS BIGINT) AS tgt_tot,
+       |    raw_c, tgt_c
+       |  FROM bc),
+       |wts AS (
+       |  SELECT b,
+       |    CAST(((1 + tgt_c) * (raw_tot + $b) * 1000000)
+       |      // ((1 + raw_c) * (tgt_tot + $b)) AS BIGINT) AS w,
+       |    raw_tot, tgt_tot
+       |  FROM wt),
+       |warr AS (
+       |  SELECT list(coalesce(wts.w,
+       |      CAST(((t.raw_tot + $b) * 1000000) // (t.tgt_tot + $b) AS BIGINT))
+       |    ORDER BY bb.b) AS warr
+       |  FROM (SELECT unnest(range(0, $b)) AS b) bb
+       |  LEFT JOIN wts ON bb.b = wts.b
+       |  CROSS JOIN (SELECT raw_tot, tgt_tot FROM wt LIMIT 1) t),
+       |scored AS (
+       |  SELECT tk.doc_id, tk.lang, CAST(len(tk.toks) AS BIGINT) AS n_tok,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(tk.toks, w -> warr.warr[${bkt("w")} + 1])),
+       |      (a, x) -> a + x) AS score
+       |  FROM tk CROSS JOIN warr
+       |  WHERE len(tk.toks) > 0)
+       |SELECT doc_id, lang, n_tok, CAST(score AS BIGINT) AS score,
+       |  CAST(score // n_tok AS BIGINT) AS avg_w_ppm
+       |FROM scored
+       |ORDER BY avg_w_ppm DESC, doc_id ASC LIMIT $DsirKeep""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "curate_dsir_select" -> dsirOracle,
+
     "mix_upsample" ->
       s"""WITH rated AS (
          |  SELECT doc_id, lang,

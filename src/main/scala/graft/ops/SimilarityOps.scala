@@ -421,6 +421,262 @@ object SimilarityOps {
   val SemTau = 0.45
   val SemCentroids = 64
 
+  /** kNN-graph parameters for the driver query (shared with the
+    * oracle SQL). nProbes=2 multi-assignment recovers most
+    * cell-boundary neighbors the single-cell SemDeDup trade-off
+    * loses. */
+  val KnnK = 5
+  val KnnCentroids = 64
+  val KnnProbes = 2
+
+  /** Shared multi-probe coarse assignment: every screened vector →
+    * its top-`nProbes` first-K sample centroids ((c_sim DESC, cid ASC)
+    * tie-break). Returns (screened vectors with norms, (vec_id, cid)
+    * assignment) — the candidate-generation front end of [[knnGraph]]
+    * and [[hardNegatives]]. */
+  private def multiProbeAssign(embeddings: DataFrame, nCentroids: Int,
+      nProbes: Int): (DataFrame, DataFrame) = {
+    val cents = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+      .filter(definedNrm(col("nrm")))
+    // top-P cells via the map-side partial top-k aggregator, not a
+    // row_number window: the agg shuffles ~1 row per vector (partials
+    // combine before the exchange), where the window would sort-shuffle
+    // all corpus×K scored rows; tie-break (c_sim DESC, cid ASC) is the
+    // same total order either way
+    val topP = udaf(new graft.functions.TopKSimAgg(nProbes))
+    val assign = vecs.join(broadcast(cents), lit(true))
+      .withColumn("c_sim",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .groupBy("vec_id")
+      .agg(topP(col("cid"), col("c_sim")).as("top"))
+      .select(col("vec_id"), explode(col("top.n_id")).as("cid"))
+    (vecs, assign)
+  }
+
+  /** Cluster-scoped kNN-graph construction — the candidate-generation
+    * backbone of graph-based curation (agglomerative dedup clusters,
+    * connectivity-based diversity sampling, label propagation): every
+    * vector gets edges to its k most-cosine-similar CANDIDATE
+    * neighbors, where candidates share at least one of the vector's
+    * top-`nProbes` coarse cells.
+    *
+    * Scale shape: multi-probe assignment is the [[ivfTopK]] probe
+    * idiom (broadcast K centroids + per-vector top-P window);
+    * candidates come from an equi-join keyed on the cell id —
+    * Σ(P·|cell|)² work, never all-pairs — and the per-node top-k is a
+    * keyed window over candidates only. Multi-assignment (P=2) is the
+    * standard boundary-recall fix: a pair straddling two cells is
+    * found iff EITHER endpoint probes the other's cell. Deterministic
+    * end to end (first-K centroids, (sim,−cid) probe tie-break,
+    * (sim DESC, dst ASC) edge tie-break), so DuckDB replays the whole
+    * build. Zero/NaN-norm vectors neither probe nor match
+    * ([[definedNrm]]). */
+  def knnGraph(embeddings: DataFrame, k: Int = KnnK,
+      nCentroids: Int = KnnCentroids, nProbes: Int = KnnProbes): DataFrame = {
+    val (vecs, assign) = multiProbeAssign(embeddings, nCentroids, nProbes)
+    val cand = assign.select(col("cid"), col("vec_id").as("src"))
+      .join(assign.select(col("cid").as("cid2"), col("vec_id").as("dst")),
+        col("cid") === col("cid2") && col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val wRank = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    cand
+      .join(vecs.select(col("vec_id").as("src"), col("embedding").as("e1"),
+        col("nrm").as("nrm1")), "src")
+      .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("e2"),
+        col("nrm").as("nrm2")), "dst")
+      .withColumn("sim", dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Hard-negative mining parameters for the driver query (shared
+    * with the oracle SQL). */
+  val HnNegK = 3
+  val HnCentroids = 64
+  val HnProbes = 2
+
+  /** Contrastive training-pair mining — for every anchor vector, the
+    * most-similar SAME-label candidate (the positive) and the
+    * top-[[HnNegK]] most-similar DIFFERENT-label candidates (the hard
+    * negatives): the standard pair-construction step for training
+    * embedding / retrieval models (in-batch negatives are easy; the
+    * valuable negatives are the near-misses this op surfaces).
+    *
+    * Scale shape: identical to [[knnGraph]] — multi-probe coarse cells
+    * bound the candidate join to Σ(P·|cell|)², the per-anchor ranking
+    * is a keyed window over candidates only, and labels ride the
+    * candidate rows (no second corpus pass). Output is one row per
+    * (anchor, role, rank): role 'pos' rank 1, role 'neg' ranks
+    * 1..negK. Anchors whose cells contain no same-label (or no
+    * different-label) candidate simply emit no such row — the honest
+    * production behavior (mine more probes if positives are missing).
+    * Deterministic end to end; DuckDB replays the full build. */
+  def hardNegatives(embeddings: DataFrame, anchorPred: Column,
+      negK: Int = HnNegK, nCentroids: Int = HnCentroids,
+      nProbes: Int = HnProbes): DataFrame = {
+    val (vecs0, assign) = multiProbeAssign(embeddings, nCentroids, nProbes)
+    val labels = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
+    val vecs = vecs0.join(labels, "vec_id")
+    val cand = assign.filter(anchorPred)
+      .select(col("cid"), col("vec_id").as("anchor"))
+      .join(assign.select(col("cid").as("cid2"), col("vec_id").as("other")),
+        col("cid") === col("cid2") && col("anchor") =!= col("other"))
+      .select("anchor", "other").distinct()
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("anchor"), col("embedding").as("e1"),
+        col("nrm").as("nrm1"), col("label").as("l1")), "anchor")
+      .join(vecs.select(col("vec_id").as("other"), col("embedding").as("e2"),
+        col("nrm").as("nrm2"), col("label").as("l2")), "other")
+      .withColumn("sim", dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
+      .select(col("anchor"), col("other"), col("l1"), col("l2"), col("sim"))
+    // ONE window pass keyed (anchor, is_pos) ranks positives and
+    // negatives together — a per-role filter+union would re-execute
+    // the whole candidate pipeline per branch (measured x28 exchanges
+    // vs x14 for this form) and shuffle the candidates twice
+    val wRank = Window.partitionBy(col("anchor"), col("is_pos"))
+      .orderBy(col("sim").desc, col("other").asc)
+    scored.withColumn("is_pos", col("l1") === col("l2"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("is_pos") && col("rank") <= 1 ||
+        !col("is_pos") && col("rank") <= negK)
+      .select(col("anchor"),
+        when(col("is_pos"), "pos").otherwise("neg").as("role"),
+        col("other"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  // ------------------------------------------------ product quantization
+
+  /** PQ geometry for the driver query (shared with the oracle SQL):
+    * 64-dim vectors → [[PqSubs]] subspaces of [[PqSubDim]] dims, each
+    * quantized to one of [[PqCodes]] codewords — 8 bytes per vector
+    * instead of 256, the 32× shrink that makes a 100 TB embedding
+    * corpus scannable from memory. Codebooks are sample-trained on the
+    * first [[PqCodes]] vectors (the FAISS-style deterministic sampling
+    * convention [[ivfTopK]] also uses), so the WHOLE pipeline — train,
+    * encode, score — is replayable in plain SQL. */
+  val PqSubs = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+  /** ADC shortlist width before the exact rerank — the standard
+    * two-stage serving shape (shortlist on codes, rerank on floats). */
+  val PqShortlist = 50
+
+  /** Sequential-fold squared L2 distance between two float arrays —
+    * identical accumulation order to DuckDB's list_reduce, so PQ
+    * distances are bit-reproducible across engines. */
+  private def sqdist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, c) =>
+        (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** One-row PQ codebook: `fcb` = flat array of nSubs×nCodes
+    * sub-codewords ordered by (subspace, code) — entry (m,k) at index
+    * m·nCodes+k. Codeword (m,k) = subspace-m slice of the k-th
+    * codebook-sample vector (samples = the first nCodes full-dim
+    * vectors, ordered by vec_id). A single tiny aggregate: at any
+    * corpus size the codebook is KBs and broadcasts. */
+  def pqCodebookRow(embeddings: DataFrame, dim: Int,
+      nSubs: Int = PqSubs, nCodes: Int = PqCodes): DataFrame = {
+    val sub = dim / nSubs
+    embeddings.filter(col("vec_id") < nCodes && size(col("embedding")) === dim)
+      .select(struct(col("vec_id"), col("embedding")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(flatten(transform(sequence(lit(0), lit(nSubs - 1)), m =>
+        transform(col("es"), e =>
+          slice(e.getField("embedding"), m * sub + 1, lit(sub))))).as("fcb"))
+  }
+
+  /** PQ-encode the corpus: per vector, per subspace, the argmin-L2
+    * codeword index (tie-break lowest code). Pure narrow expressions
+    * over a broadcast 1-row codebook — ZERO shuffle: at 100 TB the
+    * encode runs at scan bandwidth and writes 8-byte codes, which is
+    * the entire point of PQ. Rows that cannot encode (NULL / wrong
+    * dim) are screened out. */
+  def pqEncode(embeddings: DataFrame, dim: Int,
+      nSubs: Int = PqSubs, nCodes: Int = PqCodes): DataFrame = {
+    val sub = dim / nSubs
+    val cbRow = pqCodebookRow(embeddings, dim, nSubs, nCodes)
+    embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("codes", transform(sequence(lit(0), lit(nSubs - 1)), m => {
+        val cands = transform(sequence(lit(0), lit(nCodes - 1)), c =>
+          struct(
+            sqdist(slice(col("embedding"), m * sub + 1, lit(sub)),
+              element_at(col("fcb"), m * nCodes + c + 1)).as("d"),
+            c.cast("integer").as("k")))
+        // struct ordering = (d, k) lexicographic: argmin distance,
+        // lowest code on ties — the same total order the oracle's
+        // ROW_NUMBER(ORDER BY d, k) uses (Spark ranks a NaN d
+        // greatest; DuckDB sorts NaN last ASC — consistent)
+        array_min(cands).getField("k")
+      }))
+  }
+
+  /** Two-stage PQ ANN — asymmetric-distance (ADC) shortlist over the
+    * 8-byte codes, exact-L2 rerank of the shortlist on full vectors:
+    * the production serving shape (Jégou et al., TPAMI 2011).
+    *
+    * Scale shape: queries broadcast against the encoded corpus; the
+    * ADC score is computed MAP-SIDE from (codes, broadcast codebook,
+    * broadcast query) so only (q_id, n_id, dist) triples ever shuffle,
+    * and the shortlist runs as a map-side partial top-k
+    * ([[graft.functions.TopKSimAgg]] on negated distance) — ≤
+    * shortlist·partitions rows per query cross the wire, never the
+    * |Q|×|C| score matrix. The rerank joins the ≤|Q|·shortlist id set
+    * back to the corpus (broadcast the shortlist ids at serving scale)
+    * and re-scores exactly. Fully deterministic (sample-trained
+    * codebook, (d, code) and (dist, n_id) tie-breaks), so DuckDB
+    * replays train→encode→ADC→rerank end to end. */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      shortlist: Int = PqShortlist, dim: Int = -1,
+      nSubs: Int = PqSubs, nCodes: Int = PqCodes): DataFrame = {
+    val d0 = if (dim > 0) dim else dataDim(embeddings)
+    val sub = d0 / nSubs
+    val corpus = embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d0)
+      .select(col("vec_id"), col("embedding"))
+    val encoded = pqEncode(embeddings, d0, nSubs, nCodes)
+      .select(col("vec_id").as("n_id"), col("codes"), col("fcb"))
+    val q = corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val adc = encoded.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("dist",
+        aggregate(sequence(lit(0), lit(nSubs - 1)), lit(0.0), (acc, m) =>
+          acc + sqdist(slice(col("q_emb"), m * sub + 1, lit(sub)),
+            element_at(col("fcb"),
+              m * nCodes + element_at(col("codes"), m + 1) + 1))))
+      .select(col("q_id"), col("n_id"), col("dist"))
+    val short = udaf(new graft.functions.TopKSimAgg(shortlist))
+    val cand = adc
+      .groupBy("q_id")
+      .agg(short(col("n_id"), -col("dist")).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)
+    // the shortlist (≤ |Q|·shortlist id pairs) is the PROVABLY small
+    // side — broadcast it so the rerank streams the corpus scan; the
+    // stats-driven pick would flip to broadcasting the corpus at test
+    // scale, which inverts at 100 TB
+    corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cand), "n_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("dist", sqdist(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("dist"), 6).as("dist"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -481,6 +737,12 @@ object SimilarityOps {
       ivfTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0,
         nCentroids = IvfCentroids, nProbe = IvfProbe)),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
+    "sim_pq_topk" -> ((s, d) =>
+      pqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
+        dim = OracleDim)),
+    "emb_knn_graph" -> ((s, d) => knnGraph(t(s, d, "embeddings"))),
+    "emb_hard_negatives" -> ((s, d) =>
+      hardNegatives(t(s, d, "embeddings"), col("vec_id") % 20 === 0)),
     // Per-label centroid, one row per (label, dimension): posexplode →
     // keyed agg with map-side partials — the distributed shape for
     // class centroids / cluster means at any corpus size. Sums run in
@@ -509,7 +771,133 @@ object SimilarityOps {
   private def sqlNrm(x: String) =
     s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($x, t -> t::DOUBLE * t::DOUBLE)), (u,v) -> u+v))"
 
+  /** Sequential-fold squared-L2 in DuckDB — the SQL twin of [[sqdist]]. */
+  private def sqlSqd(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b),
+       |  s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))), (u,v) -> u+v)"""
+      .stripMargin
+
+  /** DuckDB replay of the full PQ pipeline: sample-train the codebook,
+    * encode every corpus vector (argmin over the m-th sub-distance,
+    * ROW_NUMBER tie-break = the engine's (d, code) struct-min), ADC
+    * score in the same (subspace-ordered) sequential fold, shortlist,
+    * exact-L2 rerank. */
+  private def pqOracle: String = {
+    val (m, sub, k) = (PqSubs, PqSubDim, PqCodes)
+    val subSlice = s"list_slice(c.embedding, cb.m*$sub+1, cb.m*$sub+$sub)"
+    s"""WITH cbsrc AS (
+       |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+       |  FROM embeddings WHERE vec_id < $k AND len(embedding) = $OracleDim),
+       |cb AS (
+       |  SELECT mm.m, cbsrc.k,
+       |    list_slice(cbsrc.embedding, mm.m*$sub+1, mm.m*$sub+$sub) AS sub
+       |  FROM cbsrc, (SELECT unnest(range(0, $m)) AS m) mm),
+       |cbflat AS (SELECT list(sub ORDER BY m, k) AS fcb FROM cb),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $OracleDim),
+       |encl AS (
+       |  SELECT c.vec_id, cb.m, cb.k,
+       |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, cb.m
+       |      ORDER BY ${sqlSqd(subSlice, "cb.sub")} ASC, cb.k ASC) AS rn
+       |  FROM corpus c CROSS JOIN cb),
+       |enc AS (
+       |  SELECT vec_id, list(k ORDER BY m) AS codes
+       |  FROM encl WHERE rn = 1 GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM corpus WHERE vec_id % 100 = 0),
+       |adc AS (
+       |  SELECT q.q_id, enc.vec_id AS n_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(0, $m), m ->
+       |        ${sqlSqd(s"list_slice(q.q_emb, m*$sub+1, m*$sub+$sub)",
+                         s"cbflat.fcb[m*$k + enc.codes[m+1] + 1]")})),
+       |      (u,v) -> u+v) AS dist
+       |  FROM q, enc, cbflat WHERE q.q_id != enc.vec_id),
+       |short AS (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS srn
+       |  FROM adc),
+       |rerank AS (
+       |  SELECT s.q_id, s.n_id,
+       |    ${sqlSqd("q.q_emb", "n.embedding")} AS dist
+       |  FROM short s
+       |  JOIN q ON s.q_id = q.q_id
+       |  JOIN corpus n ON s.n_id = n.vec_id
+       |  WHERE s.srn <= $PqShortlist),
+       |ranked AS (
+       |  SELECT q_id, n_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS rank
+       |  FROM rerank)
+       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(dist, 6) AS dist
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_pq_topk" -> pqOracle,
+
+    "emb_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm,
+         |    CAST(label AS BIGINT) AS label
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+         |         FROM e WHERE vec_id < $HnCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn <= $HnProbes),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS other
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id
+         |  WHERE a.vec_id % 20 = 0),
+         |scored AS (
+         |  SELECT c.anchor, c.other, e1.label AS l1, e2.label AS l2,
+         |    ${sqlDot("e1.emb", "e2.emb")} / (e1.nrm * e2.nrm) AS sim
+         |  FROM cand c JOIN e e1 ON c.anchor = e1.vec_id
+         |              JOIN e e2 ON c.other = e2.vec_id),
+         |pos AS (
+         |  SELECT anchor, 'pos' AS role, other, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY sim DESC, other ASC) AS rank
+         |  FROM scored WHERE l1 = l2),
+         |neg AS (
+         |  SELECT anchor, 'neg' AS role, other, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY sim DESC, other ASC) AS rank
+         |  FROM scored WHERE l1 != l2)
+         |SELECT anchor, role, other, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+         |FROM (SELECT * FROM pos WHERE rank <= 1
+         |      UNION ALL SELECT * FROM neg WHERE rank <= $HnNegK)""".stripMargin,
+
+    "emb_knn_graph" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+         |         FROM e WHERE vec_id < $KnnCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn <= $KnnProbes),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+         |sims AS (
+         |  SELECT c.src, c.dst,
+         |    ${sqlDot("e1.emb", "e2.emb")} / (e1.nrm * e2.nrm) AS sim
+         |  FROM cand c JOIN e e1 ON c.src = e1.vec_id
+         |              JOIN e e2 ON c.dst = e2.vec_id),
+         |ranked AS (
+         |  SELECT src, dst, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+         |  FROM sims)
+         |SELECT src, dst, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+         |FROM ranked WHERE rank <= $KnnK""".stripMargin,
     "emb_quantize_int8" ->
       """WITH base AS (
         |  SELECT vec_id,

@@ -64,6 +64,17 @@ object PlanDump {
     // degenerates to all-pairs); mix_temperature's window must stay
     // on the group-sized frame with the rate join broadcast
     "txt_bm25", "dedup_incr_bloom", "emb_semdedup", "mix_temperature",
+    // round-9 fourth wave: sim_pq_topk's fixture pins the PQ serving
+    // shape — zero-shuffle encode (corpus scan × broadcast 1-row
+    // codebook), map-side ADC + partial top-k (one agg exchange), and
+    // the rerank broadcasting the SHORTLIST (never the corpus)
+    "sim_pq_topk",
+    // round-9 fourth wave (cont.): curate_dsir_select's value is the
+    // scoring pass being a PURE narrow expression over the corpus scan
+    // (one token-explode agg for the 64-bucket weights, then zero
+    // shuffle until the TakeOrdered); emb_knn_graph must keep the
+    // candidate join keyed on the cell id (lost key = all-pairs)
+    "curate_dsir_select", "emb_knn_graph",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -103,6 +103,9 @@ object PlanFingerprint {
       // session-global counter ("lambda x_7") — same plan, different
       // names depending on everything that ran before it in the JVM
       .replaceAll("lambda x_\\d+", "lambda x_*")
+      // zip_with's second lambda variable gets the same session-global
+      // counter treatment under the name y_N
+      .replaceAll("lambda y_\\d+", "lambda y_*")
       // layout operators write scratch tables under java.io.tmpdir with
       // a per-JVM run tag (see LayoutOps.runTag): both the absolute
       // location and the tag are machine/run-specific, not plan shape

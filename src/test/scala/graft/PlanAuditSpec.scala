@@ -225,7 +225,14 @@ class PlanAuditSpec extends AnyFunSuite {
     //    the join_bloom_prefilter scalar attach on the anti-join's
     //    archive side
     val allowNested = Set("sim_topk", "sim_ivf_topk", "join_bloom_prefilter",
-      "skyline_parts", "emb_semdedup", "dedup_incr_bloom")
+      "skyline_parts", "emb_semdedup", "dedup_incr_bloom",
+      // PQ: the 1-row codebook crossJoin and the queries-broadcast ADC
+      // join (q_id != n_id) are both deliberate broadcast-NLJ shapes
+      "sim_pq_topk",
+      // multi-probe assignment scores every vector against the
+      // broadcast K-centroid table (the ivf_topk idiom); DSIR scoring
+      // rides a 1-row broadcast weight-array crossJoin
+      "emb_knn_graph", "emb_hard_negatives", "curate_dsir_select")
     val allowCross = Set("pipe_totals", "pipe_effective_length",
       "agg_heavy_hitters", "agg_kmv_ops")
     val failures = scala.collection.mutable.ArrayBuffer[String]()

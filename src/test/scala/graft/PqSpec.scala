@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimilarityOps
+
+/** Product-quantization ANN: the quantities the DuckDB hash-compare
+  * can't express — recall vs the exact-L2 truth set, the
+  * shortlist-width knob's exactness limit, and distributed-execution
+  * invariance of the encode. */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val emb = {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+  }
+  private val pred = col("vec_id") % 100 === 0
+
+  /** Exact L2 top-k — the truth set the two-stage PQ path approximates. */
+  private def exactL2TopK(k: Int): Set[(Long, Long)] = {
+    val c = emb.filter(col("embedding").isNotNull &&
+        size(col("embedding")) === SimilarityOps.OracleDim)
+      .select(col("vec_id"), col("embedding"))
+    val q = c.filter(pred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dist = graft.functions.VectorFunctions.vec_dot(
+      zip_with(col("q_emb"), col("embedding"), (x, y) => x - y),
+      zip_with(col("q_emb"), col("embedding"), (x, y) => x - y))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d").asc, col("vec_id").asc)
+    c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("d", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("two-stage PQ (ADC shortlist 50 + exact rerank) recall@10 vs exact L2") {
+    val truth = exactL2TopK(10)
+    val got = SimilarityOps.pqTopK(emb, pred, k = 10, dim = SimilarityOps.OracleDim)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"PQ recall@10 = $recall%.3f (shortlist=${SimilarityOps.PqShortlist}, " +
+      f"${SimilarityOps.PqSubs}x${SimilarityOps.PqCodes} codes = 8 B/vector)")
+    assert(got.size == truth.size, "same cardinality (k per query)")
+    // isotropic random 64-dim embeddings are PQ's worst case (no
+    // cluster structure for the sample-trained codebook to exploit);
+    // the 5x-overfetch rerank recovers most ADC ranking error
+    assert(recall >= 0.5, f"recall $recall%.3f")
+  }
+
+  test("shortlist spanning the corpus makes the two-stage result EXACT") {
+    val truth = exactL2TopK(10)
+    val got = SimilarityOps.pqTopK(emb, pred, k = 10, shortlist = 1000,
+        dim = SimilarityOps.OracleDim)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with every corpus row in the shortlist, the rerank IS brute
+    // force — the ADC stage can only reorder, never exclude
+    assert(got == truth)
+  }
+
+  test("PQ encode: codes in range, one per subspace, partitioning-invariant") {
+    val enc = SimilarityOps.pqEncode(emb, dim = SimilarityOps.OracleDim)
+      .select(col("vec_id"), col("codes"))
+    val rows = enc.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == SimilarityOps.PqSubs)
+      assert(codes.forall(c => c >= 0 && c < SimilarityOps.PqCodes))
+    }
+    val repart = SimilarityOps.pqEncode(emb.repartition(7, col("vec_id")),
+        dim = SimilarityOps.OracleDim)
+      .select(col("vec_id"), col("codes"))
+    assert(repart.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap ==
+      rows.map(r => (r.getLong(0), r.getSeq[Int](1))).toMap,
+      "codes independent of input partitioning")
+  }
+
+  test("codebook row: M*K sub-codewords of subspace width") {
+    val cb = SimilarityOps.pqCodebookRow(emb, dim = SimilarityOps.OracleDim)
+      .collect()
+    assert(cb.length == 1)
+    val fcb = cb(0).getSeq[scala.collection.Seq[Float]](0)
+    assert(fcb.length == SimilarityOps.PqSubs * SimilarityOps.PqCodes)
+    assert(fcb.forall(_.length == SimilarityOps.PqSubDim))
+  }
+}
