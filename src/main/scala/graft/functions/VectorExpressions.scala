@@ -100,12 +100,189 @@ case class PlaneBandKeys(child: Expression, weights: Seq[Seq[Double]], bitsPerBa
     copy(child = newChild)
 }
 
+/** pq_encode(embedding, fcb) → array<int> of per-subspace codeword
+  * indices (argmin squared-L2, tie → lowest code). Replaces the
+  * transform/array_min/aggregate HOF tower in the PQ encode path: HOFs
+  * are interpreted and allocate a (d, k) struct array per (row,
+  * subspace); this kernel is one fused loop nest, participates in
+  * whole-stage codegen, and reproduces the HOF's arithmetic EXACTLY —
+  * sequential left-to-right double accumulation per sub-distance and
+  * the same (d, code) total order (java Double.compare: NaN greatest,
+  * strict-improve keeps the lowest code on ties). `fcb` is the flat
+  * (subspace-major) codebook column of [[graft.ops.SimilarityOps
+  * .pqCodebookRow]]. */
+case class PqEncode(left: Expression, right: Expression, nSubs: Int, nCodes: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires (array<float>, array<array<float>>), got $l / $r")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val fcb = b.asInstanceOf[ArrayData]
+    val sub = x.numElements() / nSubs
+    val codes = new Array[Int](nSubs)
+    var m = 0
+    while (m < nSubs) {
+      var best = Double.PositiveInfinity
+      var bk = 0
+      var k = 0
+      while (k < nCodes) {
+        val cw = fcb.getArray(m * nCodes + k)
+        val lim = math.min(sub, cw.numElements())
+        var acc = 0.0
+        var j = 0
+        while (j < lim) {
+          val d = x.getFloat(m * sub + j).toDouble - cw.getFloat(j).toDouble
+          acc += d * d
+          j += 1
+        }
+        if (java.lang.Double.compare(acc, best) < 0) { best = acc; bk = k }
+        k += 1
+      }
+      codes(m) = bk
+      m += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, fcb) => {
+      val sub = ctx.freshName("sub")
+      val codes = ctx.freshName("codes")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val cw = ctx.freshName("cw")
+      val lim = ctx.freshName("lim")
+      val best = ctx.freshName("best")
+      val bk = ctx.freshName("bk")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $sub = $x.numElements() / $nSubs;
+         |int[] $codes = new int[$nSubs];
+         |for (int $m = 0; $m < $nSubs; $m++) {
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bk = 0;
+         |  for (int $k = 0; $k < $nCodes; $k++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cw =
+         |      $fcb.getArray($m * $nCodes + $k);
+         |    int $lim = java.lang.Math.min($sub, $cw.numElements());
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $lim; $j++) {
+         |      double $d = (double) $x.getFloat($m * $sub + $j)
+         |        - (double) $cw.getFloat($j);
+         |      $acc += $d * $d;
+         |    }
+         |    if (java.lang.Double.compare($acc, $best) < 0) { $best = $acc; $bk = $k; }
+         |  }
+         |  $codes[$m] = $bk;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** pq_adc(q_emb, codes, fcb) → asymmetric PQ distance: Σ over
+  * subspaces of squared-L2 between the query's sub-vector and the
+  * coded corpus row's codeword. Same fused-loop / exact-arithmetic
+  * story as [[PqEncode]] — inner sub-distance folds left-to-right from
+  * 0.0, outer sum adds per-subspace results in subspace order,
+  * bit-identical to the aggregate-over-sequence HOF form and DuckDB's
+  * list_reduce replay. */
+case class PqAdc(first: Expression, second: Expression, third: Expression,
+    nSubs: Int, nCodes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _),
+          ArrayType(ArrayType(FloatType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc requires (array<float>, array<int>, array<array<float>>), got $a / $b / $c")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val fcb = c.asInstanceOf[ArrayData]
+    val sub = q.numElements() / nSubs
+    var tot = 0.0
+    var m = 0
+    while (m < nSubs && m < codes.numElements()) {
+      val cw = fcb.getArray(m * nCodes + codes.getInt(m))
+      val lim = math.min(sub, cw.numElements())
+      var acc = 0.0
+      var j = 0
+      while (j < lim) {
+        val d = q.getFloat(m * sub + j).toDouble - cw.getFloat(j).toDouble
+        acc += d * d
+        j += 1
+      }
+      tot += acc
+      m += 1
+    }
+    tot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, codes, fcb) => {
+      val sub = ctx.freshName("sub")
+      val tot = ctx.freshName("tot")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val cw = ctx.freshName("cw")
+      val lim = ctx.freshName("lim")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $sub = $q.numElements() / $nSubs;
+         |double $tot = 0.0;
+         |for (int $m = 0; $m < $nSubs && $m < $codes.numElements(); $m++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cw =
+         |    $fcb.getArray($m * $nCodes + $codes.getInt($m));
+         |  int $lim = java.lang.Math.min($sub, $cw.numElements());
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $lim; $j++) {
+         |    double $d = (double) $q.getFloat($m * $sub + $j)
+         |      - (double) $cw.getFloat($j);
+         |    $acc += $d * $d;
+         |  }
+         |  $tot += $acc;
+         |}
+         |${ev.value} = $tot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
   import org.apache.spark.sql.functions.sqrt
 
   def vec_dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+  def pq_encode(emb: Column, fcb: Column, nSubs: Int, nCodes: Int): Column =
+    toCol(PqEncode(toExpr(emb), toExpr(fcb), nSubs, nCodes))
+  def pq_adc(q: Column, codes: Column, fcb: Column, nSubs: Int, nCodes: Int): Column =
+    toCol(PqAdc(toExpr(q), toExpr(codes), toExpr(fcb), nSubs, nCodes))
   def plane_band_keys(v: Column, weights: Seq[Seq[Double]], bitsPerBand: Int): Column =
     toCol(PlaneBandKeys(toExpr(v), weights, bitsPerBand))
 

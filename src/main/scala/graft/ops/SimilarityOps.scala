@@ -603,24 +603,31 @@ object SimilarityOps {
     * dim) are screened out. */
   def pqEncode(embeddings: DataFrame, dim: Int,
       nSubs: Int = PqSubs, nCodes: Int = PqCodes): DataFrame = {
-    val sub = dim / nSubs
     val cbRow = pqCodebookRow(embeddings, dim, nSubs, nCodes)
     embeddings
       .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cbRow))
-      .withColumn("codes", transform(sequence(lit(0), lit(nSubs - 1)), m => {
-        val cands = transform(sequence(lit(0), lit(nCodes - 1)), c =>
-          struct(
-            sqdist(slice(col("embedding"), m * sub + 1, lit(sub)),
-              element_at(col("fcb"), m * nCodes + c + 1)).as("d"),
-            c.cast("integer").as("k")))
-        // struct ordering = (d, k) lexicographic: argmin distance,
-        // lowest code on ties — the same total order the oracle's
-        // ROW_NUMBER(ORDER BY d, k) uses (Spark ranks a NaN d
-        // greatest; DuckDB sorts NaN last ASC — consistent)
-        array_min(cands).getField("k")
-      }))
+      // native fused argmin kernel (codegen'd); bit-identical to
+      // [[pqEncodeHof]] — the (d, code) total order is the oracle's
+      // ROW_NUMBER(ORDER BY d, k) (NaN ranks greatest both ways)
+      .withColumn("codes", graft.functions.VectorFunctions
+        .pq_encode(col("embedding"), col("fcb"), nSubs, nCodes))
+  }
+
+  /** The interpreted HOF formulation of the encode argmin — the
+    * readable semantic spec of [[PqEncode]]'s fused kernel; PqSpec
+    * pins kernel ≡ HOF row equality. */
+  private[graft] def pqEncodeHof(dim: Int, nSubs: Int, nCodes: Int): Column = {
+    val sub = dim / nSubs
+    transform(sequence(lit(0), lit(nSubs - 1)), m => {
+      val cands = transform(sequence(lit(0), lit(nCodes - 1)), c =>
+        struct(
+          sqdist(slice(col("embedding"), m * sub + 1, lit(sub)),
+            element_at(col("fcb"), m * nCodes + c + 1)).as("d"),
+          c.cast("integer").as("k")))
+      array_min(cands).getField("k")
+    })
   }
 
   /** Two-stage PQ ANN — asymmetric-distance (ADC) shortlist over the
@@ -638,11 +645,20 @@ object SimilarityOps {
     * and re-scores exactly. Fully deterministic (sample-trained
     * codebook, (d, code) and (dist, n_id) tie-breaks), so DuckDB
     * replays train→encode→ADC→rerank end to end. */
+  /** The interpreted HOF formulation of the ADC distance — the
+    * readable semantic spec of [[PqAdc]]'s fused kernel; PqSpec pins
+    * kernel ≡ HOF value equality. */
+  private[graft] def pqAdcHof(dim: Int, nSubs: Int, nCodes: Int): Column = {
+    val sub = dim / nSubs
+    aggregate(sequence(lit(0), lit(nSubs - 1)), lit(0.0), (acc, m) =>
+      acc + sqdist(slice(col("q_emb"), m * sub + 1, lit(sub)),
+        element_at(col("fcb"), m * nCodes + element_at(col("codes"), m + 1) + 1)))
+  }
+
   def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
       shortlist: Int = PqShortlist, dim: Int = -1,
       nSubs: Int = PqSubs, nCodes: Int = PqCodes): DataFrame = {
     val d0 = if (dim > 0) dim else dataDim(embeddings)
-    val sub = d0 / nSubs
     val corpus = embeddings
       .filter(col("embedding").isNotNull && size(col("embedding")) === d0)
       .select(col("vec_id"), col("embedding"))
@@ -651,11 +667,10 @@ object SimilarityOps {
     val q = corpus.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val adc = encoded.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("dist",
-        aggregate(sequence(lit(0), lit(nSubs - 1)), lit(0.0), (acc, m) =>
-          acc + sqdist(slice(col("q_emb"), m * sub + 1, lit(sub)),
-            element_at(col("fcb"),
-              m * nCodes + element_at(col("codes"), m + 1) + 1))))
+      // native fused ADC kernel (codegen'd); bit-identical to
+      // [[pqAdcHof]] (same per-subspace fold grouping)
+      .withColumn("dist", graft.functions.VectorFunctions
+        .pq_adc(col("q_emb"), col("codes"), col("fcb"), nSubs, nCodes))
       .select(col("q_id"), col("n_id"), col("dist"))
     val short = udaf(new graft.functions.TopKSimAgg(shortlist))
     val cand = adc

@@ -85,6 +85,35 @@ class PqSpec extends AnyFunSuite {
       "codes independent of input partitioning")
   }
 
+  test("native PQ kernels are bit-identical to the interpreted HOF forms") {
+    val dim = SimilarityOps.OracleDim
+    val (m, k) = (SimilarityOps.PqSubs, SimilarityOps.PqCodes)
+    val cb = SimilarityOps.pqCodebookRow(emb, dim, m, k)
+    val base = emb.filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cb))
+    // encode parity: fused argmin kernel vs transform/array_min tower
+    val encCmp = base
+      .withColumn("native", graft.functions.VectorFunctions
+        .pq_encode(col("embedding"), col("fcb"), m, k))
+      .withColumn("hof", SimilarityOps.pqEncodeHof(dim, m, k))
+      .filter(not(col("native") === col("hof")))
+    assert(encCmp.count() == 0, "pq_encode kernel == HOF on every row")
+    // ADC parity: fused distance kernel vs aggregate-over-sequence,
+    // compared EXACTLY (double equality — same fold grouping)
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val adcCmp = base
+      .withColumn("codes", graft.functions.VectorFunctions
+        .pq_encode(col("embedding"), col("fcb"), m, k))
+      .join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("native", graft.functions.VectorFunctions
+        .pq_adc(col("q_emb"), col("codes"), col("fcb"), m, k))
+      .withColumn("hof", SimilarityOps.pqAdcHof(dim, m, k))
+      .filter(not(col("native") === col("hof")))
+    assert(adcCmp.count() == 0, "pq_adc kernel == HOF on every pair")
+  }
+
   test("codebook row: M*K sub-codewords of subspace width") {
     val cb = SimilarityOps.pqCodebookRow(emb, dim = SimilarityOps.OracleDim)
       .collect()
