@@ -692,6 +692,97 @@ object SimilarityOps {
         round(col("dist"), 6).as("dist"))
   }
 
+  /** IVF-PQ parameters for the driver query (shared with the oracle
+    * SQL): 64 cells, 8 probed ⇒ ~12.5 % of codes ADC-scanned. */
+  val IvfPqCells = 64
+  val IvfPqProbe = 8
+
+  /** IVF-PQ top-k — the composed FAISS serving architecture: an
+    * inverted-file coarse quantizer bounds WHICH codes are scanned,
+    * the PQ codes bound the BYTES per scanned row, an exact rerank
+    * restores float precision for the final k. This is how "top-k
+    * over 100 TB of embeddings" actually ships: ~nProbe/nCells of the
+    * corpus read, at 8 B/vector, with the full-precision vectors
+    * touched only for |Q|·shortlist rows.
+    *
+    * Metric is squared-L2 THROUGHOUT (cells, ADC, rerank) via the
+    * expansion ‖x−c‖² = x·x − 2·x·c + c·c over the codegen'd
+    * [[graft.functions.VectorFunctions.vec_dot]] — one norm pass per
+    * side, no per-pair re-traversal, and the identical left-to-right
+    * expression tree in the DuckDB replay. Raw-vector PQ codes
+    * (FAISS's by_residual=false variant) keep the codebook shared
+    * across cells, so one broadcast codebook row serves the whole
+    * scan. Plan shape: the cell-keyed ADC join BROADCASTS the probe
+    * side (|Q|·nProbe rows) and streams the encoded corpus — the
+    * corpus never shuffles; the flat codebook is re-attached AFTER
+    * the join from its 1-row broadcast so no 4 KB fcb column ever
+    * crosses a wire. Deterministic end to end ((d, cid) and
+    * (dist, n_id) tie-breaks), DuckDB-replayed train→assign→encode→
+    * probe→ADC→rerank. */
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      shortlist: Int = PqShortlist, nCells: Int = IvfPqCells,
+      nProbe: Int = IvfPqProbe, dim: Int = -1,
+      nSubs: Int = PqSubs, nCodes: Int = PqCodes): DataFrame = {
+    val d0 = if (dim > 0) dim else dataDim(embeddings)
+    val dotF = graft.functions.VectorFunctions.vec_dot _
+    val corpus = embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d0)
+      .select(col("vec_id"), col("embedding"),
+        dotF(col("embedding"), col("embedding")).as("xx"))
+    val cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("xx").as("cc"))
+    val cbRow = pqCodebookRow(embeddings, d0, nSubs, nCodes)
+    // assign: argmin-L2 cell per vector (min_by over the (d, cid)
+    // total order — one ~1-row-per-vector shuffle, the assignBest
+    // shape); encode: zero-shuffle codes over the broadcast codebook
+    def sqdTo(v: Column) =
+      col("xx") - lit(2.0) * dotF(v, col("c_emb")) + col("cc")
+    val assign = corpus.join(broadcast(cents), lit(true))
+      .withColumn("d", sqdTo(col("embedding")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
+    val enc = pqEncode(embeddings, d0, nSubs, nCodes)
+      .select(col("vec_id").as("n_id"), col("codes"))
+      .join(assign.withColumnRenamed("vec_id", "n_id"), "n_id")
+    // probe: per query the nProbe closest cells (map-side partial
+    // top-k on negated distance; ties (d, cid) either way)
+    val topP = udaf(new graft.functions.TopKSimAgg(nProbe))
+    val probes = corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("xx"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("d", sqdTo(col("q_emb")))
+      .groupBy("q_id")
+      .agg(topP(col("cid"), -col("d")).as("top"), first(col("q_emb")).as("q_emb"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.n_id")).as("cid"))
+    // ADC over probed cells only: broadcast the probe side, stream the
+    // encoded corpus; codebook re-attached from its 1-row broadcast
+    val short = udaf(new graft.functions.TopKSimAgg(shortlist))
+    val cand = enc.join(broadcast(probes), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("dist", graft.functions.VectorFunctions
+        .pq_adc(col("q_emb"), col("codes"), col("fcb"), nSubs, nCodes))
+      .groupBy("q_id")
+      .agg(short(col("n_id"), -col("dist")).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+    // exact-L2 rerank of the shortlist on full-precision vectors
+    val q = corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("xx").as("q_xx"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)
+    corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("xx").as("n_xx"))
+      .join(broadcast(cand), "n_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("dist", col("q_xx") - lit(2.0) * dotF(col("q_emb"), col("n_emb"))
+        + col("n_xx"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("dist"), 6).as("dist"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -758,6 +849,9 @@ object SimilarityOps {
     "emb_knn_graph" -> ((s, d) => knnGraph(t(s, d, "embeddings"))),
     "emb_hard_negatives" -> ((s, d) =>
       hardNegatives(t(s, d, "embeddings"), col("vec_id") % 20 === 0)),
+    "sim_ivfpq_topk" -> ((s, d) =>
+      ivfPqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
+        dim = OracleDim)),
     // Per-label centroid, one row per (label, dimension): posexplode →
     // keyed agg with map-side partials — the distributed shape for
     // class centroids / cluster means at any corpus size. Sums run in
@@ -848,8 +942,85 @@ object SimilarityOps {
        |FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** DuckDB replay of the composed IVF-PQ pipeline. Shares the PQ
+    * codebook/encode CTEs with [[pqOracle]]'s derivation and adds the
+    * L2 cell layer via the same x·x − 2·x·c + c·c expansion the engine
+    * computes. */
+  private def ivfPqOracle: String = {
+    val (m, sub, kc) = (PqSubs, PqSubDim, PqCodes)
+    s"""WITH cbsrc AS (
+       |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+       |  FROM embeddings WHERE vec_id < $kc AND len(embedding) = $OracleDim),
+       |cb AS (
+       |  SELECT mm.m, cbsrc.k,
+       |    list_slice(cbsrc.embedding, mm.m*$sub+1, mm.m*$sub+$sub) AS sub
+       |  FROM cbsrc, (SELECT unnest(range(0, $m)) AS m) mm),
+       |cbflat AS (SELECT list(sub ORDER BY m, k) AS fcb FROM cb),
+       |corpus AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlDot("embedding", "embedding")} AS xx
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $OracleDim),
+       |cent AS (SELECT vec_id AS cid, embedding AS c_emb, xx AS cc
+       |         FROM corpus WHERE vec_id < $IvfPqCells),
+       |asg0 AS (
+       |  SELECT c.vec_id, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |      ORDER BY c.xx - 2.0 * ${sqlDot("c.embedding", "cent.c_emb")} + cent.cc ASC,
+       |               cent.cid ASC) AS rn
+       |  FROM corpus c, cent),
+       |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn = 1),
+       |encl AS (
+       |  SELECT c.vec_id, cb.m, cb.k,
+       |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, cb.m
+       |      ORDER BY ${sqlSqd(
+                s"list_slice(c.embedding, cb.m*$sub+1, cb.m*$sub+$sub)", "cb.sub")} ASC,
+       |               cb.k ASC) AS rn
+       |  FROM corpus c CROSS JOIN cb),
+       |enc AS (
+       |  SELECT e.vec_id, list(e.k ORDER BY e.m) AS codes, asg.cid
+       |  FROM encl e JOIN asg ON e.vec_id = asg.vec_id
+       |  WHERE e.rn = 1 GROUP BY e.vec_id, asg.cid),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, xx AS q_xx
+       |      FROM corpus WHERE vec_id % 100 = 0),
+       |prb0 AS (
+       |  SELECT q.q_id, q.q_emb, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY q.q_xx - 2.0 * ${sqlDot("q.q_emb", "cent.c_emb")} + cent.cc ASC,
+       |               cent.cid ASC) AS rn
+       |  FROM q, cent),
+       |prb AS (SELECT q_id, q_emb, cid FROM prb0 WHERE rn <= $IvfPqProbe),
+       |adc AS (
+       |  SELECT prb.q_id, enc.vec_id AS n_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(0, $m), mm ->
+       |        ${sqlSqd(s"list_slice(prb.q_emb, mm*$sub+1, mm*$sub+$sub)",
+                         s"cbflat.fcb[mm*$kc + enc.codes[mm+1] + 1]")})),
+       |      (u,v) -> u+v) AS dist
+       |  FROM prb JOIN enc USING (cid) CROSS JOIN cbflat
+       |  WHERE prb.q_id != enc.vec_id),
+       |short AS (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS srn
+       |  FROM adc),
+       |rerank AS (
+       |  SELECT s.q_id, s.n_id,
+       |    q.q_xx - 2.0 * ${sqlDot("q.q_emb", "n.embedding")} + n.xx AS dist
+       |  FROM short s
+       |  JOIN q ON s.q_id = q.q_id
+       |  JOIN corpus n ON s.n_id = n.vec_id
+       |  WHERE s.srn <= $PqShortlist),
+       |ranked AS (
+       |  SELECT q_id, n_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS rank
+       |  FROM rerank)
+       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(dist, 6) AS dist
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "sim_pq_topk" -> pqOracle,
+    "sim_ivfpq_topk" -> ivfPqOracle,
 
     "emb_hard_negatives" ->
       s"""WITH e AS (

@@ -75,6 +75,11 @@ object PlanDump {
     // shuffle until the TakeOrdered); emb_knn_graph must keep the
     // candidate join keyed on the cell id (lost key = all-pairs)
     "curate_dsir_select", "emb_knn_graph",
+    // composed IVF-PQ: the fixture pins the serving plan — cell-keyed
+    // ADC join broadcasting the PROBE side (the corpus never
+    // shuffles), codebook re-attached post-join from a 1-row
+    // broadcast, shortlist as a map-side partial top-k
+    "sim_ivfpq_topk",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

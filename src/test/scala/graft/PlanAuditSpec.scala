@@ -232,7 +232,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // multi-probe assignment scores every vector against the
       // broadcast K-centroid table (the ivf_topk idiom); DSIR scoring
       // rides a 1-row broadcast weight-array crossJoin
-      "emb_knn_graph", "emb_hard_negatives", "curate_dsir_select")
+      "emb_knn_graph", "emb_hard_negatives", "curate_dsir_select",
+      "sim_ivfpq_topk")
     val allowCross = Set("pipe_totals", "pipe_effective_length",
       "agg_heavy_hitters", "agg_kmv_ops")
     val failures = scala.collection.mutable.ArrayBuffer[String]()

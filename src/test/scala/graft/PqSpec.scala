@@ -85,6 +85,34 @@ class PqSpec extends AnyFunSuite {
       "codes independent of input partitioning")
   }
 
+  test("IVF-PQ (8/64 cells probed + ADC + rerank) recall@10 vs exact L2") {
+    val truth = exactL2TopK(10)
+    val got = SimilarityOps.ivfPqTopK(emb, pred, k = 10, dim = SimilarityOps.OracleDim)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    val scanned = SimilarityOps.IvfPqProbe.toDouble / SimilarityOps.IvfPqCells
+    info(f"IVF-PQ recall@10 = $recall%.3f scanning ~${scanned * 100}%.0f%% of codes " +
+      f"(${SimilarityOps.IvfPqProbe}/${SimilarityOps.IvfPqCells} cells, 8 B/vector)")
+    // measured 0.60 on the deterministic sf0.01 corpus — ABOVE pure
+    // PQ's 0.52 at 13% of the scan: the L2 cells prune mostly
+    // non-neighbors, so the ADC shortlist wastes fewer slots
+    assert(recall >= 0.5, f"recall $recall%.3f")
+    assert(got.size == truth.size)
+  }
+
+  test("IVF-PQ probing ALL cells converges to the pure-PQ two-stage result") {
+    val pq = SimilarityOps.pqTopK(emb, pred, k = 10, dim = SimilarityOps.OracleDim)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = SimilarityOps.ivfPqTopK(emb, pred, k = 10,
+        nProbe = SimilarityOps.IvfPqCells, dim = SimilarityOps.OracleDim)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with every cell probed the IVF layer is a no-op: same codes, same
+    // ADC, same shortlist, same rerank metric ordering (cosine-free
+    // L2 both paths for the shortlist; rerank metrics differ — L2 vs
+    // L2 — so the sets must coincide exactly)
+    assert(all == pq)
+  }
+
   test("native PQ kernels are bit-identical to the interpreted HOF forms") {
     val dim = SimilarityOps.OracleDim
     val (m, k) = (SimilarityOps.PqSubs, SimilarityOps.PqCodes)
