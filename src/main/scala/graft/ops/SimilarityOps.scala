@@ -692,6 +692,57 @@ object SimilarityOps {
         round(col("dist"), 6).as("dist"))
   }
 
+  /** Label-propagation parameters for the driver query (shared with
+    * the oracle SQL): 20 % seeds, 3 synchronous rounds. */
+  val LpRounds = 3
+  val LpSeedMod = 5
+
+  /** Semi-supervised label propagation over the kNN graph — the
+    * auto-labeling shape (weak supervision): a small labeled seed set
+    * spreads over the [[knnGraph]] edges; each round, every UNLABELED
+    * node with at least one labeled kNN neighbor adopts the majority
+    * neighbor label ((count DESC, label ASC) tie-break), seeds stay
+    * clamped, updates are synchronous per round. Output carries the
+    * round a node was first labeled (0 = seed) — the propagation
+    *-depth confidence proxy.
+    *
+    * Scale shape: the graph build is [[knnGraph]]'s bounded candidate
+    * pipeline; each round is one keyed join (edges ⋈ labeled-on-dst) +
+    * one (src,label) count agg + a max_by argmax + an anti-join — all
+    * map-side-combinable keyed ops, rounds bounded by the constant
+    * [[LpRounds]]; each round's frontier is localCheckpoint'd like the
+    * CC family so lineage stays flat. Isolated nodes (no kNN edges, or
+    * no labeled neighbor within `rounds` hops) stay absent — honest
+    * coverage is part of the output contract. Deterministic end to
+    * end; DuckDB replays graph build + all rounds. */
+  def knnLabelProp(embeddings: DataFrame, seedPred: Column,
+      rounds: Int = LpRounds, k: Int = KnnK, nCentroids: Int = KnnCentroids,
+      nProbes: Int = KnnProbes): DataFrame = {
+    val edges = knnGraph(embeddings, k, nCentroids, nProbes)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    var labeled = embeddings.filter(seedPred)
+      .select(col("vec_id"), col("label").cast("long").as("pred_label"),
+        lit(0L).as("round"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val votes = edges
+        .join(labeled.select(col("vec_id").as("dst"), col("pred_label")), "dst")
+        .groupBy(col("src"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+      val newly = votes
+        .join(labeled.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+        .groupBy("src")
+        .agg(max_by(col("pred_label"),
+          struct(col("n"), -col("pred_label"))).as("pred_label"))
+        .select(col("src").as("vec_id"), col("pred_label"),
+          lit(r.toLong).as("round"))
+      labeled = org.apache.spark.sql.graft.Bridge
+        .freshLocalCheckpoint(labeled.unionByName(newly))
+    }
+    labeled
+  }
+
   /** IVF-PQ parameters for the driver query (shared with the oracle
     * SQL): 64 cells, 8 probed ⇒ ~12.5 % of codes ADC-scanned. */
   val IvfPqCells = 64
@@ -852,6 +903,8 @@ object SimilarityOps {
     "sim_ivfpq_topk" -> ((s, d) =>
       ivfPqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
         dim = OracleDim)),
+    "emb_label_prop" -> ((s, d) =>
+      knnLabelProp(t(s, d, "embeddings"), col("vec_id") % LpSeedMod === 0)),
     // Per-label centroid, one row per (label, dimension): posexplode →
     // keyed agg with map-side partials — the distributed shape for
     // class centroids / cluster means at any corpus size. Sums run in
@@ -1018,9 +1071,65 @@ object SimilarityOps {
        |FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** DuckDB replay of [[knnLabelProp]]: the kNN-graph CTE chain (the
+    * emb_knn_graph derivation, edges only) + `rounds` unrolled
+    * propagation rounds (votes from the PREVIOUS round's labeled set,
+    * majority (n DESC, label ASC), anti-join keeps seeds clamped). */
+  private def labelPropOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""v$r AS (
+         |  SELECT ed.src, l.pred_label, COUNT(1) AS n
+         |  FROM edges ed JOIN l${r - 1} l ON ed.dst = l.vec_id
+         |  GROUP BY 1, 2),
+         |n$r AS (
+         |  SELECT src AS vec_id, pred_label, CAST($r AS BIGINT) AS round
+         |  FROM (
+         |    SELECT src, pred_label,
+         |      ROW_NUMBER() OVER (PARTITION BY src
+         |        ORDER BY n DESC, pred_label ASC) AS rn
+         |    FROM v$r
+         |    WHERE src NOT IN (SELECT vec_id FROM l${r - 1}))
+         |  WHERE rn = 1),
+         |l$r AS (SELECT * FROM l${r - 1} UNION ALL SELECT * FROM n$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+       |         FROM e WHERE vec_id < $KnnCentroids),
+       |asg0 AS (
+       |  SELECT e.vec_id, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+       |               cent.cid ASC) AS rn
+       |  FROM e, cent),
+       |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn <= $KnnProbes),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+       |sims AS (
+       |  SELECT c.src, c.dst,
+       |    ${sqlDot("e1.emb", "e2.emb")} / (e1.nrm * e2.nrm) AS sim
+       |  FROM cand c JOIN e e1 ON c.src = e1.vec_id
+       |              JOIN e e2 ON c.dst = e2.vec_id),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $KnnK),
+       |l0 AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS pred_label, CAST(0 AS BIGINT) AS round
+       |  FROM embeddings WHERE vec_id % $LpSeedMod = 0),
+       |$roundCtes
+       |SELECT vec_id, pred_label, round FROM l$rounds""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "sim_pq_topk" -> pqOracle,
     "sim_ivfpq_topk" -> ivfPqOracle,
+    "emb_label_prop" -> labelPropOracle(LpRounds),
 
     "emb_hard_negatives" ->
       s"""WITH e AS (
