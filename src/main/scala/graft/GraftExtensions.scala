@@ -32,6 +32,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
 
+    // static-shape params (loop bounds baked into generated code) must
+    // be foldable integer literals at resolution time
+    def intLit(e: Expression, what: String): Int = e match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal
+          if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+        lit.value.asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
     inject("st_geodesic_distance",
       "st_geodesic_distance(lon1, lat1, lon2, lat2) - GRS80 inverse distance in meters") {
       e => GeodesicDistance(e)
@@ -51,6 +61,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_dot",
       "vec_dot(array<float>, array<float>) - sequential double-precision dot product") {
       e => VecDot(e(0), e(1))
+    }
+    inject("pq_encode",
+      "pq_encode(array<float>, array<array<float>>, nSubs, nCodes) - PQ codeword " +
+        "indices (argmin L2 per subspace; codebook flat, subspace-major)") {
+      e => PqEncode(e(0), e(1), intLit(e(2), "pq_encode nSubs"),
+        intLit(e(3), "pq_encode nCodes"))
+    }
+    inject("pq_adc",
+      "pq_adc(array<float>, array<int>, array<array<float>>, nSubs, nCodes) - " +
+        "asymmetric PQ distance of a query against a coded row") {
+      e => PqAdc(e(0), e(1), e(2), intLit(e(3), "pq_adc nSubs"),
+        intLit(e(4), "pq_adc nCodes"))
     }
     inject("shingle_hashes",
       "shingle_hashes(text) - sorted distinct word-3-gram hashes in [0, 1e9+7)") {

@@ -34,7 +34,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(shingle_hashes('a b c d')) AS n_shingles,
         |  size(minhash_sig('a b c d')) AS n_lanes,
         |  simhash60('hello world') AS sh,
-        |  simhash60('') AS sh_empty
+        |  simhash60('') AS sh_empty,
+        |  pq_encode(array(1.0F, 2.0F, 9.0F, 9.0F),
+        |            array(array(1.0F, 2.0F), array(8.0F, 8.0F),
+        |                  array(0.0F, 0.0F), array(9.0F, 9.0F)), 2, 2) AS pq_codes,
+        |  pq_adc(array(1.0F, 2.0F, 9.0F, 9.0F), array(0, 1),
+        |         array(array(1.0F, 2.0F), array(8.0F, 8.0F),
+        |               array(0.0F, 0.0F), array(9.0F, 9.0F)), 2, 2) AS pq_dist
         |""".stripMargin).collect()(0)
     assert(math.abs(r.getAs[Double]("lon_deg_m") - 111319.4908) < 0.1)
     assert(math.abs(r.getAs[Double]("az_east") - 90.0) < 1e-9)
@@ -45,6 +51,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_lanes") == 4)
     assert(r.getAs[Long]("sh") > 0L) // 60-bit, non-negative
     assert(r.getAs[Long]("sh_empty") == 0L) // token-less doc contract
+    // subspace 0 of (1,2) → codeword 0 (exact); subspace 1 of (9,9) →
+    // codeword 1 = (9,9) (exact); adc vs codes (0,1) = 0
+    assert(r.getSeq[Int](r.fieldIndex("pq_codes")) == Seq(0, 1))
+    assert(r.getAs[Double]("pq_dist") == 0.0)
   }
 
   test("a geodesic SQL query over a table plans and runs") {

@@ -165,4 +165,65 @@ class KernelPropsSpec extends AnyFunSuite {
       true
     })
   }
+
+  test("PQ kernels vs a straight-line reference on random floats (incl. NaN)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val (nSubs, nCodes) = (4, 4)
+    val dim = 8
+    val floatGen = Gen.frequency(
+      (9, Gen.choose(-100, 100).map(_ / 10.0f)),
+      (1, Gen.const(Float.NaN)))
+    val vecGen = Gen.listOfN(dim, floatGen).map(_.toArray)
+    val cbGen = Gen.listOfN(nSubs * nCodes,
+      Gen.listOfN(dim / nSubs, floatGen).map(_.toSeq)).map(_.toSeq)
+
+    def refEncode(x: Array[Float], fcb: Seq[Seq[Float]]): Seq[Int] = {
+      val sub = dim / nSubs
+      (0 until nSubs).map { m =>
+        var best = Double.PositiveInfinity; var bk = 0
+        for (k <- 0 until nCodes) {
+          val cw = fcb(m * nCodes + k)
+          var acc = 0.0
+          for (j <- 0 until sub) {
+            val d = x(m * sub + j).toDouble - cw(j).toDouble; acc += d * d
+          }
+          if (java.lang.Double.compare(acc, best) < 0) { best = acc; bk = k }
+        }
+        bk
+      }
+    }
+    def refAdc(q: Array[Float], codes: Seq[Int], fcb: Seq[Seq[Float]]): Double = {
+      val sub = dim / nSubs
+      var tot = 0.0
+      for (m <- 0 until nSubs) {
+        val cw = fcb(m * nCodes + codes(m))
+        var acc = 0.0
+        for (j <- 0 until sub) {
+          val d = q(m * sub + j).toDouble - cw(j).toDouble; acc += d * d
+        }
+        tot += acc
+      }
+      tot
+    }
+    val fcbType = ArrayType(ArrayType(FloatType, false), false)
+    check(Prop.forAll(vecGen, vecGen, cbGen) { (x, q, fcb) =>
+      val xL = Literal.create(x, ArrayType(FloatType, false))
+      val fcbL = Literal.create(fcb, fcbType)
+      val enc = graft.functions.PqEncode(xL, fcbL, nSubs, nCodes)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val codes = enc.toIntArray().toSeq
+      assert(codes == refEncode(x, fcb), "encode parity")
+      val qL = Literal.create(q, ArrayType(FloatType, false))
+      val codesL = Literal.create(codes,
+        ArrayType(org.apache.spark.sql.types.IntegerType, false))
+      val adc = graft.functions.PqAdc(qL, codesL, fcbL, nSubs, nCodes)
+        .eval(null).asInstanceOf[Double]
+      val ref = refAdc(q, codes, fcb)
+      // exact: same ops in the same order (NaN compares equal to
+      // itself via the bit pattern)
+      assert(java.lang.Double.compare(adc, ref) == 0, s"adc $adc vs $ref")
+      true
+    })
+  }
 }
