@@ -274,6 +274,57 @@ object DedupOps {
         expr("(n_dup_spans * 1000000) div greatest(n_spans, 1)"))
   }
 
+  /** Span REMOVAL — the cleaning step the span detector above feeds
+    * (deduplicating repeated training spans in place rather than
+    * dropping whole documents; reference behavior is whole-pipeline
+    * dedup, this generalizes it to sub-document granularity). A token
+    * is removed iff some strided span that contains it also occurs,
+    * hash-identical, in at least one OTHER document. Output is the
+    * normalized cleaned token stream (lowercased, single-spaced) plus
+    * removal accounting.
+    *
+    * Shape at scale: identical to [[spanDups]] through the shared-span
+    * join (narrow span derivation, keyed count agg with map-side
+    * combine, join back on span hash), then ONE extra per-doc agg
+    * collecting the few shared starts and a keyed join to the token
+    * arrays. Interval membership is evaluated with an `exists` lambda
+    * over the per-doc start list — per-row work is
+    * O(n_toks × n_shared_starts) with no per-token shuffle, and
+    * shared starts are rare by construction. */
+  def spanRemove(docs: DataFrame, textCol: String = "text",
+      spanSize: Int = SpanSize, stride: Int = SpanStride): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val nToks = size(col("toks")).cast("long")
+    val startsAll = when(nToks >= spanSize,
+      sequence(lit(1L), nToks - (spanSize - 1), lit(stride.toLong)))
+      .otherwise(array().cast("array<bigint>"))
+    val spans = tk
+      .select(col("doc_id"), explode(transform(startsAll, s =>
+        struct(s.as("s"),
+          md5(array_join(slice(col("toks"), s.cast("int"), lit(spanSize)), " "))
+            .as("span_h")))).as("sp"))
+      .select(col("doc_id"), col("sp.s").as("s"), col("sp.span_h").as("span_h"))
+    val shared = spans.groupBy("span_h")
+      .agg(countDistinct("doc_id").as("n_docs_span"))
+      .filter(col("n_docs_span") >= 2)
+    val sharedStarts = spans.join(shared, Seq("span_h"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("s"))).as("starts"))
+    tk.join(sharedStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<bigint>")).as("starts"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("starts"), s =>
+            i + 1 >= s && i + 1 <= s + (spanSize - 1))).as("_kept"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - size(col("_kept")).cast("long")).as("n_removed"),
+        array_join(col("_kept"), " ").as("cleaned_text"))
+      .withColumn("removed_ppm",
+        expr("(n_removed * 1000000) div greatest(n_toks, 1)"))
+  }
+
   /** Winnowing (MOSS-style) document fingerprints: hash every k-char
     * gram of the lowercased text, then keep the MINIMUM hash of each
     * sliding window of w consecutive grams. The selected set has
@@ -407,6 +458,7 @@ object DedupOps {
     "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(t(s, d, "documents"))),
     "dedup_span_exact" -> ((s, d) => spanDups(t(s, d, "documents"))),
+    "dedup_span_remove" -> ((s, d) => spanRemove(t(s, d, "documents"))),
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(t(s, d, "documents"))),
     "dedup_incr_bloom" -> ((s, d) => incrementalNovelPairs(t(s, d, "events"))),
     // deterministic eval split (doc_id % 50) stands in for the
@@ -675,6 +727,46 @@ object DedupOps {
          |  (COALESCE(p.n_dup_spans, 0) * 1000000
          |    // GREATEST(COALESCE(p.n_spans, 0), 1))::BIGINT AS dup_frac_ppm
          |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin,
+
+    // span removal: token kept iff no cross-document-shared strided
+    // span covers it; parallel unnest of (tok, idx) zips positionally
+    "dedup_span_remove" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x != '') AS toks
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks,
+         |    unnest(CASE WHEN len(toks) >= ${SpanSize}
+         |      THEN range(1, len(toks) - ${SpanSize - 2}, ${SpanStride})
+         |      ELSE []::BIGINT[] END) AS s
+         |  FROM tk),
+         |spans AS (
+         |  SELECT doc_id, s,
+         |    md5(array_to_string(toks[s : s + ${SpanSize - 1}], ' ')) AS span_h
+         |  FROM st),
+         |shared AS (
+         |  SELECT span_h FROM spans GROUP BY 1
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |starts AS (
+         |  SELECT sp.doc_id, list_sort(list(DISTINCT sp.s)) AS ss
+         |  FROM spans sp JOIN shared sh ON sp.span_h = sh.span_h
+         |  GROUP BY 1),
+         |kept AS (
+         |  SELECT t.doc_id, len(t.toks)::BIGINT AS n_toks,
+         |    list_filter(
+         |      list_zip(t.toks, range(1, len(t.toks) + 1)),
+         |      z -> len(list_filter(COALESCE(s.ss, []::BIGINT[]),
+         |        x -> z[2] >= x AND z[2] <= x + ${SpanSize - 1})) = 0) AS kz
+         |  FROM tk t LEFT JOIN starts s ON t.doc_id = s.doc_id)
+         |SELECT doc_id, n_toks,
+         |  (n_toks - len(kz))::BIGINT AS n_removed,
+         |  COALESCE(array_to_string(list_transform(kz, z -> z[1]), ' '), '')
+         |    AS cleaned_text,
+         |  ((n_toks - len(kz)) * 1000000 // GREATEST(n_toks, 1))::BIGINT
+         |    AS removed_ppm
+         |FROM kept""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH ds AS (

@@ -100,4 +100,30 @@ class RetrievalMixDedupSpec extends AnyFunSuite {
         s"${r._1}: n_out ${r._6} outside [$whole, ${whole + 1}]×${r._2}")
     }
   }
+
+  test("spanRemove: cross-doc shared spans are excised token-exactly; " +
+    "unique docs pass through untouched") {
+    import spark.implicits._
+    // spanSize=4, stride=2. Docs 1 and 2 share the 8-token prefix →
+    // starts {1,3,5} cover tokens 1..8 in both. Doc 3 is unique.
+    val sharedPrefix = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$sharedPrefix a1 a2 a3 a4"),
+      (2L, s"$sharedPrefix b1 b2 b3 b4"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.spanRemove(docs, spanSize = 4, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // spans at starts 1,3,5,7,9 — 7 and 9 mix shared+unique tail so
+    // only 1,3,5 are cross-doc shared; they cover token idx 1..8
+    assert(got(1L) == ((12L, 8L, "a1 a2 a3 a4")))
+    assert(got(2L) == ((12L, 8L, "b1 b2 b3 b4")))
+    assert(got(3L) == ((10L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+    // accounting invariant: n_removed + kept token count = n_toks
+    got.values.foreach { case (n, rem, kept) =>
+      val nKept = if (kept.isEmpty) 0 else kept.split(" ").length
+      assert(rem + nKept == n)
+    }
+  }
 }
