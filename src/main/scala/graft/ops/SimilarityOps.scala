@@ -304,6 +304,104 @@ object SimilarityOps {
     cents
   }
 
+  /** Fixed-point L2 Lloyd's k-means — the ORACLE-EXACT trainer the
+    * float [[kmeansCentroids]] can't be: every quantity is int64, so
+    * Spark and DuckDB agree bit-for-bit regardless of reduction order.
+    *  - quantize: q_i = floor(double(x_i) · scale) — identical IEEE
+    *    double ops both sides, exact cast (|q| ≪ 2⁵³);
+    *  - init: the k lowest vec_ids, cluster id = rank−1;
+    *  - assign: argmin_c Σ(q_i − c_i)², ties → lowest cluster
+    *    (integer distances, so ties are decidable, not ulp-lottery);
+    *  - update: c_i = Σq_i div n (both engines truncate toward zero —
+    *    verified on negatives); an emptied cluster keeps its previous
+    *    centroid (total definition, no degeneracy branch).
+    *
+    * Shape per round (MLlib's own Lloyd shape): centroids collected to
+    * the driver (k·dim longs) and re-broadcast as literals, so
+    * assignment is a pure narrow projection over the cached quantized
+    * vectors; the update is posexplode → groupBy (cluster, dim) with
+    * map-side combine, ≤ k·dim rows per task reaching the shuffle. No
+    * per-vector driver traffic at any scale. Distances stay in int64
+    * for any |x| ≤ ~2·10³ at the default scale (diff² ≤ 4·10¹² · dim). */
+  def kmeansFixed(embeddings: DataFrame, k: Int = 4, rounds: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * scale.toDouble).cast("long")).as("qv"))
+      .persist()
+    try {
+      var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
+        .select("qv").collect()
+        .map(_.getSeq[Long](0).toArray)
+      val dim = cents.head.length
+      var members: Map[Long, Long] = Map.empty
+      for (_ <- 1 to rounds) {
+        val distCols = cents.zipWithIndex.map { case (c, ci) =>
+          struct(
+            aggregate(
+              zip_with(col("qv"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("dist"),
+            lit(ci.toLong).as("cl"))
+        }
+        val assigned = q.select(col("vec_id"), col("qv"),
+          array_min(array(distCols.toIndexedSeq: _*)).getField("cl").as("cl"))
+        val sums = assigned
+          .select(col("cl"), posexplode(col("qv")))
+          .groupBy(col("cl"), col("pos"))
+          .agg(sum(col("col")).as("sq"), count(lit(1)).as("n"))
+          .collect()
+        members = sums.filter(_.getInt(1) == 0)
+          .map(r => r.getLong(0) -> r.getLong(3)).toMap
+        val byCl = sums.groupBy(_.getLong(0))
+        cents = cents.zipWithIndex.map { case (old, ci) =>
+          byCl.get(ci.toLong) match {
+            case Some(rows) =>
+              val upd = old.clone()
+              rows.foreach(r => upd(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+              upd
+            case None => old
+          }
+        }
+      }
+      val out = for { ci <- 0 until k; i <- 0 until dim } yield
+        (ci.toLong, (i + 1).toLong, cents(ci)(i), members.getOrElse(ci.toLong, 0L))
+      out.toDF("cluster_id", "dim_i", "c_fixed", "n_members")
+    } finally { q.unpersist(); () }
+  }
+
+  /** Unrolled SQL replay of [[kmeansFixed]] (R assignment/update rounds
+    * as chained CTEs) — integer arithmetic end-to-end, so the replay is
+    * hash-exact, not tolerance-checked. */
+  private[graft] def kmeansFixedOracle(k: Int, rounds: Int, dim: Int,
+      scale: Long): String = {
+    val roundsSql = (1 to rounds).map { t =>
+      val p = s"c${t - 1}"
+      s"""d$t AS (SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+         |  FROM q JOIN $p c ON q.i = c.i GROUP BY 1, 2),
+         |a$t AS (SELECT vec_id, cl FROM d$t
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+         |s$t AS (SELECT a.cl, q.i, CAST(SUM(q.qv) AS BIGINT) AS sq, COUNT(*) AS n
+         |  FROM a$t a JOIN q ON a.vec_id = q.vec_id GROUP BY 1, 2),
+         |c$t AS (SELECT p.cl, p.i, COALESCE(s.sq // s.n, p.c) AS c
+         |  FROM $p p LEFT JOIN s$t s ON p.cl = s.cl AND p.i = s.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, unnest(range(1, ${dim + 1})) AS i,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $scale.0) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |r AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+       |      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT r.cl, q.i, q.qv AS c FROM r JOIN q ON q.vec_id = r.vec_id),
+       |$roundsSql
+       |SELECT c.cl AS cluster_id, c.i AS dim_i, CAST(c.c AS BIGINT) AS c_fixed,
+       |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members
+       |FROM c$rounds c
+       |LEFT JOIN (SELECT cl, COUNT(*) AS n FROM a$rounds GROUP BY 1) m
+       |  ON c.cl = m.cl""".stripMargin
+  }
+
   /** IVF (inverted-file) top-k — the ANN scale path. Coarse quantizer =
     * K sampled centroids by default (the first K vectors; FAISS-style
     * sample training, deterministic so the whole path is
@@ -894,6 +992,7 @@ object SimilarityOps {
       ivfTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0,
         nCentroids = IvfCentroids, nProbe = IvfProbe)),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
+    "emb_kmeans_fixed" -> ((s, d) => kmeansFixed(t(s, d, "embeddings"))),
     "sim_pq_topk" -> ((s, d) =>
       pqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
         dim = OracleDim)),
@@ -1127,6 +1226,7 @@ object SimilarityOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "emb_kmeans_fixed" -> kmeansFixedOracle(4, 3, OracleDim, 1000000L),
     "sim_pq_topk" -> pqOracle,
     "sim_ivfpq_topk" -> ivfPqOracle,
     "emb_label_prop" -> labelPropOracle(LpRounds),

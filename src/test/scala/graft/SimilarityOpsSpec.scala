@@ -94,4 +94,29 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(hashed > 100, s"hashed planes should spread (saw $hashed/256)")
     assert(lcg < 64, s"documenting the LCG correlation (saw $lcg/256)")
   }
+
+  test("kmeansFixed: separated groups converge to exact fixed-point group " +
+    "means; rerun is bit-identical") {
+    import spark.implicits._
+    // two tight groups around (1,0) and (0,1); init = first 2 vec_ids,
+    // one from each group, so Lloyd separates them in round 1
+    val g1 = Seq(0L -> Array(1.00f, 0.01f), 2L -> Array(0.98f, 0.02f),
+      4L -> Array(1.02f, 0.00f))
+    val g2 = Seq(1L -> Array(0.01f, 1.00f), 3L -> Array(0.02f, 0.98f),
+      5L -> Array(0.00f, 1.02f))
+    val emb = (g1 ++ g2).toDF("vec_id", "embedding")
+    def run() = SimilarityOps.kmeansFixed(emb, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val got = run()
+    // exact fixed-point means with truncating div: group 1 dim 1 =
+    // (1000000+979999+1020000)/3 — quantization floors 0.98f's double
+    def q(x: Float): Long = math.floor(x.toDouble * 1e6).toLong
+    def mean3(a: Float, b: Float, c: Float): Long = (q(a) + q(b) + q(c)) / 3
+    assert(got((0L, 1L)) == ((mean3(1.00f, 0.98f, 1.02f), 3L)))
+    assert(got((0L, 2L)) == ((mean3(0.01f, 0.02f, 0.00f), 3L)))
+    assert(got((1L, 1L)) == ((mean3(0.01f, 0.02f, 0.00f), 3L)))
+    assert(got((1L, 2L)) == ((mean3(1.00f, 0.98f, 1.02f), 3L)))
+    assert(run() == got, "fixed-point training must be bit-deterministic")
+  }
 }
