@@ -430,6 +430,191 @@ object TextOps {
       .select(col("doc_id"), col("dl"), col("n_hit_terms"), col("score_u"))
   }
 
+  // ------------------------------------------------- perceptron classifier
+
+  /** Hashed-feature batch POCKET perceptron (Gallant 1990) — an
+    * IN-ENGINE trainable quality/domain classifier (fasttext-shaped:
+    * hashed unigram buckets + linear model) with EXACT integer
+    * arithmetic, so training itself is DuckDB-oracle-checkable — no
+    * float reduction order anywhere. Features: token hash → [0, F)
+    * count buckets plus a constant bias slot. One batch round: every
+    * misclassified doc (y·(w·x) ≤ 0) contributes y·x to the update —
+    * a filter + one (feature)-keyed agg, order-independent. Batch
+    * updates oscillate on non-separable data (measured: period-2 flips
+    * between the all-positive and all-negative predictors on the
+    * driver corpus), so the POCKET rule keeps the round whose incoming
+    * weights misclassified fewest docs (tie → earliest) — measured
+    * 0.844 accuracy vs 0.658 majority-class base at F=256, R=8.
+    *
+    * Label: ±1 from a deterministic distant-supervision rule,
+    * default count('spark') > count('hash') — a Snorkel-style keyword
+    * labeling function. The corpus's `lang` column is NOT learnable
+    * from text (all 31 vocabulary tokens occur in every language —
+    * verified), so a content-derived label is the honest demo.
+    *
+    * Shape per round (same centroid-literal pattern as the fixed-point
+    * k-means): weights are F+1 longs collected on the driver and baked
+    * into the next round's margin EXPRESSION, so the misclassification
+    * filter is a narrow projection over the cached dense vectors; the
+    * update agg reaches the shuffle with ≤ F+1 rows per task. The dense
+    * featurization is two keyed shuffles, paid once. */
+  val PercF = 256
+  val PercRounds = 8
+
+  /** Default labeling function (see above). */
+  def percLabel: Column = {
+    val tk = tokens(col("text"))
+    when(size(filter(tk, x => x === "spark")) >
+      size(filter(tk, x => x === "hash")), 1L).otherwise(-1L)
+  }
+
+  private[graft] def perceptronFeatures(docs: DataFrame,
+      nFeatures: Int = PercF, labelExpr: Column = percLabel): DataFrame = {
+    val lf = docs.select(col("doc_id"),
+        explode(transform(tokens(col("text")), x => strHash(x) % nFeatures))
+          .as("f"))
+      .groupBy(col("doc_id"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+    val dense = lf.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("f"), col("cnt"))))
+        .as("fm"))
+      .select(col("doc_id"),
+        concat(
+          transform(sequence(lit(0L), lit(nFeatures - 1L)),
+            i => coalesce(element_at(col("fm"), i), lit(0L))),
+          array(lit(1L))).as("xarr"))
+    // token-less docs never reach the long form — restore them with a
+    // bias-only vector so every doc has a defined margin
+    docs.select(col("doc_id"), labelExpr.as("y"))
+      .join(dense, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"),
+        coalesce(col("xarr"),
+          concat(array_repeat(lit(0L), nFeatures), array(lit(1L))))
+          .as("xarr"))
+  }
+
+  private def perceptronMargin(w: Array[Long]): Column =
+    aggregate(
+      zip_with(col("xarr"), typedLit(w.toSeq), (c, wc) => c * wc),
+      lit(0L), (acc, x) => acc + x)
+
+  private def trainPerceptron(fd: DataFrame, nFeatures: Int,
+      rounds: Int): Array[Long] = {
+    var w = Array.fill(nFeatures + 1)(0L)
+    var pocket = w
+    var pocketErr = Long.MaxValue
+    for (_ <- 1 to rounds) {
+      // every pos row of the dense misclassified set carries the same
+      // doc count, so any row doubles as the round's error measure of
+      // the INCOMING weights (the pocket candidate)
+      val upd = fd.filter(col("y") * perceptronMargin(w) <= 0)
+        .select(col("y"), posexplode(col("xarr")))
+        .groupBy("pos")
+        .agg(sum(col("y") * col("col")).as("dw"), count(lit(1)).as("nmis"))
+        .collect()
+      val err = if (upd.isEmpty) 0L else upd.head.getLong(2)
+      if (err < pocketErr) { pocketErr = err; pocket = w }
+      val next = w.clone()
+      upd.foreach(r => next(r.getInt(0)) += r.getLong(1))
+      w = next
+    }
+    pocket
+  }
+
+  /** Trained weight table: feature_id ∈ [0, F) buckets, −1 = bias. */
+  def perceptronTrain(docs: DataFrame, nFeatures: Int = PercF,
+      rounds: Int = PercRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fd = perceptronFeatures(docs, nFeatures).persist()
+    try {
+      val w = trainPerceptron(fd, nFeatures, rounds)
+      w.zipWithIndex.map { case (wv, i) =>
+        (if (i == nFeatures) -1L else i.toLong, wv) }
+        .toSeq.toDF("feature_id", "w")
+    } finally { fd.unpersist(); () }
+  }
+
+  /** Per-doc margin/prediction under the trained weights. */
+  def perceptronScore(docs: DataFrame, nFeatures: Int = PercF,
+      rounds: Int = PercRounds): DataFrame = {
+    val fd = perceptronFeatures(docs, nFeatures).persist()
+    try {
+      val w = trainPerceptron(fd, nFeatures, rounds)
+      val m = perceptronMargin(w)
+      fd.select(col("doc_id"), col("y").as("label_y"), m.as("margin"),
+          when(m > 0, 1L).otherwise(-1L).as("pred"))
+        .withColumn("correct",
+          when(col("pred") === col("label_y"), 1L).otherwise(0L))
+    } finally { fd.unpersist(); () }
+  }
+
+  /** Unrolled SQL replay of the pocket-perceptron rounds (bias as
+    * feature id F internally, −1 in the output). Round t's margin CTE
+    * m{t} evaluates the INCOMING weights w{t−1}, so the pocket pick is
+    * argmin over (e_t, t) of the per-round misclassification counts —
+    * identical to the driver-side rule. */
+  private[graft] def perceptronOracle(nFeatures: Int, rounds: Int,
+      score: Boolean): String = {
+    val h = s"('0x' || substr(md5(tok), 1, 15))::BIGINT % $HashMod % $nFeatures"
+    val roundsSql = (1 to rounds).map { t =>
+      val p = s"w${t - 1}"
+      s"""m$t AS (SELECT a.doc_id, CAST(SUM(a.cnt * w.w) AS BIGINT) AS m
+         |  FROM fa a JOIN $p w ON a.f = w.f GROUP BY 1),
+         |u$t AS (SELECT a.f, CAST(SUM(y.y * a.cnt) AS BIGINT) AS dw
+         |  FROM fa a JOIN yl y ON a.doc_id = y.doc_id
+         |  JOIN m$t m ON m.doc_id = a.doc_id
+         |  WHERE y.y * m.m <= 0 GROUP BY 1),
+         |w$t AS (SELECT w.f, w.w + COALESCE(u.dw, 0) AS w
+         |  FROM $p w LEFT JOIN u$t u ON w.f = u.f)""".stripMargin
+    }.mkString(",\n")
+    val errsSql = (1 to rounds).map { t =>
+      s"""SELECT $t AS t, COUNT(*) AS e FROM m$t m
+         |    JOIN yl y ON y.doc_id = m.doc_id WHERE y.y * m.m <= 0""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val wtSql = (1 to rounds).map { t =>
+      s"SELECT $t AS t, f, w FROM w${t - 1}"
+    }.mkString("\n  UNION ALL\n  ")
+    val pocketSql =
+      s"""errs AS (
+         |  $errsSql),
+         |best AS (SELECT t FROM errs QUALIFY ROW_NUMBER() OVER (ORDER BY e, t) = 1),
+         |wt AS (
+         |  $wtSql),
+         |wp AS (SELECT wt.f, wt.w FROM wt JOIN best ON wt.t = best.t)""".stripMargin
+    val tail =
+      if (!score)
+        s"""SELECT CAST(CASE WHEN f = $nFeatures THEN -1 ELSE f END AS BIGINT)
+           |  AS feature_id, CAST(w AS BIGINT) AS w FROM wp""".stripMargin
+      else
+        s"""mf AS (SELECT a.doc_id, CAST(SUM(a.cnt * w.w) AS BIGINT) AS m
+           |  FROM fa a JOIN wp w ON a.f = w.f GROUP BY 1)
+           |SELECT y.doc_id, CAST(y.y AS BIGINT) AS label_y,
+           |  CAST(m.m AS BIGINT) AS margin,
+           |  CAST(CASE WHEN m.m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+           |  CAST(CASE WHEN (CASE WHEN m.m > 0 THEN 1 ELSE -1 END) = y.y
+           |    THEN 1 ELSE 0 END AS BIGINT) AS correct
+           |FROM yl y JOIN mf m ON y.doc_id = m.doc_id""".stripMargin
+    val tailSep = if (score) "," else ""
+    s"""WITH tkl AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents),
+       |yl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(list_filter(toks, x -> x = 'spark'))
+       |       > len(list_filter(toks, x -> x = 'hash')) THEN 1 ELSE -1 END AS y
+       |  FROM tkl),
+       |fa AS (
+       |  SELECT doc_id, $h AS f, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tkl)
+       |  GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id, $nFeatures AS f, 1 AS cnt FROM documents),
+       |w0 AS (SELECT unnest(range(0, ${nFeatures + 1})) AS f, 0::BIGINT AS w),
+       |$roundsSql,
+       |$pocketSql$tailSep
+       |$tail""".stripMargin
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -441,6 +626,8 @@ object TextOps {
     "txt_langid_ngram" -> ((s, d) => languageIdNgram(t(s, d, "documents"))),
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
     "txt_bm25" -> ((s, d) => bm25TopDocs(t(s, d, "documents"))),
+    "txt_perceptron_train" -> ((s, d) => perceptronTrain(t(s, d, "documents"))),
+    "txt_perceptron_score" -> ((s, d) => perceptronScore(t(s, d, "documents"))),
 
     // real BPE tokenizer over committed fixture strings: the merge
     // table is the offline-trained artifact (functions.BpeKernel), so
@@ -552,6 +739,8 @@ object TextOps {
     s"len(list_filter($sqlToks, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "txt_perceptron_train" -> perceptronOracle(PercF, PercRounds, score = false),
+    "txt_perceptron_score" -> perceptronOracle(PercF, PercRounds, score = true),
     "txt_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($sqlToks) AS BIGINT) AS n_tokens,

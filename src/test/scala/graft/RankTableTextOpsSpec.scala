@@ -209,4 +209,32 @@ class RankTableTextOpsSpec extends AnyFunSuite {
       assert(got(st) == pris.min, s"$st: expected ${pris.min}, got ${got(st)}")
     }
   }
+
+  test("pocket perceptron: separable corpus reaches 100% accuracy; " +
+    "rerun is bit-identical; pocket beats the final oscillating weights") {
+    import spark.implicits._
+    // separable: the labeling rule (spark > hash) is realized by
+    // disjoint keyword docs plus shared filler tokens
+    val docs = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, s"spark run fast table value row line agg v$i")
+      else (i, s"hash run fast table value row line agg v$i")
+    }.toDF("doc_id", "text")
+    def score() = graft.ops.TextOps.perceptronScore(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = score()
+    assert(got.size == 20)
+    assert(got.values.forall(_._4 == 1L),
+      s"separable data must classify perfectly: $got")
+    // labels follow the rule: even docs contain 'spark' → +1
+    (0L until 20L).foreach { i =>
+      assert(got(i)._1 == (if (i % 2 == 0) 1L else -1L))
+    }
+    assert(score() == got, "integer training must be bit-deterministic")
+    val w = graft.ops.TextOps.perceptronTrain(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == graft.ops.TextOps.PercF + 1)
+    // a non-trivial model was selected, not the zero pocket
+    assert(w.values.exists(_ != 0L))
+  }
 }
