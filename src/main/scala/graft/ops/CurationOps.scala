@@ -413,6 +413,59 @@ object CurationOps {
         col("avg_w_ppm"))
   }
 
+  // ----------------------------------------------- pipeline capstone
+
+  /** The whole curation pass as ONE declarative plan — the composition
+    * a production corpus actually runs, end to end in a single query
+    * so Catalyst sees (and can globally optimize) every stage:
+    *  1. exact dedup: keep the lowest doc_id per normalized content
+    *     hash (one window over the hash — no self-join);
+    *  2. span-level dedup on the SURVIVORS ([[DedupOps.spanRemove]]):
+    *     shared spans are re-derived on the deduped corpus, the
+    *     Lee-et-al ordering (exact copies must not defend their own
+    *     spans);
+    *  3. quality gate: docs keeping ≥ `minCleanToks` clean tokens;
+    *  4. per-language rollup: doc count, clean-token total, mean
+    *     removal ppm (integer div — exact).
+    * Every stage is keyed/narrow exactly as its standalone operator;
+    * composing them adds no new shuffle beyond the final k-row
+    * rollup. */
+  def curatePipeline(docs: DataFrame, minCleanToks: Long = 10L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
+    val keep = docs
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    DedupOps.spanRemove(keep)
+      .join(keep.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("clean_toks", col("n_toks") - col("n_removed"))
+      .filter(col("clean_toks") >= minCleanToks)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("clean_toks")).as("total_clean_tokens"),
+        expr("sum(removed_ppm) div count(1)").as("mean_removed_ppm"))
+  }
+
+  private[ops] def curatePipelineSql(minCleanToks: Long): String =
+    s"""WITH keep AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id ASC) = 1),
+       |${DedupOps.spanRemoveCtes("keep")},
+       |cleaned AS (
+       |  SELECT doc_id, n_toks,
+       |    (n_toks - len(kz))::BIGINT AS n_removed,
+       |    ((n_toks - len(kz)) * 1000000 // GREATEST(n_toks, 1))::BIGINT
+       |      AS removed_ppm
+       |  FROM kept)
+       |SELECT k.lang,
+       |  COUNT(*)::BIGINT AS n_docs,
+       |  CAST(SUM(c.n_toks - c.n_removed) AS BIGINT) AS total_clean_tokens,
+       |  CAST(SUM(c.removed_ppm) // COUNT(*) AS BIGINT) AS mean_removed_ppm
+       |FROM cleaned c JOIN keep k ON c.doc_id = k.doc_id
+       |WHERE c.n_toks - c.n_removed >= $minCleanToks
+       |GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------- queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -429,6 +482,8 @@ object CurationOps {
     "mix_temperature" -> ((s, d) => mixTemperature(t(s, d, "documents"))),
 
     "export_shards" -> ((s, d) => exportShards(t(s, d, "documents"))),
+
+    "curate_pipeline" -> ((s, d) => curatePipeline(t(s, d, "documents"))),
 
     // The synthetic corpus carries no real PII, so the query derives a
     // contact line from row data (email/phone/IP with nonzero matches
@@ -630,6 +685,7 @@ object CurationOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "curate_pipeline" -> curatePipelineSql(10L),
     "curate_dsir_select" -> dsirOracle,
 
     "mix_upsample" ->

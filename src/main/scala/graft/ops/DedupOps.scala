@@ -325,6 +325,50 @@ object DedupOps {
         expr("(n_removed * 1000000) div greatest(n_toks, 1)"))
   }
 
+  /** DuckDB CTE chain computing [[spanRemove]] over relation `src`
+    * (must expose doc_id, text) — shared by the standalone oracle and
+    * the composed curate_pipeline oracle. Ends without a trailing
+    * comma; pair with [[spanRemoveSelect]] or further CTEs. */
+  private[ops] def spanRemoveCtes(src: String): String =
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> x != '') AS toks
+       |  FROM $src),
+       |st AS (
+       |  SELECT doc_id, toks,
+       |    unnest(CASE WHEN len(toks) >= ${SpanSize}
+       |      THEN range(1, len(toks) - ${SpanSize - 2}, ${SpanStride})
+       |      ELSE []::BIGINT[] END) AS s
+       |  FROM tk),
+       |spans AS (
+       |  SELECT doc_id, s,
+       |    md5(array_to_string(toks[s : s + ${SpanSize - 1}], ' ')) AS span_h
+       |  FROM st),
+       |shared AS (
+       |  SELECT span_h FROM spans GROUP BY 1
+       |  HAVING COUNT(DISTINCT doc_id) >= 2),
+       |starts AS (
+       |  SELECT sp.doc_id, list_sort(list(DISTINCT sp.s)) AS ss
+       |  FROM spans sp JOIN shared sh ON sp.span_h = sh.span_h
+       |  GROUP BY 1),
+       |kept AS (
+       |  SELECT t.doc_id, len(t.toks)::BIGINT AS n_toks,
+       |    list_filter(
+       |      list_zip(t.toks, range(1, len(t.toks) + 1)),
+       |      z -> len(list_filter(COALESCE(s.ss, []::BIGINT[]),
+       |        x -> z[2] >= x AND z[2] <= x + ${SpanSize - 1})) = 0) AS kz
+       |  FROM tk t LEFT JOIN starts s ON t.doc_id = s.doc_id)""".stripMargin
+
+  private[ops] val spanRemoveSelect: String =
+    """SELECT doc_id, n_toks,
+      |  (n_toks - len(kz))::BIGINT AS n_removed,
+      |  COALESCE(array_to_string(list_transform(kz, z -> z[1]), ' '), '')
+      |    AS cleaned_text,
+      |  ((n_toks - len(kz)) * 1000000 // GREATEST(n_toks, 1))::BIGINT
+      |    AS removed_ppm
+      |FROM kept""".stripMargin
+
   /** Winnowing (MOSS-style) document fingerprints: hash every k-char
     * gram of the lowercased text, then keep the MINIMUM hash of each
     * sliding window of w consecutive grams. The selected set has
@@ -730,43 +774,7 @@ object DedupOps {
 
     // span removal: token kept iff no cross-document-shared strided
     // span covers it; parallel unnest of (tok, idx) zips positionally
-    "dedup_span_remove" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-         |      x -> x != '') AS toks
-         |  FROM documents),
-         |st AS (
-         |  SELECT doc_id, toks,
-         |    unnest(CASE WHEN len(toks) >= ${SpanSize}
-         |      THEN range(1, len(toks) - ${SpanSize - 2}, ${SpanStride})
-         |      ELSE []::BIGINT[] END) AS s
-         |  FROM tk),
-         |spans AS (
-         |  SELECT doc_id, s,
-         |    md5(array_to_string(toks[s : s + ${SpanSize - 1}], ' ')) AS span_h
-         |  FROM st),
-         |shared AS (
-         |  SELECT span_h FROM spans GROUP BY 1
-         |  HAVING COUNT(DISTINCT doc_id) >= 2),
-         |starts AS (
-         |  SELECT sp.doc_id, list_sort(list(DISTINCT sp.s)) AS ss
-         |  FROM spans sp JOIN shared sh ON sp.span_h = sh.span_h
-         |  GROUP BY 1),
-         |kept AS (
-         |  SELECT t.doc_id, len(t.toks)::BIGINT AS n_toks,
-         |    list_filter(
-         |      list_zip(t.toks, range(1, len(t.toks) + 1)),
-         |      z -> len(list_filter(COALESCE(s.ss, []::BIGINT[]),
-         |        x -> z[2] >= x AND z[2] <= x + ${SpanSize - 1})) = 0) AS kz
-         |  FROM tk t LEFT JOIN starts s ON t.doc_id = s.doc_id)
-         |SELECT doc_id, n_toks,
-         |  (n_toks - len(kz))::BIGINT AS n_removed,
-         |  COALESCE(array_to_string(list_transform(kz, z -> z[1]), ' '), '')
-         |    AS cleaned_text,
-         |  ((n_toks - len(kz)) * 1000000 // GREATEST(n_toks, 1))::BIGINT
-         |    AS removed_ppm
-         |FROM kept""".stripMargin,
+    "dedup_span_remove" -> s"WITH ${spanRemoveCtes("documents")}\n$spanRemoveSelect",
 
     "dedup_containment" ->
       s"""WITH ds AS (

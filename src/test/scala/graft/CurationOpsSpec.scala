@@ -154,4 +154,31 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(m.getAs[Long]("n_null_lang") == 1L)
     } finally q.stop()
   }
+
+  test("curatePipeline: exact dups collapse BEFORE span sharing is " +
+    "derived, short docs drop at the gate, rollup is per-lang exact") {
+    import spark.implicits._
+    // 25-token body so spans exist (spanSize 20); doc 2 is an exact
+    // dup of doc 1 (different case/whitespace — normalization must
+    // catch it); doc 3 shares doc 1's 25-token body verbatim plus a
+    // tail → span removal bites; doc 4 is short → gated out
+    val body = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, body, "en"),
+      (2L, "  " + body.toUpperCase + " ", "en"), // exact dup after norm
+      (3L, body + " " + (1 to 12).map(i => s"t$i").mkString(" "), "de"),
+      (4L, "tiny doc under gate", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = CurationOps.curatePipeline(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // dedup survivors: 1 (en), 3 (de), 4 (fr). Span starts (size 20,
+    // stride 10): doc1 (25 toks) → {1}; doc3 (37 toks) → {1, 11}.
+    // Shared: the [1..20] window (identical w1..w20 both docs). After
+    // removal doc1 keeps 5 tokens (< 10 → gated), doc3 keeps 17
+    // (kept), doc4 has 4 (< 10 → gated). Only de survives:
+    // n_removed 20 of 37 → removed_ppm = 20e6 div 37 = 540540.
+    assert(got.keySet == Set("de"), s"got $got")
+    assert(got("de") == ((1L, 17L, 540540L)))
+  }
 }
