@@ -428,16 +428,21 @@ object CurationOps {
     *  4. per-language rollup: doc count, clean-token total, mean
     *     removal ppm (integer div — exact).
     * Every stage is keyed/narrow exactly as its standalone operator;
-    * composing them adds no new shuffle beyond the final k-row
-    * rollup. */
+    * composing them adds no new shuffle beyond the final k-row rollup:
+    * `lang` rides [[DedupOps.spanRemove]]'s passthrough instead of a
+    * re-join, and spanRemove's localCheckpoint'd token frame means the
+    * corpus (and the upstream dedup window) is computed ONCE — the
+    * three downstream consumers read the executor-local blocks
+    * (fixture: x6, one parquet scan, three ExistingRDD reads; the
+    * un-materialized form re-ran scan+window per consumer — x11, six
+    * parquet scans). */
   def curatePipeline(docs: DataFrame, minCleanToks: Long = 10L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
     val keep = docs
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-    DedupOps.spanRemove(keep)
-      .join(keep.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    DedupOps.spanRemove(keep, passthrough = Seq("lang"))
       .withColumn("clean_toks", col("n_toks") - col("n_removed"))
       .filter(col("clean_toks") >= minCleanToks)
       .groupBy(col("lang"))

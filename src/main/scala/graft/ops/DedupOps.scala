@@ -292,8 +292,17 @@ object DedupOps {
     * O(n_toks × n_shared_starts) with no per-token shuffle, and
     * shared starts are rare by construction. */
   def spanRemove(docs: DataFrame, textCol: String = "text",
-      spanSize: Int = SpanSize, stride: Int = SpanStride): DataFrame = {
-    val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      spanSize: Int = SpanSize, stride: Int = SpanStride,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    // The tokenized frame feeds THREE consumers (span derivation for
+    // the shared-hash agg, the span side of the starts join, and the
+    // final token-array side) — localCheckpoint it like the shingle
+    // table in ngramJaccardPairs, or each consumer re-tokenizes (and,
+    // composed under curate_pipeline, re-runs the upstream dedup
+    // window) over the whole corpus: measured 6 parquet scans → 1.
+    val tk = docs.select(col("doc_id") +: tokens(col(textCol)).as("toks") +:
+      passthrough.map(col): _*)
+      .localCheckpoint(eager = false)
     val nToks = size(col("toks")).cast("long")
     val startsAll = when(nToks >= spanSize,
       sequence(lit(1L), nToks - (spanSize - 1), lit(stride.toLong)))
@@ -311,16 +320,19 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("s"))).as("starts"))
     tk.join(sharedStarts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("toks"),
-        coalesce(col("starts"), array().cast("array<bigint>")).as("starts"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_toks"),
+      .select(col("doc_id") +: col("toks") +:
+        coalesce(col("starts"), array().cast("array<bigint>")).as("starts") +:
+        passthrough.map(col): _*)
+      .select(col("doc_id") +:
+        size(col("toks")).cast("long").as("n_toks") +:
         filter(col("toks"), (_, i) =>
           !exists(col("starts"), s =>
-            i + 1 >= s && i + 1 <= s + (spanSize - 1))).as("_kept"))
-      .select(col("doc_id"), col("n_toks"),
-        (col("n_toks") - size(col("_kept")).cast("long")).as("n_removed"),
-        array_join(col("_kept"), " ").as("cleaned_text"))
+            i + 1 >= s && i + 1 <= s + (spanSize - 1))).as("_kept") +:
+        passthrough.map(col): _*)
+      .select(col("doc_id") +: col("n_toks") +:
+        (col("n_toks") - size(col("_kept")).cast("long")).as("n_removed") +:
+        array_join(col("_kept"), " ").as("cleaned_text") +:
+        passthrough.map(col): _*)
       .withColumn("removed_ppm",
         expr("(n_removed * 1000000) div greatest(n_toks, 1)"))
   }

@@ -80,6 +80,13 @@ object PlanDump {
     // shuffles), codebook re-attached post-join from a 1-row
     // broadcast, shortlist as a map-side partial top-k
     "sim_ivfpq_topk",
+    // round-9 fifth wave: span removal joins the dedup cost band (its
+    // value is the absence of any per-token shuffle — spans and starts
+    // move keyed, tokens only ever move inside their doc's array);
+    // curate_pipeline is the capstone composition — the fixture pins
+    // that chaining dedup→span→gate→rollup adds only the final
+    // rollup exchange over the standalone span plan
+    "dedup_span_remove", "curate_pipeline",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
