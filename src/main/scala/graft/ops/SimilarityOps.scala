@@ -323,59 +323,106 @@ object SimilarityOps {
     * map-side combine, ≤ k·dim rows per task reaching the shuffle. No
     * per-vector driver traffic at any scale. Distances stay in int64
     * for any |x| ≤ ~2·10³ at the default scale (diff² ≤ 4·10¹² · dim). */
+  private def quantizeFixed(embeddings: DataFrame, scale: Long): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * scale.toDouble).cast("long")).as("qv"))
+
+  /** Per-cluster squared-L2 struct columns against literal centroids
+    * (argmin via array_min's struct ordering; ties → lowest cluster). */
+  private def fixedDistCols(cents: Array[Array[Long]]): Seq[Column] =
+    cents.zipWithIndex.toIndexedSeq.map { case (c, ci) =>
+      struct(
+        aggregate(
+          zip_with(col("qv"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        lit(ci.toLong).as("cl"))
+    }
+
+  /** The Lloyd loop of [[kmeansFixed]] over a persisted quantized
+    * frame; returns (final centroids, final-round member counts). */
+  private def trainKmeansFixed(q: DataFrame, k: Int,
+      rounds: Int): (Array[Array[Long]], Map[Long, Long]) = {
+    var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
+      .select("qv").collect()
+      .map(_.getSeq[Long](0).toArray)
+    var members: Map[Long, Long] = Map.empty
+    for (_ <- 1 to rounds) {
+      val assigned = q.select(col("vec_id"), col("qv"),
+        array_min(array(fixedDistCols(cents): _*)).getField("cl").as("cl"))
+      val sums = assigned
+        .select(col("cl"), posexplode(col("qv")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(sum(col("col")).as("sq"), count(lit(1)).as("n"))
+        .collect()
+      members = sums.filter(_.getInt(1) == 0)
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val byCl = sums.groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byCl.get(ci.toLong) match {
+          case Some(rows) =>
+            val upd = old.clone()
+            rows.foreach(r => upd(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+            upd
+          case None => old
+        }
+      }
+    }
+    (cents, members)
+  }
+
   def kmeansFixed(embeddings: DataFrame, k: Int = 4, rounds: Int = 3,
       scale: Long = 1000000L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val q = embeddings.select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * scale.toDouble).cast("long")).as("qv"))
-      .persist()
+    val q = quantizeFixed(embeddings, scale).persist()
     try {
-      var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
-        .select("qv").collect()
-        .map(_.getSeq[Long](0).toArray)
+      val (cents, members) = trainKmeansFixed(q, k, rounds)
       val dim = cents.head.length
-      var members: Map[Long, Long] = Map.empty
-      for (_ <- 1 to rounds) {
-        val distCols = cents.zipWithIndex.map { case (c, ci) =>
-          struct(
-            aggregate(
-              zip_with(col("qv"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x).as("dist"),
-            lit(ci.toLong).as("cl"))
-        }
-        val assigned = q.select(col("vec_id"), col("qv"),
-          array_min(array(distCols.toIndexedSeq: _*)).getField("cl").as("cl"))
-        val sums = assigned
-          .select(col("cl"), posexplode(col("qv")))
-          .groupBy(col("cl"), col("pos"))
-          .agg(sum(col("col")).as("sq"), count(lit(1)).as("n"))
-          .collect()
-        members = sums.filter(_.getInt(1) == 0)
-          .map(r => r.getLong(0) -> r.getLong(3)).toMap
-        val byCl = sums.groupBy(_.getLong(0))
-        cents = cents.zipWithIndex.map { case (old, ci) =>
-          byCl.get(ci.toLong) match {
-            case Some(rows) =>
-              val upd = old.clone()
-              rows.foreach(r => upd(r.getInt(1)) = r.getLong(2) / r.getLong(3))
-              upd
-            case None => old
-          }
-        }
-      }
       val out = for { ci <- 0 until k; i <- 0 until dim } yield
         (ci.toLong, (i + 1).toLong, cents(ci)(i), members.getOrElse(ci.toLong, 0L))
       out.toDF("cluster_id", "dim_i", "c_fixed", "n_members")
     } finally { q.unpersist(); () }
   }
 
+  /** Embedding OUTLIER detection on top of the exact trainer — the
+    * data-cleaning companion (drop vectors that sit far from every
+    * learned mode before they pollute retrieval/dedup): assign each
+    * vector to its trained centroid, flag those with squared-L2
+    * distance > 2× their cluster's mean distance. All int64
+    * (distances exact, cluster means by truncating div), so the whole
+    * train→assign→threshold chain is DuckDB-replayed hash-exact.
+    *
+    * Shape: the training rounds as [[kmeansFixed]]; then ONE more
+    * narrow assignment pass (literal centroids) + a k-row mean agg
+    * collected and baked into the final flag expression — the corpus
+    * never joins anything. */
+  def kmeansOutliers(embeddings: DataFrame, k: Int = 4, rounds: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    val q = quantizeFixed(embeddings, scale)
+      .localCheckpoint(eager = false)
+    val (cents, _) = trainKmeansFixed(q, k, rounds)
+    val assigned = q.select(col("vec_id"),
+        array_min(array(fixedDistCols(cents): _*)).as("best"))
+      .select(col("vec_id"), col("best.cl").as("cluster_id"),
+        col("best.dist").as("dist"))
+      .localCheckpoint(eager = false)
+    val means = assigned.groupBy(col("cluster_id"))
+      .agg(expr("sum(dist) div count(1)").as("md"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meanCol = element_at(
+      typedLit((0 until k).map(ci => means.getOrElse(ci.toLong, 0L))),
+      col("cluster_id").cast("int") + 1)
+    assigned.select(col("vec_id"), col("cluster_id"), col("dist"),
+      meanCol.as("mean_dist"),
+      when(col("dist") > meanCol * 2L, 1L).otherwise(0L).as("is_outlier"))
+  }
+
   /** Unrolled SQL replay of [[kmeansFixed]] (R assignment/update rounds
     * as chained CTEs) — integer arithmetic end-to-end, so the replay is
     * hash-exact, not tolerance-checked. */
   private[graft] def kmeansFixedOracle(k: Int, rounds: Int, dim: Int,
-      scale: Long): String = {
+      scale: Long, mode: String = "train"): String = {
     val roundsSql = (1 to rounds).map { t =>
       val p = s"c${t - 1}"
       s"""d$t AS (SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
@@ -387,6 +434,28 @@ object SimilarityOps {
          |c$t AS (SELECT p.cl, p.i, COALESCE(s.sq // s.n, p.c) AS c
          |  FROM $p p LEFT JOIN s$t s ON p.cl = s.cl AND p.i = s.i)""".stripMargin
     }.mkString(",\n")
+    val tail = mode match {
+      case "train" =>
+        s"""SELECT c.cl AS cluster_id, c.i AS dim_i, CAST(c.c AS BIGINT) AS c_fixed,
+           |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members
+           |FROM c$rounds c
+           |LEFT JOIN (SELECT cl, COUNT(*) AS n FROM a$rounds GROUP BY 1) m
+           |  ON c.cl = m.cl""".stripMargin
+      case "outliers" =>
+        s"""df AS (SELECT q.vec_id, c.cl,
+           |    CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS dist
+           |  FROM q JOIN c$rounds c ON q.i = c.i GROUP BY 1, 2),
+           |af AS (SELECT vec_id, cl, dist FROM df
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+           |md AS (SELECT cl, CAST(SUM(dist) AS BIGINT) // COUNT(*) AS mean_dist
+           |  FROM af GROUP BY 1)
+           |SELECT a.vec_id, a.cl AS cluster_id, a.dist,
+           |  CAST(m.mean_dist AS BIGINT) AS mean_dist,
+           |  CAST(CASE WHEN a.dist > 2 * m.mean_dist THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_outlier
+           |FROM af a JOIN md m ON a.cl = m.cl""".stripMargin
+    }
+    val tailSep = if (mode == "outliers") "," else ""
     s"""WITH q AS (
        |  SELECT vec_id, unnest(range(1, ${dim + 1})) AS i,
        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $scale.0) AS BIGINT) AS qv
@@ -394,12 +463,8 @@ object SimilarityOps {
        |r AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
        |      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
        |c0 AS (SELECT r.cl, q.i, q.qv AS c FROM r JOIN q ON q.vec_id = r.vec_id),
-       |$roundsSql
-       |SELECT c.cl AS cluster_id, c.i AS dim_i, CAST(c.c AS BIGINT) AS c_fixed,
-       |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members
-       |FROM c$rounds c
-       |LEFT JOIN (SELECT cl, COUNT(*) AS n FROM a$rounds GROUP BY 1) m
-       |  ON c.cl = m.cl""".stripMargin
+       |$roundsSql$tailSep
+       |$tail""".stripMargin
   }
 
   /** IVF (inverted-file) top-k — the ANN scale path. Coarse quantizer =
@@ -993,6 +1058,7 @@ object SimilarityOps {
         nCentroids = IvfCentroids, nProbe = IvfProbe)),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "emb_kmeans_fixed" -> ((s, d) => kmeansFixed(t(s, d, "embeddings"))),
+    "emb_outliers" -> ((s, d) => kmeansOutliers(t(s, d, "embeddings"))),
     "sim_pq_topk" -> ((s, d) =>
       pqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
         dim = OracleDim)),
@@ -1227,6 +1293,7 @@ object SimilarityOps {
 
   val oracle: Map[String, String] = Map(
     "emb_kmeans_fixed" -> kmeansFixedOracle(4, 3, OracleDim, 1000000L),
+    "emb_outliers" -> kmeansFixedOracle(4, 3, OracleDim, 1000000L, "outliers"),
     "sim_pq_topk" -> pqOracle,
     "sim_ivfpq_topk" -> ivfPqOracle,
     "emb_label_prop" -> labelPropOracle(LpRounds),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -536,13 +537,45 @@ object TextOps {
         when(col("pred") === col("label_y"), 1L).otherwise(0L))
   }
 
+  /** Precision/recall curve over the trained classifier's margins —
+    * the threshold-tuning artifact a production quality filter needs
+    * (pick the margin cutoff for a target precision before gating
+    * billions of docs). One point per DISTINCT margin m: cut at
+    * "margin ≥ m", cumulative positives / docs above the cut,
+    * precision and recall in exact ppm (integer div).
+    *
+    * Scale shape: the corpus-sized work is ONE keyed agg (per-margin
+    * pos/total counts — the distinct-margin frame is tiny); the
+    * cumulative windows and the total-positives frame run on that
+    * aggregate, so the global ORDER BY never touches corpus rows. */
+  def perceptronPr(docs: DataFrame, nFeatures: Int = PercF,
+      rounds: Int = PercRounds): DataFrame = {
+    val byM = perceptronScore(docs, nFeatures, rounds)
+      .groupBy(col("margin"))
+      .agg(sum(when(col("label_y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        count(lit(1)).as("n"))
+    val cum = Window.orderBy(col("margin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byM
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .withColumn("total_pos", sum(col("n_pos")).over(all))
+      .select(col("margin"), col("cum_n"), col("cum_pos"),
+        expr("(cum_pos * 1000000) div cum_n").as("precision_ppm"),
+        expr("(cum_pos * 1000000) div greatest(total_pos, 1)")
+          .as("recall_ppm"))
+  }
+
   /** Unrolled SQL replay of the pocket-perceptron rounds (bias as
     * feature id F internally, −1 in the output). Round t's margin CTE
     * m{t} evaluates the INCOMING weights w{t−1}, so the pocket pick is
     * argmin over (e_t, t) of the per-round misclassification counts —
     * identical to the driver-side rule. */
   private[graft] def perceptronOracle(nFeatures: Int, rounds: Int,
-      score: Boolean): String = {
+      mode: String): String = {
+    val score = mode != "train"
     val h = s"('0x' || substr(md5(tok), 1, 15))::BIGINT % $HashMod % $nFeatures"
     val roundsSql = (1 to rounds).map { t =>
       val p = s"w${t - 1}"
@@ -569,11 +602,13 @@ object TextOps {
          |wt AS (
          |  $wtSql),
          |wp AS (SELECT wt.f, wt.w FROM wt JOIN best ON wt.t = best.t)""".stripMargin
-    val tail =
-      if (!score)
+    val cumW = "OVER (ORDER BY margin DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val tail = mode match {
+      case "train" =>
         s"""SELECT CAST(CASE WHEN f = $nFeatures THEN -1 ELSE f END AS BIGINT)
            |  AS feature_id, CAST(w AS BIGINT) AS w FROM wp""".stripMargin
-      else
+      case "score" =>
         s"""mf AS (SELECT a.doc_id, CAST(SUM(a.cnt * w.w) AS BIGINT) AS m
            |  FROM fa a JOIN wp w ON a.f = w.f GROUP BY 1)
            |SELECT y.doc_id, CAST(y.y AS BIGINT) AS label_y,
@@ -582,6 +617,22 @@ object TextOps {
            |  CAST(CASE WHEN (CASE WHEN m.m > 0 THEN 1 ELSE -1 END) = y.y
            |    THEN 1 ELSE 0 END AS BIGINT) AS correct
            |FROM yl y JOIN mf m ON y.doc_id = m.doc_id""".stripMargin
+      case "pr" =>
+        s"""mf AS (SELECT a.doc_id, CAST(SUM(a.cnt * w.w) AS BIGINT) AS m
+           |  FROM fa a JOIN wp w ON a.f = w.f GROUP BY 1),
+           |bym AS (SELECT m.m AS margin,
+           |    SUM(CASE WHEN y.y = 1 THEN 1 ELSE 0 END) AS n_pos,
+           |    COUNT(*) AS n
+           |  FROM mf m JOIN yl y ON y.doc_id = m.doc_id GROUP BY 1)
+           |SELECT margin,
+           |  CAST(SUM(n) $cumW AS BIGINT) AS cum_n,
+           |  CAST(SUM(n_pos) $cumW AS BIGINT) AS cum_pos,
+           |  CAST((SUM(n_pos) $cumW) * 1000000 // (SUM(n) $cumW) AS BIGINT)
+           |    AS precision_ppm,
+           |  CAST((SUM(n_pos) $cumW) * 1000000
+           |    // GREATEST(SUM(n_pos) OVER (), 1) AS BIGINT) AS recall_ppm
+           |FROM bym""".stripMargin
+    }
     val tailSep = if (score) "," else ""
     s"""WITH tkl AS (
        |  SELECT doc_id, $sqlToks AS toks FROM documents),
@@ -615,6 +666,7 @@ object TextOps {
     "txt_bm25" -> ((s, d) => bm25TopDocs(t(s, d, "documents"))),
     "txt_perceptron_train" -> ((s, d) => perceptronTrain(t(s, d, "documents"))),
     "txt_perceptron_score" -> ((s, d) => perceptronScore(t(s, d, "documents"))),
+    "txt_perceptron_pr" -> ((s, d) => perceptronPr(t(s, d, "documents"))),
 
     // real BPE tokenizer over committed fixture strings: the merge
     // table is the offline-trained artifact (functions.BpeKernel), so
@@ -726,8 +778,9 @@ object TextOps {
     s"len(list_filter($sqlToks, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
-    "txt_perceptron_train" -> perceptronOracle(PercF, PercRounds, score = false),
-    "txt_perceptron_score" -> perceptronOracle(PercF, PercRounds, score = true),
+    "txt_perceptron_train" -> perceptronOracle(PercF, PercRounds, "train"),
+    "txt_perceptron_score" -> perceptronOracle(PercF, PercRounds, "score"),
+    "txt_perceptron_pr" -> perceptronOracle(PercF, PercRounds, "pr"),
     "txt_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($sqlToks) AS BIGINT) AS n_tokens,

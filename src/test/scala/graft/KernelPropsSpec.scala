@@ -166,6 +166,45 @@ class KernelPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("FeatureCounts kernel vs an independent md5/regex reference " +
+    "(random tokens incl. unicode, tabs, empty)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val nF = 16
+    val tokGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const("Ünïcodé"),
+      Gen.const("汉字"), Gen.const(""), Gen.const("UPPER"))
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ts <- Gen.listOfN(n, tokGen)
+      seps <- Gen.listOfN(n, sepGen)
+    } yield ts.zip(seps).map { case (t, s) => t + s }.mkString
+
+    def refCounts(text: String): Seq[Long] = {
+      val out = Array.fill(nF + 1)(0L)
+      out(nF) = 1L
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val h = new java.math.BigInteger(hex, 16).longValueExact() % 1000000007L
+        out((h % nF).toInt) += 1L
+      }
+      out.toSeq
+    }
+
+    check(Prop.forAll(textGen) { text =>
+      val got = graft.functions.FeatureCounts(
+        Literal.create(UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), nF)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      assert(got == refCounts(text), s"text=${text.take(60)}")
+      true
+    })
+  }
+
   test("PQ kernels vs a straight-line reference on random floats (incl. NaN)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, FloatType}

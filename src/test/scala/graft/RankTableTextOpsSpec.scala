@@ -237,4 +237,33 @@ class RankTableTextOpsSpec extends AnyFunSuite {
     // a non-trivial model was selected, not the zero pocket
     assert(w.values.exists(_ != 0L))
   }
+
+  test("perceptronPr: curve invariants — cum counts monotone along " +
+    "descending margin, final recall 100%, perfect separation at the top") {
+    import spark.implicits._
+    val docs = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, s"spark run fast table value row line agg v$i")
+      else (i, s"hash run fast table value row line agg v$i")
+    }.toDF("doc_id", "text")
+    val rows = graft.ops.TextOps.perceptronPr(docs)
+      .orderBy(col("margin").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // cum_n strictly increasing, cum_pos non-decreasing
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 > a._2 && b._3 >= a._3, s"monotonicity: $a -> $b")
+      case _ =>
+    }
+    // the corpus is separable (spec above): every positive margin row
+    // is pure positives → precision 1e6 down to the last positive cut
+    val lastPosRow = rows.filter(_._1 > 0).last
+    assert(lastPosRow._4 == 1000000L, s"separable → perfect precision: $lastPosRow")
+    assert(lastPosRow._5 == 1000000L, s"all positives above 0 margin: $lastPosRow")
+    // final point includes everything: recall 100%, precision = base rate
+    val last = rows.last
+    assert(last._2 == 20L && last._5 == 1000000L)
+    assert(last._4 == (last._3 * 1000000L) / last._2)
+  }
 }

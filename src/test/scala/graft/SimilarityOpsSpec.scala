@@ -119,4 +119,24 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(got((1L, 2L)) == ((mean3(1.00f, 0.98f, 1.02f), 3L)))
     assert(run() == got, "fixed-point training must be bit-deterministic")
   }
+
+  test("kmeansOutliers: a far point flags, tight cluster members don't") {
+    import spark.implicits._
+    // two tight groups (the first two vec_ids seed the clusters) plus
+    // one point far from both modes but nearest cluster 0
+    val rows = Seq(
+      0L -> Array(1.00f, 0.00f), 1L -> Array(0.00f, 1.00f),
+      2L -> Array(0.99f, 0.01f), 3L -> Array(0.01f, 0.99f),
+      4L -> Array(1.01f, 0.00f), 5L -> Array(0.00f, 1.01f),
+      9L -> Array(5.00f, 0.00f)) // the outlier
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeansOutliers(rows, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(got(9L)._2 == 1L, s"far point must flag: $got")
+    Seq(0L, 1L, 2L, 3L, 4L, 5L).foreach { id =>
+      assert(got(id)._2 == 0L, s"tight member $id must not flag: $got")
+    }
+    // accounting: every vector assigned to some cluster in [0, k)
+    assert(got.values.forall(v => v._1 == 0L || v._1 == 1L))
+  }
 }
