@@ -537,6 +537,35 @@ object TextOps {
         when(col("pred") === col("label_y"), 1L).otherwise(0L))
   }
 
+  /** Apply a trained weight vector to ANY doc frame — batch or
+    * STREAMING: the scorer is a pure narrow projection (native
+    * featurize kernel + literal-weight margin), so the same Column
+    * expressions run unchanged on a streaming scan — the
+    * train-offline / score-at-ingest production split. `weights` is
+    * indexed [0, F) buckets then bias (the layout
+    * [[weightsFromTable]] restores from [[perceptronTrain]] output). */
+  def perceptronApply(docs: DataFrame, weights: Array[Long],
+      nFeatures: Int = PercF): DataFrame = {
+    require(weights.length == nFeatures + 1,
+      s"need ${nFeatures + 1} weights, got ${weights.length}")
+    val x = graft.functions.TextNative.feature_counts(col("text"), nFeatures)
+    val m = aggregate(zip_with(x, typedLit(weights.toSeq), (c, wc) => c * wc),
+      lit(0L), (acc, v) => acc + v)
+    docs.select(col("doc_id"), m.as("margin"),
+      when(m > 0, 1L).otherwise(-1L).as("pred"))
+  }
+
+  /** Collect a [[perceptronTrain]] result back into the dense weight
+    * array [[perceptronApply]] expects (feature −1 → bias slot F). */
+  def weightsFromTable(trained: DataFrame, nFeatures: Int = PercF): Array[Long] = {
+    val w = Array.fill(nFeatures + 1)(0L)
+    trained.collect().foreach { r =>
+      val f = r.getLong(0)
+      w(if (f < 0) nFeatures else f.toInt) = r.getLong(1)
+    }
+    w
+  }
+
   /** Precision/recall curve over the trained classifier's margins —
     * the threshold-tuning artifact a production quality filter needs
     * (pick the margin cutoff for a target precision before gating

@@ -266,4 +266,35 @@ class RankTableTextOpsSpec extends AnyFunSuite {
     assert(last._2 == 20L && last._5 == 1000000L)
     assert(last._4 == (last._3 * 1000000L) / last._2)
   }
+
+  test("perceptronApply scores a STREAM with batch-identical results — " +
+    "train offline, score at ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, s"spark run fast table value row line agg v$i")
+      else (i, s"hash run fast table value row line agg v$i")
+    }
+    val trainDf = docs.toDF("doc_id", "text")
+    val w = graft.ops.TextOps.weightsFromTable(
+      graft.ops.TextOps.perceptronTrain(trainDf))
+    val batch = graft.ops.TextOps.perceptronApply(trainDf, w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.TextOps.perceptronApply(
+        mem.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("perc_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(7): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(7): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("perc_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch,
+        "streaming scorer must agree with the batch scorer row-for-row")
+    } finally q.stop()
+  }
 }
