@@ -78,6 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "shingle_hashes(text) - sorted distinct word-3-gram hashes in [0, 1e9+7)") {
       e => ShingleHashes(e.head)
     }
+    inject("feature_counts",
+      "feature_counts(text, nFeatures) - dense hashed-unigram count vector " +
+        "of length nFeatures+1 (bias slot last)") {
+      e => FeatureCounts(e(0), intLit(e(1), "feature_counts nFeatures"))
+    }
     inject("minhash_sig",
       "minhash_sig(text) - 4-lane minhash signature of the word-3-gram set") {
       e => MinHashSig(e.head, graft.ops.DedupOps.A, graft.ops.DedupOps.B)

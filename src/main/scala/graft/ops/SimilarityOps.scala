@@ -72,6 +72,32 @@ object SimilarityOps {
         round(col("col.sim"), 6).as("sim"))
   }
 
+  /** SELF-MEASURING recall audit: IVF top-k against brute-force top-k,
+    * per query, recall in exact ppm — the accuracy dashboard an ANN
+    * serving path ships with (recall targets are SLOs; measuring them
+    * needs no external harness when the engine can run both paths and
+    * join them). Both sub-pipelines are the exact operators the
+    * standalone queries run (cross-engine ranking parity of each is
+    * separately oracle-proven), so the intersection counts are
+    * portable. Scale shape: the brute-force side is the audit's cost
+    * and runs on the SAMPLED query set only — the standard production
+    * recall estimator. */
+  def ivfRecall(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      nCentroids: Int = IvfCentroids, nProbe: Int = IvfProbe): DataFrame = {
+    val exact = bruteForceTopK(embeddings, queryPred, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = ivfTopK(embeddings, queryPred, k, nCentroids, nProbe)
+      .select(col("q_id").as("q2"), col("n_id").as("n2"))
+    val hits = exact
+      .join(approx, col("q_id") === col("q2") && col("n_id") === col("n2"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm",
+        expr("(n_hit * 1000000) div greatest(n_exact, 1)"))
+  }
+
   /** Near-duplicate pairs by banded random-hyperplane LSH + exact
     * rerank — the scale path. nBands×bitsPerBand md5-derived planes;
     * band b's key packs that band's sign bits, candidates are pairs
@@ -1059,6 +1085,8 @@ object SimilarityOps {
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "emb_kmeans_fixed" -> ((s, d) => kmeansFixed(t(s, d, "embeddings"))),
     "emb_outliers" -> ((s, d) => kmeansOutliers(t(s, d, "embeddings"))),
+    "sim_ivf_recall" -> ((s, d) =>
+      ivfRecall(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
     "sim_pq_topk" -> ((s, d) =>
       pqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
         dim = OracleDim)),
@@ -1294,6 +1322,57 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "emb_kmeans_fixed" -> kmeansFixedOracle(4, 3, OracleDim, 1000000L),
     "emb_outliers" -> kmeansFixedOracle(4, 3, OracleDim, 1000000L, "outliers"),
+
+    // recall audit: both sub-pipelines are the separately-oracled
+    // derivations (brute-force + IVF), composed and intersected
+    "sim_ivf_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |ex0 AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDot("q.emb", "c.emb")} / (q.nrm * c.nrm) DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q
+         |  JOIN e c ON q.vec_id != c.vec_id),
+         |ex AS (SELECT q_id, n_id FROM ex0 WHERE rank <= 10),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+         |         FROM e WHERE vec_id < $IvfCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id AS n_id, e.emb AS n_emb, e.nrm AS n_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT n_id, n_emb, n_nrm, cid FROM asg0 WHERE rn = 1),
+         |prb0 AS (
+         |  SELECT q.vec_id AS q_id, q.emb AS q_emb, q.nrm AS q_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDot("q.emb", "cent.c_emb")} / (q.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q, cent),
+         |prb AS (SELECT q_id, q_emb, q_nrm, cid FROM prb0 WHERE rn <= $IvfProbe),
+         |sims AS (
+         |  SELECT prb.q_id, asg.n_id,
+         |    ${sqlDot("prb.q_emb", "asg.n_emb")} / (prb.q_nrm * asg.n_nrm) AS sim
+         |  FROM prb JOIN asg USING (cid)
+         |  WHERE prb.q_id != asg.n_id),
+         |iv AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
+         |        AS rank
+         |    FROM sims) WHERE rank <= 10),
+         |hits AS (SELECT x.q_id, COUNT(*) AS n_hit
+         |  FROM ex x JOIN iv i ON x.q_id = i.q_id AND x.n_id = i.n_id
+         |  GROUP BY 1),
+         |nex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+         |SELECT n.q_id, CAST(n.n_exact AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) * 1000000 // GREATEST(n.n_exact, 1) AS BIGINT)
+         |    AS recall_ppm
+         |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin,
     "sim_pq_topk" -> pqOracle,
     "sim_ivfpq_topk" -> ivfPqOracle,
     "emb_label_prop" -> labelPropOracle(LpRounds),

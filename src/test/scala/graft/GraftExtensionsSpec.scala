@@ -40,7 +40,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |                  array(0.0F, 0.0F), array(9.0F, 9.0F)), 2, 2) AS pq_codes,
         |  pq_adc(array(1.0F, 2.0F, 9.0F, 9.0F), array(0, 1),
         |         array(array(1.0F, 2.0F), array(8.0F, 8.0F),
-        |               array(0.0F, 0.0F), array(9.0F, 9.0F)), 2, 2) AS pq_dist
+        |               array(0.0F, 0.0F), array(9.0F, 9.0F)), 2, 2) AS pq_dist,
+        |  feature_counts('a b A', 4) AS fc
         |""".stripMargin).collect()(0)
     assert(math.abs(r.getAs[Double]("lon_deg_m") - 111319.4908) < 0.1)
     assert(math.abs(r.getAs[Double]("az_east") - 90.0) < 1e-9)
@@ -55,6 +56,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // codeword 1 = (9,9) (exact); adc vs codes (0,1) = 0
     assert(r.getSeq[Int](r.fieldIndex("pq_codes")) == Seq(0, 1))
     assert(r.getAs[Double]("pq_dist") == 0.0)
+    // 'a' (x2 after lowercasing) and 'b' land in hashed buckets; bias=1
+    val fc = r.getSeq[Long](r.fieldIndex("fc"))
+    assert(fc.length == 5 && fc.last == 1L && fc.take(4).sum == 3L)
   }
 
   test("a geodesic SQL query over a table plans and runs") {

@@ -120,6 +120,22 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(run() == got, "fixed-point training must be bit-deterministic")
   }
 
+  test("ivfRecall: probing every cell yields recall 1.0 for all queries " +
+    "(exhaustive IVF ≡ brute force); default probe stays within [0,1]") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = SimilarityOps.ivfRecall(emb, col("vec_id") % 50 === 0,
+      nCentroids = SimilarityOps.IvfCentroids,
+      nProbe = SimilarityOps.IvfCentroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(full.nonEmpty)
+    full.foreach { case (q, ppm) =>
+      assert(ppm == 1000000L, s"exhaustive probe must be exact: q=$q ppm=$ppm")
+    }
+    val part = SimilarityOps.ivfRecall(emb, col("vec_id") % 50 === 0)
+      .collect().map(r => r.getLong(3))
+    assert(part.forall(p => p >= 0L && p <= 1000000L))
+  }
+
   test("kmeansOutliers: a far point flags, tight cluster members don't") {
     import spark.implicits._
     // two tight groups (the first two vec_ids seed the clusters) plus
