@@ -98,6 +98,30 @@ object SimilarityOps {
         expr("(n_hit * 1000000) div greatest(n_exact, 1)"))
   }
 
+  /** LSH near-dup RECALL audit vs exhaustive pairs, banded by
+    * similarity — the estimator a production near-dup pipeline runs on
+    * a corpus sample to size nBands: hyperplane recall is
+    * cos-dependent by construction (P = 1−(1−p^bits)^bands,
+    * p = 1−θ/π), so the audit reports it per similarity band rather
+    * than as one blended number. The LSH side is the exact scale-path
+    * operator; the exhaustive side is the all-pairs estimator cost you
+    * pay ONLY on the audit sample. */
+  def nearDupRecall(embeddings: DataFrame, tau: Double = NdTau,
+      nBands: Int = NdBands, bitsPerBand: Int = NdBits,
+      dim: Int = -1): DataFrame = {
+    val exact = nearDupPairsExact(embeddings, tau)
+    val found = nearDupPairs(embeddings, tau, nBands, bitsPerBand, dim)
+      .select(col("d1").as("f1"), col("d2").as("f2"))
+    exact
+      .join(found, col("d1") === col("f1") && col("d2") === col("f2"), "left")
+      .withColumn("hit", when(col("f1").isNotNull, 1L).otherwise(0L))
+      .withColumn("band", when(col("sim") >= 0.98, "hi").otherwise("lo"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_found"))
+      .withColumn("recall_ppm",
+        expr("(n_found * 1000000) div n_exact"))
+  }
+
   /** Near-duplicate pairs by banded random-hyperplane LSH + exact
     * rerank — the scale path. nBands×bitsPerBand md5-derived planes;
     * band b's key packs that band's sign bits, candidates are pairs
@@ -1087,6 +1111,8 @@ object SimilarityOps {
     "emb_outliers" -> ((s, d) => kmeansOutliers(t(s, d, "embeddings"))),
     "sim_ivf_recall" -> ((s, d) =>
       ivfRecall(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
+    "sim_neardup_recall" -> ((s, d) =>
+      nearDupRecall(t(s, d, "embeddings"), dim = OracleDim)),
     "sim_pq_topk" -> ((s, d) =>
       pqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
         dim = OracleDim)),
@@ -1115,6 +1141,42 @@ object SimilarityOps {
           (col("sum_u").cast("double") / lit(1e6) / col("n").cast("double"))
             .as("mean_v")))
   )
+
+  /** Shared DuckDB CTE chain of the banded hashed-plane LSH candidate
+    * pipeline: e (vectors + norms + band keys) → bands → cand →
+    * s (exact-cosine-scored candidates). Literal plane weights so both
+    * engines hash identically. Ends without a trailing comma. */
+  private lazy val neardupLshCtes: String = {
+    def bandKey(b: Int): String = {
+      val terms = (0 until NdBits).map { r =>
+        val i = b * NdBits + r
+        val ws = (0 until 64).map(j => s"${hashedPlaneWeight(i, j)}.0").mkString(",")
+        s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+           |    list_transform(list_zip(embedding, [$ws]), s ->
+           |      s[1]::DOUBLE * s[2])), (x,y) -> x+y) > 0 THEN ${1L << r} ELSE 0 END"""
+          .stripMargin
+      }
+      s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+    }
+    val keys = (0 until NdBands).map(b => s"${bandKey(b)} AS k$b").mkString(",\n  ")
+    val keyList = (0 until NdBands).map(b => s"k$b").mkString(", ")
+    s"""e AS (
+       |  SELECT vec_id, embedding, ${sqlNrm("embedding")} AS nrm,
+       |  $keys
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, bb.b AS band, [$keyList][bb.b + 1] AS key
+       |  FROM e, (SELECT unnest(range(0, $NdBands)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS d1, x.vec_id AS d2
+       |  FROM bands a JOIN bands x
+       |    ON a.band = x.band AND a.key = x.key AND a.vec_id < x.vec_id),
+       |s AS (
+       |  SELECT c.d1, c.d2,
+       |    ${sqlDot("e1.embedding", "e2.embedding")} / (e1.nrm * e2.nrm) AS sim
+       |  FROM cand c JOIN e e1 ON c.d1 = e1.vec_id JOIN e e2 ON c.d2 = e2.vec_id)"""
+      .stripMargin
+  }
 
   private val sqlCos =
     """list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.e, b.e), s -> s[1]::DOUBLE * s[2]::DOUBLE)), (x,y) -> x+y)
@@ -1480,40 +1542,31 @@ object SimilarityOps {
          |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
-    "sim_neardup_pairs" -> {
-      // replicate the banded hashed-plane keys literally, then the same
-      // candidate join + exact rerank — both engines compute the
-      // identical LSH-gated result
-      def bandKey(b: Int): String = {
-        val terms = (0 until NdBits).map { r =>
-          val i = b * NdBits + r
-          val ws = (0 until 64).map(j => s"${hashedPlaneWeight(i, j)}.0").mkString(",")
-          s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-             |    list_transform(list_zip(embedding, [$ws]), s ->
-             |      s[1]::DOUBLE * s[2])), (x,y) -> x+y) > 0 THEN ${1L << r} ELSE 0 END"""
-            .stripMargin
-        }
-        s"CAST(${terms.mkString(" + ")} AS BIGINT)"
-      }
-      val keys = (0 until NdBands).map(b => s"${bandKey(b)} AS k$b").mkString(",\n  ")
-      val keyList = (0 until NdBands).map(b => s"k$b").mkString(", ")
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, ${sqlNrm("embedding")} AS nrm,
-         |  $keys
-         |  FROM embeddings),
-         |bands AS (
-         |  SELECT vec_id, bb.b AS band, [$keyList][bb.b + 1] AS key
-         |  FROM e, (SELECT unnest(range(0, $NdBands)) AS b) bb),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS d1, x.vec_id AS d2
-         |  FROM bands a JOIN bands x
-         |    ON a.band = x.band AND a.key = x.key AND a.vec_id < x.vec_id),
-         |s AS (
-         |  SELECT c.d1, c.d2,
-         |    ${sqlDot("e1.embedding", "e2.embedding")} / (e1.nrm * e2.nrm) AS sim
-         |  FROM cand c JOIN e e1 ON c.d1 = e1.vec_id JOIN e e2 ON c.d2 = e2.vec_id)
-         |SELECT d1, d2, ROUND(sim, 6) AS sim FROM s WHERE sim >= $NdTau""".stripMargin
-    },
+    "sim_neardup_pairs" ->
+      s"""WITH $neardupLshCtes
+         |SELECT d1, d2, ROUND(sim, 6) AS sim FROM s WHERE sim >= $NdTau""".stripMargin,
+
+    // LSH recall audit vs exhaustive pairs, banded by similarity: the
+    // hyperplane scheme's recall is cos-dependent by construction —
+    // this query MEASURES it in-engine (the sampled-corpus estimator a
+    // production near-dup pipeline runs to size nBands)
+    "sim_neardup_recall" ->
+      s"""WITH $neardupLshCtes,
+         |found AS (SELECT d1, d2 FROM s WHERE sim >= $NdTau),
+         |ex AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE a.nrm * b.nrm > 0),
+         |expairs AS (SELECT d1, d2, sim FROM ex WHERE sim >= $NdTau),
+         |j AS (
+         |  SELECT x.sim, CASE WHEN f.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM expairs x LEFT JOIN found f ON x.d1 = f.d1 AND x.d2 = f.d2)
+         |SELECT CASE WHEN ROUND(sim, 6) >= 0.98 THEN 'hi' ELSE 'lo' END AS band,
+         |  COUNT(*)::BIGINT AS n_exact,
+         |  CAST(SUM(hit) AS BIGINT) AS n_found,
+         |  CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM j GROUP BY 1""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""WITH e AS (

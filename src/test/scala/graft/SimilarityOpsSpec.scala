@@ -136,6 +136,25 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(part.forall(p => p >= 0L && p <= 1000000L))
   }
 
+  test("nearDupRecall: exact dups (hi band) recall 1.0 — identical bytes " +
+    "share every band key; recall never exceeds 1.0 anywhere") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.001f // cos ≈ 1 → hi band
+    val far = Array.tabulate(64)(i => math.cos(i * 1.3).toFloat)
+    val rows = Seq(1L -> base, 2L -> base, 3L -> near, 4L -> far)
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.nearDupRecall(rows)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // identical/near-identical vectors have identical sign patterns on
+    // every hyperplane → all their band keys collide → found
+    assert(got.contains("hi"))
+    assert(got("hi")._2 == 1000000L, s"exact dups must be found: $got")
+    got.values.foreach { case (n, ppm) =>
+      assert(n > 0 && ppm <= 1000000L)
+    }
+  }
+
   test("kmeansOutliers: a far point flags, tight cluster members don't") {
     import spark.implicits._
     // two tight groups (the first two vec_ids seed the clusters) plus
