@@ -72,6 +72,67 @@ object SimilarityOps {
         round(col("col.sim"), 6).as("sim"))
   }
 
+  /** Two-level RESIDUAL quantization encode (the additive-codebook VQ
+    * modern ANN serving stacks layer under PQ): level-1 Lloyd
+    * centroids coarsely place each vector, level-2 centroids are
+    * trained ON THE RESIDUALS r = q − c1 and refine them; a vector's
+    * code is the pair (c1, c2) and its reconstruction error is
+    * ‖r − c2‖². Both levels run the fixed-point trainer, residuals
+    * stay int64 (difference of quantized values — exact), so
+    * train→residual→train→encode replays hash-exact in DuckDB.
+    *
+    * Shape: two [[trainKmeansFixed]] runs (each the MLlib Lloyd shape)
+    * plus two narrow literal-centroid assignment passes; the residual
+    * frame is localCheckpoint'd once and feeds level-2 training and
+    * the final encode. */
+  def rqEncode(embeddings: DataFrame, k1: Int = 8, r1: Int = 2,
+      k2: Int = 8, r2: Int = 2, scale: Long = 1000000L): DataFrame = {
+    val q = quantizeFixed(embeddings, scale).localCheckpoint(eager = false)
+    val (c1, _) = trainKmeansFixed(q, k1, r1)
+    val cents1 = typedLit(c1.map(_.toSeq).toSeq)
+    val res = q
+      .select(col("vec_id"), col("qv"),
+        array_min(array(fixedDistCols(c1): _*)).getField("cl").as("c1"))
+      .select(col("vec_id"), col("c1"),
+        zip_with(col("qv"),
+          element_at(cents1, col("c1").cast("int") + 1),
+          (a, b) => a - b).as("qv"))
+      .localCheckpoint(eager = false)
+    val (c2, _) = trainKmeansFixed(res.select(col("vec_id"), col("qv")), k2, r2)
+    res
+      .select(col("vec_id"), col("c1"),
+        array_min(array(fixedDistCols(c2): _*)).as("best2"))
+      .select(col("vec_id"), col("c1"),
+        col("best2.cl").as("c2"), col("best2.dist").as("err_sq"))
+  }
+
+  /** SQL replay of [[rqEncode]]: the shared Lloyd CTE chain at both
+    * levels, chained through the exact residual derivation. */
+  private[graft] def rqOracle(k1: Int, r1: Int, k2: Int, r2: Int,
+      dim: Int, scale: Long): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, unnest(range(1, ${dim + 1})) AS i,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $scale.0) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |${lloydCtes("l1", "q", k1, r1)},
+       |f1 AS (SELECT q.vec_id, c.cl,
+       |    CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS dist
+       |  FROM q JOIN l1c$r1 c ON q.i = c.i GROUP BY 1, 2),
+       |asg1 AS (SELECT vec_id, cl FROM f1
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+       |res AS (SELECT q.vec_id, q.i, q.qv - c.c AS qv
+       |  FROM q JOIN asg1 a ON q.vec_id = a.vec_id
+       |  JOIN l1c$r1 c ON c.cl = a.cl AND c.i = q.i),
+       |${lloydCtes("l2", "res", k2, r2)},
+       |f2 AS (SELECT q.vec_id, c.cl,
+       |    CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS dist
+       |  FROM res q JOIN l2c$r2 c ON q.i = c.i GROUP BY 1, 2),
+       |asg2 AS (SELECT vec_id, cl, dist FROM f2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1)
+       |SELECT a1.vec_id, CAST(a1.cl AS BIGINT) AS c1,
+       |  CAST(a2.cl AS BIGINT) AS c2, CAST(a2.dist AS BIGINT) AS err_sq
+       |FROM asg1 a1 JOIN asg2 a2 ON a1.vec_id = a2.vec_id""".stripMargin
+
   /** SELF-MEASURING recall audit: IVF top-k against brute-force top-k,
     * per query, recall in exact ppm — the accuracy dashboard an ANN
     * serving path ships with (recall targets are SLOs; measuring them
@@ -466,6 +527,31 @@ object SimilarityOps {
     assigned.select(col("vec_id"), col("cluster_id"), col("dist"),
       meanCol.as("mean_dist"),
       when(col("dist") > meanCol * 2L, 1L).otherwise(0L).as("is_outlier"))
+  }
+
+  /** Unrolled Lloyd CTE chain over a long-form quantized relation
+    * `$q(vec_id, i, qv)` with every CTE name prefixed by `$px` —
+    * reusable at each residual-quantization level. Emits
+    * ${px}c0..${px}c$rounds (+ per-round d/a/s CTEs); the init CTE
+    * seeds from the k lowest vec_ids of `$q`. Ends without a trailing
+    * comma. */
+  private def lloydCtes(px: String, q: String, k: Int, rounds: Int): String = {
+    val roundsSql = (1 to rounds).map { t =>
+      val p = s"${px}c${t - 1}"
+      s"""${px}d$t AS (SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+         |  FROM $q q JOIN $p c ON q.i = c.i GROUP BY 1, 2),
+         |${px}a$t AS (SELECT vec_id, cl FROM ${px}d$t
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+         |${px}s$t AS (SELECT a.cl, q.i, CAST(SUM(q.qv) AS BIGINT) AS sq, COUNT(*) AS n
+         |  FROM ${px}a$t a JOIN $q q ON a.vec_id = q.vec_id GROUP BY 1, 2),
+         |${px}c$t AS (SELECT p.cl, p.i, COALESCE(s.sq // s.n, p.c) AS c
+         |  FROM $p p LEFT JOIN ${px}s$t s ON p.cl = s.cl AND p.i = s.i)""".stripMargin
+    }.mkString(",\n")
+    s"""${px}r AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+       |      FROM (SELECT DISTINCT vec_id FROM $q ORDER BY vec_id LIMIT $k)),
+       |${px}c0 AS (SELECT r.cl, q.i, q.qv AS c
+       |  FROM ${px}r r JOIN $q q ON q.vec_id = r.vec_id),
+       |$roundsSql""".stripMargin
   }
 
   /** Unrolled SQL replay of [[kmeansFixed]] (R assignment/update rounds
@@ -1113,6 +1199,7 @@ object SimilarityOps {
       ivfRecall(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
     "sim_neardup_recall" -> ((s, d) =>
       nearDupRecall(t(s, d, "embeddings"), dim = OracleDim)),
+    "emb_rq_encode" -> ((s, d) => rqEncode(t(s, d, "embeddings"))),
     "sim_pq_topk" -> ((s, d) =>
       pqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
         dim = OracleDim)),
@@ -1384,6 +1471,7 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "emb_kmeans_fixed" -> kmeansFixedOracle(4, 3, OracleDim, 1000000L),
     "emb_outliers" -> kmeansFixedOracle(4, 3, OracleDim, 1000000L, "outliers"),
+    "emb_rq_encode" -> rqOracle(8, 2, 8, 2, OracleDim, 1000000L),
 
     // recall audit: both sub-pipelines are the separately-oracled
     // derivations (brute-force + IVF), composed and intersected

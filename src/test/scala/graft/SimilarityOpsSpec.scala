@@ -155,6 +155,35 @@ class SimilarityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rqEncode: two-scale structure is captured — level 1 learns the " +
+    "coarse centers, level 2 the shared offsets, reconstruction ≤ 1 ulp") {
+    import spark.implicits._
+    // centers A=(1,0)/B=(0,1), offsets ±(0.2,0), 2 copies each: level-1
+    // means recover the centers exactly, residuals collapse to ±offset,
+    // level-2 learns them — error bounded by the floor-quantization ulp
+    val rows = Seq(
+      0L -> Array(1.2f, 0.0f), 1L -> Array(0.2f, 1.0f),
+      2L -> Array(0.8f, 0.0f), 3L -> Array(-0.2f, 1.0f),
+      4L -> Array(1.2f, 0.0f), 5L -> Array(0.2f, 1.0f),
+      6L -> Array(0.8f, 0.0f), 7L -> Array(-0.2f, 1.0f))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.rqEncode(rows, k1 = 2, r1 = 2, k2 = 2, r2 = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 8)
+    got.foreach { case (id, (_, _, err)) =>
+      assert(err <= 1L, s"vec $id err_sq $err exceeds the quantization ulp")
+    }
+    // c1 separates the A group (ids 0,2,4,6) from the B group
+    val aC1 = Set(0L, 2L, 4L, 6L).map(got(_)._1)
+    val bC1 = Set(1L, 3L, 5L, 7L).map(got(_)._1)
+    assert(aC1.size == 1 && bC1.size == 1 && aC1 != bC1)
+    // c2 separates +offset (0,1,4,5) from −offset (2,3,6,7)
+    val posC2 = Set(0L, 1L, 4L, 5L).map(got(_)._2)
+    val negC2 = Set(2L, 3L, 6L, 7L).map(got(_)._2)
+    assert(posC2.size == 1 && negC2.size == 1 && posC2 != negC2)
+  }
+
   test("kmeansOutliers: a far point flags, tight cluster members don't") {
     import spark.implicits._
     // two tight groups (the first two vec_ids seed the clusters) plus
