@@ -86,6 +86,41 @@ object QualityOps {
     rows.unionByName(orphans)
   }
 
+  /** Corpus DRIFT detection between two snapshots — the
+    * distribution-shift monitor a recurring ingest runs before mixing
+    * a new crawl into training data. Token mass is bucketed by hash
+    * (the DSIR/perceptron feature space), the reference snapshot's
+    * distribution predicts expected counts in the current one, and
+    * each bucket reports a chi-square-style contribution in EXACT ppm
+    * (integer cross-multiplication — no logs, no floats, so the whole
+    * monitor replays hash-exact; PSI's ln(o/e) is monotone-equivalent
+    * for ranking drifted buckets, which is what the alert consumes).
+    *
+    * Shape: ONE explode + (bucket)-keyed agg with conditional sums for
+    * both snapshots (map-side partials → ≤ B rows per task), totals as
+    * windows over the B-row frame — the corpus is scanned once. */
+  def driftChi2(docs: DataFrame, nBuckets: Int = 64,
+      refPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => c % 2 === 0): DataFrame = {
+    import TextOps.{tokens, strHash, HashMod}
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    docs
+      .select(when(refPred(col("doc_id")), 1L).otherwise(0L).as("is_ref"),
+        explode(transform(tokens(col("text")), x => strHash(x) % nBuckets))
+          .as("f"))
+      .groupBy(col("f"))
+      .agg(sum(col("is_ref")).as("c_ref"),
+        sum(lit(1L) - col("is_ref")).as("c_cur"))
+      .withColumn("t_ref", sum(col("c_ref")).over(all))
+      .withColumn("t_cur", sum(col("c_cur")).over(all))
+      .withColumn("expected", expr("(c_ref * t_cur) div greatest(t_ref, 1)"))
+      .withColumn("chi2_ppm", expr(
+        "((c_cur - expected) * (c_cur - expected) * 1000000) div greatest(expected, 1)"))
+      .select(col("f"), col("c_ref"), col("c_cur"), col("expected"),
+        col("chi2_ppm"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -99,6 +134,8 @@ object QualityOps {
         t(s, d, "lineitem").withColumn("l_shipdate",
           date_format(col("l_shipdate"), "yyyy-MM-dd")),
         ProfileCols)),
+
+    "dq_drift_chi2" -> ((s, d) => driftChi2(t(s, d, "documents"))),
 
     "dq_violations" -> ((s, d) =>
       checkViolations(
@@ -150,6 +187,31 @@ object QualityOps {
       }
       per.mkString("\nUNION ALL\n")
     },
+
+    "dq_drift_chi2" ->
+      s"""WITH tk AS (
+         |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007 % 64 AS f
+         |  FROM (SELECT doc_id,
+         |      unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        x -> x != '')) AS tok
+         |    FROM documents)),
+         |b AS (
+         |  SELECT f, CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+         |    CAST(SUM(1 - is_ref) AS BIGINT) AS c_cur
+         |  FROM tk GROUP BY 1),
+         |w AS (
+         |  SELECT f, c_ref, c_cur,
+         |    CAST(SUM(c_ref) OVER () AS BIGINT) AS t_ref,
+         |    CAST(SUM(c_cur) OVER () AS BIGINT) AS t_cur
+         |  FROM b)
+         |SELECT f, c_ref, c_cur,
+         |  CAST((c_ref * t_cur) // GREATEST(t_ref, 1) AS BIGINT) AS expected,
+         |  CAST(((c_cur - (c_ref * t_cur) // GREATEST(t_ref, 1))
+         |      * (c_cur - (c_ref * t_cur) // GREATEST(t_ref, 1)) * 1000000)
+         |    // GREATEST((c_ref * t_cur) // GREATEST(t_ref, 1), 1) AS BIGINT)
+         |    AS chi2_ppm
+         |FROM w""".stripMargin,
 
     "dq_violations" ->
       """SELECT 'quantity_positive' AS check_name,

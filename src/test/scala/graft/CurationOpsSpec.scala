@@ -155,6 +155,30 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driftChi2: identical snapshots report zero drift; a planted " +
+    "token flood dominates the statistic in exactly its bucket") {
+    import spark.implicits._
+    val balanced = (0L until 20L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val zero = graft.ops.QualityOps.driftChi2(balanced).collect()
+    assert(zero.nonEmpty)
+    zero.foreach(r => assert(r.getLong(4) == 0L,
+      s"identical distributions must show zero drift: $r"))
+    // flood the CURRENT split (odd ids) with a token absent from the
+    // reference: expected=0 → the contribution lands in that bucket
+    val drifted = (0L until 20L).map { i =>
+      if (i % 2 == 1) (i, "alpha beta gamma flood flood flood flood")
+      else (i, "alpha beta gamma")
+    }.toDF("doc_id", "text")
+    val rows = graft.ops.QualityOps.driftChi2(drifted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val top = rows.maxBy(_._4)
+    assert(top._2 == 0L && top._3 == 40L,
+      s"the flooded bucket must be ref-absent with 40 current hits: $top")
+    assert(rows.filter(_ != top).forall(r => r._4 < top._4),
+      "the flooded bucket must dominate the drift statistic")
+  }
+
   test("curatePipeline: exact dups collapse BEFORE span sharing is " +
     "derived, short docs drop at the gate, rollup is per-lang exact") {
     import spark.implicits._
