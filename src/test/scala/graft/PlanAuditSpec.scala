@@ -233,7 +233,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcast K-centroid table (the ivf_topk idiom); DSIR scoring
       // rides a 1-row broadcast weight-array crossJoin
       "emb_knn_graph", "emb_hard_negatives", "curate_dsir_select",
-      "sim_ivfpq_topk")
+      "sim_ivfpq_topk",
+      // the self-measuring recall audits COMPARE against the exhaustive
+      // estimator, so the brute-force side (corpus x broadcast queries /
+      // all-pairs d1 < d2) is the deliberate audit cost — paid on the
+      // sampled audit set only, never the serving path
+      "sim_ivf_recall", "sim_neardup_recall")
     val allowCross = Set("pipe_totals", "pipe_effective_length",
       "agg_heavy_hitters", "agg_kmv_ops")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
