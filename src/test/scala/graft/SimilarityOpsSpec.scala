@@ -184,6 +184,31 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(posC2.size == 1 && negC2.size == 1 && posC2 != negC2)
   }
 
+  test("rqTopK: shortlist covering the corpus ⇒ exact L2 top-k " +
+    "(the rerank restores precision regardless of code coarseness)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val pred = col("vec_id") % 50 === 0
+    val full = SimilarityOps.rqTopK(emb, pred, k = 5, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact L2 top-5 reference from raw vectors, same sequential fold
+    // and (dist, n_id) tie-break as the operator's rerank
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qs = vecs.keys.filter(_ % 50 == 0)
+    val ref = qs.flatMap { q =>
+      vecs.keys.filter(_ != q).map { m =>
+        val d = vecs(q).zip(vecs(m))
+          .map { case (a, b) => (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }
+          .sum
+        (q, m, d)
+      }.toSeq.sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((qq, mm, _), i) => (qq, mm, (i + 1).toLong) }
+    }.toSet
+    assert(full == ref,
+      s"corpus-wide shortlist must equal exact L2 ranking\n got=$full\n ref=$ref")
+  }
+
   test("kmeansOutliers: a far point flags, tight cluster members don't") {
     import spark.implicits._
     // two tight groups (the first two vec_ids seed the clusters) plus
