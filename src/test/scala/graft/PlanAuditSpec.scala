@@ -226,9 +226,10 @@ class PlanAuditSpec extends AnyFunSuite {
     //    archive side
     val allowNested = Set("sim_topk", "sim_ivf_topk", "join_bloom_prefilter",
       "skyline_parts", "emb_semdedup", "dedup_incr_bloom",
-      // PQ: the 1-row codebook crossJoin and the queries-broadcast ADC
-      // join (q_id != n_id) are both deliberate broadcast-NLJ shapes
-      "sim_pq_topk",
+      // PQ/RQ: the 1-row codebook crossJoin and the queries-broadcast
+      // ADC join (q_id != n_id) are both deliberate broadcast-NLJ
+      // shapes (RQ's integer-ADC scan is the same idiom)
+      "sim_pq_topk", "sim_rq_topk",
       // multi-probe assignment scores every vector against the
       // broadcast K-centroid table (the ivf_topk idiom); DSIR scoring
       // rides a 1-row broadcast weight-array crossJoin
