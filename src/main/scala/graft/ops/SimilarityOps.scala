@@ -197,8 +197,49 @@ object SimilarityOps {
            |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
            |  ROUND(dist, 6) AS dist
            |FROM ranked WHERE rank <= 10""".stripMargin
+      case "recall" =>
+        s"""codes AS (SELECT a1.vec_id AS n_id, a1.cl AS cl1, a2.cl AS cl2
+           |  FROM asg1 a1 JOIN asg2 a2 ON a1.vec_id = a2.vec_id),
+           |rec AS (SELECT c.n_id, c1.i, c1.c + c2.c AS rv
+           |  FROM codes c JOIN l1c$r1 c1 ON c1.cl = c.cl1
+           |  JOIN l2c$r2 c2 ON c2.cl = c.cl2 AND c2.i = c1.i),
+           |qq AS (SELECT vec_id AS q_id, i, qv FROM q WHERE vec_id % 100 = 0),
+           |ad AS (SELECT qq.q_id, r.n_id,
+           |    CAST(SUM((qq.qv - r.rv) * (qq.qv - r.rv)) AS BIGINT) AS adist
+           |  FROM qq JOIN rec r ON qq.i = r.i AND qq.q_id != r.n_id
+           |  GROUP BY 1, 2),
+           |short AS (SELECT q_id, n_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, n_id ASC)
+           |      AS srn
+           |  FROM ad),
+           |rerank AS (SELECT s.q_id, s.n_id,
+           |    ${sqlSqd("qe.embedding", "ne.embedding")} AS dist
+           |  FROM short s JOIN embeddings qe ON s.q_id = qe.vec_id
+           |  JOIN embeddings ne ON s.n_id = ne.vec_id
+           |  WHERE s.srn <= $PqShortlist),
+           |iv AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC)
+           |        AS rank FROM rerank) WHERE rank <= 10),
+           |exd AS (SELECT qe.vec_id AS q_id, ne.vec_id AS n_id,
+           |    ${sqlSqd("qe.embedding", "ne.embedding")} AS dist
+           |  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) qe
+           |  JOIN embeddings ne ON qe.vec_id != ne.vec_id),
+           |ex AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC)
+           |        AS rank FROM exd) WHERE rank <= 10),
+           |hits AS (SELECT x.q_id, COUNT(*) AS n_hit
+           |  FROM ex x JOIN iv i ON x.q_id = i.q_id AND x.n_id = i.n_id
+           |  GROUP BY 1),
+           |nex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+           |SELECT n.q_id, CAST(n.n_exact AS BIGINT) AS n_exact,
+           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  CAST(COALESCE(h.n_hit, 0) * 1000000 // GREATEST(n.n_exact, 1) AS BIGINT)
+           |    AS recall_ppm
+           |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin
     }
-    val tailSep = if (mode == "topk") "," else ""
+    val tailSep = if (mode != "encode") "," else ""
     s"""WITH q AS (
        |  SELECT vec_id, unnest(range(1, ${dim + 1})) AS i,
        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $scale.0) AS BIGINT) AS qv
@@ -219,6 +260,41 @@ object SimilarityOps {
        |asg2 AS (SELECT vec_id, cl, dist FROM f2
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1)$tailSep
        |$tail""".stripMargin
+  }
+
+  /** Exact L2 top-k (squared distance, (dist, n_id) ties) — the
+    * reference side of the RQ recall audit; same broadcast-queries /
+    * map-side partial top-k shape as [[bruteForceTopK]]. */
+  private def l2TopK(embeddings: DataFrame, queryPred: Column,
+      k: Int): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"))
+    val topk = udaf(new graft.functions.TopKSimAgg(k))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim", -sqdist(col("q_emb"), col("n_emb")))
+      .groupBy("q_id")
+      .agg(topk(col("n_id"), col("sim")).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+  }
+
+  /** RQ recall audit — [[rqTopK]] against the exhaustive L2 reference,
+    * per query in exact ppm (the [[ivfRecall]] pattern). */
+  def rqRecall(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      shortlist: Int = PqShortlist, k1: Int = 16, r1: Int = 2,
+      k2: Int = 16, r2: Int = 2): DataFrame = {
+    val exact = l2TopK(embeddings, queryPred, k)
+    val approx = rqTopK(embeddings, queryPred, k, shortlist, k1, r1, k2, r2)
+      .select(col("q_id").as("q2"), col("n_id").as("n2"))
+    val hits = exact
+      .join(approx, col("q_id") === col("q2") && col("n_id") === col("n2"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm",
+        expr("(n_hit * 1000000) div greatest(n_exact, 1)"))
   }
 
   /** SELF-MEASURING recall audit: IVF top-k against brute-force top-k,
@@ -1295,6 +1371,8 @@ object SimilarityOps {
     "sim_rq_topk" -> ((s, d) =>
       rqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0,
         k1 = 16, k2 = 16)),
+    "sim_rq_recall" -> ((s, d) =>
+      rqRecall(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
     "sim_pq_topk" -> ((s, d) =>
       pqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
         dim = OracleDim)),
@@ -1568,6 +1646,7 @@ object SimilarityOps {
     "emb_outliers" -> kmeansFixedOracle(4, 3, OracleDim, 1000000L, "outliers"),
     "emb_rq_encode" -> rqOracle(8, 2, 8, 2, OracleDim, 1000000L),
     "sim_rq_topk" -> rqOracle(16, 2, 16, 2, OracleDim, 1000000L, "topk"),
+    "sim_rq_recall" -> rqOracle(16, 2, 16, 2, OracleDim, 1000000L, "recall"),
 
     // recall audit: both sub-pipelines are the separately-oracled
     // derivations (brute-force + IVF), composed and intersected

@@ -239,7 +239,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // estimator, so the brute-force side (corpus x broadcast queries /
       // all-pairs d1 < d2) is the deliberate audit cost — paid on the
       // sampled audit set only, never the serving path
-      "sim_ivf_recall", "sim_neardup_recall")
+      "sim_ivf_recall", "sim_neardup_recall", "sim_rq_recall")
     val allowCross = Set("pipe_totals", "pipe_effective_length",
       "agg_heavy_hitters", "agg_kmv_ops")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
