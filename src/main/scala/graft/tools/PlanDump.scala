@@ -87,6 +87,10 @@ object PlanDump {
     // that chaining dedup→span→gate→rollup adds only the final
     // rollup exchange over the standalone span plan
     "dedup_span_remove", "curate_pipeline",
+    // round-9 sixth wave: RQ serving is the bench's cost ceiling — the
+    // fixture pins the integer-ADC broadcast shape (codes never
+    // shuffle; queries broadcast; rerank broadcasts the shortlist)
+    "sim_rq_topk",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
