@@ -221,6 +221,43 @@ case class TrigramScores(child: Expression, profiles: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** stopword_scores(text, lists) → array<long>: per-list count of
+  * tokens (multiset — duplicates weigh, matching
+  * `size(filter(tokens, _.isin(list)))`) that appear in each word
+  * list, in ONE tokenize pass. The HOF formulation re-instantiates
+  * the split/filter chain once per referencing column (~8× for 4
+  * scores + the argmax `when` chain) because HOFs never participate
+  * in subexpression elimination — the [[TrigramScores]] rationale
+  * applied to the stopword-vote language ID. */
+case class StopwordScores(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val listSets = lists.map(_.toSet)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // NULL text → NULL scores, matching the HOF chain it replaced
+  // (`size(filter(split(NULL)))` is NULL), so the argmax falls through
+  // to "und" and the committed oracle hashes are unchanged.
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val out = new Array[Long](lists.length)
+    val tks = TextKernel.tokens(v.asInstanceOf[UTF8String])
+    var i = 0
+    while (i < tks.length) {
+      val t = tks(i)
+      var p = 0
+      while (p < listSets.length) {
+        if (listSets(p).contains(t)) out(p) += 1L
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** winnow_fps(text, k, w) → array<long>: distinct winnowing
   * fingerprints — the minimum 60-bit md5 prefix of each w-window over
   * the k-char grams of lower(text), ascending. Bit-identical to the
@@ -399,6 +436,8 @@ object TextNative {
     toCol(WinnowFps(toExpr(text), k, w))
   def trigram_scores(text: Column, profiles: Seq[Seq[String]]): Column =
     toCol(TrigramScores(toExpr(text), profiles))
+  def stopword_scores(text: Column, lists: Seq[Seq[String]]): Column =
+    toCol(StopwordScores(toExpr(text), lists))
   def feature_counts(text: Column, nFeatures: Int): Column =
     toCol(FeatureCounts(toExpr(text), nFeatures))
 }

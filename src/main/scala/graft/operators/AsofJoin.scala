@@ -63,7 +63,10 @@ object AsofJoin {
       .withColumn("_side", lit(0))
       .withColumn("_tie",
         if (tieBreak.isEmpty) lit("").cast("string")
-        else concat_ws("\u0000", tieBreak.map(c => col(c).cast("string")): _*))
+        // U+241F (printable unit-separator glyph) keeps the file
+        // grep/diff-friendly; same separator as the native
+        // AsofJoinNative build side so tie ordering stays in parity.
+        else concat_ws("␟", tieBreak.map(c => col(c).cast("string")): _*))
       .select(
         (keys.map(col) :+ col("_ts") :+ col("_side") :+ col("_tie")) ++
           payload.map { case (src, dst) => col(src).as(s"_r_$dst") }: _*)

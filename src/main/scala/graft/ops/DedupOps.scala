@@ -231,10 +231,15 @@ object DedupOps {
     * approximation hashes overlapping fixed-size token windows and
     * counts windows whose hash appears in ≥ 2 DISTINCT documents
     * (within-doc repetition is [[graft.ops.CurationOps]]'s repetition
-    * signal, not cross-doc duplication). Any repeated substring of
-    * length ≥ spanSize + stride − 1 is guaranteed to contain at least
-    * one aligned window on both sides, so recall at that granularity
-    * is structural, not probabilistic.
+    * signal, not cross-doc duplication). Recall condition: a repeated
+    * substring of length ≥ spanSize + stride − 1 is caught IFF its
+    * start offsets in the two documents are congruent mod stride (both
+    * grids then hit the same relative position) — so strided spans see
+    * aligned duplication (full-doc copies, shared prefixes) with a
+    * structural guarantee but only ~1/stride of arbitrary-offset
+    * duplicates. [[spanDupsAnchored]] is the alignment-independent
+    * form (content-defined anchors); this strided form remains the
+    * cheaper detector when duplication is grid-aligned by provenance.
     *
     * Shape at scale: spans are a stride-thinned explode of the scan
     * (|tokens|/stride rows — spanSize/stride ≈ 2× the token stream,
@@ -255,6 +260,67 @@ object DedupOps {
     val starts = when(nToks >= spanSize,
       sequence(lit(1L), nToks - (spanSize - 1), lit(stride.toLong)))
       .otherwise(array().cast("array<bigint>"))
+    val spans = tk
+      .select(col("doc_id"), explode(transform(starts,
+        s => md5(array_join(slice(col("toks"), s.cast("int"), lit(spanSize)), " "))))
+        .as("span_h"))
+    val shared = spans.groupBy("span_h")
+      .agg(countDistinct("doc_id").as("n_docs_span"))
+      .filter(col("n_docs_span") >= 2)
+    val perDoc = spans.join(shared, Seq("span_h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs_span").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac_ppm",
+        expr("(n_dup_spans * 1000000) div greatest(n_spans, 1)"))
+  }
+
+  /** Anchor density for [[spanDupsAnchored]]: a span starts wherever
+    * the token's hash ≡ 0 (mod AnchorMod), i.e. at an expected 1-in-8
+    * of positions — matching [[SpanStride]]'s ~10 % span density, so
+    * the anchored variant costs what the strided one does. */
+  val AnchorMod = 8
+
+  /** Content-defined (anchored) duplicated-span detection — the
+    * alignment-robust form of [[spanDups]].
+    *
+    * Why: strided spans sit on each document's own position grid, so a
+    * substring shared by two documents produces hash-equal windows only
+    * when its start offsets are CONGRUENT mod stride — for random
+    * offsets the strided detector sees only ~1/stride of cross-doc
+    * duplicates, no matter how long they are (the round-9 verdict's
+    * alignment gap, pinned with a planted counterexample in
+    * SpanAnchoredSpec). The content-defined-chunking fix (the backup-
+    * dedup/rsync anchoring idea applied to token streams): a span
+    * starts at every position whose TOKEN hashes to 0 mod
+    * [[AnchorMod]]. Start positions are then a function of the content
+    * alone, so both copies of a duplicated substring anchor at the
+    * same relative offsets and produce identical span hashes — recall
+    * is offset-independent by construction. A shared substring is
+    * detected iff it contains an anchor with spanSize tokens still
+    * inside it; anchors arrive at expected gap [[AnchorMod]], so
+    * spans of length ≥ spanSize + a few anchor gaps are caught with
+    * probability → 1 (geometric in the overhang), and the miss
+    * probability is content-seeded, not offset-seeded.
+    *
+    * Shape at scale: identical to [[spanDups]] — the anchor filter is
+    * a narrow HOF over each row's token positions (~1/AnchorMod of the
+    * token stream explodes), the shared-span table is a keyed count
+    * agg with map-side combine, and the rollup join is keyed on
+    * doc_id. No all-pairs anywhere. */
+  def spanDupsAnchored(docs: DataFrame, textCol: String = "text",
+      spanSize: Int = SpanSize, anchorMod: Int = AnchorMod): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val nToks = size(col("toks")).cast("long")
+    val starts = filter(
+      when(nToks >= spanSize, sequence(lit(1L), nToks - (spanSize - 1)))
+        .otherwise(array().cast("array<bigint>")),
+      s => TextOps.strHash(element_at(col("toks"), s.cast("int")))
+        % anchorMod === 0)
     val spans = tk
       .select(col("doc_id"), explode(transform(starts,
         s => md5(array_join(slice(col("toks"), s.cast("int"), lit(spanSize)), " "))))
@@ -514,6 +580,7 @@ object DedupOps {
     "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(t(s, d, "documents"))),
     "dedup_span_exact" -> ((s, d) => spanDups(t(s, d, "documents"))),
+    "dedup_span_anchored" -> ((s, d) => spanDupsAnchored(t(s, d, "documents"))),
     "dedup_span_remove" -> ((s, d) => spanRemove(t(s, d, "documents"))),
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(t(s, d, "documents"))),
     "dedup_incr_bloom" -> ((s, d) => incrementalNovelPairs(t(s, d, "events"))),
@@ -762,6 +829,42 @@ object DedupOps {
          |  SELECT doc_id, toks,
          |    unnest(CASE WHEN len(toks) >= ${SpanSize}
          |      THEN range(1, len(toks) - ${SpanSize - 2}, ${SpanStride})
+         |      ELSE []::BIGINT[] END) AS s
+         |  FROM tk),
+         |spans AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(toks[s : s + ${SpanSize - 1}], ' ')) AS span_h
+         |  FROM st),
+         |shared AS (
+         |  SELECT span_h FROM spans GROUP BY 1
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |perdoc AS (
+         |  SELECT sp.doc_id, COUNT(1) AS n_spans,
+         |    SUM(CASE WHEN sh.span_h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_dup_spans
+         |  FROM spans sp LEFT JOIN shared sh ON sp.span_h = sh.span_h
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+         |  COALESCE(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+         |  (COALESCE(p.n_dup_spans, 0) * 1000000
+         |    // GREATEST(COALESCE(p.n_spans, 0), 1))::BIGINT AS dup_frac_ppm
+         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin,
+
+    // content-defined spans: starts at token-hash anchors (h ≡ 0 mod
+    // AnchorMod), offset-independent by construction
+    "dedup_span_anchored" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x != '') AS toks
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks,
+         |    unnest(CASE WHEN len(toks) >= ${SpanSize}
+         |      THEN list_filter(range(1, len(toks) - ${SpanSize - 2}),
+         |        i -> (('0x' || substr(md5(toks[i::INT]),1,15))::BIGINT
+         |              % ${HashMod}) % ${AnchorMod} = 0)
          |      ELSE []::BIGINT[] END) AS s
          |  FROM tk),
          |spans AS (

@@ -784,15 +784,17 @@ object SimilarityOps {
     * construction (quantization error), measured in SimilarityOpsSpec
     * against brute force. */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
-      nCentroids: Int = 16, nProbe: Int = 3,
+      nCentroids: Int = AutoCentroids, nProbe: Int = 3,
       centroids: Option[DataFrame] = None): DataFrame = {
+    // lazy: with caller-trained centroids the sizing count never runs
+    lazy val kCent = resolveK(embeddings, nCentroids)
     // both sides screened for defined cosines: a zero/NaN-norm corpus
     // row can neither probe nor match, and an unscreened one either
     // ANSI-crashes the divide (zero) or NaN-outranks every real
     // neighbor (Spark sorts NaN greatest). Caller-supplied centroids
     // get the same screen — a degenerate centroid must not own a cell.
     val cents = centroids.getOrElse(
-      embeddings.filter(col("vec_id") < nCentroids)
+      embeddings.filter(col("vec_id") < kCent)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
           norm(col("embedding")).as("c_nrm")))
       .filter(definedNrm(col("c_nrm")))
@@ -852,8 +854,9 @@ object SimilarityOps {
     * screened out (same [[definedNrm]] stance as every similarity
     * operator). */
   def semDedup(embeddings: DataFrame, tau: Double = SemTau,
-      nCentroids: Int = SemCentroids): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < nCentroids)
+      nCentroids: Int = AutoCentroids): DataFrame = {
+    val kCent = resolveK(embeddings, nCentroids)
+    val cents = embeddings.filter(col("vec_id") < kCent)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_nrm"))
       .filter(definedNrm(col("c_nrm")))
@@ -882,15 +885,54 @@ object SimilarityOps {
     * SQL). tau sits at the corpus's near-pair cosine knee (the same
     * 0.45 regime as [[NdTau]]) so the demo actually drops rows. */
   val SemTau = 0.45
-  val SemCentroids = 64
 
   /** kNN-graph parameters for the driver query (shared with the
     * oracle SQL). nProbes=2 multi-assignment recovers most
     * cell-boundary neighbors the single-cell SemDeDup trade-off
     * loses. */
   val KnnK = 5
-  val KnnCentroids = 64
   val KnnProbes = 2
+
+  // ---------------------------------------------- coarse-cell auto-sizing
+
+  /** Corpus-driven coarse-cell sizing (the FAISS `nlist ≈ N/cell`
+    * convention): every cluster-scoped operator's in-cell candidate
+    * work is Σ(P·|cell|)² — QUADRATIC in cell size — so a K pinned at
+    * one corpus size densifies cells k× on k× data and does k² the
+    * work (the measured 48× sf1 slope of `emb_knn_graph` at fixed
+    * K=64; KnnScaleProbe). Growing K with the corpus keeps E[|cell|]
+    * at [[TargetCellSize]], making total in-cell work LINEAR in N
+    * with no hand-picked parameter.
+    *
+    * The formula is deterministic in row count alone, so the DuckDB
+    * oracles encode it verbatim ([[sqlAutoK]]) and the gate holds at
+    * any scale factor: K = max([[MinCentroids]], ⌈N / cell⌉).
+    * TargetCellSize=32 reproduces the historical K=64 at sf0.01/sf0.1
+    * (500 / 2 000 vectors) — committed hashes and plans unchanged —
+    * and sizes sf1's 20 000 vectors to K=625, the regime the probe
+    * measured at ~10× lower wall time than pinned K. */
+  val TargetCellSize = 32
+  val MinCentroids = 64
+
+  /** Sentinel default for `nCentroids` params: resolve from the
+    * corpus size via [[autoCentroids]] (one metadata-cheap `count()`
+    * on the embeddings scan). */
+  val AutoCentroids = 0
+
+  def autoCentroids(n: Long): Int =
+    math.max(MinCentroids.toLong,
+      (n + TargetCellSize - 1) / TargetCellSize.toLong).toInt
+
+  /** Resolve a caller-supplied or sentinel centroid count. */
+  private def resolveK(embeddings: DataFrame, nCentroids: Int): Int =
+    if (nCentroids > 0) nCentroids else autoCentroids(embeddings.count())
+
+  /** The oracle-SQL rendering of [[autoCentroids]] over the
+    * `embeddings` table — a scalar subquery, so the oracle tracks the
+    * corpus exactly like the engine does. */
+  private def sqlAutoK: String =
+    s"(SELECT GREATEST($MinCentroids, " +
+      s"CAST(CEIL(COUNT(*) / $TargetCellSize.0) AS BIGINT)) FROM embeddings)"
 
   /** Shared multi-probe coarse assignment: every screened vector →
     * its top-`nProbes` first-K sample centroids ((c_sim DESC, cid ASC)
@@ -899,7 +941,8 @@ object SimilarityOps {
     * and [[hardNegatives]]. */
   private def multiProbeAssign(embeddings: DataFrame, nCentroids: Int,
       nProbes: Int): (DataFrame, DataFrame) = {
-    val cents = embeddings.filter(col("vec_id") < nCentroids)
+    val kCent = resolveK(embeddings, nCentroids)
+    val cents = embeddings.filter(col("vec_id") < kCent)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_nrm"))
       .filter(definedNrm(col("c_nrm")))
@@ -940,7 +983,7 @@ object SimilarityOps {
     * build. Zero/NaN-norm vectors neither probe nor match
     * ([[definedNrm]]). */
   def knnGraph(embeddings: DataFrame, k: Int = KnnK,
-      nCentroids: Int = KnnCentroids, nProbes: Int = KnnProbes): DataFrame = {
+      nCentroids: Int = AutoCentroids, nProbes: Int = KnnProbes): DataFrame = {
     val (vecs, assign) = multiProbeAssign(embeddings, nCentroids, nProbes)
     val cand = assign.select(col("cid"), col("vec_id").as("src"))
       .join(assign.select(col("cid").as("cid2"), col("vec_id").as("dst")),
@@ -962,7 +1005,6 @@ object SimilarityOps {
   /** Hard-negative mining parameters for the driver query (shared
     * with the oracle SQL). */
   val HnNegK = 3
-  val HnCentroids = 64
   val HnProbes = 2
 
   /** Contrastive training-pair mining — for every anchor vector, the
@@ -982,7 +1024,7 @@ object SimilarityOps {
     * production behavior (mine more probes if positives are missing).
     * Deterministic end to end; DuckDB replays the full build. */
   def hardNegatives(embeddings: DataFrame, anchorPred: Column,
-      negK: Int = HnNegK, nCentroids: Int = HnCentroids,
+      negK: Int = HnNegK, nCentroids: Int = AutoCentroids,
       nProbes: Int = HnProbes): DataFrame = {
     val (vecs0, assign) = multiProbeAssign(embeddings, nCentroids, nProbes)
     val labels = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
@@ -1179,7 +1221,7 @@ object SimilarityOps {
     * coverage is part of the output contract. Deterministic end to
     * end; DuckDB replays graph build + all rounds. */
   def knnLabelProp(embeddings: DataFrame, seedPred: Column,
-      rounds: Int = LpRounds, k: Int = KnnK, nCentroids: Int = KnnCentroids,
+      rounds: Int = LpRounds, k: Int = KnnK, nCentroids: Int = AutoCentroids,
       nProbes: Int = KnnProbes): DataFrame = {
     val edges = knnGraph(embeddings, k, nCentroids, nProbes)
       .select(col("src"), col("dst"))
@@ -1612,7 +1654,7 @@ object SimilarityOps {
        |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
        |  FROM embeddings),
        |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
-       |         FROM e WHERE vec_id < $KnnCentroids),
+       |         FROM e WHERE vec_id < $sqlAutoK),
        |asg0 AS (
        |  SELECT e.vec_id, cent.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1708,7 +1750,7 @@ object SimilarityOps {
          |    CAST(label AS BIGINT) AS label
          |  FROM embeddings),
          |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
-         |         FROM e WHERE vec_id < $HnCentroids),
+         |         FROM e WHERE vec_id < $sqlAutoK),
          |asg0 AS (
          |  SELECT e.vec_id, cent.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1742,7 +1784,7 @@ object SimilarityOps {
          |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
          |  FROM embeddings),
          |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
-         |         FROM e WHERE vec_id < $KnnCentroids),
+         |         FROM e WHERE vec_id < $sqlAutoK),
          |asg0 AS (
          |  SELECT e.vec_id, cent.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1866,7 +1908,7 @@ object SimilarityOps {
       s"""WITH e AS (
          |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
          |  FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $SemCentroids),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $sqlAutoK),
          |asg0 AS (
          |  SELECT e.vec_id, e.emb, e.nrm, cent.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id

@@ -75,23 +75,36 @@ object TextOps {
           (lit(1.0) - punctCnt / nChar) * 0.2, 6).as("quality_score"))
   }
 
+  /** Stopword lists for [[languageId]] — shared with the kernel-parity
+    * spec and the oracle SQL literals. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "y", "es", "una"))
+
   /** Stopword-vote language ID (n-gram-free heuristic; deterministic
-    * argmax with fixed priority en > de > fr > es). */
+    * argmax with fixed priority en > de > fr > es). One-pass native
+    * kernel: the HOF formulation (`size(filter(tokens, isin))` per
+    * language) re-ran the split/filter tokenizer ~8× per row — same
+    * fix as [[languageIdNgram]]'s `trigram_scores`; HOF ≡ kernel is
+    * pinned row-exhaustively in StopwordKernelSpec. */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    def score(words: Seq[String]) = size(filter(toks, x => x.isin(words: _*))).cast("long")
-    val en = score(Seq("the", "and", "of", "to", "is"))
-    val de = score(Seq("der", "die", "und", "ist", "das"))
-    val fr = score(Seq("le", "les", "et", "est", "une"))
-    val es = score(Seq("el", "los", "y", "es", "una"))
-    docs.select(
-      col("doc_id"), col("lang").as("labeled_lang"),
-      en.as("en_score"), de.as("de_score"), fr.as("fr_score"), es.as("es_score"),
-      when(en >= greatest(de, fr, es) && en > 0, "en")
-        .when(de >= greatest(fr, es) && de > 0, "de")
-        .when(fr >= es && fr > 0, "fr")
-        .when(es > 0, "es")
-        .otherwise("und").as("pred_lang"))
+    val allScores = graft.functions.TextNative
+      .stopword_scores(col(textCol), StopwordProfiles.map(_._2))
+    val withScores = docs.withColumn("_sw", allScores)
+    val scores = StopwordProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(col("_sw"), i + 1)
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    withScores.select(
+      (Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        scores.map { case (l, s) => s.as(s"${l}_score") }) ++ Seq(
+        when(en >= greatest(de, fr, es) && en > 0, "en")
+          .when(de >= greatest(fr, es) && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("und").as("pred_lang")): _*)
   }
 
   /** Character-trigram profiles for n-gram language ID. Tiny curated

@@ -723,7 +723,7 @@ object AsofJoinNative {
     val tieCols =
       if (tieBreak.isEmpty) Nil
       else Seq(org.apache.spark.sql.functions
-        .concat_ws(" ", tieBreak.map(c0 => col(c0).cast("string")): _*)
+        .concat_ws("␟", tieBreak.map(c0 => col(c0).cast("string")): _*)
         .as("__tb"))
     val rSel = right.select(
       keys.map(k => col(k).as(s"__rk_$k")) ++

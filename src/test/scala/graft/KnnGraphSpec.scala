@@ -48,7 +48,7 @@ class KnnGraphSpec extends AnyFunSuite {
     val r1 = p1.intersect(exactEdges).size.toDouble / exactEdges.size
     val r2 = p2.intersect(exactEdges).size.toDouble / exactEdges.size
     info(f"kNN-graph edge recall: P=1 $r1%.3f, P=2 $r2%.3f " +
-      f"(k=${SimilarityOps.KnnK}, ${SimilarityOps.KnnCentroids} cells)")
+      f"(k=${SimilarityOps.KnnK}, auto-sized cells)")
     assert(r2 >= r1, "multi-probe can only add candidate cells")
     assert(r2 >= 0.35, f"P=2 recall $r2%.3f")
   }
