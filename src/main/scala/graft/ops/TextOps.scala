@@ -373,6 +373,106 @@ object TextOps {
     } finally vocab.unpersist()
   }
 
+  // ------------------------------------------- unigram-LM tokenizer
+
+  /** Unigram-LM (SentencePiece-family) trainer parameters — shared
+    * with the oracle SQL generator so the two replays cannot desync.
+    * MaxWordLen bounds the position-unrolled Viterbi DP in the DuckDB
+    * replay; longer words fall back to per-character pieces on BOTH
+    * engines (a deterministic rule, not an approximation mismatch). */
+  val UniMaxPieceLen = 4
+  val UniMaxWordLen = 12
+  val UniVocab = 64
+  val UniRounds = 2
+
+  /** Unigram-LM tokenizer training — the OTHER production tokenizer
+    * family next to [[bpeTrainMerges]]'s BPE: instead of greedy merge
+    * growing, a piece VOCABULARY is scored as a unigram language model
+    * and refined by EM. This is hard-EM (Viterbi-EM): the E-step
+    * segments every vocab word with the current piece costs (exact
+    * integer milli-log2 costs, [[graft.functions.UnigramKernel]]), the
+    * M-step re-estimates piece counts from the segmentations and
+    * prunes multi-char pieces that no best-segmentation uses (single
+    * chars are floored at count 1 so every string stays encodable —
+    * the SentencePiece character-coverage rule).
+    *
+    * Candidate init: all substrings of length 1..[[UniMaxPieceLen]]
+    * of the token vocabulary, occurrence-weighted by word frequency;
+    * top-[[UniVocab]] by (count DESC, piece ASC) plus all single
+    * characters.
+    *
+    * Shape at scale: the corpus is touched ONCE (the word-frequency
+    * vocab agg — the [[bpeTrainMerges]] phase-1 shape); every EM round
+    * runs over the VOCABULARY (corpus-sublinear, Heaps' law) with the
+    * piece table collected driver-side (≤ UniVocab + |alphabet| rows —
+    * the kmeans/perceptron train-then-apply discipline) and the
+    * segmenter applied as a native expression, one keyed agg per
+    * round. Exact-integer costs make the whole training replayable in
+    * DuckDB ([[unigramOracle]]): floor-log2 comes from the bit length,
+    * the fractional octave from an integer linear interpolation —
+    * no floating point anywhere in a comparison. */
+  def unigramTrain(docs: DataFrame, textCol: String = "text",
+      rounds: Int = UniRounds): DataFrame = {
+    import graft.functions.UnigramKernel.log2Milli
+    val spark = docs.sparkSession
+    val wv = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      // init candidates: every substring of length 1..MaxPieceLen,
+      // weighted by word frequency (overlapping occurrences count)
+      val sub = wv.select(col("n"), explode(flatten(transform(
+          sequence(lit(1), length(col("w"))),
+          s => transform(
+            sequence(lit(1), least(lit(UniMaxPieceLen), length(col("w")) - s + 1)),
+            l => col("w").substr(s, l))))).as("piece"))
+        .groupBy("piece").agg(sum("n").as("cnt"))
+        .persist()
+      val top = sub.orderBy(col("cnt").desc, col("piece").asc).limit(UniVocab)
+      val singles = sub.filter(length(col("piece")) === 1)
+      var pc: Map[String, Long] = top.unionByName(singles)
+        .groupBy("piece").agg(max("cnt").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      sub.unpersist()
+      for (_ <- 1 to rounds) {
+        val total = pc.values.sum
+        val costs = pc.toSeq.map { case (p, c) =>
+          p -> (log2Milli(total) - log2Milli(c)) }
+        val enc = graft.functions.UnigramNative.unigram_encode(
+          col("w"), costs, UniMaxWordLen, UniMaxPieceLen)
+        val used = wv.filter(length(col("w")) <= UniMaxWordLen)
+          .select(col("n"), explode(enc).as("piece"))
+          .groupBy("piece").agg(sum("n").as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        pc = used ++ pc.keysIterator
+          .filter(p => p.length == 1 && !used.contains(p)).map(_ -> 1L)
+      }
+      val total = pc.values.sum
+      val rows = pc.toSeq.sortBy(_._1).map { case (p, c) =>
+        (p, c, log2Milli(total) - log2Milli(c)) }
+      spark.createDataFrame(rows).toDF("piece", "cnt", "cost_milli")
+    } finally wv.unpersist()
+  }
+
+  /** Corpus encoding with the trained unigram vocabulary: per-doc
+    * token/piece/cost accounting via the one-pass
+    * [[graft.functions.UnigramStats]] kernel — train (vocab-scale,
+    * driver-collected) then apply (one narrow corpus scan, zero
+    * shuffle before the per-doc projection). */
+  def unigramCorpusStats(docs: DataFrame, textCol: String = "text",
+      rounds: Int = UniRounds): DataFrame = {
+    import graft.functions.UnigramKernel.log2Milli
+    val trained = unigramTrain(docs, textCol, rounds).collect()
+    val costs = trained.map(r => r.getString(0) -> r.getLong(2)).toSeq
+    val total = trained.map(_.getLong(1)).sum
+    val st = graft.functions.UnigramNative.unigram_stats(
+      col(textCol), costs, log2Milli(total), UniMaxWordLen, UniMaxPieceLen)
+    docs.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+        col("st.n_pieces").as("n_pieces"),
+        col("st.cost_milli").as("cost_milli"))
+  }
+
   /** Query-term set for the driver's `txt_bm25` query (shared with the
     * oracle SQL literals). High-frequency corpus terms so every doc
     * has a chance to score. */
@@ -695,6 +795,135 @@ object TextOps {
        |$tail""".stripMargin
   }
 
+  /** Exact-integer milli-log2 in DuckDB — the SQL twin of
+    * [[graft.functions.UnigramKernel.log2Milli]]: floor-log2 from the
+    * binary-string length, fractional octave by integer linear
+    * interpolation. Bit-identical to the Scala form for all n ≥ 1. */
+  private def sqlL2M(x: String): String =
+    s"(1000*(length(bin($x))-1) + ((($x)*1000) >> (length(bin($x))-1)) - 1000)"
+
+  /** Full-training SQL replay of [[unigramTrain]] /
+    * [[unigramCorpusStats]]. The Viterbi DP is unrolled by position
+    * (d{tag}_0..d{tag}_W CTEs, each choosing the (cost ASC, plen DESC)
+    * winner over the ≤ MaxPieceLen predecessors — the exact JVM
+    * tie-break) and the path is recovered by an unrolled backtrace
+    * (bt{tag}_k walks j → j − plen emitting the consumed piece), the
+    * labelPropOracle round-generation idiom applied to a DP. Piece
+    * costs are [[sqlL2M]] integers, so every segmentation decision
+    * replays bit-identically. */
+  private[graft] def unigramOracle(rounds: Int, mode: String): String = {
+    val P = UniMaxPieceLen; val W = UniMaxWordLen
+    // DP + backtrace over word CTE `wordsCte` (col w) with piece-cost
+    // CTE `costCte` (piece, cost); emits seg{tag}(w, piece) rows —
+    // one per consumed piece instance
+    def dpCtes(tag: String, wordsCte: String, costCte: String): String = {
+      val d0 = s"d${tag}_0 AS MATERIALIZED (SELECT w, 0::BIGINT AS cost, 0 AS plen FROM $wordsCte)"
+      val dj = (1 to W).map { j =>
+        val cands = (1 to math.min(P, j)).map { p =>
+          s"""SELECT d.w, d.cost + p.cost AS cost, $p AS plen
+             |      FROM d${tag}_${j - p} d JOIN $costCte p
+             |        ON p.piece = substr(d.w, ${j - p + 1}, $p)
+             |      WHERE length(d.w) >= $j""".stripMargin
+        }.mkString("\n      UNION ALL\n      ")
+        s"""d${tag}_$j AS MATERIALIZED (
+           |  SELECT w, cost, plen FROM (
+           |    SELECT w, cost, plen,
+           |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY cost ASC, plen DESC) AS rn
+           |    FROM (
+           |      $cands))
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val dall = s"""dall$tag AS MATERIALIZED (
+         |  ${(1 to W).map(j => s"SELECT $j AS j, w, plen FROM d${tag}_$j")
+              .mkString("\n  UNION ALL\n  ")})""".stripMargin
+      val bt0 = s"bt${tag}_0 AS MATERIALIZED (SELECT w, length(w)::BIGINT AS j FROM $wordsCte)"
+      val btk = (1 to W).map { k =>
+        s"""bt${tag}_$k AS MATERIALIZED (
+           |  SELECT b.w, (b.j - d.plen)::BIGINT AS j,
+           |    substr(b.w, (b.j - d.plen + 1)::INT, d.plen::INT) AS piece
+           |  FROM bt${tag}_${k - 1} b JOIN dall$tag d ON d.w = b.w AND d.j = b.j
+           |  WHERE b.j > 0)""".stripMargin
+      }
+      val segs = s"""seg$tag AS MATERIALIZED (
+         |  ${(1 to W).map(k => s"SELECT w, piece FROM bt${tag}_$k")
+              .mkString("\n  UNION ALL\n  ")})""".stripMargin
+      (Seq(d0) ++ dj ++ Seq(dall, bt0) ++ btk ++ Seq(segs)).mkString(",\n")
+    }
+    val init =
+      s"""wv AS MATERIALIZED (
+         |  SELECT w, COUNT(1)::BIGINT AS n
+         |  FROM (SELECT unnest($sqlToks) AS w FROM documents) GROUP BY 1),
+         |twv AS MATERIALIZED (SELECT w, n FROM wv WHERE length(w) BETWEEN 1 AND $W),
+         |sub AS MATERIALIZED (
+         |  SELECT piece, SUM(n)::BIGINT AS cnt FROM (
+         |    SELECT substr(w, s.i::INT, l.j::INT) AS piece, n
+         |    FROM wv,
+         |      unnest(range(1, length(w) + 1)) AS s(i),
+         |      unnest(range(1, ${P + 1})) AS l(j)
+         |    WHERE l.j <= length(w) - s.i + 1)
+         |  GROUP BY 1),
+         |topv AS (SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece ASC LIMIT $UniVocab),
+         |pc0 AS MATERIALIZED (
+         |  SELECT piece, MAX(cnt)::BIGINT AS cnt FROM (
+         |    SELECT * FROM topv
+         |    UNION ALL SELECT piece, cnt FROM sub WHERE length(piece) = 1)
+         |  GROUP BY 1)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"pc${r - 1}"
+      s"""pcc$r AS MATERIALIZED (
+         |  SELECT piece, (${sqlL2M("tt.t")} - ${sqlL2M("cnt")})::BIGINT AS cost
+         |  FROM $prev, (SELECT SUM(cnt)::BIGINT AS t FROM $prev) tt),
+         |${dpCtes(s"r$r", "twv", s"pcc$r")},
+         |usage$r AS MATERIALIZED (
+         |  SELECT s.piece, SUM(v.n)::BIGINT AS cnt
+         |  FROM segr$r s JOIN twv v ON v.w = s.w GROUP BY 1),
+         |pc$r AS MATERIALIZED (
+         |  SELECT piece, cnt FROM usage$r
+         |  UNION ALL
+         |  SELECT piece, 1::BIGINT FROM $prev
+         |  WHERE length(piece) = 1
+         |    AND piece NOT IN (SELECT piece FROM usage$r))""".stripMargin
+    }.mkString(",\n")
+    val fin = s"pc$rounds"
+    val tail = mode match {
+      case "train" =>
+        s"""SELECT piece, cnt::BIGINT AS cnt,
+           |  (${sqlL2M("tt.t")} - ${sqlL2M("cnt")})::BIGINT AS cost_milli
+           |FROM $fin, (SELECT SUM(cnt)::BIGINT AS t FROM $fin) tt""".stripMargin
+      case "corpus" =>
+        s""",pccf AS MATERIALIZED (
+           |  SELECT piece, (${sqlL2M("tt.t")} - ${sqlL2M("cnt")})::BIGINT AS cost
+           |  FROM $fin, (SELECT SUM(cnt)::BIGINT AS t FROM $fin) tt),
+           |defc AS MATERIALIZED (
+           |  SELECT ${sqlL2M("tt.t")}::BIGINT AS c
+           |  FROM (SELECT SUM(cnt)::BIGINT AS t FROM $fin) tt),
+           |cw AS MATERIALIZED (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+           |dws AS MATERIALIZED (SELECT DISTINCT w FROM cw WHERE length(w) BETWEEN 1 AND $W),
+           |${dpCtes("f", "dws", "pccf")},
+           |wps AS MATERIALIZED (
+           |  SELECT s.w, COUNT(1)::BIGINT AS n_pieces, SUM(p.cost)::BIGINT AS cost
+           |  FROM segf s JOIN pccf p ON p.piece = s.piece GROUP BY 1),
+           |lws AS MATERIALIZED (
+           |  SELECT w, length(w)::BIGINT AS n_pieces, SUM(cst)::BIGINT AS cost FROM (
+           |    SELECT x.w AS w, COALESCE(p.cost, (SELECT c FROM defc)) AS cst
+           |    FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i
+           |          FROM (SELECT DISTINCT w FROM cw WHERE length(w) > $W)) x
+           |    LEFT JOIN pccf p ON p.piece = substr(x.w, x.i::INT, 1))
+           |  GROUP BY 1),
+           |ws AS MATERIALIZED (SELECT * FROM wps UNION ALL SELECT * FROM lws),
+           |agg AS (
+           |  SELECT c.doc_id, COUNT(1)::BIGINT AS n_tokens,
+           |    SUM(s.n_pieces)::BIGINT AS n_pieces, SUM(s.cost)::BIGINT AS cost_milli
+           |  FROM cw c JOIN ws s ON s.w = c.w GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+           |  COALESCE(a.n_pieces, 0)::BIGINT AS n_pieces,
+           |  COALESCE(a.cost_milli, 0)::BIGINT AS cost_milli
+           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    }
+    if (mode == "train") s"WITH $init,\n$roundCtes\n$tail"
+    else s"WITH $init,\n$roundCtes$tail"
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -731,6 +960,15 @@ object TextOps {
     // oracle replays all four rounds in SQL (identical greedy-replace
     // semantics verified in both engines).
     "bpe_train_merges" -> ((s, d) => bpeTrainMerges(t(s, d, "documents"))),
+    // unigram-LM (SentencePiece-family) tokenizer TRAINING — the
+    // second production tokenizer family; hard-EM over a substring
+    // candidate vocab with exact integer milli-log2 costs, so the
+    // DuckDB oracle replays the full training (candidate extraction,
+    // both Viterbi E-steps, both count M-steps) bit-identically
+    "unigram_train" -> ((s, d) => unigramTrain(t(s, d, "documents"))),
+    // corpus encode with the trained unigram vocab: train (driver-
+    // collected, vocab-scale) then one narrow corpus scan
+    "txt_unigram_corpus" -> ((s, d) => unigramCorpusStats(t(s, d, "documents"))),
     // corpus-scale BPE tokenization with the NATIVE kernel (the
     // fixture-literal txt_bpe_encode pins encoder edge cases; this one
     // runs the encoder over every document). The oracle replays the
@@ -881,6 +1119,8 @@ object TextOps {
     },
 
     "bpe_train_merges" -> bpeTrainSql(BpeTrainRounds),
+    "unigram_train" -> unigramOracle(UniRounds, "train"),
+    "txt_unigram_corpus" -> unigramOracle(UniRounds, "corpus"),
 
     "txt_bpe_corpus" -> {
       // replay the encoder's merge table in rank order as nested
