@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // auto-rewrite naive geodesic theta-joins into grid-cell equi-joins
     ext.injectOptimizerRule(_ => graft.plans.GeodesicJoinRule)
+    // ... and naive vector-similarity theta-joins (vec_sqdist <= t /
+    // vec_cos_sim >= tau) into the embedding-space grid equi-join
+    ext.injectOptimizerRule(_ => graft.plans.VecSimJoinRule)
     // lower AsofJoinNode to the native streaming-merge physical operator
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
 
@@ -61,6 +64,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_dot",
       "vec_dot(array<float>, array<float>) - sequential double-precision dot product") {
       e => VecDot(e(0), e(1))
+    }
+    inject("vec_sqdist",
+      "vec_sqdist(array<float>, array<float>) - squared Euclidean distance, " +
+        "shorter vector zero-padded; joins on vec_sqdist(a,b) <= t auto-rewrite " +
+        "to a grid equi-join (VecSimJoinRule)") {
+      e => VecSqdist(e(0), e(1))
+    }
+    inject("vec_cos_sim",
+      "vec_cos_sim(array<float>, array<float>) - cosine similarity (NaN on zero " +
+        "norms); joins on vec_cos_sim(a,b) >= tau auto-rewrite to a grid " +
+        "equi-join (VecSimJoinRule)") {
+      e => VecCosSim(e(0), e(1))
     }
     inject("pq_encode",
       "pq_encode(array<float>, array<array<float>>, nSubs, nCodes) - PQ codeword " +

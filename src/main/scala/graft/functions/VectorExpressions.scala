@@ -273,11 +273,131 @@ case class PqAdc(first: Expression, second: Expression, third: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
+/** vec_sqdist(a, b) → double: squared Euclidean distance with
+  * ZERO-PADDING semantics — the shorter vector is treated as padded
+  * with 0.0, so the result is total (defined for any length pair).
+  * This exact convention is what makes [[graft.plans.VecSimJoinRule]]'s
+  * grid rewrite lossless: the cell coordinates coalesce missing dims
+  * to 0.0, matching the padding here, so |a_i − b_i| ≤ √τ holds for
+  * every dimension the cells quantize whenever the predicate holds. */
+case class VecSqdist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_sqdist requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    val mx = math.max(n, m)
+    var acc = 0.0
+    var i = 0
+    while (i < mx) {
+      val xv = if (i < n) x.getFloat(i).toDouble else 0.0
+      val yv = if (i < m) y.getFloat(i).toDouble else 0.0
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val mx = ctx.freshName("mx"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $x.numElements(); int $m = $y.numElements();
+         |int $mx = java.lang.Math.max($n, $m);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $mx; $i++) {
+         |  double $d = ($i < $n ? (double) $x.getFloat($i) : 0.0)
+         |    - ($i < $m ? (double) $y.getFloat($i) : 0.0);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** vec_cos_sim(a, b) → double: cosine similarity under the same
+  * zero-padding convention as [[VecSqdist]] (inner product is total;
+  * each norm is over its own vector). Zero or NaN norms yield NaN —
+  * never a match under any threshold comparison, which is exactly the
+  * behavior [[graft.plans.VecSimJoinRule]]'s rewrite preserves (NaN
+  * cells drop the row; the residual predicate would reject it too). */
+case class VecCosSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_cos_sim requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    val mx = math.max(n, m)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < mx) {
+      val xv = if (i < n) x.getFloat(i).toDouble else 0.0
+      val yv = if (i < m) y.getFloat(i).toDouble else 0.0
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val mx = ctx.freshName("mx"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $x.numElements(); int $m = $y.numElements();
+         |int $mx = java.lang.Math.max($n, $m);
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $mx; $i++) {
+         |  double $xv = $i < $n ? (double) $x.getFloat($i) : 0.0;
+         |  double $yv = $i < $m ? (double) $y.getFloat($i) : 0.0;
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
   import org.apache.spark.sql.functions.sqrt
 
   def vec_dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
+  def vec_sqdist(a: Column, b: Column): Column = toCol(VecSqdist(toExpr(a), toExpr(b)))
+  def vec_cos_sim(a: Column, b: Column): Column = toCol(VecCosSim(toExpr(a), toExpr(b)))
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
   def pq_encode(emb: Column, fcb: Column, nSubs: Int, nCodes: Int): Column =
     toCol(PqEncode(toExpr(emb), toExpr(fcb), nSubs, nCodes))

@@ -786,6 +786,26 @@ object SimilarityOps {
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
       nCentroids: Int = AutoCentroids, nProbe: Int = 3,
       centroids: Option[DataFrame] = None): DataFrame = {
+    val (assign, probes) = ivfCandFrames(embeddings, queryPred, nCentroids,
+      nProbe, centroids)
+    val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    probes.join(assign, Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** The IVF candidate-generation front end shared by [[ivfTopK]] and
+    * the [[tuneIvf]] cost meter: (corpus cell assignment, probed cells
+    * per query). Shared so the tuner's cost metric counts EXACTLY the
+    * rerank rows the serving operator evaluates — a drifted
+    * reimplementation would tune against a different plan than ships. */
+  private def ivfCandFrames(embeddings: DataFrame, queryPred: Column,
+      nCentroids: Int, nProbe: Int,
+      centroids: Option[DataFrame]): (DataFrame, DataFrame) = {
     // lazy: with caller-trained centroids the sizing count never runs
     lazy val kCent = resolveK(embeddings, nCentroids)
     // both sides screened for defined cosines: a zero/NaN-norm corpus
@@ -818,15 +838,53 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"))
+    (assign, probes)
+  }
 
-    val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    probes.join(assign, Seq("cid"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
-        round(col("sim"), 6).as("sim"))
+  /** One measured (nCentroids, nProbe) configuration: micro-averaged
+    * recall over the audit sample in exact ppm, and the rerank cost in
+    * candidate rows — the distance evaluations the serving path pays,
+    * THE cost that scales with the corpus. */
+  case class IvfMeasurement(nCentroids: Int, nProbe: Int,
+      recallPpm: Long, rerankRows: Long)
+
+  /** Default (K, nProbe) search grid for [[tuneIvf]] — the ladder the
+    * manual IvfSweep walked, cheap to thorough. */
+  val DefaultIvfGrid: Seq[(Int, Int)] = Seq(
+    (16, 4), (16, 8), (32, 8), (32, 12), (64, 8), (64, 12), (64, 16),
+    (64, 20), (64, 24))
+
+  /** CLOSED-LOOP recall targeting: runs the self-measuring
+    * [[ivfRecall]] audit for every grid config, meters the true rerank
+    * cost through the serving operator's own candidate front end
+    * ([[ivfCandFrames]]), and returns the cheapest configuration
+    * meeting the recall SLO (ties: fewer centroids, then fewer
+    * probes) plus the full measurement table. None when no grid config
+    * reaches the SLO — the honest "grow the grid" answer, never a
+    * silent best-effort.
+    *
+    * Scale shape: each grid point costs one recall audit (brute force
+    * bounded to the SAMPLED query set — the production recall-
+    * estimator discipline of `sim_ivf_recall`) plus one counting
+    * aggregate over the candidate join; a dev-time loop over a handful
+    * of configs, not a per-query cost. */
+  def tuneIvf(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      recallSlo: Double = 0.8,
+      grid: Seq[(Int, Int)] = DefaultIvfGrid):
+      (Option[IvfMeasurement], Seq[IvfMeasurement]) = {
+    val measured = grid.map { case (kc, p) =>
+      val rec = ivfRecall(embeddings, queryPred, k, kc, p)
+        .agg(sum("n_hit").as("h"), sum("n_exact").as("e")).collect()(0)
+      val recallPpm = rec.getLong(0) * 1000000L / math.max(rec.getLong(1), 1L)
+      val (assign, probes) = ivfCandFrames(embeddings, queryPred, kc, p, None)
+      val rows = probes.join(assign, Seq("cid"))
+        .filter(col("q_id") =!= col("n_id")).count()
+      IvfMeasurement(kc, p, recallPpm, rows)
+    }
+    val sloPpm = math.round(recallSlo * 1000000L)
+    val chosen = measured.filter(_.recallPpm >= sloPpm)
+      .sortBy(m => (m.rerankRows, m.nCentroids, m.nProbe)).headOption
+    (chosen, measured)
   }
 
   /** Cluster-scoped semantic dedup — the SemDeDup shape (Abbas et al.

@@ -91,6 +91,24 @@ object PlanDump {
     // fixture pins the integer-ADC broadcast shape (codes never
     // shuffle; queries broadcast; rerank broadcasts the shortlist)
     "sim_rq_topk",
+    // round-10: the rest of the round-9 surface joins the audited set
+    // so its sf1 slopes are MEASURED, not argued from shape — the
+    // perceptron family (training must stay corpus-scan × rounds with
+    // driver-scalar updates), the BPE trainer (one corpus scan, vocab-
+    // bound rounds), label propagation (auto-K knnGraph + |E|-bound
+    // round joins), hard negatives (cell-keyed candidates, one-window
+    // ranking), kmeans outliers, the chi-square drift monitor (one
+    // scan), and the three self-measuring recall audits (brute force
+    // bounded to the query sample; deliberate BNLJ, name-allowed)
+    "txt_perceptron_train", "txt_perceptron_score", "txt_perceptron_pr",
+    "bpe_train_merges", "emb_label_prop", "emb_hard_negatives",
+    "emb_outliers", "dq_drift_chi2",
+    "sim_ivf_recall", "sim_neardup_recall", "sim_rq_recall",
+    // round-10 additions: anchored span dedup (same keyed-span shape
+    // as the strided detector — narrow anchor filter, no per-token
+    // shuffle) and the unigram-LM tokenizer pair (corpus touched once;
+    // EM rounds vocab-bound; encode a pure narrow projection)
+    "dedup_span_anchored", "unigram_train", "txt_unigram_corpus",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
@@ -124,7 +142,17 @@ object PlanDump {
     // no mid-metadata truncation: the default 100-char cut lands at a
     // position that depends on exprId digit width (session counter),
     // so truncated DataFilters text churns fingerprints and fixtures
-    "spark.sql.maxMetadataStringLength" -> "100000")
+    "spark.sql.maxMetadataStringLength" -> "100000",
+    // the fixtures document plans WITHOUT session-extension optimizer
+    // rules: a suite that rebuilt the root session with GraftExtensions
+    // (GeodesicJoinRuleSpec / VecSimJoinRuleSpec) otherwise leaks the
+    // theta-join rewrite rules into PlanAuditSpec's getOrCreate, and
+    // GeodesicJoinRule re-fires on the analyzer's ALREADY-gridded
+    // distance join (a second redundant Generate — same rows, +3 plan
+    // nodes, fixture drift). The ops-layer plans pre-grid themselves;
+    // the rules exist for ad-hoc SQL users.
+    "spark.sql.optimizer.excludedRules" ->
+      "graft.plans.GeodesicJoinRule,graft.plans.VecSimJoinRule")
 
   def session(): SparkSession = {
     val b = SparkSession.builder()

@@ -11,12 +11,27 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.adaptive.enabled", "false")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Plan assertions need a PINNED context: getOrCreate may return a
+  // root session another suite built with different creation options
+  // (GeodesicJoinRuleSpec / VecSimJoinRuleSpec register GraftExtensions
+  // and disable broadcast — observed as intended-broadcast non-equi
+  // joins degenerating to CartesianProduct in the sweep, and the
+  // theta-join rules re-gridding the analyzer's own distance join).
+  // newSession + explicit confs (incl. PinnedConfs' excludedRules for
+  // the injected optimizer rules) makes every test order-independent.
+  lazy val spark: SparkSession = {
+    val root = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val s = root.newSession()
+    graft.tools.PlanDump.PinnedConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
 
   private def plan(name: String): String = {
     spark.sparkContext.setLogLevel("WARN")
