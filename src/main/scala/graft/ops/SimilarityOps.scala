@@ -333,9 +333,20 @@ object SimilarityOps {
     * pay ONLY on the audit sample. */
   def nearDupRecall(embeddings: DataFrame, tau: Double = NdTau,
       nBands: Int = NdBands, bitsPerBand: Int = NdBits,
-      dim: Int = -1): DataFrame = {
-    val exact = nearDupPairsExact(embeddings, tau)
-    val found = nearDupPairs(embeddings, tau, nBands, bitsPerBand, dim)
+      dim: Int = -1, auditTarget: Int = NdAuditTarget): DataFrame = {
+    // The audit runs on a BOUNDED corpus subsample (~auditTarget
+    // vectors via a count-driven modulus — the autoCentroids trick, so
+    // the sf0.01 gate keeps its committed hashes with mod = 1): the
+    // exhaustive side is all-pairs, and unsampled it grows n² with the
+    // corpus (measured slope 12.4 at 10× — the one >3 slope of the r10
+    // probe). Hyperplane band collision is a pairwise property
+    // (P depends only on the pair's angle, never on other vectors), so
+    // recall measured on the subsample is an unbiased estimate of
+    // corpus recall per band — the standard production estimator.
+    val mod = math.max(1L, embeddings.count() / auditTarget)
+    val sub = embeddings.filter(col("vec_id") % mod === 0)
+    val exact = nearDupPairsExact(sub, tau)
+    val found = nearDupPairs(sub, tau, nBands, bitsPerBand, dim)
       .select(col("d1").as("f1"), col("d2").as("f2"))
     exact
       .join(found, col("d1") === col("f1") && col("d2") === col("f2"), "left")
@@ -953,23 +964,36 @@ object SimilarityOps {
 
   // ---------------------------------------------- coarse-cell auto-sizing
 
-  /** Corpus-driven coarse-cell sizing (the FAISS `nlist ≈ N/cell`
-    * convention): every cluster-scoped operator's in-cell candidate
-    * work is Σ(P·|cell|)² — QUADRATIC in cell size — so a K pinned at
-    * one corpus size densifies cells k× on k× data and does k² the
-    * work (the measured 48× sf1 slope of `emb_knn_graph` at fixed
-    * K=64; KnnScaleProbe). Growing K with the corpus keeps E[|cell|]
-    * at [[TargetCellSize]], making total in-cell work LINEAR in N
-    * with no hand-picked parameter.
+  /** Corpus-driven coarse-cell sizing, MEASURED rather than guessed:
     *
-    * The formula is deterministic in row count alone, so the DuckDB
-    * oracles encode it verbatim ([[sqlAutoK]]) and the gate holds at
-    * any scale factor: K = max([[MinCentroids]], ⌈N / cell⌉).
-    * TargetCellSize=32 reproduces the historical K=64 at sf0.01/sf0.1
-    * (500 / 2 000 vectors) — committed hashes and plans unchanged —
-    * and sizes sf1's 20 000 vectors to K=625, the regime the probe
-    * measured at ~10× lower wall time than pinned K. */
-  val TargetCellSize = 32
+    *   K = max(64, min(⌈N/32⌉, 8·2^⌊bitlen(N)/2⌋))
+    *
+    * i.e. fixed ~32-vector cells until that crosses ≈8·√N, then the
+    * FAISS `nlist ≈ c·√N` asymptote with c ∈ [5.7, 11.3] (power-of-two
+    * rounding band). Exactly computable in both engines — the √ comes
+    * from the BIT LENGTH, never a float sqrt whose ulp could flip a
+    * ceil between Spark and DuckDB.
+    *
+    * Why this shape: a cluster-scoped operator pays BOTH n·K (every
+    * vector scores the broadcast centroids — a codegen'd map-side
+    * scan) and ~P²·n²/K candidate-join rows (shuffle + distinct +
+    * self-join). A K pinned at one corpus size leaves the pair term
+    * quadratic — the measured 48× sf1 slope of `emb_knn_graph` at
+    * fixed K=64 (KnnScaleProbe). The cost-balancing optimum is
+    * K* = √(β/α)·P·√n where β/α is the candidate-row : assignment-row
+    * cost ratio; the sf1 probe measured β/α ≈ 24 (candidate rows
+    * carry a shuffle; assignment rows are a fused loop), putting
+    * K* ≈ 10·√n — hence c ≈ 8, NOT the c ≈ 1–2 a naive unit-cost
+    * model suggests (measured: K=256 → 8.7 s, K=625 → 4.4 s on the
+    * same 20 k corpus). Below the crossover (n ≲ 8 k) the fixed-cell
+    * arm keeps small-corpus cells at the recall-friendly ~32.
+    *
+    * Deterministic in row count alone, so the DuckDB oracles encode
+    * the same formula as a scalar subquery ([[sqlAutoK]]) and the
+    * gate holds at any scale factor. Reproduces the historical K=64
+    * at sf0.01 (500) and sf0.1 (2 000) — committed hashes, plans and
+    * bench numbers unchanged — and sizes sf1's 20 000 vectors to
+    * K=625 (the probe's measured-best regime, 33 s pinned → 4.4 s). */
   val MinCentroids = 64
 
   /** Sentinel default for `nCentroids` params: resolve from the
@@ -977,9 +1001,13 @@ object SimilarityOps {
     * on the embeddings scan). */
   val AutoCentroids = 0
 
-  def autoCentroids(n: Long): Int =
-    math.max(MinCentroids.toLong,
-      (n + TargetCellSize - 1) / TargetCellSize.toLong).toInt
+  def autoCentroids(n: Long): Int = {
+    if (n <= 0) return MinCentroids
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val fixedCell = (n + 31) / 32
+    val sqrtArm = 8L << (bitlen >> 1)
+    math.max(MinCentroids.toLong, math.min(fixedCell, sqrtArm)).toInt
+  }
 
   /** Resolve a caller-supplied or sentinel centroid count. */
   private def resolveK(embeddings: DataFrame, nCentroids: Int): Int =
@@ -989,8 +1017,9 @@ object SimilarityOps {
     * `embeddings` table — a scalar subquery, so the oracle tracks the
     * corpus exactly like the engine does. */
   private def sqlAutoK: String =
-    s"(SELECT GREATEST($MinCentroids, " +
-      s"CAST(CEIL(COUNT(*) / $TargetCellSize.0) AS BIGINT)) FROM embeddings)"
+    s"(SELECT GREATEST($MinCentroids, LEAST(" +
+      "CAST(CEIL(COUNT(*) / 32.0) AS BIGINT), " +
+      "8 * (1::BIGINT << (length(bin(COUNT(*))) >> 1)))) FROM embeddings)"
 
   /** Shared multi-probe coarse assignment: every screened vector →
     * its top-`nProbes` first-K sample centroids ((c_sim DESC, cid ASC)
@@ -1416,6 +1445,9 @@ object SimilarityOps {
   val NdBands = 12
   val NdBits = 5
   val NdTau = 0.45
+  /** Recall-audit corpus subsample target (count-driven modulus —
+    * resolves to the full corpus at the sf0.01 gate). */
+  val NdAuditTarget = 500
 
   /** Int8 scalar quantization of an embedding column — the standard
     * 4× memory/IO shrink before ANN serving (float32 → int8 codes +
@@ -1506,7 +1538,9 @@ object SimilarityOps {
     * pipeline: e (vectors + norms + band keys) → bands → cand →
     * s (exact-cosine-scored candidates). Literal plane weights so both
     * engines hash identically. Ends without a trailing comma. */
-  private lazy val neardupLshCtes: String = {
+  private def neardupLshCtes: String = neardupLshCtesFrom("embeddings")
+
+  private def neardupLshCtesFrom(src: String): String = {
     def bandKey(b: Int): String = {
       val terms = (0 until NdBits).map { r =>
         val i = b * NdBits + r
@@ -1523,7 +1557,7 @@ object SimilarityOps {
     s"""e AS (
        |  SELECT vec_id, embedding, ${sqlNrm("embedding")} AS nrm,
        |  $keys
-       |  FROM embeddings),
+       |  FROM $src),
        |bands AS (
        |  SELECT vec_id, bb.b AS band, [$keyList][bb.b + 1] AS key
        |  FROM e, (SELECT unnest(range(0, $NdBands)) AS b) bb),
@@ -1799,6 +1833,7 @@ object SimilarityOps {
          |    AS recall_ppm
          |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin,
     "sim_pq_topk" -> pqOracle,
+
     "sim_ivfpq_topk" -> ivfPqOracle,
     "emb_label_prop" -> labelPropOracle(LpRounds),
 
@@ -1914,7 +1949,9 @@ object SimilarityOps {
     // this query MEASURES it in-engine (the sampled-corpus estimator a
     // production near-dup pipeline runs to size nBands)
     "sim_neardup_recall" ->
-      s"""WITH $neardupLshCtes,
+      s"""WITH ${neardupLshCtesFrom(
+        s"(SELECT * FROM embeddings WHERE vec_id % " +
+          s"(SELECT GREATEST(1, COUNT(*) // $NdAuditTarget) FROM embeddings) = 0)")},
          |found AS (SELECT d1, d2 FROM s WHERE sim >= $NdTau),
          |ex AS (
          |  SELECT a.vec_id AS d1, b.vec_id AS d2,

@@ -21,21 +21,32 @@ class KnnAutoSizeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("autoCentroids: max(64, ceil(n/32)), monotone, historical-compatible") {
+  test("autoCentroids: max(64, min(ceil(n/32), 8·2^⌊bitlen/2⌋)), monotone, historical-compatible") {
     assert(SimilarityOps.autoCentroids(0) == 64)
     assert(SimilarityOps.autoCentroids(500) == 64)   // sf0.01 → unchanged K
     assert(SimilarityOps.autoCentroids(2000) == 64)  // sf0.1 → unchanged K
-    assert(SimilarityOps.autoCentroids(2048) == 64)  // boundary: 2048/32 = 64
-    assert(SimilarityOps.autoCentroids(2049) == 65)
-    assert(SimilarityOps.autoCentroids(20000) == 625) // sf1 replica corpus
+    assert(SimilarityOps.autoCentroids(2048) == 64)  // fixed-cell arm boundary
+    assert(SimilarityOps.autoCentroids(5000) == 157) // fixed-cell arm
+    assert(SimilarityOps.autoCentroids(20000) == 625) // sf1: measured-best regime
+    assert(SimilarityOps.autoCentroids(1048576) == 8192) // √n asymptote
     // monotone in n; never below the floor
-    val ks = Seq(1L, 100L, 3000L, 50000L, 1000000L).map(SimilarityOps.autoCentroids)
+    val ks = Seq(1L, 100L, 3000L, 50000L, 1000000L, 100000000L)
+      .map(SimilarityOps.autoCentroids)
     assert(ks == ks.sorted && ks.forall(_ >= 64))
-    // E[|cell|] stays at TargetCellSize: K*cell covers n within one cell
-    for (n <- Seq(5000L, 77777L, 123456L)) {
-      val k = SimilarityOps.autoCentroids(n)
-      assert(k.toLong * SimilarityOps.TargetCellSize >= n)
-      assert((k.toLong - 1) * SimilarityOps.TargetCellSize < n || k == 64)
+    // above the crossover the √n asymptote governs: K inside the
+    // [4√n, 16√n] power-of-two band — the measured β/α ≈ 24
+    // candidate-vs-assignment row-cost ratio puts the balance point
+    // K* ≈ 10·√n, and the asymptote keeps total work Θ(n^1.5)
+    for (n <- Seq(1000000L, 10000000L, 1000000000L)) {
+      val k = SimilarityOps.autoCentroids(n).toLong
+      val r = math.sqrt(n.toDouble)
+      assert(k >= 4 * r - 1 && k <= 16 * r + 2, s"n=$n k=$k sqrt=$r")
+    }
+    // below it the fixed-cell arm keeps E[|cell|] ≈ 32 (recall-friendly
+    // small-corpus cells): K·32 covers n within one cell
+    for (n <- Seq(3000L, 5000L, 8000L)) {
+      val k = SimilarityOps.autoCentroids(n).toLong
+      assert(k * 32 >= n && (k - 1) * 32 < n, s"n=$n k=$k")
     }
   }
 
@@ -67,10 +78,10 @@ class KnnAutoSizeSpec extends AnyFunSuite {
       .agg(max("count").as("mx"), countDistinct("cid").as("k")).collect()(0)
     val (mx, k) = (cells.getLong(0), cells.getLong(1))
     assert(k > 64, s"auto-K did not engage: only $k cells")
-    // mean occupancy ≈ 32; replica corpora put all 10 copies of a
-    // vector in one cell, so allow generous but BOUNDED skew — the
+    // mean occupancy ≈ n/K ≈ 32; replica corpora put all 10 copies of
+    // a vector in one cell, so allow generous but BOUNDED skew — the
     // point is no cell holds an O(n) share like pinned K=64 would
-    assert(mx <= 16L * SimilarityOps.TargetCellSize,
+    assert(mx <= 16L * (5000L / 157L + 1),
       s"cell occupancy unbounded: max=$mx")
   }
 
