@@ -254,6 +254,57 @@ object CurationOps {
       .select(col("doc_id"), col("shard"), col("pos"), col("cum_bytes"))
   }
 
+  /** Feistel-network global shuffle — [[exportShards]]' hash ordering
+    * made a PROVABLE BIJECTION: a 4-round balanced Feistel permutation
+    * over the 2w-bit domain covering max(doc_id) (w half-bits,
+    * cycle-walk-free because the domain is fixed by the id span, not
+    * the row count). Where the md5-priority order needs a doc_id
+    * tie-break (hash collisions exist), a Feistel value is unique by
+    * construction — the format-preserving-encryption trick production
+    * shuffles use so "position" can be a pure function of the id.
+    *
+    * Everything is bounded int64 arithmetic (round function
+    * F(r,c) = (((r+c) mod M)·A + c) mod M with M = 2³¹−1, A = 48271 —
+    * the MINSTD mixer; all intermediates < 2⁴⁷) so the oracle replays
+    * it verbatim, and the w/mask parameters derive from ONE metadata-
+    * answerable max() action, never a per-row dependency.
+    *
+    * Scale shape: the permutation itself is a pure narrow projection
+    * (whole-stage-codegen'd bit arithmetic — x0); the only exchange is
+    * the hash partition by shard, and the per-shard position windows
+    * sort W/nShards keys each, independent and parallel — no global
+    * sort at any size. Consecutive docs in a shard are unrelated
+    * (avalanche over 4 rounds), giving sequential readers the
+    * i.i.d.-like stream epoch training wants, reproducibly. */
+  def feistelShuffle(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val maxId = Option(docs.agg(max("doc_id")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxId, 1L))
+    val w = math.max(4, (bitlen + 1) / 2)
+    val mask = (1L << w) - 1L
+    val M = 2147483647L
+    val A = 48271L
+    var l: Column = shiftright(col("doc_id"), w)
+    var r: Column = col("doc_id").bitwiseAND(lit(mask))
+    for (c <- FeistelKeys) {
+      val f = (((r + lit(c)) % M) * A + c) % M
+      val nr = l.bitwiseXOR(f.bitwiseAND(lit(mask)))
+      l = r
+      r = nr
+    }
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("perm").asc)
+    docs.select(col("doc_id"),
+        shiftleft(l, w).bitwiseOR(r).as("perm"))
+      .withColumn("shard", (col("perm") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(part).cast("long"))
+  }
+
+  /** Per-round Feistel constants (arbitrary fixed odd salts < 2²⁰ so
+    * every intermediate stays overflow-free in BOTH engines — DuckDB
+    * BIGINT errors on overflow rather than wrapping). */
+  val FeistelKeys = Seq(40503L, 654435L, 86028L, 25117L)
+
   /** Temperature-based mixture reweighting (the multilingual-LM
     * sampling rule: q_l ∝ p_l^(1/T), here T = 2) — up-weights
     * low-resource groups and down-weights dominant ones while
@@ -487,6 +538,8 @@ object CurationOps {
     "mix_temperature" -> ((s, d) => mixTemperature(t(s, d, "documents"))),
 
     "export_shards" -> ((s, d) => exportShards(t(s, d, "documents"))),
+
+    "export_shuffle" -> ((s, d) => feistelShuffle(t(s, d, "documents"))),
 
     "curate_pipeline" -> ((s, d) => curatePipeline(t(s, d, "documents"))),
 
@@ -759,6 +812,37 @@ object CurationOps {
          |SELECT r2.lang, r2.n_docs, r2.n_tokens, r2.s_u,
          |  round(r2.rate, 6) AS rate_r6, cp.n_out
          |FROM r2 JOIN cp USING (lang)""".stripMargin,
+
+    // Verbatim replay of the 4-round Feistel: w from the same
+    // max(doc_id) bit length (params CTE — a one-row cross join), each
+    // round one CTE; aliases never shadow within a SELECT, so `r AS l,
+    // xor(l, …) AS r` reads the PRIOR round's columns in both the CTE
+    // chain here and the Column fold in the engine.
+    "export_shuffle" -> {
+      val M = 2147483647L
+      val A = 48271L
+      def roundCte(i: Int, c: Long): String =
+        s"""f$i AS (
+           |  SELECT doc_id, r AS l,
+           |    xor(l, ((((r + $c) % $M) * $A + $c) % $M) & ((1::BIGINT << p.w) - 1)) AS r
+           |  FROM f${i - 1}, p)"""
+      val rounds = FeistelKeys.zipWithIndex
+        .map { case (c, i) => roundCte(i + 1, c) }.mkString(",\n")
+      s"""WITH p AS (
+         |  SELECT GREATEST(4, (length(bin(GREATEST(MAX(doc_id), 1))) + 1) // 2)
+         |    AS w
+         |  FROM documents),
+         |f0 AS (
+         |  SELECT doc_id, doc_id >> p.w AS l,
+         |    doc_id & ((1::BIGINT << p.w) - 1) AS r
+         |  FROM documents, p),
+         |$rounds,
+         |pm AS (SELECT doc_id, (l << p.w) | r AS perm FROM f4, p)
+         |SELECT doc_id, perm, CAST(perm % 16 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY perm % 16 ORDER BY perm ASC)
+         |    AS BIGINT) AS pos
+         |FROM pm""".stripMargin
+    },
 
     "export_shards" ->
       s"""WITH meta AS (

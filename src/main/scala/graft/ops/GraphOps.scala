@@ -272,6 +272,29 @@ object GraphOps {
       .filter(col("supp") >= 2)
       .select("src", "dst")
 
+  /** LEAKAGE-SAFE train/valid/test split: the split key is the
+    * near-dup COMPONENT label (min doc id of the MinHash-LSH-CC
+    * group), not the doc id — so a whole duplicate cluster moves as
+    * one unit and no near-dup pair can straddle a split boundary, by
+    * construction (the Lee et al. 2021 train→test contamination fix;
+    * a per-doc hash split separates ~1−(0.8²+0.1²+0.1²) = 34 % of
+    * near-dup pairs). Same 80/10/10 md5 arithmetic as
+    * `split_train_test` (salt "split:" + the component id), same CC
+    * machinery as `dedup_cc_groups`; marginal rates stay ~80/10/10
+    * because components are overwhelmingly singletons. Scale shape =
+    * the CC shape (O(log d) keyed rounds) + one narrow hash
+    * projection. */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    val edges = DedupOps.lshCandidatePairs(docs).toDF("src", "dst")
+    val cc = connectedComponents(docs.select(col("doc_id").as("node")), edges,
+      edgesUnique = true)
+    val h = TextOps.strHash(concat(lit("split:"), col("comp").cast("string")))
+    cc.select(col("node").as("doc_id"), col("comp"),
+      when(h % 100 < 80, "train")
+        .when(h % 100 < 90, "valid")
+        .otherwise("test").as("split"))
+  }
+
   val queries: Map[String, QFn] = Map(
     // MinHash-LSH candidate pairs → transitive dup groups. comp is the
     // keeper doc id; comp_size the group cardinality (1 = unique doc).
@@ -284,6 +307,10 @@ object GraphOps {
       cc.join(sizes, "comp")
         .select(col("node").as("doc_id"), col("comp"), col("comp_size"))
     }),
+
+    // Near-dup-cluster-aware split (see [[leakageSafeSplit]]): the fix
+    // for split_train_test's train→test near-dup contamination.
+    "split_leakage_safe" -> ((s, d) => leakageSafeSplit(t(s, d, "documents"))),
 
     // The fuzzy-dedup corpus materializer: the component label IS the
     // keeper id (min doc id), so the deduplicated corpus is simply the
@@ -369,6 +396,28 @@ object GraphOps {
          |  SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY 1)
          |SELECT doc_id, comp,
          |  COUNT(1) OVER (PARTITION BY comp) AS comp_size
+         |FROM comp""".stripMargin
+    },
+
+    "split_leakage_safe" -> {
+      val pairsSql = DedupOps.oracle("dedup_lsh_pairs")
+      val h = "('0x' || substr(md5('split:' || comp::VARCHAR), 1, 15))::BIGINT" +
+        s" % ${TextOps.HashMod} % 100"
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION
+         |  SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (
+         |  SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY 1)
+         |SELECT doc_id, comp,
+         |  CASE WHEN $h < 80 THEN 'train'
+         |       WHEN $h < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
          |FROM comp""".stripMargin
     },
 

@@ -404,8 +404,13 @@ object SimilarityOps {
       .unionByName(embeddings.filter(!groupable).select("vec_id", "embedding"))
   }
 
-  def nearDupPairs(embeddings: DataFrame, tau: Double,
-      nBands: Int = 8, bitsPerBand: Int = 16, dim: Int = -1): DataFrame = {
+  /** The banded-LSH candidate front end shared by [[nearDupPairs]] and
+    * the [[tuneLsh]] cost meter: (signed docs frame, distinct candidate
+    * pairs). Shared so the tuner's cost metric counts EXACTLY the pairs
+    * the exact-cosine rerank scores — the volume-coupled cost of the
+    * serving pipeline. */
+  private def ndCandFrames(embeddings: DataFrame, nBands: Int,
+      bitsPerBand: Int, dim: Int): (DataFrame, DataFrame) = {
     val d = if (dim > 0) dim else dataDim(embeddings)
     val weights = (0 until nBands * bitsPerBand).map(i =>
       (0 until d).map(j => hashedPlaneWeight(i, j).toDouble))
@@ -421,6 +426,12 @@ object SimilarityOps {
         col("band") === col("band2") && col("key") === col("key2") &&
           col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+    (docs, cand)
+  }
+
+  def nearDupPairs(embeddings: DataFrame, tau: Double,
+      nBands: Int = 8, bitsPerBand: Int = 16, dim: Int = -1): DataFrame = {
+    val (docs, cand) = ndCandFrames(embeddings, nBands, bitsPerBand, dim)
     cand
       .join(docs.select(col("vec_id").as("d1"), col("embedding").as("e1"),
         col("nrm").as("nrm1")), "d1")
@@ -895,6 +906,55 @@ object SimilarityOps {
     val sloPpm = math.round(recallSlo * 1000000L)
     val chosen = measured.filter(_.recallPpm >= sloPpm)
       .sortBy(m => (m.rerankRows, m.nCentroids, m.nProbe)).headOption
+    (chosen, measured)
+  }
+
+  /** One measured (nBands, bitsPerBand) LSH configuration: overall
+    * recall on the audit sample in exact ppm, and the serving cost in
+    * distinct candidate pairs — the exact-cosine evaluations the
+    * near-dup rerank pays, THE cost that scales with the corpus. */
+  case class LshMeasurement(nBands: Int, bitsPerBand: Int,
+      recallPpm: Long, candPairs: Long)
+
+  /** Default (nBands, bitsPerBand) grid for [[tuneLsh]] — spans the
+    * two levers in both directions: bands ↑ recall ↑ cost, bits ↑
+    * precision ↑ (cost ↓, recall ↓). Includes the committed driver
+    * params ([[NdBands]], [[NdBits]]). */
+  val DefaultLshGrid: Seq[(Int, Int)] = Seq(
+    (4, 5), (6, 5), (8, 5), (8, 8), (12, 5), (12, 8), (16, 5), (16, 8))
+
+  /** CLOSED-LOOP LSH band tuning — [[tuneIvf]]'s discipline for the
+    * near-dup family: run the self-measuring [[nearDupRecall]] audit
+    * per grid config, meter the true rerank cost through the serving
+    * pipeline's own candidate front end ([[ndCandFrames]] — the same
+    * band join [[nearDupPairs]] reranks), and return the cheapest
+    * configuration meeting the recall SLO (ties: fewer bands, then
+    * more bits) plus the full measurement table. None when nothing on
+    * the grid reaches the SLO — the honest "grow the grid" answer.
+    *
+    * The theory (1−(1−p^bits)^bands) predicts the recall CURVE shape
+    * but p depends on the corpus's pair-angle distribution — which is
+    * exactly why the loop measures instead of solving the formula:
+    * the audit sample stands in for the corpus (pairwise property ⇒
+    * unbiased, see [[nearDupRecall]]), and the candidate count is the
+    * measured selectivity of the full banding, collisions included. */
+  def tuneLsh(embeddings: DataFrame, tau: Double = NdTau,
+      recallSlo: Double = 0.8,
+      grid: Seq[(Int, Int)] = DefaultLshGrid, dim: Int = -1,
+      auditTarget: Int = NdAuditTarget):
+      (Option[LshMeasurement], Seq[LshMeasurement]) = {
+    val measured = grid.map { case (nb, bits) =>
+      val rec = nearDupRecall(embeddings, tau, nb, bits, dim, auditTarget)
+        .agg(sum("n_found").as("h"), sum("n_exact").as("e")).collect()(0)
+      val recallPpm =
+        if (rec.isNullAt(1) || rec.getLong(1) == 0L) 1000000L
+        else rec.getLong(0) * 1000000L / rec.getLong(1)
+      val cands = ndCandFrames(embeddings, nb, bits, dim)._2.count()
+      LshMeasurement(nb, bits, recallPpm, cands)
+    }
+    val sloPpm = math.round(recallSlo * 1000000L)
+    val chosen = measured.filter(_.recallPpm >= sloPpm)
+      .sortBy(m => (m.candPairs, m.nBands, -m.bitsPerBand)).headOption
     (chosen, measured)
   }
 
@@ -1475,6 +1535,181 @@ object SimilarityOps {
         aggregate(col("codes"), lit(0L), (a, c) => a + abs(c)).as("code_l1"))
   }
 
+  /** SQ8 SERVING — the scalar-quantized member of the quantized-ANN
+    * family (PQ 8-byte codes, RQ 2-level additive, SQ8 = [[quantizeInt8]]'s
+    * per-vector int8 codes at FULL dimension): shortlist by an INTEGER
+    * asymmetric dot product, exact rerank of the shortlist.
+    *
+    * The ADC trick that keeps the code stage bit-exact across engines:
+    * true dot(q, n) = (amax_q·amax_n/127²) · Σ cq_i·cn_i up to
+    * quantization, and per QUERY amax_q/127² is a positive constant —
+    * so ranking by `score = Σ cq_i·cn_i × amax_u_n` (all int64:
+    * |Σ| ≤ dim·127² ≈ 10⁶, amax_u ≤ ~10⁷ ⇒ |score| < 2⁴⁵, exact in
+    * BOTH engines AND in the shortlist aggregator's double) is the
+    * dequantized-dot order with zero float folds. Float PQ ADC needs
+    * mirrored IEEE fold order for that; SQ gets it from integers.
+    *
+    * Scale shape: codes are a pure narrow projection of the corpus
+    * scan (4× the IO of raw float32 saved at 100 TB — the reason SQ8
+    * is the default first rung of every production serving ladder);
+    * the ADC join broadcasts only the query codes; the shortlist is a
+    * map-side partial top-k ([[graft.functions.TopKSimAgg]] — k·cores
+    * rows cross the shuffle, never the corpus); the exact rerank
+    * broadcasts the ≤|Q|·shortlist id set against one corpus scan.
+    * Nothing corpus-sized shuffles, nothing corpus-sized broadcasts. */
+  def sqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      shortlist: Int = PqShortlist): DataFrame = {
+    val withAmax = embeddings.withColumn("amax",
+      aggregate(col("embedding"), lit(0.0), (a, x) => greatest(a, abs(x.cast("double")))))
+    val codes = withAmax.select(col("vec_id"),
+      round(col("amax") * 1e6).cast("long").as("amax_u"),
+      when(col("amax") > 0.0,
+        transform(col("embedding"), x =>
+          round(x.cast("double") / col("amax") * 127.0).cast("long")))
+        .otherwise(transform(col("embedding"), x => lit(0L))).as("c"))
+    val qCodes = codes.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("c").as("qc"))
+    val score = aggregate(zip_with(col("qc"), col("c"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x) * col("amax_u")
+    val adc = codes.select(col("vec_id").as("n_id"), col("c"), col("amax_u"))
+      .join(broadcast(qCodes), col("q_id") =!= col("n_id"))
+      .withColumn("score", score)
+    val short = udaf(new graft.functions.TopKSimAgg(shortlist))
+    val cand = adc
+      .groupBy("q_id")
+      .agg(short(col("n_id"), col("score").cast("double")).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+    val corpus = embeddings.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"))
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wRank = Window.partitionBy("q_id")
+      .orderBy(col("dotp").desc, col("n_id").asc)
+    corpus
+      .join(broadcast(cand), "n_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("dotp", dot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("dotp"), 6).as("dotp"))
+  }
+
+  /** Candidate-list size for [[mmrTopK]] — the shortlist the
+    * diversifier reranks (the serving path's top-C output). */
+  val MmrCands = 30
+
+  /** MMR (maximal-marginal-relevance) diversified top-k — the
+    * reranker that keeps a result list from being k copies of the
+    * same near-duplicate (Carbonell & Goldstein 1998), the serving-
+    * time twin of SemDeDup's corpus-side dedup: greedily pick the
+    * candidate maximizing λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s) over
+    * the already-selected set S.
+    *
+    * Exactness stance: λ is FIXED at ½ so the objective collapses to
+    * `simq_u − max pair_u` in exact micro-cosine int64 — every greedy
+    * argmax (ties → n_id ASC) is integer arithmetic, and the whole
+    * k-step selection replays hash-exact in DuckDB (MATERIALIZED
+    * per-step CTEs; the same inlining discipline as the unigram DP).
+    *
+    * Scale shape: MMR is a RERANKER — corpus-size cost lives entirely
+    * in the candidate stage (here the brute-force top-C so the oracle
+    * is self-contained; in production [[ivfTopK]]/[[sqTopK]] feed it).
+    * The diversification itself is bounded by the query sample:
+    * pairs = |Q|·C² rows keyed by q_id (one keyed shuffle, never the
+    * corpus), and each of the k−1 greedy rounds joins the ≤|Q|·k
+    * selected set against it — all keyed small-frame ops,
+    * localCheckpoint'd per round like the CC/label-prop family. */
+  def mmrTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      nCands: Int = MmrCands): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .filter(definedNrm(col("q_nrm")))
+    val c = embeddings.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), norm(col("embedding")).as("n_nrm"))
+      .filter(definedNrm(col("n_nrm")))
+    val topc = udaf(new graft.functions.TopKSimAgg(nCands))
+    val cands = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .groupBy("q_id")
+      .agg(topc(col("n_id"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.sim") * 1e6).cast("long").as("simq_u"))
+      .localCheckpoint(eager = false)
+    val ce = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val pairs = cands.select(col("q_id"), col("n_id").as("a"))
+      .join(cands.select(col("q_id").as("q2"), col("n_id").as("b")),
+        col("q_id") === col("q2") && col("a") =!= col("b"))
+      .join(ce.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "a")
+      .join(ce.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "b")
+      .select(col("q_id"), col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long").as("pair_u"))
+      .localCheckpoint(eager = false)
+    var sel = cands.filter(col("rank") === 1)
+      .select(col("q_id"), col("n_id"), lit(1L).as("step"))
+      .localCheckpoint(eager = false)
+    for (i <- 2 to k) {
+      val mx = pairs
+        .join(sel.select(col("q_id"), col("n_id").as("b")), Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("a").as("n_id"))
+        .agg(max("pair_u").as("mx"))
+      val w = Window.partitionBy("q_id")
+        .orderBy((col("simq_u") - col("mx")).desc, col("n_id").asc)
+      val pick = cands
+        .join(sel.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+        .join(mx, Seq("q_id", "n_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(i.toLong).as("step"))
+      sel = sel.unionByName(pick).localCheckpoint(eager = false)
+    }
+    sel
+  }
+
+  /** Exact brute-force DOT top-k — the ground truth [[sqRecall]]
+    * audits against ([[sqTopK]] ranks by raw dot, not cosine/L2). */
+  private def dotTopK(embeddings: DataFrame, queryPred: Column,
+      k: Int): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val n = embeddings.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("dotp").desc, col("n_id").asc)
+    q.join(n, col("q_id") =!= col("n_id"))
+      .withColumn("dotp", dot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+  }
+
+  /** Self-measuring SQ8 recall audit — completes the audit quartet
+    * (IVF, near-dup LSH, RQ, SQ): served top-k vs the exhaustive dot
+    * ranking, per query in exact ppm. The brute-force side is paid
+    * only on the sampled query set — estimator discipline, not
+    * serving cost. Exhaustive shortlist ⇒ recall 1.0 exactly
+    * (SqTopKSpec). */
+  def sqRecall(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      shortlist: Int = PqShortlist): DataFrame = {
+    val exact = dotTopK(embeddings, queryPred, k)
+    val approx = sqTopK(embeddings, queryPred, k, shortlist)
+      .select(col("q_id").as("q2"), col("n_id").as("n2"))
+    val hits = exact
+      .join(approx, col("q_id") === col("q2") && col("n_id") === col("n2"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm",
+        expr("(n_hit * 1000000) div greatest(n_exact, 1)"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> ((s, d) =>
       bruteForceTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10)),
@@ -1508,6 +1743,16 @@ object SimilarityOps {
     "sim_pq_topk" -> ((s, d) =>
       pqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
         dim = OracleDim)),
+    // SQ8 completes the quantized-serving ladder (SQ8 → RQ → PQ/IVF-PQ):
+    // full-dimension int8 codes, integer ADC shortlist (bit-exact
+    // ranking cross-engine), exact-dot rerank. Measured recall@10 vs
+    // brute-force dot top-k in SimilarityOpsSpec.
+    "sim_sq_topk" -> ((s, d) =>
+      sqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10)),
+    "sim_sq_recall" -> ((s, d) =>
+      sqRecall(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
+    "sim_mmr_topk" -> ((s, d) =>
+      mmrTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
     "emb_knn_graph" -> ((s, d) => knnGraph(t(s, d, "embeddings"))),
     "emb_hard_negatives" -> ((s, d) =>
       hardNegatives(t(s, d, "embeddings"), col("vec_id") % 20 === 0)),
@@ -1586,6 +1831,117 @@ object SimilarityOps {
   private def sqlSqd(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b),
        |  s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))), (u,v) -> u+v)"""
+
+  /** SQL replay of [[mmrTopK]]: brute-force top-C candidates, the
+    * per-query pair matrix, then one MATERIALIZED CTE pair per greedy
+    * round (pick + accumulated selection). All comparisons are on
+    * micro-cosine int64, so the argmax chain replays hash-exact. */
+  private def mmrOracle(k: Int, nCands: Int): String = {
+    val rounds = (2 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT q_id, n_id, CAST($i AS BIGINT) AS step FROM (
+         |    SELECT c.q_id, c.n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |        ORDER BY (c.simq_u - m.mx) DESC, c.n_id ASC) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT p.q_id, p.a AS n_id, MAX(p.pair_u) AS mx
+         |          FROM pairs p JOIN sel${i - 1} s
+         |            ON s.q_id = p.q_id AND s.n_id = p.b
+         |          GROUP BY 1, 2) m
+         |      ON m.q_id = c.q_id AND m.n_id = c.n_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+         |      WHERE s2.q_id = c.q_id AND s2.n_id = c.n_id))
+         |  WHERE rn = 1),
+         |sel$i AS MATERIALIZED (
+         |  SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, n_id, rank, CAST(round(sim * 1e6) AS BIGINT) AS simq_u
+       |  FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS n_id, $sqlCos AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $sqlCos DESC, b.vec_id ASC) AS rank
+       |    FROM e a JOIN e b ON a.vec_id % 100 = 0 AND a.vec_id != b.vec_id)
+       |  WHERE rank <= $nCands),
+       |pairs AS MATERIALIZED (
+       |  SELECT c1.q_id, c1.n_id AS a, c2.n_id AS b,
+       |    CAST(round(($sqlCos) * 1e6) AS BIGINT) AS pair_u
+       |  FROM cand c1 JOIN cand c2 ON c1.q_id = c2.q_id AND c1.n_id != c2.n_id
+       |  JOIN e a ON a.vec_id = c1.n_id
+       |  JOIN e b ON b.vec_id = c2.n_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT q_id, n_id, CAST(1 AS BIGINT) AS step FROM cand WHERE rank = 1),
+       |$rounds
+       |SELECT q_id, n_id, step FROM sel$k""".stripMargin
+  }
+
+  /** SQL replay of [[sqTopK]]/[[sqRecall]]: shared quantize → integer
+    * ADC → exact-dot rerank CTE chain; `mode = "recall"` appends the
+    * exhaustive-dot reference and the per-query ppm compare. */
+  private def sqOracle(mode: String): String = {
+    val tail = mode match {
+      case "topk" =>
+        s"""SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
+           |  ROUND(dotp, 6) AS dotp
+           |FROM ranked WHERE rank <= 10""".stripMargin
+      case "recall" =>
+        s"""iv AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
+           |exd AS (SELECT qe.vec_id AS q_id, ne.vec_id AS n_id,
+           |    ${sqlDot("qe.embedding", "ne.embedding")} AS dotp
+           |  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) qe
+           |  JOIN embeddings ne ON qe.vec_id != ne.vec_id),
+           |ex AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotp DESC, n_id ASC)
+           |        AS rank FROM exd) WHERE rank <= 10),
+           |hits AS (SELECT x.q_id, COUNT(*) AS n_hit
+           |  FROM ex x JOIN iv i ON x.q_id = i.q_id AND x.n_id = i.n_id
+           |  GROUP BY 1),
+           |nex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+           |SELECT n.q_id, CAST(n.n_exact AS BIGINT) AS n_exact,
+           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  CAST(COALESCE(h.n_hit, 0) * 1000000 // GREATEST(n.n_exact, 1)
+           |    AS BIGINT) AS recall_ppm
+           |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin
+    }
+    val glue = if (mode == "recall") "," else ""
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, CAST(round(amax * 1e6) AS BIGINT) AS amax_u,
+       |    CASE WHEN amax > 0
+       |      THEN list_transform(embedding,
+       |        x -> CAST(round(x::DOUBLE / amax * 127) AS BIGINT))
+       |      ELSE list_transform(embedding, x -> 0::BIGINT) END AS c
+       |  FROM base),
+       |qc AS (SELECT vec_id AS q_id, c AS qc FROM codes WHERE vec_id % 100 = 0),
+       |ad AS (
+       |  SELECT qc.q_id, n.vec_id AS n_id,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(list_zip(qc.qc, n.c), s -> s[1] * s[2])),
+       |      (u, v) -> u + v) * n.amax_u AS score
+       |  FROM qc JOIN codes n ON qc.q_id != n.vec_id),
+       |short AS (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC)
+       |      AS srn
+       |  FROM ad),
+       |rerank AS (
+       |  SELECT s.q_id, s.n_id,
+       |    ${sqlDot("qe.embedding", "ne.embedding")} AS dotp
+       |  FROM short s JOIN embeddings qe ON s.q_id = qe.vec_id
+       |  JOIN embeddings ne ON s.n_id = ne.vec_id
+       |  WHERE s.srn <= $PqShortlist),
+       |ranked AS (
+       |  SELECT q_id, n_id, dotp,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotp DESC, n_id ASC)
+       |      AS rank
+       |  FROM rerank)$glue
+       |$tail""".stripMargin
+  }
       .stripMargin
 
   /** DuckDB replay of the full PQ pipeline: sample-train the codebook,
@@ -1834,6 +2190,20 @@ object SimilarityOps {
          |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin,
     "sim_pq_topk" -> pqOracle,
 
+    // Independent replay of the SQ8 serving stack: quantize → integer
+    // ADC (BIGINT fold, so the shortlist ranking is bit-exact by
+    // construction) → exact-dot rerank. The quantize CTEs mirror
+    // emb_quantize_int8's oracle verbatim; "recall" appends the
+    // exhaustive-dot reference and the per-query ppm compare.
+    "sim_sq_topk" -> sqOracle("topk"),
+    "sim_sq_recall" -> sqOracle("recall"),
+
+    // Verbatim replay of the k-step MMR greedy: candidate top-C +
+    // pair matrix in micro-cosine ints, then one MATERIALIZED CTE per
+    // greedy round (each round references the previous selection 2× —
+    // unMATERIALIZED, DuckDB would inline the selection DAG
+    // exponentially, the unigram-DP lesson).
+    "sim_mmr_topk" -> mmrOracle(10, MmrCands),
     "sim_ivfpq_topk" -> ivfPqOracle,
     "emb_label_prop" -> labelPropOracle(LpRounds),
 

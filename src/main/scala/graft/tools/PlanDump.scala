@@ -109,6 +109,20 @@ object PlanDump {
     // shuffle) and the unigram-LM tokenizer pair (corpus touched once;
     // EM rounds vocab-bound; encode a pure narrow projection)
     "dedup_span_anchored", "unigram_train", "txt_unigram_corpus",
+    // round-10 second wave: SQ8 serving (codes stay a narrow
+    // projection of the corpus scan, integer-ADC join broadcasts the
+    // query codes, shortlist is a map-side partial top-k, rerank
+    // broadcasts the shortlist — the sim_pq_topk contract at full
+    // dimension); the Feistel shuffle (pure narrow bit arithmetic +
+    // ONE hash exchange for the per-shard position windows — any
+    // global sort appearing here is a regression); the leakage-safe
+    // split (the dedup_cc_groups CC shape + one narrow hash
+    // projection — no extra exchange over the groups plan)
+    "sim_sq_topk", "sim_sq_recall", "export_shuffle", "split_leakage_safe",
+    // MMR: the fixture pins that the per-round greedy joins stay keyed
+    // on q_id over shortlist-sized frames — the corpus appears ONLY in
+    // the candidate stage
+    "sim_mmr_topk",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -121,6 +121,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // (GeodesicJoinRuleSpec) — observed as a broadcast→SMJ flip here.
     val s2 = spark.newSession()
     graft.tools.PlanDump.PinnedConfs.foreach { case (k, v) => s2.conf.set(k, v) }
+    // the cache manager is SHARED across sessions of one SparkContext:
+    // any earlier suite that .cache()'d a testdata table (TuneIvfSpec,
+    // MmrSpec, ...) would otherwise splice InMemoryRelation into the
+    // regenerated plans here — observed as a suite-ORDER-dependent
+    // "Scan parquet → InMemoryTableScan" drift. Dropping the cache
+    // only costs those suites a recompute.
+    s2.sharedState.cacheManager.clearCache()
     graft.tools.PlanDump.Audited.foreach { name =>
       val committed = java.nio.file.Paths.get(
         graft.tools.PlanDump.PlansDir, s"$name.txt")
@@ -241,10 +248,10 @@ class PlanAuditSpec extends AnyFunSuite {
     //    archive side
     val allowNested = Set("sim_topk", "sim_ivf_topk", "join_bloom_prefilter",
       "skyline_parts", "emb_semdedup", "dedup_incr_bloom",
-      // PQ/RQ: the 1-row codebook crossJoin and the queries-broadcast
+      // PQ/RQ/SQ: the 1-row codebook crossJoin and the queries-broadcast
       // ADC join (q_id != n_id) are both deliberate broadcast-NLJ
-      // shapes (RQ's integer-ADC scan is the same idiom)
-      "sim_pq_topk", "sim_rq_topk",
+      // shapes (RQ's and SQ8's integer-ADC scans are the same idiom)
+      "sim_pq_topk", "sim_rq_topk", "sim_sq_topk",
       // multi-probe assignment scores every vector against the
       // broadcast K-centroid table (the ivf_topk idiom); DSIR scoring
       // rides a 1-row broadcast weight-array crossJoin
@@ -254,7 +261,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // estimator, so the brute-force side (corpus x broadcast queries /
       // all-pairs d1 < d2) is the deliberate audit cost — paid on the
       // sampled audit set only, never the serving path
-      "sim_ivf_recall", "sim_neardup_recall", "sim_rq_recall")
+      "sim_ivf_recall", "sim_neardup_recall", "sim_rq_recall",
+      "sim_sq_recall",
+      // MMR reranks the brute-force top-C shortlist (the sim_topk
+      // corpus × broadcast-queries idiom feeds it); the greedy rounds
+      // themselves are keyed small-frame joins
+      "sim_mmr_topk")
     val allowCross = Set("pipe_totals", "pipe_effective_length",
       "agg_heavy_hitters", "agg_kmv_ops")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
