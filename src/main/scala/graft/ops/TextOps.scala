@@ -56,6 +56,40 @@ object TextOps {
         greatest(size(toks), lit(1)).cast("double")).as("mean_token_len"))
   }
 
+  /** Per-document token-distribution Shannon entropy in EXACT integer
+    * milli-bits — the information-theoretic quality scalar next to
+    * [[CurationOps.repetitionStats]]' ratio signals: template/
+    * keyword-stuffed docs have low entropy, natural prose sits near
+    * log2(distinct). H = log2(N) − (Σ nᵢ·log2(nᵢ))/N computed entirely
+    * with the unigram trainer's milli-log2 (floor-log2 from the bit
+    * length + integer linear fractional octave,
+    * [[graft.functions.UnigramKernel.log2Milli]]) — no libm log, no
+    * float summation, so both engines emit identical integers.
+    * `ent_mbits` = milli-bits per token, integer-divided (div ≡ //).
+    *
+    * Scale shape: one (doc, token) keyed count + one per-doc agg, both
+    * map-side combinable; all arithmetic is per-doc bounded (n ≤ doc
+    * length), corpus-size independent. Empty-token docs drop out of
+    * the keyed count in both engines alike. */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    val withL = counts
+      .withColumn("nb", (length(conv(col("n"), 10, 2)) - 1).cast("int"))
+      .withColumn("l2m",
+        lit(1000L) * col("nb") + expr("shiftright(n * 1000, nb)") - 1000L)
+    withL.groupBy("doc_id").agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * col("l2m")).as("s_nl"))
+      .withColumn("tb", (length(conv(col("n_tokens"), 10, 2)) - 1).cast("int"))
+      .withColumn("l2m_tot",
+        lit(1000L) * col("tb") + expr("shiftright(n_tokens * 1000, tb)") - 1000L)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("(n_tokens * l2m_tot - s_nl) div n_tokens").as("ent_mbits"))
+  }
+
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
     val nTok = greatest(size(toks), lit(1)).cast("double")
@@ -930,6 +964,7 @@ object TextOps {
 
   val queries: Map[String, QFn] = Map(
     "txt_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents"))),
+    "txt_entropy" -> ((s, d) => tokenEntropy(t(s, d, "documents"))),
     "txt_quality" -> ((s, d) => qualityScore(t(s, d, "documents"))),
     "txt_langid" -> ((s, d) => languageId(t(s, d, "documents"))),
     "txt_langid_ngram" -> ((s, d) => languageIdNgram(t(s, d, "documents"))),
@@ -1070,6 +1105,25 @@ object TextOps {
          |  CAST(list_reduce(list_prepend(0::BIGINT, list_transform($sqlToks, x -> length(x)::BIGINT)), (a,b) -> a+b) AS DOUBLE)
          |    / CAST(greatest(len($sqlToks), 1) AS DOUBLE) AS mean_token_len
          |FROM documents""".stripMargin,
+
+    // Verbatim replay of tokenEntropy's integer identity
+    // H·N = N·L(N) − Σ nᵢ·L(nᵢ) with L = the unigram trainer's
+    // milli-log2; the final div is BIGINT integral division on both
+    // engines.
+    "txt_entropy" ->
+      s"""WITH cnt AS (
+         |  SELECT doc_id, tok, COUNT(1) AS n
+         |  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |    COUNT(1) AS n_distinct,
+         |    CAST(SUM(n * ${sqlL2M("n")}) AS BIGINT) AS s_nl
+         |  FROM cnt GROUP BY 1)
+         |SELECT doc_id, n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct,
+         |  CAST((n_tokens * ${sqlL2M("n_tokens")} - s_nl) // n_tokens AS BIGINT)
+         |    AS ent_mbits
+         |FROM per""".stripMargin,
 
     "txt_quality" ->
       s"""SELECT doc_id,

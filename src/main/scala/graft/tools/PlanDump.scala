@@ -123,6 +123,10 @@ object PlanDump {
     // on q_id over shortlist-sized frames — the corpus appears ONLY in
     // the candidate stage
     "sim_mmr_topk",
+    // integer entropy: one keyed (doc, token) count + one per-doc agg,
+    // both map-side combinable — a third exchange appearing here is a
+    // regression
+    "txt_entropy",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
