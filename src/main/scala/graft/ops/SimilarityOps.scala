@@ -1595,6 +1595,68 @@ object SimilarityOps {
         round(col("dotp"), 6).as("dotp"))
   }
 
+  /** Power-iteration rounds / Gram-sample target for [[pcaPower]]. */
+  val PcaRounds = 3
+  val PcaGramTarget = 20000
+
+  /** Top principal direction of the embedding distribution by
+    * fixed-point POWER ITERATION — the trainer behind all-but-the-top
+    * postprocessing (Mu & Viswanath 2018: natural embedding corpora
+    * hide a large common direction; removing it sharpens cosine
+    * geometry) and anisotropy drift diagnostics. House training
+    * stance ([[kmeansFixed]], the perceptron): every stage is exact
+    * int64, so the full train — mean → center → Gram → R matvec
+    * rounds — replays bit-identically in DuckDB.
+    *
+    *  1. mean_u per dim: exact micro-unit sums, truncating div (div ≡
+    *     `//`, INCLUDING negatives — both engines truncate toward 0).
+    *  2. centered milli units: cm = (x_u − mean_u) div 1000.
+    *  3. Gram: G = Σ cm·cmᵀ via a vec_id-keyed self-join + (i,j) agg —
+    *     map-side combinable, dim²-bounded per row.
+    *  4. Power: v₀ = 1000·𝟙; w = G·v; v ← (w·1000) div max|w| — the
+    *     driver holds only G (dim² longs, the Lloyd k·dim precedent).
+    *
+    * Scale: the Gram runs on a COUNT-DRIVEN sample (mod = N /
+    * [[PcaGramTarget]], the recall-audit discipline — mod 1 at the
+    * sf0.01 gate): covariance estimation converges at ~d²·log d
+    * samples, so a fixed-size sample serves ANY corpus size, and it
+    * also bounds every int64 intermediate (|cm| ≲ 2¹¹, so |G| ≲
+    * 4·10⁴·N_sample ≲ 2³⁷ and |w·1000| ≲ 2⁵³ — overflow-free by
+    * construction, which DuckDB requires). */
+  def pcaPower(embeddings: DataFrame, rounds: Int = PcaRounds,
+      gramTarget: Int = PcaGramTarget): DataFrame = {
+    val d = dataDim(embeddings)
+    val mod = math.max(1L, embeddings.count() / gramTarget)
+    val sub = embeddings.filter(col("vec_id") % mod === 0)
+    val xu = sub.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        round(col("col").cast("double") * 1e6).cast("long").as("xu"))
+    val mean = xu.groupBy("i")
+      .agg(sum("xu").as("s"), count(lit(1)).as("n"))
+      .select(col("i"), expr("s div n").as("mean_u"))
+    val cm = xu.join(mean, "i")
+      .select(col("vec_id"), col("i"), expr("(xu - mean_u) div 1000").as("cm"))
+      .localCheckpoint(eager = false) // both sides of the Gram self-join
+    val gram = cm
+      .join(cm.select(col("vec_id").as("v2"), col("i").as("j"),
+        col("cm").as("cm2")), col("vec_id") === col("v2"))
+      .groupBy("i", "j").agg(sum(col("cm") * col("cm2")).as("g"))
+    val g = Array.ofDim[Long](d, d)
+    gram.collect().foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var v = Array.fill(d)(1000L)
+    var wLast = Array.fill(d)(0L)
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val mx = w.map(math.abs).max
+      wLast = w
+      if (mx != 0L) v = w.map(x => x * 1000L / mx)
+    }
+    val s = embeddings.sparkSession
+    import s.implicits._
+    (0 until d).map(i => (i.toLong, v(i), wLast(i)))
+      .toDF("pos", "v_mil", "w_last")
+  }
+
   /** Candidate-list size for [[mmrTopK]] — the shortlist the
     * diversifier reranks (the serving path's top-C output). */
   val MmrCands = 30
@@ -1753,6 +1815,7 @@ object SimilarityOps {
       sqRecall(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
     "sim_mmr_topk" -> ((s, d) =>
       mmrTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
+    "emb_pca_power" -> ((s, d) => pcaPower(t(s, d, "embeddings"))),
     "emb_knn_graph" -> ((s, d) => knnGraph(t(s, d, "embeddings"))),
     "emb_hard_negatives" -> ((s, d) =>
       hardNegatives(t(s, d, "embeddings"), col("vec_id") % 20 === 0)),
@@ -1831,6 +1894,48 @@ object SimilarityOps {
   private def sqlSqd(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b),
        |  s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))), (u,v) -> u+v)"""
+
+  /** Full-training SQL replay of [[pcaPower]]: sample → micro units →
+    * truncating mean/center → Gram (MATERIALIZED — referenced by every
+    * matvec round) → `rounds` unrolled (w, v) CTE pairs with the exact
+    * mx-normalization division. The degenerate mx = 0 branch carries
+    * the PREVIOUS round's v, mirroring the driver loop. */
+  private def pcaOracle(rounds: Int, dim: Int, gramTarget: Int): String = {
+    val rcs = (1 to rounds).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS w
+         |  FROM g JOIN v${k - 1} v ON v.i = g.j GROUP BY 1),
+         |m$k AS (SELECT MAX(abs(w)) AS mx FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT w.i,
+         |    CASE WHEN m.mx = 0 THEN p.v ELSE (w.w * 1000) // m.mx END AS v
+         |  FROM w$k w JOIN v${k - 1} p ON p.i = w.i CROSS JOIN m$k m)"""
+    }.mkString(",\n")
+    s"""WITH sub AS (
+       |  SELECT * FROM embeddings WHERE vec_id %
+       |    (SELECT GREATEST(1, COUNT(*) // $gramTarget) FROM embeddings) = 0),
+       |xu AS (
+       |  SELECT vec_id, i,
+       |    CAST(round(embedding[i + 1]::DOUBLE * 1e6) AS BIGINT) AS xu
+       |  FROM (SELECT vec_id, embedding,
+       |          UNNEST(range(0, len(embedding))) AS i
+       |        FROM sub)),
+       |mean AS (
+       |  SELECT i, CAST(SUM(xu) AS BIGINT) // COUNT(1) AS mean_u
+       |  FROM xu GROUP BY 1),
+       |cm AS MATERIALIZED (
+       |  SELECT vec_id, x.i, (x.xu - m.mean_u) // 1000 AS cm
+       |  FROM xu x JOIN mean m ON x.i = m.i),
+       |g AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.cm * b.cm) AS BIGINT) AS g
+       |  FROM cm a JOIN cm b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT UNNEST(range(0, $dim)) AS i, 1000::BIGINT AS v),
+       |$rcs
+       |SELECT CAST(v$rounds.i AS BIGINT) AS pos,
+       |  CAST(v$rounds.v AS BIGINT) AS v_mil,
+       |  CAST(w$rounds.w AS BIGINT) AS w_last
+       |FROM v$rounds JOIN w$rounds ON v$rounds.i = w$rounds.i""".stripMargin
+  }
 
   /** SQL replay of [[mmrTopK]]: brute-force top-C candidates, the
     * per-query pair matrix, then one MATERIALIZED CTE pair per greedy
@@ -2204,6 +2309,7 @@ object SimilarityOps {
     // unMATERIALIZED, DuckDB would inline the selection DAG
     // exponentially, the unigram-DP lesson).
     "sim_mmr_topk" -> mmrOracle(10, MmrCands),
+    "emb_pca_power" -> pcaOracle(PcaRounds, OracleDim, PcaGramTarget),
     "sim_ivfpq_topk" -> ivfPqOracle,
     "emb_label_prop" -> labelPropOracle(LpRounds),
 

@@ -127,6 +127,10 @@ object PlanDump {
     // both map-side combinable — a third exchange appearing here is a
     // regression
     "txt_entropy",
+    // fixed-point PCA: the count-driven Gram sample must keep the
+    // sf1 probe's cost flat (the recall-audit discipline applied to
+    // covariance estimation)
+    "emb_pca_power",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

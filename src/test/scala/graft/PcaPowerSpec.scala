@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimilarityOps
+
+/** Fixed-point power-iteration PCA (`pcaPower`): recovers a planted
+  * dominant direction, degenerates gracefully on an isotropic/constant
+  * corpus, relies on cross-engine truncating-division parity
+  * (asserted), and replays bit-for-bit against a straight-line local
+  * recompute of mean → center → Gram → matvec rounds. */
+class PcaPowerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("integral division truncates toward zero in BOTH engines' semantics") {
+    spark.sparkContext.setLogLevel("WARN")
+    // the whole fixed-point pipeline (means and normalization touch
+    // negatives) leans on Spark div ≡ DuckDB // ≡ Java / — trunc, not
+    // floor. DuckDB verified manually: (-7)//2 = -3.
+    assert(spark.sql("SELECT -7 div 2").first().getLong(0) == -3L)
+    assert(spark.sql("SELECT 7 div -2").first().getLong(0) == -3L)
+  }
+
+  test("recovers a planted dominant direction") {
+    import spark.implicits._
+    // x_k = t·u + small noise, u = (3,4,0,...)/5; deterministic noise
+    val d = 8
+    val u = Array(0.6, 0.8) ++ Array.fill(d - 2)(0.0)
+    val rows = (0 until 400).map { k =>
+      val t = (k % 21 - 10) / 10.0 // spread along u
+      val x = (0 until d).map { i =>
+        (t * u(i) + 0.01 * math.sin(k * 12.9898 + i * 78.233)).toFloat
+      }
+      (k.toLong, x)
+    }.toDF("vec_id", "embedding")
+    val out = SimilarityOps.pcaPower(rows).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val v = (0 until d).map(i => out(i).toDouble)
+    val cos = v.zip(u).map { case (a, b) => a * b }.sum /
+      (math.sqrt(v.map(x => x * x).sum) * math.sqrt(u.map(x => x * x).sum))
+    info(f"planted-direction |cos| = ${math.abs(cos)}%.4f")
+    assert(math.abs(cos) > 0.99)
+  }
+
+  test("constant corpus: zero Gram, v stays at the init, w_last = 0") {
+    import spark.implicits._
+    val rows = (0 until 50)
+      .map(k => (k.toLong, Seq(0.25f, -0.5f, 0.125f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.pcaPower(rows).collect()
+    assert(out.forall(r => r.getLong(1) == 1000L && r.getLong(2) == 0L))
+  }
+
+  test("straight-line local replay on the real corpus matches stage for stage") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val data = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val d = data.values.head.length
+    val n = data.size
+    val xu = data.map { case (id, x) =>
+      id -> x.map(f => math.round(f.toDouble * 1e6))
+    }
+    val mean = (0 until d).map(i => xu.values.map(_(i)).sum / n)
+    val cm = xu.map { case (id, x) =>
+      id -> (0 until d).map(i => (x(i) - mean(i)) / 1000L).toArray
+    }
+    val g = Array.tabulate(d, d)((i, j) =>
+      cm.values.map(v => v(i) * v(j)).sum)
+    var v = Array.fill(d)(1000L)
+    var w = Array.fill(d)(0L)
+    for (_ <- 1 to SimilarityOps.PcaRounds) {
+      w = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val mx = w.map(math.abs).max
+      if (mx != 0L) v = w.map(x => x * 1000L / mx)
+    }
+    val out = SimilarityOps.pcaPower(emb).collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    (0 until d).foreach { i =>
+      assert(out(i) == ((v(i), w(i))), s"dim $i: ${out(i)} vs (${v(i)},${w(i)})")
+    }
+  }
+}
