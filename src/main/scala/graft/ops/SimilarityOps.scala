@@ -1657,6 +1657,42 @@ object SimilarityOps {
       .toDF("pos", "v_mil", "w_last")
   }
 
+  /** ALL-BUT-THE-TOP application — the train-on-sample /
+    * apply-everywhere split over [[pcaPower]] (the Mu & Viswanath 2018
+    * postprocessing; the perceptronApply pattern for
+    * embeddings): the trained direction v (driver-collected, dim
+    * longs) scores every vector with its common-direction component
+    * and the L1 mass of the residual after removing it — the two
+    * anisotropy diagnostics a corpus monitor tracks.
+    *
+    * Exact-integer throughout, common-denominator form: p = Σ x_u·v
+    * and r_i = x_u[i]·(v·v) − p·v[i] (the residual times the positive
+    * constant v·v — rescaling changes no comparison), so there is no
+    * per-element division at all; every intermediate stays ≤ ~2⁵²
+    * at the trained scales. The apply pass is a pure narrow
+    * projection over ONE corpus scan — at 100 TB it runs at read
+    * bandwidth while the training cost stays on the fixed-size Gram
+    * sample. */
+  def abttApply(embeddings: DataFrame, rounds: Int = PcaRounds,
+      gramTarget: Int = PcaGramTarget): DataFrame = {
+    val vRows = pcaPower(embeddings, rounds, gramTarget).collect()
+    val v = vRows.sortBy(_.getLong(0)).map(_.getLong(1))
+    val vv = v.map(x => x * x).sum
+    val vLit = typedLit(v.toSeq)
+    embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xu"))
+      .withColumn("p",
+        aggregate(zip_with(col("xu"), vLit, (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t))
+      .select(col("vec_id"), col("p"),
+        aggregate(
+          zip_with(col("xu"), vLit,
+            (a, b) => abs(a * lit(vv) - col("p") * b)),
+          lit(0L), (acc, t) => acc + t).as("res_l1"))
+  }
+
   /** Candidate-list size for [[mmrTopK]] — the shortlist the
     * diversifier reranks (the serving path's top-C output). */
   val MmrCands = 30
@@ -1816,6 +1852,7 @@ object SimilarityOps {
     "sim_mmr_topk" -> ((s, d) =>
       mmrTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
     "emb_pca_power" -> ((s, d) => pcaPower(t(s, d, "embeddings"))),
+    "emb_abtt" -> ((s, d) => abttApply(t(s, d, "embeddings"))),
     "emb_knn_graph" -> ((s, d) => knnGraph(t(s, d, "embeddings"))),
     "emb_hard_negatives" -> ((s, d) =>
       hardNegatives(t(s, d, "embeddings"), col("vec_id") % 20 === 0)),
@@ -1900,7 +1937,38 @@ object SimilarityOps {
     * matvec round) → `rounds` unrolled (w, v) CTE pairs with the exact
     * mx-normalization division. The degenerate mx = 0 branch carries
     * the PREVIOUS round's v, mirroring the driver loop. */
-  private def pcaOracle(rounds: Int, dim: Int, gramTarget: Int): String = {
+  private def pcaOracle(rounds: Int, dim: Int, gramTarget: Int,
+      mode: String = "train"): String = {
+    val tail = mode match {
+      case "train" =>
+        s"""SELECT CAST(v$rounds.i AS BIGINT) AS pos,
+           |  CAST(v$rounds.v AS BIGINT) AS v_mil,
+           |  CAST(w$rounds.w AS BIGINT) AS w_last
+           |FROM v$rounds JOIN w$rounds ON v$rounds.i = w$rounds.i""".stripMargin
+      case "apply" =>
+        // the trained v applied over the FULL corpus: p = Σ x_u·v,
+        // r_i = x_u[i]·(v·v) − p·v[i] — no per-element division
+        s"""vagg AS (
+           |  SELECT list(v ORDER BY i ASC) AS vl,
+           |    CAST(SUM(v * v) AS BIGINT) AS vv
+           |  FROM v$rounds),
+           |xall AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(round(x::DOUBLE * 1e6) AS BIGINT)) AS xu
+           |  FROM embeddings),
+           |pp AS (
+           |  SELECT vec_id, xu, va.vl, va.vv,
+           |    list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(list_zip(xu, va.vl), s -> s[1] * s[2])),
+           |      (u, v) -> u + v) AS p
+           |  FROM xall, vagg va)
+           |SELECT vec_id, p,
+           |  list_reduce(list_prepend(0::BIGINT,
+           |    list_transform(list_zip(xu, vl), s -> abs(s[1] * vv - p * s[2]))),
+           |    (u, v) -> u + v) AS res_l1
+           |FROM pp""".stripMargin
+    }
+    val glue = if (mode == "apply") "," else ""
     val rcs = (1 to rounds).map { k =>
       s"""w$k AS MATERIALIZED (
          |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS w
@@ -1930,11 +1998,8 @@ object SimilarityOps {
        |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.cm * b.cm) AS BIGINT) AS g
        |  FROM cm a JOIN cm b ON a.vec_id = b.vec_id GROUP BY 1, 2),
        |v0 AS (SELECT UNNEST(range(0, $dim)) AS i, 1000::BIGINT AS v),
-       |$rcs
-       |SELECT CAST(v$rounds.i AS BIGINT) AS pos,
-       |  CAST(v$rounds.v AS BIGINT) AS v_mil,
-       |  CAST(w$rounds.w AS BIGINT) AS w_last
-       |FROM v$rounds JOIN w$rounds ON v$rounds.i = w$rounds.i""".stripMargin
+       |$rcs$glue
+       |$tail""".stripMargin
   }
 
   /** SQL replay of [[mmrTopK]]: brute-force top-C candidates, the
@@ -2310,6 +2375,7 @@ object SimilarityOps {
     // exponentially, the unigram-DP lesson).
     "sim_mmr_topk" -> mmrOracle(10, MmrCands),
     "emb_pca_power" -> pcaOracle(PcaRounds, OracleDim, PcaGramTarget),
+    "emb_abtt" -> pcaOracle(PcaRounds, OracleDim, PcaGramTarget, "apply"),
     "sim_ivfpq_topk" -> ivfPqOracle,
     "emb_label_prop" -> labelPropOracle(LpRounds),
 

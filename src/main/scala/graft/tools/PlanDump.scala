@@ -129,8 +129,9 @@ object PlanDump {
     "txt_entropy",
     // fixed-point PCA: the count-driven Gram sample must keep the
     // sf1 probe's cost flat (the recall-audit discipline applied to
-    // covariance estimation)
-    "emb_pca_power",
+    // covariance estimation); the ABTT apply pass must stay a pure
+    // narrow projection over one corpus scan
+    "emb_pca_power", "emb_abtt",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -57,6 +57,54 @@ class PcaPowerSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) == 1000L && r.getLong(2) == 0L))
   }
 
+  test("abttApply: pure on-axis corpus leaves ~zero residual, spread projections") {
+    import spark.implicits._
+    // vectors exactly t·u (no noise): after removing the top component
+    // the residual must be quantization-level only, while the
+    // projection p tracks t monotonically
+    val d = 8
+    val u = Array(0.6f, 0.8f) ++ Array.fill(d - 2)(0.0f)
+    val rows = (0 until 200).map { k =>
+      val t = (k % 21 - 10) / 10.0f
+      (k.toLong, u.map(x => x * t).toSeq)
+    }.toDF("vec_id", "embedding")
+    val v = SimilarityOps.pcaPower(rows).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1))
+    val vv = v.map(x => x * x).sum
+    val out = SimilarityOps.abttApply(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // res_l1 is in vv-scaled micro units; compare it against the
+    // vector's own vv-scaled L1 mass — on-axis content must be ≥ 99 %
+    // (the only residual source is v's milli-scale rounding)
+    out.foreach { case (id, _, res) =>
+      val t = (id % 21 - 10) / 10.0
+      val xuL1 = u.map(x => math.abs(math.round(x * t * 1e6))).sum
+      if (xuL1 > 0)
+        assert(res.toDouble / (xuL1.toDouble * vv) < 0.01,
+          s"vec $id residual fraction ${res.toDouble / (xuL1.toDouble * vv)}")
+    }
+    // projection is monotone in |t|: t=0 projects to ~0, t=-1 to max
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(math.abs(byId(10L)) < math.abs(byId(0L))) // t=0 vs t=-1
+    assert(out.map(r => math.abs(r._2)).max > 0)
+  }
+
+  test("abttApply replays locally from the trained direction") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val v = SimilarityOps.pcaPower(emb).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1))
+    val vv = v.map(x => x * x).sum
+    val out = SimilarityOps.abttApply(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").collect().foreach { r =>
+        val xu = r.getSeq[Float](1).map(f => math.round(f.toDouble * 1e6)).toArray
+        val p = xu.zip(v).map { case (a, b) => a * b }.sum
+        val res = xu.zip(v).map { case (a, b) => math.abs(a * vv - p * b) }.sum
+        assert(out(r.getLong(0)) == ((p, res)), s"vec ${r.getLong(0)}")
+      }
+  }
+
   test("straight-line local replay on the real corpus matches stage for stage") {
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val data = emb.select("vec_id", "embedding").collect()
