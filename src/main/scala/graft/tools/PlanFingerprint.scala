@@ -93,7 +93,10 @@ object PlanFingerprint {
     text
       .replaceAll("plan_id=\\d+", "plan_id=*")
       .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$Lambda\\$*")
-      .replaceAll("@[0-9a-f]{6,}", "@*")
+      // Java identity hashes (Integer.toHexString) are 1-8 hex chars —
+      // a {6,} floor let a 5-char hash (~3 % of objects) through and
+      // flaked the fixture compare on aggregator toStrings
+      .replaceAll("@[0-9a-f]{1,8}\\b", "@*")
       .replaceAll("#\\d+", "#*")
       // iterative ops (CC) embed localCheckpoint'd RDD ids (session
       // counters) and call-site line numbers (churn on unrelated edits)
