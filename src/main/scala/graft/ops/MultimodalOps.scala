@@ -95,6 +95,71 @@ object MultimodalOps {
   case object Stub extends Decoder
   case object ImageIO extends Decoder
 
+  // ----------------------------------------------------- audio (WAV) ---
+
+  final case class AudioMeta(
+      doc_id: Long, media_type: String, n_bytes: Long,
+      sample_rate: Long, channels: Long, bits: Long,
+      n_frames: Long, mean_abs: Long)
+
+  private def md5hex(payload: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
+
+  /** REAL audio decode via `javax.sound.sampled` (pure JVM — WAV/PCM,
+    * no external libs), upgrading the audio arm the way
+    * [[decodeBatchImageIO]] upgraded rasters: format metadata from the
+    * parsed RIFF header, plus an EXACT integer content statistic —
+    * mean |sample| over the 16-bit PCM stream (Σ|s| div n) — the
+    * silence/clipping health signal an ingest pipeline tracks, chosen
+    * over RMS because it needs no sqrt and replays exactly.
+    * Non-audio rows, corrupt bytes, and non-16-bit/big-endian formats
+    * fall back to a deterministic md5-derived fake so the batch
+    * function stays total (oracle-expressible, like the image stub). */
+  private def decodeBatchWav(batch: Seq[MediaRow]): Seq[AudioMeta] =
+    batch.map { m =>
+      val parsed =
+        if (m.media_type != "audio") None
+        else
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            val f = ais.getFormat
+            if (f.getSampleSizeInBits != 16 || f.isBigEndian) None
+            else {
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              var s = 0L
+              var i = 0
+              while (i < n) {
+                val v = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+                s += math.abs(v.toLong)
+                i += 1
+              }
+              Some(AudioMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+                f.getSampleRate.toLong, f.getChannels.toLong, 16L,
+                ais.getFrameLength, if (n == 0) 0L else s / n))
+            }
+          } catch { case _: Exception => None }
+      parsed.getOrElse {
+        val hex = md5hex(m.payload)
+        def h(from: Int, len: Int): Long =
+          java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+        AudioMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+          8000 + h(0, 4) % 40000, 1 + h(4, 2) % 2, 16L,
+          1 + h(6, 6) % 100000, h(12, 4) % 32768)
+      }
+    }
+
+  /** Batched audio decode — same iterator-of-batches contract as
+    * [[decodeMeta]]; no shuffle, parallelism = partitions. */
+  def decodeAudioMeta(mediaDs: Dataset[MediaRow],
+      batchSize: Int = DecodeBatchSize): Dataset[AudioMeta] = {
+    val spark = mediaDs.sparkSession
+    import spark.implicits._
+    mediaDs.mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatchWav))
+  }
+
   /** Batched decode over partitions: iterator-of-batches in/out, the
     * mapInPandas shape. No shuffle — decode parallelism = partitions. */
   def decodeMeta(mediaDs: Dataset[MediaRow],
@@ -170,6 +235,44 @@ object MultimodalOps {
       MediaRow(4L, jpeg19x11, "image"),
       MediaRow(5L, "notanimage!".getBytes("UTF-8"), "image"),
       MediaRow(6L, "audio-payload".getBytes("UTF-8"), "audio"))
+
+    /** Canonical 44-byte-header PCM16LE WAV, synthesized in code so
+      * the fixture is deterministic AND its decoded values are
+      * hand-derivable (no binary blob to trust). */
+    def wavPcm16(rate: Int, channels: Int,
+        samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort)
+      bb.putInt(rate); bb.putInt(rate * channels * 2)
+      bb.putShort((channels * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Mono 8 kHz square wave at amplitude 1000 (160 frames): the
+      * |·| of every sample is the amplitude, so mean_abs = 1000
+      * EXACTLY — the content statistic is literal-known. */
+    def wavMono8k: Array[Byte] = wavPcm16(8000, 1,
+      Array.tabulate(160)(i => (if ((i / 8) % 2 == 0) 1000 else -1000).toShort))
+
+    /** Stereo 16 kHz ±500 interleaved (64 frames / 128 samples):
+      * mean_abs = 500 exactly. */
+    def wavStereo16k: Array[Byte] = wavPcm16(16000, 2,
+      Array.tabulate(128)(i => (if (i % 2 == 0) 500 else -500).toShort))
+
+    /** Audio fixture table: two real WAV decodes + two md5-stub
+      * fallbacks (corrupt audio bytes, image payload). */
+    def audioRows: Seq[MediaRow] = Seq(
+      MediaRow(1L, wavMono8k, "audio"),
+      MediaRow(2L, wavStereo16k, "audio"),
+      MediaRow(3L, "notawav!".getBytes("UTF-8"), "audio"),
+      MediaRow(4L, "image-payload".getBytes("UTF-8"), "image"))
   }
 
   // ------------------------------------------------------------ queries
@@ -212,6 +315,16 @@ object MultimodalOps {
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"),
           col("n_frames").cast("long").as("n_frames"))
+    }),
+    // the REAL audio decoder, oracled: code-synthesized WAV fixtures
+    // whose decoded metadata AND content statistic are hand-derivable
+    // (square/constant amplitudes ⇒ mean_abs is the amplitude,
+    // exactly); batchSize 3 forces a batch boundary; the corrupt-audio
+    // and image rows pin the md5-stub fallback in the same run.
+    "mm_decode_wav" -> ((s, _) => {
+      import s.implicits._
+      decodeAudioMeta(s.createDataset(MediaFixtures.audioRows),
+        batchSize = 3).toDF()
     })
   )
 
@@ -282,6 +395,34 @@ object MultimodalOps {
          |  ${stub("notanimage!", "image", 5)},
          |  ${stub("audio-payload", "audio", 6)}
          |) AS v(doc_id, media_type, n_bytes, width, height, channels, n_frames)""".stripMargin
+    },
+
+    // mm_decode_wav: rows 1-2 are hand-derived from the synthesis
+    // parameters (44-byte canonical header + 2 B/sample; square and
+    // constant amplitudes make mean_abs the amplitude exactly); rows
+    // 3-4 replay the md5-stub fallback formulas.
+    "mm_decode_wav" -> {
+      def stub(p: String, mt: String, id: Int) =
+        s"""($id, '$mt', octet_length(encode('$p')),
+           |  8000 + ('0x' || substr(md5('$p'), 1, 4))::BIGINT % 40000,
+           |  1 + ('0x' || substr(md5('$p'), 5, 2))::BIGINT % 2,
+           |  16,
+           |  1 + ('0x' || substr(md5('$p'), 7, 6))::BIGINT % 100000,
+           |  ('0x' || substr(md5('$p'), 13, 4))::BIGINT % 32768)""".stripMargin
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, media_type,
+         |  CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(bits AS BIGINT) AS bits,
+         |  CAST(n_frames AS BIGINT) AS n_frames,
+         |  CAST(mean_abs AS BIGINT) AS mean_abs
+         |FROM (VALUES
+         |  (1, 'audio', 364, 8000, 1, 16, 160, 1000),
+         |  (2, 'audio', 300, 16000, 2, 16, 64, 500),
+         |  ${stub("notawav!", "audio", 3)},
+         |  ${stub("image-payload", "image", 4)}
+         |) AS v(doc_id, media_type, n_bytes, sample_rate, channels, bits,
+         |       n_frames, mean_abs)""".stripMargin
     }
   )
 }

@@ -1595,6 +1595,43 @@ object SimilarityOps {
         round(col("dotp"), 6).as("dotp"))
   }
 
+  /** RRF smoothing constant (the k=60 of Cormack et al. 2009). */
+  val RrfK = 60
+
+  /** HYBRID RETRIEVAL — reciprocal-rank fusion of the two serving
+    * modalities the engine already ranks with: BM25 lexical top-k
+    * over `documents` and exact-cosine vector top-k over `embeddings`
+    * (doc_id ≡ vec_id in the corpus), fused by
+    * RRF(d) = Σ_lists 1/(60 + rank_d) — the standard fusion rule
+    * (Cormack et al. 2009) production hybrid search ships because it
+    * needs NO score calibration between modalities, only ranks.
+    * Rendered in exact integer ppm (1e6 div (60 + rank)), so the
+    * fused ordering is bit-exact cross-engine.
+    *
+    * Scale shape: both input rankings are the separately-oracled
+    * top-k derivations (corpus-scale cost lives there — BM25 is the
+    * one-scan x0 plan, the vector side the broadcast-query partial
+    * top-k); the fusion itself joins two ≤k-row lists — the windows
+    * run single-partition over ≤2k rows by construction. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+      queryVecId: Long = 0L, k: Int = TextOps.Bm25TopK): DataFrame = {
+    val wb = Window.orderBy(col("score_u").desc, col("doc_id").asc)
+    val lexical = TextOps.bm25TopDocs(docs, k = k)
+      .withColumn("rank_bm25", row_number().over(wb).cast("long"))
+      .select(col("doc_id"), col("rank_bm25"))
+    val vector = bruteForceTopK(embeddings, col("vec_id") === queryVecId, k)
+      .select(col("n_id").as("doc_id"), col("rank").as("rank_vec"))
+    val wr = Window.orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    lexical.join(vector, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr(s"1000000 div ($RrfK + rank_bm25)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + rank_vec)"), lit(0L)))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank_bm25"), col("rank_vec"),
+        col("rrf_ppm"), col("rank"))
+  }
+
   /** Power-iteration rounds / Gram-sample target for [[pcaPower]]. */
   val PcaRounds = 3
   val PcaGramTarget = 20000
@@ -1853,6 +1890,8 @@ object SimilarityOps {
       mmrTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
     "emb_pca_power" -> ((s, d) => pcaPower(t(s, d, "embeddings"))),
     "emb_abtt" -> ((s, d) => abttApply(t(s, d, "embeddings"))),
+    "sim_hybrid_rrf" -> ((s, d) =>
+      hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"))),
     "emb_knn_graph" -> ((s, d) => knnGraph(t(s, d, "embeddings"))),
     "emb_hard_negatives" -> ((s, d) =>
       hardNegatives(t(s, d, "embeddings"), col("vec_id") % 20 === 0)),
@@ -2376,6 +2415,43 @@ object SimilarityOps {
     "sim_mmr_topk" -> mmrOracle(10, MmrCands),
     "emb_pca_power" -> pcaOracle(PcaRounds, OracleDim, PcaGramTarget),
     "emb_abtt" -> pcaOracle(PcaRounds, OracleDim, PcaGramTarget, "apply"),
+
+    // Composition of the two separately-oracled rankings (the
+    // dedup_cc_groups-over-dedup_lsh_pairs idiom): BM25 oracle text
+    // reused verbatim as a subquery, cosine side the sim_topk shape
+    // pinned to query 0, fused by integer-ppm RRF.
+    "sim_hybrid_rrf" -> {
+      val bm25Sql = TextOps.oracle("txt_bm25")
+      s"""WITH bm AS (SELECT doc_id, score_u FROM ($bm25Sql)),
+         |bmr AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id ASC) AS rank_bm25
+         |  FROM bm),
+         |e AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |sims AS (
+         |  SELECT b.vec_id AS n_id, $sqlCos AS sim
+         |  FROM e a JOIN e b ON a.vec_id = 0 AND a.vec_id != b.vec_id),
+         |vr AS (SELECT n_id AS doc_id, rank_vec FROM (
+         |  SELECT n_id,
+         |    ROW_NUMBER() OVER (ORDER BY sim DESC, n_id ASC) AS rank_vec
+         |  FROM sims) WHERE rank_vec <= ${TextOps.Bm25TopK}),
+         |f AS (
+         |  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         |    CAST(b.rank_bm25 AS BIGINT) AS rank_bm25,
+         |    CAST(v.rank_vec AS BIGINT) AS rank_vec
+         |  FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id),
+         |s AS (
+         |  SELECT doc_id, rank_bm25, rank_vec,
+         |    COALESCE(1000000 // ($RrfK + rank_bm25), 0)
+         |      + COALESCE(1000000 // ($RrfK + rank_vec), 0) AS rrf_ppm
+         |  FROM f)
+         |SELECT doc_id, rank_bm25, rank_vec, rrf_ppm, rank FROM (
+         |  SELECT doc_id, rank_bm25, rank_vec, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id ASC)
+         |      AS BIGINT) AS rank
+         |  FROM s)
+         |WHERE rank <= ${TextOps.Bm25TopK}""".stripMargin
+    },
     "sim_ivfpq_topk" -> ivfPqOracle,
     "emb_label_prop" -> labelPropOracle(LpRounds),
 

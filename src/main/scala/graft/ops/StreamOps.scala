@@ -39,7 +39,9 @@ object StreamOps {
       EventStreams.windowTopTypes(
         EventStreams.toTypedEv(t(s, d, "events"))).toDF()),
     "stream_static_enrich" -> ((s, d) =>
-      EventStreams.enrichedTumbling(t(s, d, "events"), t(s, d, "customer")))
+      EventStreams.enrichedTumbling(t(s, d, "events"), t(s, d, "customer"))),
+    "stream_drift_chi2" -> ((s, d) =>
+      EventStreams.tumblingDrift(t(s, d, "events"), t(s, d, "events")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,6 +83,25 @@ object StreamOps {
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // batch replay of the streaming drift monitor: same hour windows
+    // as stream_tumbling, reference rate = per-type history count over
+    // distinct hour windows (integral division both times)
+    "stream_drift_chi2" ->
+      """WITH nw AS (
+        |  SELECT COUNT(DISTINCT epoch_us(ts) // 3600000000) AS n FROM events),
+        |ref AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(1) // GREATEST(nw.n, 1) AS BIGINT) AS expected
+        |  FROM events, nw GROUP BY 1, nw.n),
+        |w AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |    event_type, CAST(COUNT(1) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w.window_start_us, w.event_type, w.n_events, r.expected,
+        |  CAST(((n_events - expected) * (n_events - expected) * 1000000)
+        |    // GREATEST(expected, 1) AS BIGINT) AS chi2_ppm
+        |FROM w JOIN ref r USING (event_type)""".stripMargin,
 
     // FMGWS windowed top-k: rank ties broken by type name
     "stream_topk_window" ->

@@ -36,6 +36,46 @@ object EventStreams {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value_c"))
 
+  /** STREAMING DRIFT MONITOR — the windowed twin of
+    * [[graft.ops.QualityOps.driftChi2]]: per tumbling window, each
+    * event type's observed count against the STATIC reference profile's
+    * expected per-window rate (history count div history window count),
+    * as an exact-integer chi-square contribution in ppm. The production
+    * shape: reference = yesterday's profile, stream = today's ingest;
+    * a traffic flood or outage in any window dominates its row.
+    *
+    * Stream legality is load-bearing in the plan order: Structured
+    * Streaming forbids ANY join after an aggregation, so the reference
+    * is broadcast onto raw events BEFORE the windowed agg (the
+    * [[enrichedTumbling]] pattern) and carried through with max() —
+    * the chi2 itself is a stateless post-agg projection. The reference
+    * window count is one driver scalar off the STATIC side (legal
+    * before stream start; the BM25 df/N idiom).
+    *
+    * Integer bounds: expected ≤ history/type/windows and n_events is
+    * per-window bounded (windows grow in NUMBER with data span, not in
+    * size), so (n−e)²·10⁶ stays far inside int64 at any corpus scale.
+    * Batch form on the same table is the DuckDB oracle; stream ≡ batch
+    * row-for-row is pinned in StreamDriftSpec. */
+  def tumblingDrift(events: DataFrame, refEvents: DataFrame,
+      window: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val nWin = refEvents
+      .select(countDistinct(expr("unix_micros(ts) div 3600000000")))
+      .first().getLong(0)
+    val ref = refEvents.groupBy("event_type")
+      .agg(expr(s"count(1) div ${math.max(nWin, 1L)}L").as("expected"))
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    wm.join(broadcast(ref), Seq("event_type"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max("expected").as("expected"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("expected"),
+        expr("((n_events - expected) * (n_events - expected) * 1000000)" +
+          " div greatest(expected, 1)").as("chi2_ppm"))
+  }
+
   /** Tumbling-window counts/sums per event type. Watermark bounds state
     * and admits ≤`watermark` of event-time lateness. */
   def tumblingCounts(

@@ -132,6 +132,10 @@ object PlanDump {
     // covariance estimation); the ABTT apply pass must stay a pure
     // narrow projection over one corpus scan
     "emb_pca_power", "emb_abtt",
+    // hybrid RRF: the plan must keep corpus-scale work inside the two
+    // top-k arms (BM25 one-scan, vector broadcast-query partial
+    // top-k) with the fusion windows on ≤k-row frames
+    "sim_hybrid_rrf",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -95,4 +95,29 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(default.sameElements(explicitStub),
       "default decoder must remain the oracle-checkable stub")
   }
+
+  test("WAV decoder: real PCM16 metadata + exact mean|sample| through the batched path") {
+    import spark.implicits._
+    val out = MultimodalOps.decodeAudioMeta(
+      spark.createDataset(MultimodalOps.MediaFixtures.audioRows), batchSize = 3)
+      .collect().sortBy(_.doc_id)
+    // hand-derived from the synthesis parameters (44 B header + 2 B/sample)
+    val mono = out(0)
+    assert((mono.n_bytes, mono.sample_rate, mono.channels, mono.bits,
+      mono.n_frames, mono.mean_abs) == ((364L, 8000L, 1L, 16L, 160L, 1000L)))
+    val stereo = out(1)
+    assert((stereo.n_bytes, stereo.sample_rate, stereo.channels, stereo.bits,
+      stereo.n_frames, stereo.mean_abs) == ((300L, 16000L, 2L, 16L, 64L, 500L)))
+    // corrupt audio + image rows fall back deterministically (total fn)
+    assert(out(2).bits == 16L && out(3).bits == 16L)
+    assert(out.length == 4)
+  }
+
+  test("WAV decode is batch-boundary invariant") {
+    import spark.implicits._
+    val ds = spark.createDataset(MultimodalOps.MediaFixtures.audioRows)
+    val a = MultimodalOps.decodeAudioMeta(ds, batchSize = 1).collect().sortBy(_.doc_id)
+    val b = MultimodalOps.decodeAudioMeta(ds, batchSize = 64).collect().sortBy(_.doc_id)
+    assert(a.sameElements(b))
+  }
 }

@@ -266,7 +266,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // MMR reranks the brute-force top-C shortlist (the sim_topk
       // corpus × broadcast-queries idiom feeds it); the greedy rounds
       // themselves are keyed small-frame joins
-      "sim_mmr_topk")
+      "sim_mmr_topk",
+      // hybrid RRF's vector arm IS the sim_topk brute-force shape
+      // (1-query broadcast); the fusion joins two ≤k-row lists
+      "sim_hybrid_rrf")
     val allowCross = Set("pipe_totals", "pipe_effective_length",
       "agg_heavy_hitters", "agg_kmv_ops")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
