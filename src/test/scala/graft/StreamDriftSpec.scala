@@ -12,6 +12,9 @@ import graft.streaming.EventStreams
   * row on the same data, a window matching the reference rate reports
   * ~zero drift, and a planted traffic flood dominates exactly its
   * window's row. */
+final case class DriftRawEv(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
 class StreamDriftSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -24,15 +27,12 @@ class StreamDriftSpec extends AnyFunSuite {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
 
-  final case class RawEv(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double)
-
   /** 3 steady hours at 4 clicks/hour + one flooded hour at 40. */
-  private def evs: Seq[RawEv] = {
+  private def evs: Seq[DriftRawEv] = {
     val steady = for (h <- 0 until 3; i <- 0 until 4)
-      yield RawEv(h * 100L + i, ts(h * 60 + i * 12), 1, "click", 1.0)
+      yield DriftRawEv(h * 100L + i, ts(h * 60 + i * 12), 1, "click", 1.0)
     val flood = (0 until 40).map(i =>
-      RawEv(900L + i, ts(3 * 60 + (i % 58)), 1, "click", 1.0))
+      DriftRawEv(900L + i, ts(3 * 60 + (i % 58)), 1, "click", 1.0))
     steady ++ flood
   }
 
@@ -43,7 +43,7 @@ class StreamDriftSpec extends AnyFunSuite {
     val batch = EventStreams.tumblingDrift(staticDf, staticDf)
       .collect().map(_.toSeq).toSet
 
-    val mem = MemoryStream[RawEv]
+    val mem = MemoryStream[DriftRawEv]
     val q = EventStreams.tumblingDrift(mem.toDF(), staticDf)
       .writeStream.format("memory").queryName("drift")
       .outputMode("append").start()
@@ -53,7 +53,7 @@ class StreamDriftSpec extends AnyFunSuite {
       // close every window: an event far in the future pushes the
       // watermark past the last data hour (its own window stays open,
       // so filter it out of the compare)
-      mem.addData(RawEv(9999L, ts(60 * 24), 1, "click", 1.0))
+      mem.addData(DriftRawEv(9999L, ts(60 * 24), 1, "click", 1.0))
       q.processAllAvailable()
       val streamed = spark.table("drift").collect().map(_.toSeq).toSet
       assert(streamed == batch,
@@ -75,7 +75,7 @@ class StreamDriftSpec extends AnyFunSuite {
     // 4 uniform hours at the same rate: expected = total/4 = per-window
     // count, so every chi2 contribution is exactly 0
     val uniform = (for (h <- 0 until 4; i <- 0 until 6)
-      yield RawEv(h * 10L + i, ts(h * 60 + i * 10), 1, "view", 1.0)).toDF()
+      yield DriftRawEv(h * 10L + i, ts(h * 60 + i * 10), 1, "view", 1.0)).toDF()
     val out = EventStreams.tumblingDrift(uniform, uniform).collect()
     assert(out.length == 4)
     assert(out.forall(_.getAs[Long]("chi2_ppm") == 0L))
