@@ -90,6 +90,52 @@ object DedupOps {
     *    never a near-dup (P(jaccard ≥ 0.2 | 1 shared) ≈ 0 here).
     * Jaccard itself is exact over the full shingle sets of surviving
     * candidates. */
+  /** Audit-subsample target and truth threshold for [[lshRecall]]. */
+  val LshAuditTarget = 200
+  val LshRecallTau = 0.2
+
+  /** SELF-MEASURING MinHash-LSH recall audit — the text-dedup twin of
+    * the embedding family's audit quartet (sim_ivf/neardup/rq/sq
+    * recall): the banded candidate generator measured against the
+    * EXACT n-gram Jaccard truth set (ungated — no df-cap, no
+    * support threshold: the audit must not inherit the serving path's
+    * recall knobs), reported per Jaccard band in exact ppm. Theory
+    * says P(candidate) = 1−(1−j²)² for the 2-band × 2-row banding —
+    * the audit measures the corpus's actual curve.
+    *
+    * Scale: the exhaustive side is all-pairs over shared shingles, so
+    * BOTH sides run on a count-driven ~[[LshAuditTarget]]-doc
+    * subsample (mod = N/target — the nearDupRecall estimator
+    * discipline; band collision and Jaccard are pairwise properties,
+    * so subsample recall is unbiased for the corpus). Jaccard is
+    * integer ppm — `(shared·10⁶) div (n1+n2−shared)` — so banding
+    * decisions replay exactly. */
+  def lshRecall(docs: DataFrame, minJaccard: Double = LshRecallTau,
+      auditTarget: Int = LshAuditTarget): DataFrame = {
+    val mod = math.max(1L, docs.count() / auditTarget)
+    val sub = docs.filter(col("doc_id") % mod === 0)
+    val sh = sub.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.toDF("d1", "h")
+      .join(sh.toDF("d2", "h2"), col("h") === col("h2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    val tauPpm = math.round(minJaccard * 1000000L)
+    val exact = shared
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .withColumn("jacc_ppm", expr("(shared * 1000000) div (n1 + n2 - shared)"))
+      .filter(col("jacc_ppm") >= tauPpm)
+    val found = lshCandidatePairs(sub)
+      .select(col("d1").as("f1"), col("d2").as("f2"))
+    exact
+      .join(found, col("d1") === col("f1") && col("d2") === col("f2"), "left")
+      .withColumn("hit", when(col("f1").isNotNull, 1L).otherwise(0L))
+      .withColumn("band", when(col("jacc_ppm") >= 500000, "hi").otherwise("lo"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_exact"), sum("hit").as("n_found"))
+      .withColumn("recall_ppm", expr("(n_found * 1000000) div n_exact"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       minJaccard: Double = 0.2, dfCap: Int = 50, minSharedRare: Int = 2): DataFrame = {
     // Scale shape: the ONLY pairwise join is on rare shingles (df in
@@ -575,6 +621,7 @@ object DedupOps {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))),
     "dedup_minhash_sig" -> ((s, d) => minhashSignatures(t(s, d, "documents"))),
     "dedup_lsh_pairs" -> ((s, d) => lshCandidatePairs(t(s, d, "documents"))),
+    "dedup_lsh_recall" -> ((s, d) => lshRecall(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(t(s, d, "documents"))),
     "dedup_containment" -> ((s, d) => containmentPairs(t(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
@@ -787,6 +834,49 @@ object DedupOps {
          |SELECT d.doc_id, d.lang, d.source
          |FROM verdict v JOIN documents d ON v.doc_id = d.doc_id
          |WHERE v.collided = 0""".stripMargin,
+
+    // Verbatim replay of the LSH recall audit: subsample → ungated
+    // exact-Jaccard truth (integer ppm) → banded-minhash candidates on
+    // the SAME subsample → per-band recall.
+    "dedup_lsh_recall" -> {
+      val tauPpm = math.round(LshRecallTau * 1000000L)
+      s"""WITH sub AS (
+         |  SELECT * FROM documents WHERE doc_id %
+         |    (SELECT GREATEST(1, COUNT(*) // $LshAuditTarget) FROM documents) = 0),
+         |ds AS (SELECT doc_id, unnest($sqlShingleHashes) AS sh FROM sub),
+         |sizes AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n FROM ds GROUP BY 1),
+         |shrd AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(COUNT(1) AS BIGINT) AS shared
+         |  FROM ds x JOIN ds y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT s.d1, s.d2,
+         |    (s.shared * 1000000) // (s1.n + s2.n - s.shared) AS jacc_ppm
+         |  FROM shrd s JOIN sizes s1 ON s.d1 = s1.doc_id
+         |  JOIN sizes s2 ON s.d2 = s2.doc_id
+         |  WHERE (s.shared * 1000000) // (s1.n + s2.n - s.shared) >= $tauPpm),
+         |sigs AS (
+         |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
+         |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
+         |  FROM sub),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, m2::VARCHAR || '_' || m3::VARCHAR AS key FROM sigs),
+         |found AS (
+         |  SELECT DISTINCT a.doc_id AS f1, b.doc_id AS f2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT e.jacc_ppm,
+         |    CASE WHEN f.f1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM ex e LEFT JOIN found f ON e.d1 = f.f1 AND e.d2 = f.f2)
+         |SELECT CASE WHEN jacc_ppm >= 500000 THEN 'hi' ELSE 'lo' END AS band,
+         |  CAST(COUNT(1) AS BIGINT) AS n_exact,
+         |  CAST(SUM(hit) AS BIGINT) AS n_found,
+         |  CAST((SUM(hit) * 1000000) // COUNT(1) AS BIGINT) AS recall_ppm
+         |FROM j GROUP BY 1""".stripMargin
+    },
 
     "dedup_ngram_jaccard" ->
       s"""WITH ds AS (

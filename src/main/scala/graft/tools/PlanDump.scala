@@ -136,6 +136,9 @@ object PlanDump {
     // top-k arms (BM25 one-scan, vector broadcast-query partial
     // top-k) with the fusion windows on ≤k-row frames
     "sim_hybrid_rrf",
+    // LSH recall audit: both sides must stay subsample-scoped (the
+    // exhaustive shared-shingle join is the paid estimator cost)
+    "dedup_lsh_recall",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
