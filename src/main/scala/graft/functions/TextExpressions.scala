@@ -422,6 +422,46 @@ case class FeatureCounts(child: Expression, nFeatures: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** entropy_stats(text) → array<long> [n_tokens, n_distinct, ent_mbits]:
+  * single-pass per-doc token-distribution entropy in exact milli-bits.
+  * The keyed formulation ((doc, token) count + per-doc agg) shuffles
+  * one row PER TOKEN — corpus-volume — where this kernel's per-row
+  * hashmap shuffles nothing at all (the stopword_scores rationale
+  * lifted from CPU to the SHUFFLE level). Bit-identical to the keyed
+  * form: same milli-log2 ([[graft.functions.UnigramKernel.log2Milli]]),
+  * same H·N = N·L(N) − Σn·L(n) identity, same truncating division —
+  * parity pinned row-exhaustively in TextEntropySpec. Empty-token or
+  * NULL docs → null (the keyed form drops them; the caller filters). */
+case class EntropyStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val tks = TextKernel.tokens(v.asInstanceOf[UTF8String])
+    if (tks.isEmpty) return null
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < tks.length) {
+      val t = tks(i)
+      counts.put(t, counts.getOrDefault(t, 0L) + 1L)
+      i += 1
+    }
+    val n = tks.length.toLong
+    var sNl = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      sNl += c * UnigramKernel.log2Milli(c)
+    }
+    new GenericArrayData(Array(n, counts.size.toLong,
+      (n * UnigramKernel.log2Milli(n) - sNl) / n))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextNative {
   import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
 
@@ -440,4 +480,5 @@ object TextNative {
     toCol(StopwordScores(toExpr(text), lists))
   def feature_counts(text: Column, nFeatures: Int): Column =
     toCol(FeatureCounts(toExpr(text), nFeatures))
+  def entropy_stats(text: Column): Column = toCol(EntropyStats(toExpr(text)))
 }

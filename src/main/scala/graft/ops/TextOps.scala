@@ -71,7 +71,23 @@ object TextOps {
     * map-side combinable; all arithmetic is per-doc bounded (n ≤ doc
     * length), corpus-size independent. Empty-token docs drop out of
     * the keyed count in both engines alike. */
-  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextNative.entropy_stats(col(textCol)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"),
+        element_at(col("s"), 1).as("n_tokens"),
+        element_at(col("s"), 2).as("n_distinct"),
+        element_at(col("s"), 3).as("ent_mbits"))
+
+  /** The keyed-aggregation formulation the kernel replaced — kept as
+    * the row-exhaustive parity reference (TextEntropySpec): one
+    * (doc, token) count + one per-doc agg, milli-log2 via bit-length
+    * Column arithmetic. Shuffles one row per TOKEN, which is why the
+    * kernel exists. */
+  private[graft] def tokenEntropyKeyed(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
     val counts = docs
       .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))

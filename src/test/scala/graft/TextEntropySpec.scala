@@ -45,6 +45,16 @@ class TextEntropySpec extends AnyFunSuite {
     assert(a.collect().toSeq == b.collect().toSeq)
   }
 
+  test("kernel ≡ keyed-aggregation formulation on every corpus row") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val k = TextOps.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val keyed = TextOps.tokenEntropyKeyed(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(k == keyed)
+    assert(k.nonEmpty)
+  }
+
   test("corpus replay: engine milli-bits equal a local log2Milli recompute") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val out = TextOps.tokenEntropy(docs).collect()
