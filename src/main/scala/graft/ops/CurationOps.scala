@@ -305,6 +305,33 @@ object CurationOps {
     * BIGINT errors on overflow rather than wrapping). */
   val FeistelKeys = Seq(40503L, 654435L, 86028L, 25117L)
 
+  /** The verbatim SQL replay of [[feistelShuffle]]'s permutation as a
+    * source-parameterized CTE chain (p, f0..f4, pm) — `src` must
+    * expose `doc_id`; ends WITHOUT a trailing comma. Shared by the
+    * standalone `export_shuffle` oracle and the capstone manifest
+    * composition. */
+  private[graft] def feistelCtes(src: String): String = {
+    val M = 2147483647L
+    val A = 48271L
+    def roundCte(i: Int, c: Long): String =
+      s"""f$i AS (
+         |  SELECT doc_id, r AS l,
+         |    xor(l, ((((r + $c) % $M) * $A + $c) % $M) & ((1::BIGINT << p.w) - 1)) AS r
+         |  FROM f${i - 1}, p)"""
+    val rounds = FeistelKeys.zipWithIndex
+      .map { case (c, i) => roundCte(i + 1, c) }.mkString(",\n")
+    s"""p AS (
+       |  SELECT GREATEST(4, (length(bin(GREATEST(MAX(doc_id), 1))) + 1) // 2)
+       |    AS w
+       |  FROM $src),
+       |f0 AS (
+       |  SELECT doc_id, doc_id >> p.w AS l,
+       |    doc_id & ((1::BIGINT << p.w) - 1) AS r
+       |  FROM $src, p),
+       |$rounds,
+       |pm AS (SELECT doc_id, (l << p.w) | r AS perm FROM f4, p)""".stripMargin
+  }
+
   /** Temperature-based mixture reweighting (the multilingual-LM
     * sampling rule: q_l ∝ p_l^(1/T), here T = 2) — up-weights
     * low-resource groups and down-weights dominant ones while
@@ -818,31 +845,12 @@ object CurationOps {
     // round one CTE; aliases never shadow within a SELECT, so `r AS l,
     // xor(l, …) AS r` reads the PRIOR round's columns in both the CTE
     // chain here and the Column fold in the engine.
-    "export_shuffle" -> {
-      val M = 2147483647L
-      val A = 48271L
-      def roundCte(i: Int, c: Long): String =
-        s"""f$i AS (
-           |  SELECT doc_id, r AS l,
-           |    xor(l, ((((r + $c) % $M) * $A + $c) % $M) & ((1::BIGINT << p.w) - 1)) AS r
-           |  FROM f${i - 1}, p)"""
-      val rounds = FeistelKeys.zipWithIndex
-        .map { case (c, i) => roundCte(i + 1, c) }.mkString(",\n")
-      s"""WITH p AS (
-         |  SELECT GREATEST(4, (length(bin(GREATEST(MAX(doc_id), 1))) + 1) // 2)
-         |    AS w
-         |  FROM documents),
-         |f0 AS (
-         |  SELECT doc_id, doc_id >> p.w AS l,
-         |    doc_id & ((1::BIGINT << p.w) - 1) AS r
-         |  FROM documents, p),
-         |$rounds,
-         |pm AS (SELECT doc_id, (l << p.w) | r AS perm FROM f4, p)
+    "export_shuffle" ->
+      s"""WITH ${feistelCtes("documents")}
          |SELECT doc_id, perm, CAST(perm % 16 AS INT) AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY perm % 16 ORDER BY perm ASC)
          |    AS BIGINT) AS pos
-         |FROM pm""".stripMargin
-    },
+         |FROM pm""".stripMargin,
 
     "export_shards" ->
       s"""WITH meta AS (

@@ -312,6 +312,26 @@ object GraphOps {
     // for split_train_test's train→test near-dup contamination.
     "split_leakage_safe" -> ((s, d) => leakageSafeSplit(t(s, d, "documents"))),
 
+    // ROUND-10 CAPSTONE: the training-export manifest as ONE plan —
+    // near-dup CC → leakage-safe split → keeper selection (component
+    // representative, train split only) → Feistel global shuffle of
+    // the survivors into (shard, pos). Each stage is the separately-
+    // oracled derivation; composing them adds only the keeper filter
+    // and one keyed join (the curate_pipeline discipline applied to
+    // the round-10 export stack). comp_size rides along as manifest
+    // metadata: how many near-dups each exported keeper represents.
+    "curate_export_manifest" -> ((s, d) => {
+      val split = leakageSafeSplit(t(s, d, "documents"))
+      val sizes = split.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+      val keepers = split
+        .filter(col("doc_id") === col("comp") && col("split") === "train")
+        .join(sizes, "comp")
+      CurationOps.feistelShuffle(keepers.select(col("doc_id")))
+        .join(keepers.select(col("doc_id"), col("comp_size")), "doc_id")
+        .select(col("doc_id"), col("comp_size"), col("perm"),
+          col("shard"), col("pos"))
+    }),
+
     // The fuzzy-dedup corpus materializer: the component label IS the
     // keeper id (min doc id), so the deduplicated corpus is simply the
     // rows whose id equals their label — the near-dup counterpart of
@@ -437,6 +457,45 @@ object GraphOps {
          |SELECT d.doc_id, d.lang, d.source
          |FROM comp c JOIN documents d ON c.node = d.doc_id
          |WHERE c.node = c.comp""".stripMargin
+    },
+
+    // Capstone composition: the CC/split CTEs verbatim, then the
+    // source-parameterized Feistel chain over the SURVIVORS (so the
+    // permutation domain derives from the survivor id span, exactly
+    // like the engine passing only keepers to feistelShuffle).
+    "curate_export_manifest" -> {
+      val pairsSql = DedupOps.oracle("dedup_lsh_pairs")
+      val h = "('0x' || substr(md5('split:' || comp::VARCHAR), 1, 15))::BIGINT" +
+        s" % ${TextOps.HashMod} % 100"
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION
+         |  SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (
+         |  SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY 1),
+         |splt AS (
+         |  SELECT doc_id, comp,
+         |    CASE WHEN $h < 80 THEN 'train'
+         |         WHEN $h < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM comp),
+         |sizes AS (SELECT comp, CAST(COUNT(1) AS BIGINT) AS comp_size
+         |  FROM splt GROUP BY 1),
+         |surv AS (
+         |  SELECT s.doc_id, z.comp_size
+         |  FROM splt s JOIN sizes z ON s.comp = z.comp
+         |  WHERE s.doc_id = s.comp AND s.split = 'train'),
+         |${CurationOps.feistelCtes("surv")}
+         |SELECT m.doc_id, v.comp_size, m.perm,
+         |  CAST(m.perm % 16 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY m.perm % 16
+         |    ORDER BY m.perm ASC) AS BIGINT) AS pos
+         |FROM pm m JOIN surv v ON m.doc_id = v.doc_id""".stripMargin
     },
 
     "emb_dedup_keep" -> {

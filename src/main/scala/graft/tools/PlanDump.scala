@@ -139,6 +139,9 @@ object PlanDump {
     // LSH recall audit: both sides must stay subsample-scoped (the
     // exhaustive shared-shingle join is the paid estimator cost)
     "dedup_lsh_recall",
+    // round-10 capstone: composing CC → split → keeper → Feistel must
+    // add only the keeper filter + one keyed join over the CC plan
+    "curate_export_manifest",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

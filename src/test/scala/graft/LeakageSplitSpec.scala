@@ -68,6 +68,30 @@ class LeakageSplitSpec extends AnyFunSuite {
       s"near-dup pair split across ${out.mkString(",")}")
   }
 
+  test("capstone manifest: exactly the train-split keepers, bijectively sharded") {
+    val split = GraphOps.leakageSafeSplit(docs).cache()
+    val expectIds = split
+      .filter(col("doc_id") === col("comp") && col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = graft.SparkEntry.queries("curate_export_manifest")(
+      spark, "/root/testdata/sf0.01").cache()
+    val gotIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == expectIds)
+    // permutation stays bijective over the survivor subset
+    assert(out.select("perm").distinct().count() == gotIds.size)
+    // positions dense per shard
+    assert(out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("hi"), countDistinct("pos").as("nd"))
+      .filter(col("hi") =!= col("n") || col("nd") =!= col("n")).isEmpty)
+    // comp_size metadata: totals add back to the full corpus count
+    // when summed over ALL keepers (not just train) — check the train
+    // subset is consistent with the split frame
+    val sizes = split.groupBy("comp").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.select("doc_id", "comp_size").collect()
+      .foreach(r => assert(r.getLong(1) == sizes(r.getLong(0))))
+  }
+
   test("marginal rates stay near 80/10/10 (components are mostly singletons)") {
     val n = docs.count().toDouble
     val byS = GraphOps.leakageSafeSplit(docs).groupBy("split").count()
