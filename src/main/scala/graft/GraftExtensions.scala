@@ -98,6 +98,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "of length nFeatures+1 (bias slot last)") {
       e => FeatureCounts(e(0), intLit(e(1), "feature_counts nFeatures"))
     }
+    inject("entropy_stats",
+      "entropy_stats(text) - [n_tokens, n_distinct, ent_mbits]: one-pass " +
+        "token-distribution Shannon entropy in exact milli-bits (NULL on " +
+        "empty/NULL text)") {
+      e => EntropyStats(e.head)
+    }
     inject("minhash_sig",
       "minhash_sig(text) - 4-lane minhash signature of the word-3-gram set") {
       e => MinHashSig(e.head, graft.ops.DedupOps.A, graft.ops.DedupOps.B)

@@ -41,7 +41,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  pq_adc(array(1.0F, 2.0F, 9.0F, 9.0F), array(0, 1),
         |         array(array(1.0F, 2.0F), array(8.0F, 8.0F),
         |               array(0.0F, 0.0F), array(9.0F, 9.0F)), 2, 2) AS pq_dist,
-        |  feature_counts('a b A', 4) AS fc
+        |  feature_counts('a b A', 4) AS fc,
+        |  entropy_stats('x x y y') AS es,
+        |  entropy_stats('') AS es_empty
         |""".stripMargin).collect()(0)
     assert(math.abs(r.getAs[Double]("lon_deg_m") - 111319.4908) < 0.1)
     assert(math.abs(r.getAs[Double]("az_east") - 90.0) < 1e-9)
@@ -59,6 +61,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // 'a' (x2 after lowercasing) and 'b' land in hashed buckets; bias=1
     val fc = r.getSeq[Long](r.fieldIndex("fc"))
     assert(fc.length == 5 && fc.last == 1L && fc.take(4).sum == 3L)
+    // uniform 2 distinct tokens → H = log2(2) = 1000 milli-bits exactly
+    assert(r.getSeq[Long](r.fieldIndex("es")) == Seq(4L, 2L, 1000L))
+    assert(r.isNullAt(r.fieldIndex("es_empty"))) // token-less contract
   }
 
   test("a geodesic SQL query over a table plans and runs") {
