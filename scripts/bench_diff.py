@@ -94,6 +94,11 @@ def main(old_path, new_path, threshold=0.25):
               "with identical x/s/pf/rc structure — fingerprint-algorithm "
               "rebaseline detected; classifying by structural fields only\n")
 
+    # per-query noise bar: Bench (round 11+) records min AND median over
+    # its n runs; a large median-min spread marks a query whose timing
+    # is dominated by contention/JIT, so its delta carries a '~' marker
+    omed, nmed = old.get("queries_median", {}), new.get("queries_median", {})
+
     rows = []
     for k in sorted(set(oq) & set(nq)):
         d = nq[k] - oq[k]
@@ -103,11 +108,13 @@ def main(old_path, new_path, threshold=0.25):
         fp_changed = fp_known and (
             struct(ofp[k]) != struct(nfp[k]) if rebaseline else ofp[k] != nfp[k])
         label = "PLAN " if fp_changed else ("NOISE" if fp_known else "??   ")
-        rows.append((abs(d), label, k, oq[k], nq[k], d,
+        spread = max(omed.get(k, oq[k]) - oq[k], nmed.get(k, nq[k]) - nq[k])
+        noisy = "~" if spread > max(threshold, 0.3 * abs(d)) else " "
+        rows.append((abs(d), label, noisy, k, oq[k], nq[k], d,
                      f"{ofp.get(k,'-')} -> {nfp.get(k,'-')}" if fp_changed else ""))
     rows.sort(reverse=True)
-    for _, label, k, o, n, d, fp in rows:
-        print(f"{label} {k:36s} {o:7.2f} -> {n:7.2f}  ({d:+.2f} s)  {fp}")
+    for _, label, noisy, k, o, n, d, fp in rows:
+        print(f"{label}{noisy} {k:36s} {o:7.2f} -> {n:7.2f}  ({d:+.2f} s)  {fp}")
 
     for k in sorted(set(nq) - set(oq)):
         print(f"ADDED {k:36s}            {nq[k]:7.2f}")
@@ -121,7 +128,9 @@ def main(old_path, new_path, threshold=0.25):
     print(f"\n{totals} "
           f"(loadavg {old.get('loadavg','?')} -> {new.get('loadavg','?')}); "
           f"deltas >= {threshold}s shown; PLAN = fingerprint changed, "
-          f"NOISE = identical plan (machine variance)")
+          f"NOISE = identical plan (machine variance); a '~' marks a "
+          f"query whose own min-vs-median run spread exceeds the delta "
+          f"scale (contention-dominated timing)")
 
 
 if __name__ == "__main__":

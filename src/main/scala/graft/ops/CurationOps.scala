@@ -357,10 +357,9 @@ object CurationOps {
     * scan, and one keyed agg for the realized counts. */
   def mixTemperature(docs: DataFrame, groupCol: String = "lang",
       textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val w = WindowUtil.boundedGlobal(col("g")).rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val perDoc = docs.select(col(groupCol).as("g"), col("doc_id"),
       size(tokens(col(textCol))).cast("long").as("n_tok"))
     val rates = perDoc.groupBy("g")
@@ -459,10 +458,10 @@ object CurationOps {
       .groupBy(dsirBucket(col("w")).as("b"))
       .agg(count(lit(1)).as("raw_c"),
         sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_c"))
-    // totals over the ≤B-row weight frame: a partition-less window is
-    // deliberate — the frame is bounded by construction, never by data
+    // totals over the ≤B-row weight frame — bounded by construction,
+    // never by data (boundedGlobal pins that invariant in the plan)
     val W = org.apache.spark.sql.expressions.Window
-    val wTot = W.partitionBy()
+    val wTot = WindowUtil.boundedGlobal(col("b"))
       .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     val wts = bc
       .withColumn("raw_tot", sum(col("raw_c")).over(wTot))

@@ -160,6 +160,103 @@ object MultimodalOps {
     mediaDs.mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatchWav))
   }
 
+  // ------------------------------------------- video (MP4 / ISO-BMFF) ---
+
+  final case class VideoMeta(
+      doc_id: Long, media_type: String, n_bytes: Long,
+      brand: String, n_tracks: Long, timescale: Long, duration_ms: Long,
+      width: Long, height: Long)
+
+  /** REAL video container decode: a pure-JVM ISO-BMFF (MP4) BOX WALK —
+    * the header parse every ingest pipeline runs before deciding
+    * whether a clip is worth handing to a frame decoder. The format is
+    * length-prefixed boxes (uint32 size incl. the 8-byte header + 4CC
+    * type, big-endian); containers (`moov`, `trak`, `mdia`) nest more
+    * boxes. Extracted: `ftyp` major brand, `mvhd` (version 0)
+    * timescale + duration → duration_ms = duration·1000 div timescale,
+    * track count, and the max `tkhd` (version 0) track dimensions
+    * (stored 16.16 fixed-point — integer part taken; audio tracks
+    * carry 0×0, so max = the video track). Truncated boxes, non-v0
+    * headers, missing ftyp/moov, or non-video rows fall back to the
+    * deterministic md5 fake (oracle-expressible), keeping the batch
+    * function total — the decodeBatchWav stance. */
+  private def decodeBatchMp4(batch: Seq[MediaRow]): Seq[VideoMeta] =
+    batch.map { m =>
+      val parsed = if (m.media_type != "video") None else parseMp4(m.payload)
+      parsed match {
+        case Some((brand, nTracks, timescale, durMs, w, h)) =>
+          VideoMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+            brand, nTracks, timescale, durMs, w, h)
+        case None =>
+          val hex = md5hex(m.payload)
+          def h(from: Int, len: Int): Long =
+            java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+          VideoMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+            brand = hex.substring(0, 4),
+            n_tracks = 1 + h(4, 2) % 3,
+            timescale = 600 + h(6, 4) % 48000,
+            duration_ms = h(10, 6) % 1000000,
+            width = 16 + h(16, 4) % 4080,
+            height = 16 + h(20, 4) % 2160)
+      }
+    }
+
+  /** The box walk itself. Returns (brand, n_tracks, timescale,
+    * duration_ms, width, height) or None on anything malformed. */
+  private def parseMp4(
+      payload: Array[Byte]): Option[(String, Long, Long, Long, Long, Long)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
+        val out = Seq.newBuilder[(String, Int, Int)]
+        var p = start
+        while (p < end) {
+          if (p + 8 > end) throw new java.io.IOException("truncated header")
+          val size = bb.getInt(p)
+          // size==1 (64-bit largesize) / size==0 (to-EOF) exist in the
+          // spec; this minimal walker treats them as unsupported
+          if (size < 8 || p + size > end)
+            throw new java.io.IOException("bad box size")
+          out += ((new String(payload, p + 4, 4, "US-ASCII"), p + 8, p + size))
+          p += size
+        }
+        out.result()
+      }
+      val top = boxes(0, payload.length)
+      val (_, fs, _) = top.find(_._1 == "ftyp")
+        .getOrElse(throw new java.io.IOException("no ftyp"))
+      val brand = new String(payload, fs, 4, "US-ASCII")
+      val (_, ms, me) = top.find(_._1 == "moov")
+        .getOrElse(throw new java.io.IOException("no moov"))
+      val inMoov = boxes(ms, me)
+      val (_, hs, _) = inMoov.find(_._1 == "mvhd")
+        .getOrElse(throw new java.io.IOException("no mvhd"))
+      if (payload(hs) != 0) throw new java.io.IOException("mvhd v!=0")
+      val timescale = bb.getInt(hs + 12).toLong & 0xffffffffL
+      val duration = bb.getInt(hs + 16).toLong & 0xffffffffL
+      val durMs = duration * 1000L / math.max(timescale, 1L)
+      val traks = inMoov.filter(_._1 == "trak")
+      var w = 0L; var h = 0L
+      traks.foreach { case (_, ts, te) =>
+        val (_, ks, _) = boxes(ts, te).find(_._1 == "tkhd")
+          .getOrElse(throw new java.io.IOException("no tkhd"))
+        if (payload(ks) != 0) throw new java.io.IOException("tkhd v!=0")
+        // v0 tkhd: width/height are 16.16 fixed at payload offsets 76/80
+        w = math.max(w, (bb.getInt(ks + 76).toLong & 0xffffffffL) >> 16)
+        h = math.max(h, (bb.getInt(ks + 80).toLong & 0xffffffffL) >> 16)
+      }
+      Some((brand, traks.size.toLong, timescale, durMs, w, h))
+    } catch { case _: Exception => None }
+
+  /** Batched video-header decode — same iterator-of-batches contract. */
+  def decodeVideoMeta(mediaDs: Dataset[MediaRow],
+      batchSize: Int = DecodeBatchSize): Dataset[VideoMeta] = {
+    val spark = mediaDs.sparkSession
+    import spark.implicits._
+    mediaDs.mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatchMp4))
+  }
+
   /** Batched decode over partitions: iterator-of-batches in/out, the
     * mapInPandas shape. No shuffle — decode parallelism = partitions. */
   def decodeMeta(mediaDs: Dataset[MediaRow],
@@ -273,6 +370,78 @@ object MultimodalOps {
       MediaRow(2L, wavStereo16k, "audio"),
       MediaRow(3L, "notawav!".getBytes("UTF-8"), "audio"),
       MediaRow(4L, "image-payload".getBytes("UTF-8"), "image"))
+
+    private def be32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    private def be16(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+    private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    }
+    // identity transform matrix (ISO 14496-12 §6.2.2): diag 1,1 in
+    // 16.16 and w-scale 1 in 2.30 fixed point
+    private def mp4Matrix: Array[Byte] =
+      be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000)
+
+    /** Canonical minimal MP4, synthesized in code so every decoded
+      * value is hand-derivable: `ftyp`(brand) + `moov`(`mvhd`(v0,
+      * timescale, duration) + one v0-`tkhd` `trak` per (w,h)) +
+      * 16-byte `mdat`. Box sizes are fully determined: ftyp 20 B,
+      * mvhd 108 B, each trak 100 B, mdat 24 B ⇒
+      * n_bytes = 160 + 100·tracks. */
+    def mp4Synth(brand: String, timescale: Int, duration: Int,
+        tracks: Seq[(Int, Int)]): Array[Byte] = {
+      require(brand.length == 4)
+      val ftyp = mp4Box("ftyp",
+        brand.getBytes("US-ASCII"), be32(0), brand.getBytes("US-ASCII"))
+      val mvhd = mp4Box("mvhd",
+        be32(0), // version 0 + flags
+        be32(0), be32(0), // creation / modification
+        be32(timescale), be32(duration),
+        be32(0x00010000), // rate 1.0
+        be16(0x0100), // volume 1.0
+        Array.fill[Byte](10)(0), // reserved
+        mp4Matrix,
+        Array.fill[Byte](24)(0), // pre_defined
+        be32(tracks.size + 1)) // next_track_ID
+      val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
+        mp4Box("trak", mp4Box("tkhd",
+          be32(7), // version 0, flags: enabled|in_movie|in_preview
+          be32(0), be32(0), // creation / modification
+          be32(i + 1), // track_ID
+          be32(0), // reserved
+          be32(duration),
+          Array.fill[Byte](8)(0), // reserved
+          be16(0), be16(0), // layer / alternate_group
+          be16(if (w == 0) 0x0100 else 0), be16(0), // volume / reserved
+          mp4Matrix,
+          be32(w << 16), be32(h << 16))) // 16.16 fixed
+      }
+      val mdat = mp4Box("mdat", Array.fill[Byte](16)(0x2a))
+      ftyp ++ mp4Box("moov", (mvhd +: traks): _*) ++ mdat
+    }
+
+    /** 1-video-track clip: brand isom, timescale 600, duration 1800
+      * (= 3000 ms exactly), 320×240. n_bytes = 160 + 100 = 260. */
+    def mp4OneTrack: Array[Byte] =
+      mp4Synth("isom", 600, 1800, Seq((320, 240)))
+
+    /** 2-track clip (video 640×360 + dimension-less audio track):
+      * brand mp42, timescale 1000, duration 2500 (= 2500 ms).
+      * n_bytes = 160 + 200 = 360; max dims pick the video track. */
+    def mp4TwoTrack: Array[Byte] =
+      mp4Synth("mp42", 1000, 2500, Seq((640, 360), (0, 0)))
+
+    /** Video fixture table: two real MP4 box walks + two md5-stub
+      * fallbacks (corrupt video bytes, audio payload). */
+    def videoRows: Seq[MediaRow] = Seq(
+      MediaRow(1L, mp4OneTrack, "video"),
+      MediaRow(2L, mp4TwoTrack, "video"),
+      MediaRow(3L, "notanmp4!".getBytes("UTF-8"), "video"),
+      MediaRow(4L, "audio-payload".getBytes("UTF-8"), "audio"))
   }
 
   // ------------------------------------------------------------ queries
@@ -324,6 +493,16 @@ object MultimodalOps {
     "mm_decode_wav" -> ((s, _) => {
       import s.implicits._
       decodeAudioMeta(s.createDataset(MediaFixtures.audioRows),
+        batchSize = 3).toDF()
+    }),
+    // the REAL video-container decoder, oracled: code-synthesized
+    // minimal MP4s whose box layout (and so every decoded value,
+    // including n_bytes = 160 + 100·tracks) is hand-derivable from the
+    // synthesis parameters; batchSize 3 forces a batch boundary; the
+    // corrupt-video and audio rows pin the md5-stub fallback.
+    "mm_decode_mp4" -> ((s, _) => {
+      import s.implicits._
+      decodeVideoMeta(s.createDataset(MediaFixtures.videoRows),
         batchSize = 3).toDF()
     })
   )
@@ -423,6 +602,36 @@ object MultimodalOps {
          |  ${stub("image-payload", "image", 4)}
          |) AS v(doc_id, media_type, n_bytes, sample_rate, channels, bits,
          |       n_frames, mean_abs)""".stripMargin
+    },
+
+    // mm_decode_mp4: rows 1-2 are hand-derived from the synthesis
+    // parameters (ftyp 20 B + moov(8 + mvhd 108 + 100/trak) + mdat
+    // 24 B ⇒ n_bytes = 160 + 100·tracks; duration_ms = duration·1000
+    // // timescale; 16.16 dims are exact integers); rows 3-4 replay
+    // the md5-stub fallback formulas.
+    "mm_decode_mp4" -> {
+      def stub(p: String, mt: String, id: Int) =
+        s"""($id, '$mt', octet_length(encode('$p')),
+           |  substr(md5('$p'), 1, 4),
+           |  1 + ('0x' || substr(md5('$p'), 5, 2))::BIGINT % 3,
+           |  600 + ('0x' || substr(md5('$p'), 7, 4))::BIGINT % 48000,
+           |  ('0x' || substr(md5('$p'), 11, 6))::BIGINT % 1000000,
+           |  16 + ('0x' || substr(md5('$p'), 17, 4))::BIGINT % 4080,
+           |  16 + ('0x' || substr(md5('$p'), 21, 4))::BIGINT % 2160)""".stripMargin
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, media_type,
+         |  CAST(n_bytes AS BIGINT) AS n_bytes, brand,
+         |  CAST(n_tracks AS BIGINT) AS n_tracks,
+         |  CAST(timescale AS BIGINT) AS timescale,
+         |  CAST(duration_ms AS BIGINT) AS duration_ms,
+         |  CAST(width AS BIGINT) AS width,
+         |  CAST(height AS BIGINT) AS height
+         |FROM (VALUES
+         |  (1, 'video', 260, 'isom', 1, 600, 3000, 320, 240),
+         |  (2, 'video', 360, 'mp42', 2, 1000, 2500, 640, 360),
+         |  ${stub("notanmp4!", "video", 3)},
+         |  ${stub("audio-payload", "audio", 4)}
+         |) AS v(doc_id, media_type, n_bytes, brand, n_tracks, timescale,
+         |       duration_ms, width, height)""".stripMargin
     }
   )
 }

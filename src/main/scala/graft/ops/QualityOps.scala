@@ -103,7 +103,8 @@ object QualityOps {
       refPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         c => c % 2 === 0): DataFrame = {
     import TextOps.{tokens, strHash, HashMod}
-    val all = org.apache.spark.sql.expressions.Window
+    // totals over the ≤nBuckets-row agg frame (bounded by construction)
+    val all = WindowUtil.boundedGlobal(col("f"))
       .rowsBetween(Long.MinValue, Long.MaxValue)
     docs
       .select(when(refPred(col("doc_id")), 1L).otherwise(0L).as("is_ref"),
@@ -112,8 +113,9 @@ object QualityOps {
       .groupBy(col("f"))
       .agg(sum(col("is_ref")).as("c_ref"),
         sum(lit(1L) - col("is_ref")).as("c_cur"))
-      .withColumn("t_ref", sum(col("c_ref")).over(all))
-      .withColumn("t_cur", sum(col("c_cur")).over(all))
+      .select(col("f"), col("c_ref"), col("c_cur"),
+        sum(col("c_ref")).over(all).as("t_ref"),
+        sum(col("c_cur")).over(all).as("t_cur"))
       .withColumn("expected", expr("(c_ref * t_cur) div greatest(t_ref, 1)"))
       .withColumn("chi2_ppm", expr(
         "((c_cur - expected) * (c_cur - expected) * 1000000) div greatest(expected, 1)"))

@@ -176,7 +176,7 @@ object SimilarityOps {
            |rec AS (SELECT c.n_id, c1.i, c1.c + c2.c AS rv
            |  FROM codes c JOIN l1c$r1 c1 ON c1.cl = c.cl1
            |  JOIN l2c$r2 c2 ON c2.cl = c.cl2 AND c2.i = c1.i),
-           |qq AS (SELECT vec_id AS q_id, i, qv FROM q WHERE vec_id % 100 = 0),
+           |qq AS (SELECT vec_id AS q_id, i, qv FROM q WHERE vec_id % $sqlServeMod = 0),
            |ad AS (SELECT qq.q_id, r.n_id,
            |    CAST(SUM((qq.qv - r.rv) * (qq.qv - r.rv)) AS BIGINT) AS adist
            |  FROM qq JOIN rec r ON qq.i = r.i AND qq.q_id != r.n_id
@@ -203,7 +203,7 @@ object SimilarityOps {
            |rec AS (SELECT c.n_id, c1.i, c1.c + c2.c AS rv
            |  FROM codes c JOIN l1c$r1 c1 ON c1.cl = c.cl1
            |  JOIN l2c$r2 c2 ON c2.cl = c.cl2 AND c2.i = c1.i),
-           |qq AS (SELECT vec_id AS q_id, i, qv FROM q WHERE vec_id % 100 = 0),
+           |qq AS (SELECT vec_id AS q_id, i, qv FROM q WHERE vec_id % $sqlServeMod = 0),
            |ad AS (SELECT qq.q_id, r.n_id,
            |    CAST(SUM((qq.qv - r.rv) * (qq.qv - r.rv)) AS BIGINT) AS adist
            |  FROM qq JOIN rec r ON qq.i = r.i AND qq.q_id != r.n_id
@@ -223,7 +223,7 @@ object SimilarityOps {
            |        AS rank FROM rerank) WHERE rank <= 10),
            |exd AS (SELECT qe.vec_id AS q_id, ne.vec_id AS n_id,
            |    ${sqlSqd("qe.embedding", "ne.embedding")} AS dist
-           |  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) qe
+           |  FROM (SELECT * FROM embeddings WHERE vec_id % $sqlServeMod = 0) qe
            |  JOIN embeddings ne ON qe.vec_id != ne.vec_id),
            |ex AS (SELECT q_id, n_id FROM (
            |    SELECT q_id, n_id,
@@ -1509,6 +1509,35 @@ object SimilarityOps {
     * resolves to the full corpus at the sf0.01 gate). */
   val NdAuditTarget = 500
 
+  /** Serving-query batch target: the `sim_*_topk`/`sim_mmr_topk`/
+    * `sim_*_recall` families bind their query side with a COUNT-DRIVEN
+    * modulus `vec_id % max(100, N/ServeQueryTarget) == 0` instead of
+    * the fixed `% 100` they used through round 10. A fixed modulus
+    * makes the query batch N/100 rows — broadcast as codes/vectors and
+    * multiplied against corpus-sized candidate sets, i.e. O(N²/100)
+    * ADC work at scale. The count-driven form bounds the batch at
+    * ~ServeQueryTarget queries at ANY corpus size (the production
+    * shape: a fixed query workload served against a growing corpus),
+    * while the `max(100, …)` floor keeps the modulus EXACTLY 100 at
+    * the sf0.01 gate (N = 500 ⇒ N/16 = 31 < 100), so every committed
+    * oracle hash is unchanged. The oracles encode the same rule as a
+    * DuckDB scalar subquery — see [[sqlServeMod]]. */
+  val ServeQueryTarget = 16
+
+  /** DuckDB encoding of the serving-query modulus (same arithmetic as
+    * [[servingQueryPred]]; `//` is DuckDB integer division). */
+  private[graft] val sqlServeMod =
+    s"(SELECT GREATEST(100, COUNT(*) // $ServeQueryTarget) FROM embeddings)"
+
+  /** Count-driven serving-query predicate — the bounded query batch
+    * for the ANN serving/rerank/recall families (see [[ServeQueryTarget]]).
+    * The count() is one metadata-cheap job per query build, the same
+    * train-then-apply discipline as [[nearDupRecall]] / [[pcaPower]]. */
+  def servingQueryPred(embeddings: DataFrame, target: Int = ServeQueryTarget): Column = {
+    val mod = math.max(100L, embeddings.count() / target)
+    col("vec_id") % mod === 0
+  }
+
   /** Int8 scalar quantization of an embedding column — the standard
     * 4× memory/IO shrink before ANN serving (float32 → int8 codes +
     * one scale per vector). Pure narrow column expressions: one scan,
@@ -1615,13 +1644,18 @@ object SimilarityOps {
     * run single-partition over ≤2k rows by construction. */
   def hybridRrf(docs: DataFrame, embeddings: DataFrame,
       queryVecId: Long = 0L, k: Int = TextOps.Bm25TopK): DataFrame = {
-    val wb = Window.orderBy(col("score_u").desc, col("doc_id").asc)
+    // both frames are ≤k / ≤2k rows by construction — boundedGlobal
+    // states that invariant in the plan (no empty-partitionSpec
+    // WindowExec; PlanAuditSpec sweeps for those)
+    val wb = WindowUtil.boundedGlobal(col("doc_id"))
+      .orderBy(col("score_u").desc, col("doc_id").asc)
     val lexical = TextOps.bm25TopDocs(docs, k = k)
       .withColumn("rank_bm25", row_number().over(wb).cast("long"))
       .select(col("doc_id"), col("rank_bm25"))
     val vector = bruteForceTopK(embeddings, col("vec_id") === queryVecId, k)
       .select(col("n_id").as("doc_id"), col("rank").as("rank_vec"))
-    val wr = Window.orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    val wr = WindowUtil.boundedGlobal(col("doc_id"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
     lexical.join(vector, Seq("doc_id"), "full_outer")
       .withColumn("rrf_ppm",
         coalesce(expr(s"1000000 div ($RrfK + rank_bm25)"), lit(0L)) +
@@ -1662,6 +1696,18 @@ object SimilarityOps {
     * construction, which DuckDB requires). */
   def pcaPower(embeddings: DataFrame, rounds: Int = PcaRounds,
       gramTarget: Int = PcaGramTarget): DataFrame = {
+    val (d, g) = gramMatrix(embeddings, gramTarget)
+    val (v, wLast) = powerLoop(g, d, rounds)
+    val s = embeddings.sparkSession
+    import s.implicits._
+    (0 until d).map(i => (i.toLong, v(i), wLast(i)))
+      .toDF("pos", "v_mil", "w_last")
+  }
+
+  /** Count-driven-sampled integer Gram matrix (the [[pcaPower]] train
+    * stage, steps 1-3 of its derivation), driver-collected as d² longs. */
+  private def gramMatrix(embeddings: DataFrame,
+      gramTarget: Int): (Int, Array[Array[Long]]) = {
     val d = dataDim(embeddings)
     val mod = math.max(1L, embeddings.count() / gramTarget)
     val sub = embeddings.filter(col("vec_id") % mod === 0)
@@ -1680,6 +1726,14 @@ object SimilarityOps {
       .groupBy("i", "j").agg(sum(col("cm") * col("cm2")).as("g"))
     val g = Array.ofDim[Long](d, d)
     gram.collect().foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    (d, g)
+  }
+
+  /** Fixed-point power rounds on a driver-held Gram (the [[pcaPower]]
+    * step-4 loop): v₀ = 1000·𝟙; w = G·v; v ← (w·1000) div max|w|.
+    * Returns (final v, last w). */
+  private def powerLoop(g: Array[Array[Long]], d: Int,
+      rounds: Int): (Array[Long], Array[Long]) = {
     var v = Array.fill(d)(1000L)
     var wLast = Array.fill(d)(0L)
     for (_ <- 1 to rounds) {
@@ -1688,10 +1742,95 @@ object SimilarityOps {
       wLast = w
       if (mx != 0L) v = w.map(x => x * 1000L / mx)
     }
+    (v, wLast)
+  }
+
+  /** Directions the top-D ABTT removes — Mu & Viswanath remove the top
+    * D ≈ dim/100; at the engine's 64-dim demo corpus the interesting
+    * regime is D = 2 (a planted two-direction corpus is recovered in
+    * PcaPowerSpec). */
+  val AbttDirs = 2
+
+  /** TOP-D principal directions by power iteration + integer HOTELLING
+    * DEFLATION — the multi-direction trainer behind [[abttTopD]]
+    * (Mu & Viswanath 2018 remove the top D common directions, not just
+    * the leading one). One distributed Gram ([[gramMatrix]], the
+    * count-driven sample); each direction k then costs only driver
+    * arithmetic: [[powerLoop]] on the current G, a fresh matvec
+    * w* = G·v (the loop's last w is pre-normalization — deflation must
+    * use the SAME v it removes), and the rank-1 update
+    * `G ← G − (w*·w*ᵀ) div (vᵀw*)` — Hotelling's deflation, which
+    * zeroes the extracted eigendirection while leaving the orthogonal
+    * complement untouched.
+    *
+    * Fixed-point stance: w*, vᵀw*, and the rank-1 quotient run in
+    * BigInt (|w*·w*| can reach ~2¹⁰⁶, past int64) and the quotient is
+    * TRUNCATED toward zero — exactly DuckDB's HUGEINT `//` (verified:
+    * −7//2 = −3), so the deflated Gram and every subsequent direction
+    * replay bit-identically in the oracle's unrolled CTE chain. The
+    * deflated entries themselves fit back in int64 (each ≤ the
+    * pre-deflation Gram bound). */
+  def pcaPowerDirs(embeddings: DataFrame, nDirs: Int = AbttDirs,
+      rounds: Int = PcaRounds,
+      gramTarget: Int = PcaGramTarget): Seq[Array[Long]] = {
+    val (d, g) = gramMatrix(embeddings, gramTarget)
+    (1 to nDirs).map { _ =>
+      val (v, _) = powerLoop(g, d, rounds)
+      val ws = Array.tabulate(d)(i =>
+        (0 until d).map(j => BigInt(g(i)(j)) * v(j)).sum)
+      val vw0 = (0 until d).map(i => ws(i) * v(i)).sum
+      val vw = if (vw0 > 0) vw0 else BigInt(1)
+      for (i <- 0 until d; j <- 0 until d)
+        g(i)(j) = (BigInt(g(i)(j)) - ws(i) * ws(j) / vw).toLong
+      v
+    }
+  }
+
+  /** [[pcaPowerDirs]] rendered as a DataFrame (dir, pos, v_mil) for the
+    * oracle compare. */
+  def pcaPowerTopD(embeddings: DataFrame, nDirs: Int = AbttDirs,
+      rounds: Int = PcaRounds,
+      gramTarget: Int = PcaGramTarget): DataFrame = {
+    val dirs = pcaPowerDirs(embeddings, nDirs, rounds, gramTarget)
     val s = embeddings.sparkSession
     import s.implicits._
-    (0 until d).map(i => (i.toLong, v(i), wLast(i)))
-      .toDF("pos", "v_mil", "w_last")
+    dirs.zipWithIndex.flatMap { case (v, k) =>
+      v.indices.map(i => ((k + 1).toLong, i.toLong, v(i)))
+    }.toDF("dir", "pos", "v_mil")
+  }
+
+  /** TOP-D all-but-the-top application: removes [[AbttDirs]] trained
+    * directions in sequence. Per direction k the projection
+    * p_k = Σ r·v_k and the residual update r ← r − (p_k·v_k) div vv_k
+    * (vv_k = Σ v_k², GREATEST(·,1)-guarded like the oracle) — ONE
+    * truncating integer division per element per direction, so the
+    * residual stays at input scale (~2²⁴) and the D-step chain never
+    * overflows (the division-free common-denominator form of
+    * [[abttApply]] compounds a ×vv factor per direction — ~2²⁶ each —
+    * and leaves int64 at D = 2). Same narrow one-scan shape: train on
+    * the Gram sample, apply at read bandwidth. Emits per-direction
+    * projections p1..pD plus the final residual L1 mass. */
+  def abttTopD(embeddings: DataFrame, nDirs: Int = AbttDirs,
+      rounds: Int = PcaRounds,
+      gramTarget: Int = PcaGramTarget): DataFrame = {
+    val dirs = pcaPowerDirs(embeddings, nDirs, rounds, gramTarget)
+    var cur = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("xu"))
+    dirs.zipWithIndex.foreach { case (v, k) =>
+      val vv = math.max(v.map(x => x * x).sum, 1L)
+      cur = cur
+        .withColumn("vk", typedLit(v.toSeq))
+        .withColumn(s"p${k + 1}",
+          aggregate(zip_with(col("xu"), col("vk"), (a, b) => a * b),
+            lit(0L), (acc, t) => acc + t))
+        .withColumn("xu",
+          expr(s"zip_with(xu, vk, (a, b) -> a - (p${k + 1} * b) div $vv)"))
+        .drop("vk")
+    }
+    cur.select(col("vec_id") +:
+      (1 to nDirs).map(k => col(s"p$k")) :+
+      aggregate(col("xu"), lit(0L), (acc, t) => acc + abs(t)).as("res_l1"): _*)
   }
 
   /** ALL-BUT-THE-TOP application — the train-on-sample /
@@ -1846,8 +1985,8 @@ object SimilarityOps {
   }
 
   val queries: Map[String, QFn] = Map(
-    "sim_topk" -> ((s, d) =>
-      bruteForceTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10)),
+    "sim_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      bruteForceTopK(e, servingQueryPred(e), k = 10) }),
     "emb_quantize_int8" -> ((s, d) => quantizeInt8(t(s, d, "embeddings"))),
     "sim_neardup_pairs" -> ((s, d) =>
       nearDupPairs(t(s, d, "embeddings"), tau = NdTau,
@@ -1855,14 +1994,14 @@ object SimilarityOps {
     "sim_lsh_buckets" -> ((s, d) => lshBuckets(t(s, d, "embeddings"))),
     "sim_lsh_buckets_hashed" -> ((s, d) =>
       lshBucketsHashed(t(s, d, "embeddings"), dim = OracleDim)),
-    "sim_ivf_topk" -> ((s, d) =>
-      ivfTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0,
-        nCentroids = IvfCentroids, nProbe = IvfProbe)),
+    "sim_ivf_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      ivfTopK(e, servingQueryPred(e),
+        nCentroids = IvfCentroids, nProbe = IvfProbe) }),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "emb_kmeans_fixed" -> ((s, d) => kmeansFixed(t(s, d, "embeddings"))),
     "emb_outliers" -> ((s, d) => kmeansOutliers(t(s, d, "embeddings"))),
-    "sim_ivf_recall" -> ((s, d) =>
-      ivfRecall(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
+    "sim_ivf_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
+      ivfRecall(e, servingQueryPred(e)) }),
     "sim_neardup_recall" -> ((s, d) =>
       nearDupRecall(t(s, d, "embeddings"), dim = OracleDim)),
     "emb_rq_encode" -> ((s, d) => rqEncode(t(s, d, "embeddings"))),
@@ -1870,34 +2009,33 @@ object SimilarityOps {
     // recall@10 0.54 with the 5× shortlist — on par with PQ's 0.52 at
     // a 4× SMALLER code budget (8 vs 32 bits/vector); 8×8 codes (6
     // bits) measured 0.36
-    "sim_rq_topk" -> ((s, d) =>
-      rqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0,
-        k1 = 16, k2 = 16)),
-    "sim_rq_recall" -> ((s, d) =>
-      rqRecall(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
-    "sim_pq_topk" -> ((s, d) =>
-      pqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
-        dim = OracleDim)),
+    "sim_rq_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      rqTopK(e, servingQueryPred(e), k1 = 16, k2 = 16) }),
+    "sim_rq_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
+      rqRecall(e, servingQueryPred(e)) }),
+    "sim_pq_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      pqTopK(e, servingQueryPred(e), k = 10, dim = OracleDim) }),
     // SQ8 completes the quantized-serving ladder (SQ8 → RQ → PQ/IVF-PQ):
     // full-dimension int8 codes, integer ADC shortlist (bit-exact
     // ranking cross-engine), exact-dot rerank. Measured recall@10 vs
     // brute-force dot top-k in SimilarityOpsSpec.
-    "sim_sq_topk" -> ((s, d) =>
-      sqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10)),
-    "sim_sq_recall" -> ((s, d) =>
-      sqRecall(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
-    "sim_mmr_topk" -> ((s, d) =>
-      mmrTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0)),
+    "sim_sq_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      sqTopK(e, servingQueryPred(e), k = 10) }),
+    "sim_sq_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
+      sqRecall(e, servingQueryPred(e)) }),
+    "sim_mmr_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      mmrTopK(e, servingQueryPred(e)) }),
     "emb_pca_power" -> ((s, d) => pcaPower(t(s, d, "embeddings"))),
     "emb_abtt" -> ((s, d) => abttApply(t(s, d, "embeddings"))),
+    "emb_pca_topd" -> ((s, d) => pcaPowerTopD(t(s, d, "embeddings"))),
+    "emb_abtt_topd" -> ((s, d) => abttTopD(t(s, d, "embeddings"))),
     "sim_hybrid_rrf" -> ((s, d) =>
       hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"))),
     "emb_knn_graph" -> ((s, d) => knnGraph(t(s, d, "embeddings"))),
     "emb_hard_negatives" -> ((s, d) =>
       hardNegatives(t(s, d, "embeddings"), col("vec_id") % 20 === 0)),
-    "sim_ivfpq_topk" -> ((s, d) =>
-      ivfPqTopK(t(s, d, "embeddings"), col("vec_id") % 100 === 0, k = 10,
-        dim = OracleDim)),
+    "sim_ivfpq_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      ivfPqTopK(e, servingQueryPred(e), k = 10, dim = OracleDim) }),
     "emb_label_prop" -> ((s, d) =>
       knnLabelProp(t(s, d, "embeddings"), col("vec_id") % LpSeedMod === 0)),
     // Per-label centroid, one row per (label, dimension): posexplode →
@@ -1976,6 +2114,43 @@ object SimilarityOps {
     * matvec round) → `rounds` unrolled (w, v) CTE pairs with the exact
     * mx-normalization division. The degenerate mx = 0 branch carries
     * the PREVIOUS round's v, mirroring the driver loop. */
+  /** One prefix-parameterized set of power-round CTEs (w{p}k, m{p}k,
+    * v{p}k over Gram CTE `gname`) — pfx = "" reproduces the original
+    * direction-1 chain verbatim; pfx = "d2_" runs direction 2 on the
+    * deflated Gram. */
+  private def pcaRoundCtes(rounds: Int, pfx: String, gname: String): String =
+    (1 to rounds).map { k =>
+      s"""w$pfx$k AS MATERIALIZED (
+         |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS w
+         |  FROM $gname g JOIN v$pfx${k - 1} v ON v.i = g.j GROUP BY 1),
+         |m$pfx$k AS (SELECT MAX(abs(w)) AS mx FROM w$pfx$k),
+         |v$pfx$k AS MATERIALIZED (
+         |  SELECT w.i,
+         |    CASE WHEN m.mx = 0 THEN p.v ELSE (w.w * 1000) // m.mx END AS v
+         |  FROM w$pfx$k w JOIN v$pfx${k - 1} p ON p.i = w.i CROSS JOIN m$pfx$k m)"""
+    }.mkString(",\n")
+
+  /** Integer Hotelling deflation in SQL ([[pcaPowerDirs]]'s rank-1
+    * update): w* = G·v_final in HUGEINT, vw = max(vᵀw*, 1), then
+    * g2 = g − (w*ᵢ·w*ⱼ) // vw — HUGEINT `//` truncates toward zero
+    * exactly like driver-side BigInt division, so direction 2's power
+    * rounds replay bit-identically. */
+  private def pcaDeflateCtes(rounds: Int, dim: Int): String =
+    s"""ws AS MATERIALIZED (
+       |  SELECT g.i, CAST(SUM(CAST(g.g AS HUGEINT) * v.v) AS HUGEINT) AS w
+       |  FROM g JOIN v$rounds v ON v.i = g.j GROUP BY 1),
+       |vwagg AS (
+       |  SELECT GREATEST(CAST(SUM(w.w * v.v) AS HUGEINT),
+       |                  CAST(1 AS HUGEINT)) AS vw
+       |  FROM ws w JOIN v$rounds v ON v.i = w.i),
+       |g2 AS MATERIALIZED (
+       |  SELECT g.i, g.j,
+       |    CAST(CAST(g.g AS HUGEINT) - (wa.w * wb.w) // x.vw AS BIGINT) AS g
+       |  FROM g JOIN ws wa ON wa.i = g.i JOIN ws wb ON wb.i = g.j
+       |  CROSS JOIN vwagg x),
+       |vd2_0 AS (SELECT UNNEST(range(0, $dim)) AS i, 1000::BIGINT AS v),
+       |${pcaRoundCtes(rounds, "d2_", "g2")}""".stripMargin
+
   private def pcaOracle(rounds: Int, dim: Int, gramTarget: Int,
       mode: String = "train"): String = {
     val tail = mode match {
@@ -2006,18 +2181,57 @@ object SimilarityOps {
            |    list_transform(list_zip(xu, vl), s -> abs(s[1] * vv - p * s[2]))),
            |    (u, v) -> u + v) AS res_l1
            |FROM pp""".stripMargin
+      case "train_topd" =>
+        s"""${pcaDeflateCtes(rounds, dim)}
+           |SELECT CAST(1 AS BIGINT) AS dir, CAST(v.i AS BIGINT) AS pos,
+           |  CAST(v.v AS BIGINT) AS v_mil
+           |FROM v$rounds v
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), CAST(v.i AS BIGINT), CAST(v.v AS BIGINT)
+           |FROM vd2_$rounds v""".stripMargin
+      case "apply_topd" =>
+        // sequential removal ([[abttTopD]]): p1 = Σ xu·v1,
+        // xu1 = xu − (p1·v1) // vv1; p2 = Σ xu1·v2,
+        // res_l1 = Σ |xu1 − (p2·v2) // vv2|
+        s"""${pcaDeflateCtes(rounds, dim)},
+           |v1agg AS (
+           |  SELECT list(v ORDER BY i ASC) AS vl,
+           |    GREATEST(CAST(SUM(v * v) AS BIGINT), 1) AS vv
+           |  FROM v$rounds),
+           |v2agg AS (
+           |  SELECT list(v ORDER BY i ASC) AS vl,
+           |    GREATEST(CAST(SUM(v * v) AS BIGINT), 1) AS vv
+           |  FROM vd2_$rounds),
+           |xall AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(round(x::DOUBLE * 1e6) AS BIGINT)) AS xu
+           |  FROM embeddings),
+           |s1 AS (
+           |  SELECT x.vec_id, x.xu, a.vl AS vl1, a.vv AS vv1,
+           |    b.vl AS vl2, b.vv AS vv2,
+           |    list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(list_zip(x.xu, a.vl), s -> s[1] * s[2])),
+           |      (u, v) -> u + v) AS p1
+           |  FROM xall x, v1agg a, v2agg b),
+           |s2 AS (
+           |  SELECT vec_id, p1, vl2, vv2,
+           |    list_transform(list_zip(xu, vl1),
+           |      s -> s[1] - (p1 * s[2]) // vv1) AS xu1
+           |  FROM s1),
+           |s3 AS (
+           |  SELECT vec_id, p1, xu1, vl2, vv2,
+           |    list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(list_zip(xu1, vl2), s -> s[1] * s[2])),
+           |      (u, v) -> u + v) AS p2
+           |  FROM s2)
+           |SELECT vec_id, p1, p2,
+           |  list_reduce(list_prepend(0::BIGINT,
+           |    list_transform(list_zip(xu1, vl2),
+           |      s -> abs(s[1] - (p2 * s[2]) // vv2))),
+           |    (u, v) -> u + v) AS res_l1
+           |FROM s3""".stripMargin
     }
-    val glue = if (mode == "apply") "," else ""
-    val rcs = (1 to rounds).map { k =>
-      s"""w$k AS MATERIALIZED (
-         |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS w
-         |  FROM g JOIN v${k - 1} v ON v.i = g.j GROUP BY 1),
-         |m$k AS (SELECT MAX(abs(w)) AS mx FROM w$k),
-         |v$k AS MATERIALIZED (
-         |  SELECT w.i,
-         |    CASE WHEN m.mx = 0 THEN p.v ELSE (w.w * 1000) // m.mx END AS v
-         |  FROM w$k w JOIN v${k - 1} p ON p.i = w.i CROSS JOIN m$k m)"""
-    }.mkString(",\n")
+    val glue = if (mode != "train") "," else ""
     s"""WITH sub AS (
        |  SELECT * FROM embeddings WHERE vec_id %
        |    (SELECT GREATEST(1, COUNT(*) // $gramTarget) FROM embeddings) = 0),
@@ -2037,7 +2251,7 @@ object SimilarityOps {
        |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.cm * b.cm) AS BIGINT) AS g
        |  FROM cm a JOIN cm b ON a.vec_id = b.vec_id GROUP BY 1, 2),
        |v0 AS (SELECT UNNEST(range(0, $dim)) AS i, 1000::BIGINT AS v),
-       |$rcs$glue
+       |${pcaRoundCtes(rounds, "", "g")}$glue
        |$tail""".stripMargin
   }
 
@@ -2071,7 +2285,7 @@ object SimilarityOps {
        |    SELECT a.vec_id AS q_id, b.vec_id AS n_id, $sqlCos AS sim,
        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
        |        ORDER BY $sqlCos DESC, b.vec_id ASC) AS rank
-       |    FROM e a JOIN e b ON a.vec_id % 100 = 0 AND a.vec_id != b.vec_id)
+       |    FROM e a JOIN e b ON a.vec_id % $sqlServeMod = 0 AND a.vec_id != b.vec_id)
        |  WHERE rank <= $nCands),
        |pairs AS MATERIALIZED (
        |  SELECT c1.q_id, c1.n_id AS a, c2.n_id AS b,
@@ -2098,7 +2312,7 @@ object SimilarityOps {
         s"""iv AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
            |exd AS (SELECT qe.vec_id AS q_id, ne.vec_id AS n_id,
            |    ${sqlDot("qe.embedding", "ne.embedding")} AS dotp
-           |  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) qe
+           |  FROM (SELECT * FROM embeddings WHERE vec_id % $sqlServeMod = 0) qe
            |  JOIN embeddings ne ON qe.vec_id != ne.vec_id),
            |ex AS (SELECT q_id, n_id FROM (
            |    SELECT q_id, n_id,
@@ -2126,7 +2340,7 @@ object SimilarityOps {
        |        x -> CAST(round(x::DOUBLE / amax * 127) AS BIGINT))
        |      ELSE list_transform(embedding, x -> 0::BIGINT) END AS c
        |  FROM base),
-       |qc AS (SELECT vec_id AS q_id, c AS qc FROM codes WHERE vec_id % 100 = 0),
+       |qc AS (SELECT vec_id AS q_id, c AS qc FROM codes WHERE vec_id % $sqlServeMod = 0),
        |ad AS (
        |  SELECT qc.q_id, n.vec_id AS n_id,
        |    list_reduce(list_prepend(0::BIGINT,
@@ -2181,7 +2395,7 @@ object SimilarityOps {
        |  SELECT vec_id, list(k ORDER BY m) AS codes
        |  FROM encl WHERE rn = 1 GROUP BY vec_id),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb
-       |      FROM corpus WHERE vec_id % 100 = 0),
+       |      FROM corpus WHERE vec_id % $sqlServeMod = 0),
        |adc AS (
        |  SELECT q.q_id, enc.vec_id AS n_id,
        |    list_reduce(list_prepend(0.0::DOUBLE,
@@ -2249,7 +2463,7 @@ object SimilarityOps {
        |  FROM encl e JOIN asg ON e.vec_id = asg.vec_id
        |  WHERE e.rn = 1 GROUP BY e.vec_id, asg.cid),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, xx AS q_xx
-       |      FROM corpus WHERE vec_id % 100 = 0),
+       |      FROM corpus WHERE vec_id % $sqlServeMod = 0),
        |prb0 AS (
        |  SELECT q.q_id, q.q_emb, cent.cid,
        |    ROW_NUMBER() OVER (PARTITION BY q.q_id
@@ -2358,7 +2572,7 @@ object SimilarityOps {
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${sqlDot("q.emb", "c.emb")} / (q.nrm * c.nrm) DESC,
          |               c.vec_id ASC) AS rank
-         |  FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q
+         |  FROM (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0) q
          |  JOIN e c ON q.vec_id != c.vec_id),
          |ex AS (SELECT q_id, n_id FROM ex0 WHERE rank <= 10),
          |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
@@ -2375,7 +2589,7 @@ object SimilarityOps {
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${sqlDot("q.emb", "cent.c_emb")} / (q.nrm * cent.c_nrm) DESC,
          |               cent.cid ASC) AS rn
-         |  FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q, cent),
+         |  FROM (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0) q, cent),
          |prb AS (SELECT q_id, q_emb, q_nrm, cid FROM prb0 WHERE rn <= $IvfProbe),
          |sims AS (
          |  SELECT prb.q_id, asg.n_id,
@@ -2415,6 +2629,11 @@ object SimilarityOps {
     "sim_mmr_topk" -> mmrOracle(10, MmrCands),
     "emb_pca_power" -> pcaOracle(PcaRounds, OracleDim, PcaGramTarget),
     "emb_abtt" -> pcaOracle(PcaRounds, OracleDim, PcaGramTarget, "apply"),
+    // top-D (D=2) trainer + apply: direction 1's chain verbatim, then
+    // the HUGEINT Hotelling deflation and direction 2's rounds on the
+    // deflated Gram (see pcaDeflateCtes)
+    "emb_pca_topd" -> pcaOracle(PcaRounds, OracleDim, PcaGramTarget, "train_topd"),
+    "emb_abtt_topd" -> pcaOracle(PcaRounds, OracleDim, PcaGramTarget, "apply_topd"),
 
     // Composition of the two separately-oracled rankings (the
     // dedup_cc_groups-over-dedup_lsh_pairs idiom): BM25 oracle text
@@ -2550,7 +2769,7 @@ object SimilarityOps {
       s"""WITH e AS (SELECT vec_id, embedding AS e FROM embeddings),
          |sims AS (
          |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $sqlCos AS sim
-         |  FROM e a JOIN e b ON a.vec_id % 100 = 0 AND a.vec_id != b.vec_id),
+         |  FROM e a JOIN e b ON a.vec_id % $sqlServeMod = 0 AND a.vec_id != b.vec_id),
          |ranked AS (
          |  SELECT q_id, n_id, sim,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
@@ -2603,7 +2822,7 @@ object SimilarityOps {
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${sqlDot("q.emb", "cent.c_emb")} / (q.nrm * cent.c_nrm) DESC,
          |               cent.cid ASC) AS rn
-         |  FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q, cent),
+         |  FROM (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0) q, cent),
          |prb AS (SELECT q_id, q_emb, q_nrm, cid FROM prb0 WHERE rn <= $IvfProbe),
          |sims AS (
          |  SELECT prb.q_id, asg.n_id,

@@ -746,10 +746,13 @@ object TextOps {
       .groupBy(col("margin"))
       .agg(sum(when(col("label_y") === 1L, 1L).otherwise(0L)).as("n_pos"),
         count(lit(1)).as("n"))
-    val cum = Window.orderBy(col("margin").desc)
+    // both windows run on the distinct-margin agg frame (bounded by
+    // the integer margin-value range, never corpus rows)
+    val cum = WindowUtil.boundedGlobal(col("margin"))
+      .orderBy(col("margin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
+    val all = WindowUtil.boundedGlobal(col("margin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     byM
       .withColumn("cum_n", sum(col("n")).over(cum))
       .withColumn("cum_pos", sum(col("n_pos")).over(cum))

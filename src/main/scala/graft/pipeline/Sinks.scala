@@ -53,26 +53,42 @@ object Sinks {
     Files.writeString(Paths.get(path), txt)
   }
 
-  /** Whole-result nested JSON (reference json.dump of the result dict,
+  /** Whole-result JSON export (reference json.dump of the result dict,
     * :1672-1675): pipelines, placemarks, totals, overlap_analysis
     * (bundled_sections with polygons, pipeline_overlaps, effective/
-    * savings), analysis_parameters. */
+    * savings), analysis_parameters.
+    *
+    * Restructured for scale (round-10 finding 2): the nested summary
+    * document — totals, savings, parameters, a handful of KB at ANY
+    * input size — is still assembled driver-side exactly like the
+    * reference's dict, but the four per-row tables are written by the
+    * DISTRIBUTED json writer into `<path>.tables/<name>/` (JSON-lines
+    * part files, `spark.read.json`-able) and the summary embeds
+    * POINTERS to them. The previous shape inlined every table through
+    * `.toJSON.collect()` — faithful to the reference's single document
+    * and fine at 45 pipelines, but a guaranteed driver OOM once the
+    * pipelines table is corpus-sized. Divergence from the reference,
+    * documented (same stance as the overlaps-CSV flat columns). */
   def writeJson(result: AnalysisResult, params: AnalyzerParams, path: String): Unit = {
     val s = result.summary
-    val pipelines = result.pipelines
-      .select("OBJECTID", "Name", "Shape_Length", "pipelinelength")
-      .toJSON.collect().mkString("[", ",", "]")
-    val placemarks = result.placemarks.toJSON.collect().mkString("[", ",", "]")
-    val sections = result.sections
+    val tablesDir = s"$path.tables"
+    def table(df: DataFrame, name: String): String = {
+      df.write.mode("overwrite").json(s"$tablesDir/$name")
+      s"""{"path": "${tablesDir.replace("\\", "/")}/$name", "format": "json-lines"}"""
+    }
+    val pipelines = table(result.pipelines
+      .select("OBJECTID", "Name", "Shape_Length", "pipelinelength"), "pipelines")
+    val placemarks = table(result.placemarks, "placemarks")
+    val sections = table(result.sections
       .select(col("pipeline_1"), col("pipeline_2"), col("bundled_length_meters"),
         col("bundled_length_miles"), col("average_separation"), col("segment_count"),
         col("center_lon"), col("center_lat"),
         struct(col("min_lon"), col("max_lon"), col("min_lat"), col("max_lat")).as("bbox"),
-        col("oriented_polygon"), col("oriented_width_m"), col("corridor_polygon"))
-      .toJSON.collect().mkString("[", ",", "]")
-    val overlaps = result.overlaps
-      .select("name", "bundled_segments", "bundled_length_meters", "bundled_length_miles")
-      .toJSON.collect().mkString("[", ",", "]")
+        col("oriented_polygon"), col("oriented_width_m"), col("corridor_polygon")),
+      "bundled_sections")
+    val overlaps = table(result.overlaps
+      .select("name", "bundled_segments", "bundled_length_meters", "bundled_length_miles"),
+      "pipeline_overlaps")
     val json =
       s"""{
          |  "pipelines": $pipelines,

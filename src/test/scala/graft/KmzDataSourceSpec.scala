@@ -22,7 +22,11 @@ class KmzDataSourceSpec extends AnyFunSuite {
     spark.sparkContext.setLogLevel("WARN")
     val df = spark.read.format("kmz").load(fixture)
     assert(df.columns.toSeq == Seq(
-      "source_file", "name", "objectid", "geometry_type", "coordinates", "attrs"))
+      "source_file", "seq", "name", "objectid", "geometry_type",
+      "coordinates", "attrs"))
+    // seq is the file-local scan position — dense 0..44 here
+    assert(df.select("seq").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 45L))
     assert(df.count() == 45)
     assert(df.filter(col("geometry_type") === "LineString").count() == 45)
     // fixture has no <name>/<OBJECTID>: fallback semantics must hold
@@ -41,8 +45,13 @@ class KmzDataSourceSpec extends AnyFunSuite {
     // a case-mangled extension (readMany's glob must accept .KMZ)
     Files.copy(Paths.get(fixture), dir.resolve("a_first.kmz"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(Paths.get(fixture), dir.resolve("b_second.KMZ"), StandardCopyOption.REPLACE_EXISTING)
-    val (pipes, _) = graft.sources.KmlSource.splitMany(
-      graft.sources.KmlSource.readMany(spark, dir.toString))
+    val many = graft.sources.KmlSource.readMany(spark, dir.toString)
+    // the many-file default IS the DSv2 source: one input partition per
+    // file, scan node is a BatchScan over KmzDataSource
+    assert(many.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "readMany must route through the DSv2 kmz source")
+    assert(many.rdd.getNumPartitions == 2, "one input partition per file")
+    val (pipes, _) = graft.sources.KmlSource.splitMany(many)
     val ids = pipes.select("id").collect().map(_.getInt(0)).sorted
     // 45 + 45 features; ids globally unique 0..89 in (file, scan) order
     assert(ids.toSeq == (0 until 90))

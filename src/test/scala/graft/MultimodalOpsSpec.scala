@@ -120,4 +120,41 @@ class MultimodalOpsSpec extends AnyFunSuite {
     val b = MultimodalOps.decodeAudioMeta(ds, batchSize = 64).collect().sortBy(_.doc_id)
     assert(a.sameElements(b))
   }
+
+  test("MP4 decoder: ISO-BMFF box walk through the batched path") {
+    import spark.implicits._
+    val out = MultimodalOps.decodeVideoMeta(
+      spark.createDataset(MultimodalOps.MediaFixtures.videoRows), batchSize = 3)
+      .collect().sortBy(_.doc_id)
+    // hand-derived from the synthesis parameters: n_bytes = 160 +
+    // 100·tracks; duration_ms = duration·1000 div timescale; 16.16
+    // fixed dims; the 2-track clip's max dims come from the video track
+    val one = out(0)
+    assert((one.n_bytes, one.brand, one.n_tracks, one.timescale,
+      one.duration_ms, one.width, one.height) ==
+      ((260L, "isom", 1L, 600L, 3000L, 320L, 240L)))
+    val two = out(1)
+    assert((two.n_bytes, two.brand, two.n_tracks, two.timescale,
+      two.duration_ms, two.width, two.height) ==
+      ((360L, "mp42", 2L, 1000L, 2500L, 640L, 360L)))
+    // corrupt-video + audio rows fall back deterministically (total fn)
+    assert(out(2).brand.length == 4 && out(2).timescale >= 600L)
+    assert(out(3).media_type == "audio")
+    assert(out.length == 4)
+  }
+
+  test("MP4 decode is batch-boundary invariant and rejects truncation") {
+    import spark.implicits._
+    val ds = spark.createDataset(MultimodalOps.MediaFixtures.videoRows)
+    val a = MultimodalOps.decodeVideoMeta(ds, batchSize = 1).collect().sortBy(_.doc_id)
+    val b = MultimodalOps.decodeVideoMeta(ds, batchSize = 64).collect().sortBy(_.doc_id)
+    assert(a.sameElements(b))
+    // a valid clip truncated mid-moov must take the fallback, not throw
+    // or return half-parsed values
+    val cut = MultimodalOps.MediaFixtures.mp4OneTrack.take(100)
+    val c = MultimodalOps.decodeVideoMeta(
+      spark.createDataset(Seq(MultimodalOps.MediaRow(9L, cut, "video"))))
+      .collect().head
+    assert(c.brand != "isom" && c.n_bytes == 100L)
+  }
 }

@@ -133,4 +133,53 @@ class PcaPowerSpec extends AnyFunSuite {
       assert(out(i) == ((v(i), w(i))), s"dim $i: ${out(i)} vs (${v(i)},${w(i)})")
     }
   }
+
+  test("top-D: planted two-direction corpus recovered through deflation") {
+    import spark.implicits._
+    // x = a·u1 + b·u2 on an exact product grid (a ⟂ b by construction),
+    // amplitude ratio 2.5 ⇒ eigen-gap ~6×: after 3 power rounds the
+    // contamination of v1 is (1/6.25)³ ≈ 0.4 %, and Hotelling deflation
+    // must expose u2 as the dominant direction of the residual Gram
+    val d = 8
+    val u1 = Array(0.6, 0.8) ++ Array.fill(d - 2)(0.0)
+    val u2 = Array(0.0, 0.0, 1.0) ++ Array.fill(d - 3)(0.0)
+    val rows = (0 until 400).map { k =>
+      val a = ((k / 20) - 9.5) / 10.0
+      val b = ((k % 20) - 9.5) / 25.0
+      (k.toLong, (0 until d).map(i => (a * u1(i) + b * u2(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dirs = SimilarityOps.pcaPowerDirs(rows, nDirs = 2)
+    def cosWith(v: Array[Long], u: Array[Double]): Double = {
+      val num = v.zip(u).map { case (x, y) => x * y }.sum
+      num / (math.sqrt(v.map(x => x.toDouble * x).sum) *
+        math.sqrt(u.map(x => x * x).sum))
+    }
+    val c1 = math.abs(cosWith(dirs(0), u1))
+    val c2 = math.abs(cosWith(dirs(1), u2))
+    info(f"planted |cos(v1,u1)| = $c1%.4f, |cos(v2,u2)| = $c2%.4f")
+    assert(c1 > 0.98, s"direction 1 not recovered: $c1")
+    assert(c2 > 0.95, s"direction 2 not recovered after deflation: $c2")
+    // and the D=2 apply drains the corpus: both planted directions
+    // removed, residual down to milli-rounding of the removal chain
+    val applied = SimilarityOps.abttTopD(rows, nDirs = 2).collect()
+    applied.foreach { r =>
+      val id = r.getLong(0)
+      val a = ((id / 20) - 9.5) / 10.0
+      val b = ((id % 20) - 9.5) / 25.0
+      val xuL1 = (0 until d).map(i =>
+        math.abs(math.round((a * u1(i) + b * u2(i)) * 1e6))).sum
+      val res = r.getLong(3)
+      if (xuL1 > 1000)
+        assert(res.toDouble / xuL1 < 0.02,
+          s"vec $id residual fraction ${res.toDouble / xuL1}")
+    }
+    // single-direction apply CANNOT drain it: u2-mass survives
+    val one = SimilarityOps.abttTopD(rows, nDirs = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val survivors = one.count { case (id, res) =>
+      val b = ((id % 20) - 9.5) / 25.0
+      res > math.abs(b) * 1e6 * 0.5 // at least half the u2 L1 mass left
+    }
+    assert(survivors > 300, s"expected u2 mass to survive 1-dir removal: $survivors")
+  }
 }

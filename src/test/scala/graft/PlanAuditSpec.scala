@@ -284,4 +284,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  // A Window with an EMPTY partitionSpec single-threads its whole input
+  // through one task — a 100 TB death sentence unless the frame is
+  // aggregate-sized by construction. Queries that legitimately need a
+  // global cumulative/rank run it over a bounded frame and partition by
+  // a literal instead (sim_hybrid_rrf's ≤2k-row fusion lists), or are
+  // allowlisted here with the bound stated.
+  test("suite-wide: no unpartitioned window in any query plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // every legitimate bounded global frame (hybrid-RRF fusion lists,
+    // DSIR/drift bucket totals, temperature-mix group rates, the
+    // perceptron PR curve, KmlSource's per-file offsets) runs through
+    // WindowUtil.boundedGlobal, whose non-foldable constant key states
+    // the bound in the plan — so an EMPTY partitionSpec here can only
+    // be an accidental corpus-sized global window
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val bad = try fn(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+      } catch { case _: Throwable => Nil } // plan failures caught above
+      if (bad.nonEmpty)
+        failures += s"$name: ${bad.size} unpartitioned Window node(s)"
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }

@@ -65,11 +65,46 @@ class SinksSpec extends AnyFunSuite {
     val p = s"$outDir/result.json"
     Sinks.writeJson(result, params, p)
     val json = Files.readString(Paths.get(p))
-    assert("\"pipeline_1\"".r.findAllIn(json).length == 351)
-    assert("\"OBJECTID\"".r.findAllIn(json).length == 45)
+    // summary doc: totals inline, tables as pointers to distributed
+    // JSON-lines dirs (the scale-safe shape — see Sinks.writeJson)
     assert(json.contains("\"computation_method\": \"clustered_segments_v1\""))
     assert(json.contains("183.9667")) // total_miles
     assert(json.contains("173.2553")) // effective_total_miles
+    assert(json.contains("\"format\": \"json-lines\""))
+    val pipes = spark.read.json(s"$p.tables/pipelines")
+    assert(pipes.count() == 45)
+    assert(pipes.columns.sorted.sameElements(
+      Array("Name", "OBJECTID", "Shape_Length", "pipelinelength")))
+    val sections = spark.read.json(s"$p.tables/bundled_sections")
+    assert(sections.count() == 351)
+    assert(sections.columns.contains("corridor_polygon"))
+    assert(spark.read.json(s"$p.tables/pipeline_overlaps").count() ==
+      result.overlaps.count())
+  }
+
+  test("JSON export survives a 100x result without driver materialization") {
+    // 100x-replicated AnalysisResult (the FixtureScale pattern: lon-only
+    // offsets keep copies independent; here only the SINK is under
+    // test, so replication happens on the already-analyzed frames).
+    // The old .toJSON.collect() shape embedded 35,100 polygon rows in
+    // one driver string — this asserts the distributed writer path
+    // round-trips the full row count with the driver holding only the
+    // summary doc.
+    import org.apache.spark.sql.functions._
+    val k = 100
+    val reps = spark.range(k).select(col("id").cast("int").as("rep"))
+    def replicate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.crossJoin(reps).drop("rep")
+    val scaled = graft.pipeline.AnalysisResult(
+      replicate(result.pipelines), replicate(result.placemarks),
+      replicate(result.sections), replicate(result.overlaps),
+      result.summary)
+    val p = s"$outDir/result_100x.json"
+    Sinks.writeJson(scaled, params, p)
+    assert(spark.read.json(s"$p.tables/pipelines").count() == 45L * k)
+    assert(spark.read.json(s"$p.tables/bundled_sections").count() == 351L * k)
+    // the driver-side artifact stays summary-sized no matter the scale
+    assert(Files.size(Paths.get(p)) < 4096)
   }
 
   test("KML export parses back through the engine's own KML source") {
