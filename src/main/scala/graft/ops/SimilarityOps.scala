@@ -1015,6 +1015,49 @@ object SimilarityOps {
     * 0.45 regime as [[NdTau]]) so the demo actually drops rows. */
   val SemTau = 0.45
 
+  /** Per-cluster keep cap for [[clusterCap]] — at the sf0.01 gate
+    * (~7.8 vectors per auto-sized cell) cap 4 visibly trims hot
+    * cells. */
+  val ClusterCapN = 4
+
+  /** TOPIC-BALANCED selection: cap each embedding cluster at `cap`
+    * docs — the semantic sibling of `curate_domain_cap` (which caps by
+    * a metadata column; this caps by LEARNED topic, the cells the ANN
+    * family already uses), and the cheap version of cluster-proportional
+    * mixture sampling: a handful of over-represented semantic modes
+    * (boilerplate, templated pages) otherwise dominate a pretraining
+    * mix no matter how the metadata looks. Each vector is assigned to
+    * its max-cosine coarse cell ([[autoCentroids]]-sized, the semDedup
+    * assignment), then per cell the `cap` survivors are picked in
+    * salted-md5 order — an unbiased deterministic sample whose fate is
+    * independent of partitioning and of other rows (the mixUpsample
+    * discipline).
+    *
+    * Scale shape: one broadcast-K assignment scan (max_by argmax, ~1
+    * row per vector shuffled), then ONE cid-keyed window whose frames
+    * are cell-sized (~32 by the autoCentroids design) — no all-pairs
+    * stage at all, strictly cheaper than semDedup. */
+  def clusterCap(embeddings: DataFrame, cap: Int = ClusterCapN,
+      nCentroids: Int = AutoCentroids): DataFrame = {
+    val kCent = resolveK(embeddings, nCentroids)
+    val cents = embeddings.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+      .filter(definedNrm(col("nrm")))
+    val assign = assignBest(vecs, cents, col("cid"))
+      .select(col("vec_id"), col("best").as("cid"))
+    val w = Window.partitionBy("cid").orderBy(col("h").asc, col("vec_id").asc)
+    assign
+      .withColumn("h", TextOps.strHash(
+        concat(lit("ccap:"), col("vec_id").cast("string"))))
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cid"), col("cell_rank"),
+        (col("cell_rank") <= cap).as("kept"))
+  }
+
   /** kNN-graph parameters for the driver query (shared with the
     * oracle SQL). nProbes=2 multi-assignment recovers most
     * cell-boundary neighbors the single-cell SemDeDup trade-off
@@ -1869,6 +1912,50 @@ object SimilarityOps {
           lit(0L), (acc, t) => acc + t).as("res_l1"))
   }
 
+  /** SERVING-INDEX BUILD capstone: the ANN index ARTIFACT — per-cell
+    * manifest rows (cell id, vector count, id span, SQ8 code-mass
+    * stats) — built as ONE composed Catalyst plan from the two
+    * separately-oracled derivations the serving ladder already runs:
+    * the [[quantizeInt8]] SQ8 codes (pure narrow projection) and the
+    * [[autoCentroids]]-sized max-cosine cell assignment (the semDedup
+    * shape). This is the build job a production vector store runs
+    * before [[ivfTopK]]/[[sqTopK]] can serve: cells become the
+    * partition/file layout, the code stats become the manifest
+    * metadata a query planner prunes on (the curate_export_manifest
+    * discipline applied to the serving side).
+    *
+    * Scale shape: one corpus scan feeds BOTH arms (codes narrow,
+    * assignment a broadcast-K argmax shuffling ~1 row per vector), one
+    * vec_id equi-join, one cid-keyed agg with map-side partials — the
+    * output is K rows. Nothing corpus-sized shuffles twice, nothing
+    * collects. */
+  def indexBuild(embeddings: DataFrame,
+      nCentroids: Int = AutoCentroids): DataFrame = {
+    val kCent = resolveK(embeddings, nCentroids)
+    val cents = embeddings.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+      .filter(definedNrm(col("nrm")))
+    val assign = assignBest(vecs, cents, col("cid"))
+      .select(col("vec_id"), col("best").as("cid"))
+    // codes only for screened vectors: the inner join drops undefined-
+    // norm rows anyway, and an unscreened NaN amax would throw in the
+    // ANSI round→long cast before the join could filter it
+    val codes = quantizeInt8(
+        embeddings.filter(definedNrm(norm(col("embedding")))))
+      .select(col("vec_id"), col("amax_u"), col("code_l1"))
+    assign.join(codes, "vec_id")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"),
+        sum(col("amax_u")).as("sum_amax_u"),
+        sum(col("code_l1")).as("sum_code_l1"))
+  }
+
   /** Candidate-list size for [[mmrTopK]] — the shortlist the
     * diversifier reranks (the serving path's top-C output). */
   val MmrCands = 30
@@ -1998,6 +2085,8 @@ object SimilarityOps {
       ivfTopK(e, servingQueryPred(e),
         nCentroids = IvfCentroids, nProbe = IvfProbe) }),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
+    "mix_cluster_cap" -> ((s, d) => clusterCap(t(s, d, "embeddings"))),
+    "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
     "emb_kmeans_fixed" -> ((s, d) => kmeansFixed(t(s, d, "embeddings"))),
     "emb_outliers" -> ((s, d) => kmeansOutliers(t(s, d, "embeddings"))),
     "sim_ivf_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
@@ -2855,6 +2944,69 @@ object SimilarityOps {
          |SELECT asg.vec_id, asg.cid,
          |  (dropped.vec_id IS NULL) AS kept
          |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id""".stripMargin,
+
+    // clusterCap: the semDedup assignment CTEs + the salted-hash
+    // per-cell ranking window (deterministic unbiased cell sample)
+    "mix_cluster_cap" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $sqlAutoK),
+         |asg0 AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn = 1),
+         |hh AS (
+         |  SELECT vec_id, cid,
+         |    ('0x' || substr(md5('ccap:' || vec_id), 1, 15))::BIGINT
+         |      % ${TextOps.HashMod} AS h
+         |  FROM asg)
+         |SELECT vec_id, cid, CAST(rk AS BIGINT) AS cell_rank,
+         |  rk <= $ClusterCapN AS kept
+         |FROM (SELECT vec_id, cid,
+         |        ROW_NUMBER() OVER (PARTITION BY cid ORDER BY h ASC, vec_id ASC) AS rk
+         |      FROM hh)""".stripMargin,
+
+    // indexBuild: the semDedup assignment CTEs composed with the
+    // emb_quantize_int8 code derivation, rolled up per cell
+    "serve_index_build" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $sqlAutoK),
+         |asg0 AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn = 1),
+         |base AS (
+         |  SELECT vec_id,
+         |    embedding,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+         |  FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id, CAST(round(amax * 1e6) AS BIGINT) AS amax_u,
+         |    CASE WHEN amax > 0
+         |      THEN list_transform(embedding,
+         |        x -> CAST(round(x::DOUBLE / amax * 127) AS BIGINT))
+         |      ELSE list_transform(embedding, x -> 0::BIGINT) END AS c
+         |  FROM base),
+         |cl AS (
+         |  SELECT vec_id, amax_u,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(c, x -> abs(x))), (u, v) -> u + v) AS code_l1
+         |  FROM codes)
+         |SELECT asg.cid, COUNT(1)::BIGINT AS n_vecs,
+         |  MIN(asg.vec_id) AS min_vec_id, MAX(asg.vec_id) AS max_vec_id,
+         |  CAST(SUM(cl.amax_u) AS BIGINT) AS sum_amax_u,
+         |  CAST(SUM(cl.code_l1) AS BIGINT) AS sum_code_l1
+         |FROM asg JOIN cl ON asg.vec_id = cl.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "sim_lsh_buckets_hashed" -> {
       // weight literals precomputed with the same md5 derivation

@@ -125,6 +125,49 @@ object TextOps {
           (lit(1.0) - punctCnt / nChar) * 0.2, 6).as("quality_score"))
   }
 
+  /** GOPHER-RULES document gate (Rae et al. 2021 §A1.1 — the standard
+    * rule-based pre-filter every web-scale pretraining corpus runs
+    * BEFORE model-based quality scoring): per-document structural
+    * rules, rolled up per source as the drop-reason monitor table a
+    * pipeline alerts on. The four rules kept are the ones this
+    * corpus's schema can express, each re-derived in EXACT integer
+    * arithmetic (cross-multiplied ratios — no float thresholds, so
+    * the gate replays hash-identically):
+    *   r_words — word count in [5, 100000];
+    *   r_wlen  — mean word length in [3, 10] as
+    *             3·n_tok ≤ Σ len(tok) ≤ 10·n_tok;
+    *   r_stop  — ≥ 1 stopword (the Gopher "contains required words"
+    *             fluency screen);
+    *   r_punct — punctuation ≤ 10 % of characters as 10·n_punct ≤
+    *             n_chars (the symbol-ratio screen).
+    *
+    * Shape at scale: ONE corpus scan of narrow column expressions into
+    * a source-keyed agg with map-side partials — |sources| output
+    * rows; the per-doc flags never shuffle. */
+  def gopherGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val flags = docs.select(col("source"),
+      size(toks).cast("long").as("n_tok"),
+      aggregate(toks, lit(0L), (a, x) => a + length(x)).as("sum_wlen"),
+      size(filter(toks, x => x.isin(stopEn: _*))).cast("long").as("n_stop"),
+      regexp_count(col(textCol), lit("[.,!?;:]")).cast("long").as("n_punct"),
+      length(col(textCol)).cast("long").as("n_chars"))
+      .select(col("source"),
+        (col("n_tok") >= 5L && col("n_tok") <= 100000L).as("r_words"),
+        (col("sum_wlen") >= col("n_tok") * 3L &&
+          col("sum_wlen") <= col("n_tok") * 10L).as("r_wlen"),
+        (col("n_stop") >= 1L).as("r_stop"),
+        (col("n_punct") * 10L <= col("n_chars")).as("r_punct"))
+    flags.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("r_words") && col("r_wlen") && col("r_stop") &&
+        col("r_punct"), 1L).otherwise(0L)).as("n_pass"),
+      sum(when(!col("r_words"), 1L).otherwise(0L)).as("n_fail_words"),
+      sum(when(!col("r_wlen"), 1L).otherwise(0L)).as("n_fail_wlen"),
+      sum(when(!col("r_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+      sum(when(!col("r_punct"), 1L).otherwise(0L)).as("n_fail_punct"))
+  }
+
   /** Stopword lists for [[languageId]] — shared with the kernel-parity
     * spec and the oracle SQL literals. */
   val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
@@ -332,6 +375,35 @@ object TextOps {
     * per-doc aggregation partial-combines map-side. N is one count
     * action up front — joining a constant-folded single row would plan
     * as a nested loop, which the suite-wide plan audit rejects. */
+  /** Per-language tokenizer FERTILITY / compression audit — the
+    * tokenizer-health table every multilingual pipeline tracks (high
+    * fertility = the vocab under-serves that language, its documents
+    * cost proportionally more training tokens per word; SentencePiece
+    * and production LLM data reports both monitor exactly this ratio).
+    * fertility_ppm = BPE tokens per whitespace word,
+    * bytes_per_tok_ppm = UTF-8 bytes per BPE token — both exact
+    * integer ppm ratios of exact BIGINT sums (the house stance).
+    *
+    * Shape at scale: ONE corpus scan — the per-doc word count, the
+    * native one-pass [[graft.functions.TextNative.bpe_encode]] kernel
+    * (train-then-apply: the merge table is a committed artifact), and
+    * the byte length are all narrow projections — feeding one
+    * lang-keyed agg with map-side partials; the output is
+    * |languages| rows. */
+  def bpeFertility(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("lang"),
+        size(tokens(col(textCol))).cast("long").as("w"),
+        size(graft.functions.TextNative.bpe_encode(col(textCol)))
+          .cast("long").as("b"),
+        octet_length(encode(col(textCol), "UTF-8")).cast("long").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("b").as("n_bpe"), sum("y").as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        col("n_bytes"),
+        expr("(n_bpe * 1000000) div greatest(n_words, 1)").as("fertility_ppm"),
+        expr("(n_bytes * 1000000) div greatest(n_bpe, 1)").as("bytes_per_tok_ppm"))
+
   def lmSurprise(docs: DataFrame, textCol: String = "text",
       minCount: Int = 2): DataFrame = {
     val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
@@ -985,6 +1057,7 @@ object TextOps {
     "txt_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents"))),
     "txt_entropy" -> ((s, d) => tokenEntropy(t(s, d, "documents"))),
     "txt_quality" -> ((s, d) => qualityScore(t(s, d, "documents"))),
+    "txt_gopher_gate" -> ((s, d) => gopherGate(t(s, d, "documents"))),
     "txt_langid" -> ((s, d) => languageId(t(s, d, "documents"))),
     "txt_langid_ngram" -> ((s, d) => languageIdNgram(t(s, d, "documents"))),
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
@@ -1036,6 +1109,7 @@ object TextOps {
         graft.functions.TextNative.bpe_encode(col("text")).as("_tk"))
         .select(col("doc_id"), size(col("_tk")).cast("long").as("n_bpe"),
           array_join(col("_tk"), " ").as("bpe_text"))),
+    "txt_fertility" -> ((s, d) => bpeFertility(t(s, d, "documents"))),
     "txt_chunks" -> ((s, d) => chunkDocs(t(s, d, "documents"))),
     "txt_pack" -> ((s, d) => packDocs(t(s, d, "documents"))),
     // exact corpus vocabulary head: one explode + one hash-agg shuffle
@@ -1074,6 +1148,20 @@ object TextOps {
 
   // Shared SQL fragments keep the Spark and DuckDB formulations aligned.
   private val sqlToks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
+  /** Replays the committed BPE merge table in rank order as nested
+    * greedy replaces over a chr(1)-delimited symbol string per word `w`
+    * (shared by the txt_bpe_corpus and txt_fertility oracles). */
+  private lazy val bpeReplayWordSql: String = {
+    val word0 = "chr(1) || array_to_string(list_transform(" +
+      "range(1, length(w) + 1), i -> substr(w, i::INT, 1)), chr(1)) || chr(1)"
+    val replayed = graft.functions.BpeKernel.Merges.foldLeft(word0) {
+      case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+    }
+    "array_to_string(list_filter(string_split(" +
+      s"$replayed, chr(1)), x -> x != ''), ' ')"
+  }
 
   /** Oracle for [[bpeTrainMerges]]: the full R-round training replay —
     * word-frequency vocab, per-round overlapping pair counts weighted
@@ -1195,24 +1283,65 @@ object TextOps {
     "unigram_train" -> unigramOracle(UniRounds, "train"),
     "txt_unigram_corpus" -> unigramOracle(UniRounds, "corpus"),
 
-    "txt_bpe_corpus" -> {
-      // replay the encoder's merge table in rank order as nested
-      // greedy replaces over a chr(1)-delimited symbol string per word
-      val word0 = "chr(1) || array_to_string(list_transform(" +
-        "range(1, length(w) + 1), i -> substr(w, i::INT, 1)), chr(1)) || chr(1)"
-      val replayed = graft.functions.BpeKernel.Merges.foldLeft(word0) {
-        case (acc, (a, b)) =>
-          s"replace($acc, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
-      }
-      val wordToks = "array_to_string(list_filter(string_split(" +
-        s"$replayed, chr(1)), x -> x != ''), ' ')"
+    "txt_bpe_corpus" ->
       s"""SELECT doc_id,
          |  CAST(CASE WHEN s = '' THEN 0 ELSE len(string_split(s, ' ')) END AS BIGINT) AS n_bpe,
          |  s AS bpe_text
          |FROM (SELECT doc_id,
-         |  array_to_string(list_transform($sqlToks, w -> $wordToks), ' ') AS s
-         |  FROM documents)""".stripMargin
-    },
+         |  array_to_string(list_transform($sqlToks, w -> $bpeReplayWordSql), ' ') AS s
+         |  FROM documents)""".stripMargin,
+
+    // Gopher-rules gate: four integer-exact structural rules per doc,
+    // rolled up per source (the drop-reason monitor table)
+    "txt_gopher_gate" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    len($sqlToks) AS n_tok,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform($sqlToks, x -> CAST(length(x) AS BIGINT))),
+         |      (a, b) -> a + b) AS sum_wlen,
+         |    len(list_filter($sqlToks,
+         |      x -> list_contains(['the','and','of','to','is'], x))) AS n_stop,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT source,
+         |    (n_tok >= 5 AND n_tok <= 100000) AS r_words,
+         |    (sum_wlen >= n_tok * 3 AND sum_wlen <= n_tok * 10) AS r_wlen,
+         |    (n_stop >= 1) AS r_stop,
+         |    (n_punct * 10 <= n_chars) AS r_punct
+         |  FROM f)
+         |SELECT source, COUNT(1)::BIGINT AS n_docs,
+         |  CAST(SUM(CASE WHEN r_words AND r_wlen AND r_stop AND r_punct
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(SUM(CASE WHEN NOT r_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+         |  CAST(SUM(CASE WHEN NOT r_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wlen,
+         |  CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+         |  CAST(SUM(CASE WHEN NOT r_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct
+         |FROM r GROUP BY source""".stripMargin,
+
+    // per-language tokenizer health: the same BPE replay chain, rolled
+    // up to lang-level fertility/compression ratios in exact ppm
+    "txt_fertility" ->
+      s"""WITH per AS (
+         |  SELECT lang,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_words,
+         |    CAST(CASE WHEN s = '' THEN 0
+         |         ELSE len(string_split(s, ' ')) END AS BIGINT) AS n_bpe,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM (SELECT lang, text,
+         |    array_to_string(list_transform($sqlToks, w -> $bpeReplayWordSql), ' ') AS s
+         |    FROM documents))
+         |SELECT lang, COUNT(1)::BIGINT AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+         |  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+         |  CAST(CAST(SUM(n_bpe) AS BIGINT) * 1000000
+         |    // GREATEST(CAST(SUM(n_words) AS BIGINT), 1) AS BIGINT) AS fertility_ppm,
+         |  CAST(CAST(SUM(n_bytes) AS BIGINT) * 1000000
+         |    // GREATEST(CAST(SUM(n_bpe) AS BIGINT), 1) AS BIGINT) AS bytes_per_tok_ppm
+         |FROM per GROUP BY lang""".stripMargin,
 
     "txt_bpe_encode" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(n AS BIGINT) AS n_tokens,
