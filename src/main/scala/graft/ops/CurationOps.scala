@@ -277,8 +277,22 @@ object CurationOps {
     * (avalanche over 4 rounds), giving sequential readers the
     * i.i.d.-like stream epoch training wants, reproducibly. */
   def feistelShuffle(docs: DataFrame, nShards: Int = 16): DataFrame = {
-    val maxId = Option(docs.agg(max("doc_id")).first().get(0))
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("perm").asc)
+    docs.select(col("doc_id"), feistelPerm(maxDocId(docs)).as("perm"))
+      .withColumn("shard", (col("perm") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(part).cast("long"))
+  }
+
+  /** One metadata-answerable max() action fixing the Feistel domain. */
+  private def maxDocId(docs: DataFrame): Long =
+    Option(docs.agg(max("doc_id")).first().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
+
+  /** The [[feistelShuffle]] permutation as a pure narrow Column over
+    * `doc_id` — shared with [[curateCurriculum]] so both queries run
+    * the IDENTICAL bijection (and both replay via [[feistelCtes]]). */
+  private def feistelPerm(maxId: Long): Column = {
     val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxId, 1L))
     val w = math.max(4, (bitlen + 1) / 2)
     val mask = (1L << w) - 1L
@@ -292,12 +306,50 @@ object CurationOps {
       l = r
       r = nr
     }
+    shiftleft(l, w).bitwiseOR(r)
+  }
+
+  /** Curriculum sub-shards per difficulty band for
+    * [[curateCurriculum]] — 8 at the gate; production sizes this to
+    * the cluster (the [[exportShards]] discipline). */
+  val CurriculumShards = 8
+
+  /** CURRICULUM-ORDERED training export — the data-ordering stage of
+    * curriculum learning (Bengio et al. 2009, as applied to LLM
+    * pretraining data: schedule documents easy → hard, but keep the
+    * stream inside each difficulty stage i.i.d.-like). Difficulty is
+    * the exact-integer token entropy ([[TextOps.tokenEntropy]]'s
+    * one-pass native kernel — low-entropy templated text first,
+    * high-entropy prose last), banded by ABSOLUTE bits-per-token
+    * (band = clamp(ent_mbits div 1000, 0, 3) — a narrow scale-free
+    * rule, deliberately NOT an equi-depth ntile, which would need a
+    * global sort); within a band, order is the [[feistelShuffle]]
+    * bijection (provably collision-free, so positions are a pure
+    * function of content ids — reproducible across retries and
+    * partitionings). A training loader reads bands ascending,
+    * sub-shards within a band in parallel.
+    *
+    * Shape at scale: difficulty + permutation are ONE narrow
+    * zero-shuffle corpus scan (entropy kernel + codegen'd Feistel bit
+    * arithmetic); the only exchange is the hash partition by
+    * (band, shard), and each per-(band, shard) position window sorts
+    * W/(4·nShards) keys independently — never a global sort. */
+  def curateCurriculum(docs: DataFrame,
+      nShards: Int = CurriculumShards): DataFrame = {
     val part = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col("perm").asc)
+      .partitionBy("band", "shard").orderBy(col("perm").asc)
     docs.select(col("doc_id"),
-        shiftleft(l, w).bitwiseOR(r).as("perm"))
+        graft.functions.TextNative.entropy_stats(col("text")).as("s"),
+        feistelPerm(maxDocId(docs)).as("perm"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), element_at(col("s"), 3).as("ent_mbits"),
+        col("perm"))
+      .withColumn("band", least(lit(3L),
+        greatest(lit(0L), expr("ent_mbits div 1000"))).cast("int"))
       .withColumn("shard", (col("perm") % nShards).cast("int"))
       .withColumn("pos", row_number().over(part).cast("long"))
+      .select(col("doc_id"), col("ent_mbits"), col("band"), col("shard"),
+        col("pos"))
   }
 
   /** Per-round Feistel constants (arbitrary fixed odd salts < 2²⁰ so
@@ -566,6 +618,8 @@ object CurationOps {
     "export_shards" -> ((s, d) => exportShards(t(s, d, "documents"))),
 
     "export_shuffle" -> ((s, d) => feistelShuffle(t(s, d, "documents"))),
+
+    "curate_curriculum" -> ((s, d) => curateCurriculum(t(s, d, "documents"))),
 
     "curate_pipeline" -> ((s, d) => curatePipeline(t(s, d, "documents"))),
 
@@ -850,6 +904,34 @@ object CurationOps {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY perm % 16 ORDER BY perm ASC)
          |    AS BIGINT) AS pos
          |FROM pm""".stripMargin,
+
+    // curateCurriculum: the txt_entropy CTEs (difficulty) joined to the
+    // Feistel permutation (intra-band order), banded by absolute
+    // bits-per-token, positions per (band, shard)
+    "curate_curriculum" ->
+      s"""WITH cnt AS (
+         |  SELECT doc_id, tok, COUNT(1) AS n
+         |  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n * ${TextOps.sqlL2M("n")}) AS BIGINT) AS s_nl
+         |  FROM cnt GROUP BY 1),
+         |ent AS (
+         |  SELECT doc_id,
+         |    CAST((n_tokens * ${TextOps.sqlL2M("n_tokens")} - s_nl) // n_tokens
+         |      AS BIGINT) AS ent_mbits
+         |  FROM per),
+         |${feistelCtes("documents")},
+         |j AS (
+         |  SELECT e.doc_id, e.ent_mbits,
+         |    CAST(LEAST(3, GREATEST(0, e.ent_mbits // 1000)) AS INT) AS band,
+         |    CAST(pm.perm % $CurriculumShards AS INT) AS shard, pm.perm AS perm
+         |  FROM ent e JOIN pm ON pm.doc_id = e.doc_id)
+         |SELECT doc_id, ent_mbits, band, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY band, shard ORDER BY perm ASC)
+         |    AS BIGINT) AS pos
+         |FROM j""".stripMargin,
 
     "export_shards" ->
       s"""WITH meta AS (

@@ -1015,6 +1015,67 @@ object SimilarityOps {
     * 0.45 regime as [[NdTau]]) so the demo actually drops rows. */
   val SemTau = 0.45
 
+  /** SemDeDup CELL-SCOPING RECALL AUDIT — completes the self-audit
+    * discipline across every approximate operator family (IVF, LSH
+    * near-dup, RQ, SQ, MinHash-LSH had theirs; SemDeDup was the last
+    * without one): cluster-scoped dedup only sees pairs that share a
+    * coarse cell, so pairs straddling a cell boundary are silently
+    * missed — this measures exactly that fraction against the
+    * exhaustive cos ≥ tau truth, per similarity band (exact copies —
+    * cos ≥ 0.98 — always share a cell since identical vectors get
+    * identical assignments, so the hi band must audit at 1.0; the lo
+    * band is the honest boundary-loss number that motivates choosing
+    * the LSH+CC route when completeness matters).
+    *
+    * Estimator discipline ([[nearDupRecall]]): both sides run on the
+    * count-driven ~[[NdAuditTarget]]-row subsample (mod 1 at the
+    * sf0.01 gate — hashes literal), cell sizing resolves on the
+    * SUBSAMPLE (the audited pipeline is the one that runs on it), and
+    * the exhaustive all-pairs side is the bounded audit cost, never a
+    * serving cost. */
+  def semDedupRecall(embeddings: DataFrame, tau: Double = SemTau,
+      nCentroids: Int = AutoCentroids,
+      auditTarget: Int = NdAuditTarget): DataFrame = {
+    val mod = math.max(1L, embeddings.count() / auditTarget)
+    val sub = embeddings.filter(col("vec_id") % mod === 0)
+    val kCent = resolveK(sub, nCentroids)
+    val cents = sub.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
+    val vecs = sub.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+      .filter(definedNrm(col("nrm")))
+    val assign = assignBest(vecs, cents,
+      struct(col("embedding").as("emb"), col("nrm").as("nrm"), col("cid")))
+      .select(col("vec_id"), col("best.emb").as("emb"),
+        col("best.nrm").as("nrm"), col("best.cid").as("cid"))
+    val found = assign
+      .select(col("cid"), col("vec_id").as("f1"), col("emb").as("e1"),
+        col("nrm").as("nrm1"))
+      .join(assign.select(col("cid").as("cid2"), col("vec_id").as("f2"),
+          col("emb").as("e2"), col("nrm").as("nrm2")),
+        col("cid") === col("cid2") && col("f1") < col("f2"))
+      .filter(dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")) >= tau)
+      .select(col("f1"), col("f2"))
+    val exact = vecs
+      .select(col("vec_id").as("d1"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      .join(vecs.select(col("vec_id").as("d2"), col("embedding").as("eb"),
+          col("nrm").as("nb")),
+        col("d1") < col("d2"))
+      .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= tau)
+      .select(col("d1"), col("d2"), col("sim"))
+    exact
+      .join(found, col("d1") === col("f1") && col("d2") === col("f2"), "left")
+      .withColumn("hit", when(col("f1").isNotNull, 1L).otherwise(0L))
+      .withColumn("band", when(col("sim") >= 0.98, "hi").otherwise("lo"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_found"))
+      .withColumn("recall_ppm", expr("(n_found * 1000000) div n_exact"))
+  }
+
   /** Per-cluster keep cap for [[clusterCap]] — at the sf0.01 gate
     * (~7.8 vectors per auto-sized cell) cap 4 visibly trims hot
     * cells. */
@@ -1956,6 +2017,55 @@ object SimilarityOps {
         sum(col("code_l1")).as("sum_code_l1"))
   }
 
+  /** INCREMENTAL INDEX MAINTENANCE: assign NEWLY-ARRIVED vectors to
+    * the cells of an index trained on the BASE corpus — the append
+    * path every production vector store runs between retrains (a full
+    * [[indexBuild]] retrain on each ingest batch would re-shuffle the
+    * whole corpus; appending assigns only the delta against the FROZEN
+    * broadcast centroids). Emits the per-cell delta manifest:
+    * base/new counts plus the new vectors' micro-cosine assignment
+    * mass — the index-freshness signal (a drifting ingest stops
+    * fitting the frozen cells: per-new-vector mean assignment cosine
+    * drops, which is the retrain alarm).
+    *
+    * Split rule `vec_id % 8 = 7` models the ingest batch (~12.5 %);
+    * centroids resolve on the BASE count and come from the base
+    * first-K sample — the new data provably cannot move them.
+    * Scale shape: two narrow scans (base assignment ~1 row/vector,
+    * delta assignment ~1 row/new vector), one cid-keyed agg. */
+  def indexAppend(embeddings: DataFrame,
+      newPred: Column = col("vec_id") % 8 === 7,
+      nCentroids: Int = AutoCentroids): DataFrame = {
+    val base = embeddings.filter(!newPred)
+    val kCent = resolveK(base, nCentroids)
+    val cents = base.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
+    val vb = base.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).filter(definedNrm(col("nrm")))
+    val vn = embeddings.filter(newPred)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")).filter(definedNrm(col("nrm")))
+    val asgB = assignBest(vb, cents, col("cid"))
+      .select(col("vec_id"), col("best").as("cid"))
+    val asgN = assignBest(vn, cents,
+      struct(col("cid"), col("c_emb"), col("c_nrm")))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.c_emb").as("c_emb"), col("best.c_nrm").as("c_nrm"))
+      .join(vn, "vec_id")
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm")) * 1e6).cast("long").as("sim_u"))
+    asgB.groupBy("cid").agg(count(lit(1)).as("n_base"))
+      .join(asgN.groupBy("cid").agg(count(lit(1)).as("n_new"),
+        sum(col("sim_u")).as("new_sim_sum_u")), Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("new_sim_sum_u"), lit(0L)).as("new_sim_sum_u"))
+  }
+
   /** Candidate-list size for [[mmrTopK]] — the shortlist the
     * diversifier reranks (the serving path's top-C output). */
   val MmrCands = 30
@@ -2087,6 +2197,8 @@ object SimilarityOps {
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "mix_cluster_cap" -> ((s, d) => clusterCap(t(s, d, "embeddings"))),
     "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
+    "serve_index_append" -> ((s, d) => indexAppend(t(s, d, "embeddings"))),
+    "emb_semdedup_recall" -> ((s, d) => semDedupRecall(t(s, d, "embeddings"))),
     "emb_kmeans_fixed" -> ((s, d) => kmeansFixed(t(s, d, "embeddings"))),
     "emb_outliers" -> ((s, d) => kmeansOutliers(t(s, d, "embeddings"))),
     "sim_ivf_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
@@ -2969,6 +3081,93 @@ object SimilarityOps {
          |FROM (SELECT vec_id, cid,
          |        ROW_NUMBER() OVER (PARTITION BY cid ORDER BY h ASC, vec_id ASC) AS rk
          |      FROM hh)""".stripMargin,
+
+    // semDedupRecall: the semDedup assignment/pair CTEs on the
+    // count-driven audit subsample, joined against the exhaustive
+    // cos >= tau truth, banded like sim_neardup_recall
+    "emb_semdedup_recall" ->
+      s"""WITH sub AS (
+         |  SELECT * FROM embeddings WHERE vec_id %
+         |    (SELECT GREATEST(1, COUNT(*) // $NdAuditTarget) FROM embeddings) = 0),
+         |e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM sub),
+         |kk AS (
+         |  SELECT GREATEST($MinCentroids, LEAST(
+         |    CAST(CEIL(COUNT(*) / 32.0) AS BIGINT),
+         |    8 * (1::BIGINT << (length(bin(COUNT(*))) >> 1)))) AS k
+         |  FROM sub),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+         |         FROM e, kk WHERE vec_id < kk.k),
+         |asg0 AS (
+         |  SELECT e.vec_id, e.emb, e.nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT vec_id, emb, nrm, cid FROM asg0 WHERE rn = 1),
+         |found AS (
+         |  SELECT a.vec_id AS f1, b.vec_id AS f2
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.emb", "b.emb")} / (a.nrm * b.nrm) >= $SemTau),
+         |ex AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |    ${sqlDot("a.emb", "b.emb")} / (a.nrm * b.nrm) AS sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE a.nrm * b.nrm > 0),
+         |expairs AS (SELECT d1, d2, sim FROM ex WHERE sim >= $SemTau),
+         |j AS (
+         |  SELECT x.sim, CASE WHEN f.f1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM expairs x LEFT JOIN found f ON x.d1 = f.f1 AND x.d2 = f.f2)
+         |SELECT CASE WHEN ROUND(sim, 6) >= 0.98 THEN 'hi' ELSE 'lo' END AS band,
+         |  COUNT(*)::BIGINT AS n_exact,
+         |  CAST(SUM(hit) AS BIGINT) AS n_found,
+         |  CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM j GROUP BY 1""".stripMargin,
+
+    // indexAppend: base-trained cells (count-driven K over the BASE),
+    // the new batch assigned against the frozen centroid table, delta
+    // manifest via full outer join
+    "serve_index_append" ->
+      s"""WITH base AS (SELECT * FROM embeddings WHERE NOT (vec_id % 8 = 7)),
+         |e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM base),
+         |kk AS (
+         |  SELECT GREATEST($MinCentroids, LEAST(
+         |    CAST(CEIL(COUNT(*) / 32.0) AS BIGINT),
+         |    8 * (1::BIGINT << (length(bin(COUNT(*))) >> 1)))) AS k
+         |  FROM base),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+         |         FROM e, kk WHERE vec_id < kk.k),
+         |asgb0 AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asgb AS (SELECT vec_id, cid FROM asgb0 WHERE rn = 1),
+         |nn AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings WHERE vec_id % 8 = 7),
+         |asgn0 AS (
+         |  SELECT nn.vec_id, cent.cid,
+         |    ${sqlDot("nn.emb", "cent.c_emb")} / (nn.nrm * cent.c_nrm) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+         |      ORDER BY ${sqlDot("nn.emb", "cent.c_emb")} / (nn.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM nn, cent),
+         |asgn AS (
+         |  SELECT vec_id, cid, CAST(round(sim * 1e6) AS BIGINT) AS sim_u
+         |  FROM asgn0 WHERE rn = 1),
+         |b AS (SELECT cid, COUNT(1)::BIGINT AS n_base FROM asgb GROUP BY 1),
+         |n AS (SELECT cid, COUNT(1)::BIGINT AS n_new,
+         |        CAST(SUM(sim_u) AS BIGINT) AS s FROM asgn GROUP BY 1)
+         |SELECT COALESCE(b.cid, n.cid) AS cid,
+         |  COALESCE(b.n_base, 0) AS n_base,
+         |  COALESCE(n.n_new, 0) AS n_new,
+         |  COALESCE(n.s, 0) AS new_sim_sum_u
+         |FROM b FULL OUTER JOIN n ON b.cid = n.cid""".stripMargin,
 
     // indexBuild: the semDedup assignment CTEs composed with the
     // emb_quantize_int8 code derivation, rolled up per cell

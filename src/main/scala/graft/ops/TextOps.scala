@@ -435,6 +435,125 @@ object TextOps {
         col("avg_surprise_ppm"))
   }
 
+  // ------------------------------------------- Kneser-Ney LM filter
+
+  /** Reference-split modulus for [[knTrain]]: docs with
+    * `doc_id % KnRefMod == 0` (~25 %) are the held-out high-quality
+    * reference the quality LM trains on — CCNet-style perplexity
+    * filtering trains its KenLM on a reference corpus (Wikipedia),
+    * never on the crawl being scored, so good-but-unusual documents
+    * aren't rewarded merely for resembling the crawl's own noise. */
+  val KnRefMod = 4
+
+  /** Exact milli-log2 of 1,000,000 under the house bit-length formula
+    * (≡ [[sparkL2M]]/[[sqlL2M]] at x = 10⁶) — the zero point that
+    * turns a ppm probability into milli-bits of surprise. Derived,
+    * not hardcoded, so it cannot desync from the formula. */
+  val L2M1M: Long = 1000L * 19 + ((1000000L * 1000) >> 19) - 1000
+
+  /** Shared KN model tables: (bigram model with p_ppm, per-context
+    * lambda_ppm, per-word continuation cont_ppm) — all computed on the
+    * [[KnRefMod]] reference split only, all in exact integer ppm with
+    * truncating division so the whole train replays in DuckDB. */
+  private def knTables(docs: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tk = docs.filter(col("doc_id") % KnRefMod === 0)
+      .select(tokens(col(textCol)).as("toks"))
+    val n1 = greatest(size(col("toks")) - 1, lit(0))
+    val bi = tk.select(explode(zip_with(
+        slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    // context totals + forward continuation types, both derivable from
+    // the (Heaps-sublinear) bigram-type table — no second corpus pass
+    val ctx = bi.groupBy("w1").agg(sum("c_ab").as("c_a"),
+      count(lit(1)).as("n1_fwd"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("n1_bwd"))
+    val nTypes = bi.count() // driver scalar, vocab-bound
+    val lam = ctx.select(col("w1"),
+      expr("(3 * n1_fwd * 250000) div c_a").as("lam_ppm"))
+    val contP = cont.select(col("w2"),
+      expr(s"(n1_bwd * 1000000) div ${nTypes}L").as("cont_ppm"))
+    val model = bi.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        greatest(lit(1L), expr(
+          s"(((4 * c_ab) - 3) * 250000) div c_a" +
+            s" + (((3 * n1_fwd * 250000) div c_a)" +
+            s" * ((n1_bwd * 1000000) div ${nTypes}L)) div 1000000"))
+          .as("p_ppm"))
+    (model, lam, contP)
+  }
+
+  /** Interpolated Kneser-Ney bigram LM TRAINING (Kneser & Ney 1995 —
+    * the smoothing inside KenLM, which CCNet-style pipelines use as
+    * THE standard perplexity quality filter). Absolute discount
+    * D = 3/4 (kept rational so the arithmetic stays integer):
+    * p(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+    *          + D·N1+(w1,·)/c(w1) · N1+(·,w2)/|bigram types|,
+    * re-derived in exact ppm with truncating division —
+    * (c − 3/4)/c_a becomes ((4c−3)·250000) div c_a — and floored at
+    * 1 ppm so every probability is log-able. The continuation factor
+    * N1+(·,w2) (in how many DISTINCT contexts does w2 appear, not how
+    * often) is the KN insight: a word frequent only inside one fixed
+    * collocation gets almost no backoff mass (the "san FRANCISCO"
+    * case, spec-pinned).
+    *
+    * Trains on the [[KnRefMod]] reference split. Emits the bigram
+    * model table (w1, w2, c_ab, p_ppm) — the artifact [[knScore]]
+    * joins against. Every stage is a keyed agg over bigram TYPES
+    * (Heaps-sublinear in corpus volume); the one corpus-volume pass is
+    * the bigram extraction itself. DuckDB replays train end-to-end. */
+  def knTrain(docs: DataFrame, textCol: String = "text"): DataFrame =
+    knTables(docs, textCol)._1
+
+  /** Per-document KN PERPLEXITY SCORING over the FULL corpus with the
+    * [[knTrain]] reference model — the deployment half of the CCNet
+    * quality gate (keep/bucket documents by LM perplexity against a
+    * clean reference). Per bigram the surprise is exact milli-bits:
+    * s = l2m(10⁶) − l2m(p_ppm) (the bit-length formula on both
+    * engines — no libm log in any comparison); per doc,
+    * ppl_mbits = Σs div n_bigrams — mean bits per transition, i.e.
+    * log2 perplexity in milli-bits (2^(ppl_mbits/1000) is the
+    * conventional perplexity). Backoff cascade for unseen events:
+    * seen bigram → model p; seen context → λ(w1)·cont(w2); unseen
+    * context → cont(w2); everything floored at 1 ppm (the OOV
+    * ceiling: a fully-OOV doc scores exactly [[L2M1M]] mbits).
+    *
+    * Scale shape: the model/λ/cont tables are reference-vocab-bound
+    * (fixed-size artifacts once the reference sample is fixed — the
+    * perceptron/k-means train-then-apply discipline), so the three
+    * joins broadcast; the corpus pays ONE bigram-explode scan and one
+    * doc-keyed agg. Docs with <2 tokens keep a null score ([[
+    * lmSurprise]]'s explicit-fate discipline). */
+  def knScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val (model, lam, contP) = knTables(docs, textCol)
+    val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val n1 = greatest(size(col("toks")) - 1, lit(0))
+    val bg = tk.select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val scored = bg
+      .join(broadcast(model.select(col("w1"), col("w2"), col("p_ppm"))),
+        Seq("w1", "w2"), "left")
+      .join(broadcast(lam), Seq("w1"), "left")
+      .join(broadcast(contP), Seq("w2"), "left")
+      .withColumn("p", greatest(lit(1L),
+        when(col("p_ppm").isNotNull, col("p_ppm"))
+          .when(col("lam_ppm").isNotNull,
+            expr("(lam_ppm * coalesce(cont_ppm, 0L)) div 1000000"))
+          .otherwise(coalesce(col("cont_ppm"), lit(0L)))))
+      .withColumn("s_mbits", expr(s"${L2M1M}L - ${sparkL2M("p")}"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(s_mbits) div count(1)").as("ppl_mbits"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("ppl_mbits"))
+  }
+
   /** Merge rounds for the driver's `bpe_train_merges` query. */
   val BpeTrainRounds = 4
 
@@ -593,6 +712,120 @@ object TextOps {
       .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
         col("st.n_pieces").as("n_pieces"),
         col("st.cost_milli").as("cost_milli"))
+  }
+
+  // ------------------------------------------- WordPiece tokenizer
+
+  /** WordPiece trainer parameters — shared with the oracle SQL
+    * generator so the two replays cannot desync. WpMaxPieceLen bounds
+    * the greedy matcher's candidate window (a depth-R merge chain can
+    * concatenate at most 2^R characters); WpMaxWordLen bounds the
+    * position-unrolled greedy walk in the DuckDB replay (the unigram
+    * long-word rule: longer words fall back to per-character pieces on
+    * BOTH engines). */
+  val WpTrainRounds = 4
+  val WpMaxPieceLen = 16
+  val WpMaxWordLen = 12
+
+  /** Spark-side exact-integer milli-log2 as a SQL-expr fragment — the
+    * Column twin of [[graft.functions.UnigramKernel.log2Milli]] and the
+    * oracle's [[sqlL2M]]: floor-log2 from the binary-string length,
+    * fractional octave by integer linear interpolation. `bin` and
+    * dynamic-count `shiftright` evaluate identically in Spark and
+    * DuckDB for all n ≥ 1, so score comparisons can never be flipped
+    * by libm log rounding or float summation order. */
+  private def sparkL2M(x: String): String =
+    s"(1000*(length(bin($x))-1) + shiftright(($x)*1000, length(bin($x))-1) - 1000)"
+
+  /** WordPiece merge TRAINING (Schuster & Nakajima 2012) — the THIRD
+    * production tokenizer family, completing the triple next to
+    * [[bpeTrainMerges]] (frequency-greedy merges) and [[unigramTrain]]
+    * (EM-pruned piece LM): WordPiece grows the vocabulary by the merge
+    * that maximizes the training-corpus LIKELIHOOD gain, i.e.
+    * argmax count(ab) / (count(a)·count(b)) — a rare pair of rare
+    * symbols can beat a frequent pair of ubiquitous symbols (the
+    * distinguishing case BPE gets wrong, pinned in WordpieceSpec).
+    *
+    * House integer stance: the score is computed in exact MILLI-LOG2 —
+    * score = log2(c_ab) − log2(c_a) − log2(c_b) via the bit-length
+    * formula ([[sparkL2M]] ≡ the oracle's [[sqlL2M]] ≡
+    * [[graft.functions.UnigramKernel.log2Milli]]), so the per-round
+    * argmax (ties: score DESC, a ASC, b ASC) replays bit-identically
+    * in DuckDB — no libm log anywhere in a comparison. Unit counts
+    * count each symbol occurrence in the current segmentation once,
+    * weighted by word frequency (the standard formulation).
+    *
+    * Shape at scale ([[bpeTrainMerges]]'s): the corpus enters ONLY
+    * through the phase-1 word-frequency vocab (one scan, map-side
+    * combined); each of the R rounds runs two vocabulary-sized keyed
+    * aggs (unit counts + overlapping pair counts — Heaps-sublinear),
+    * one 1-row argmax collect (a driver scalar, the [[pmiBigrams]]
+    * discipline), and one map-side greedy replace. */
+  def wordpieceTrainMerges(docs: DataFrame, textCol: String = "text",
+      rounds: Int = WpTrainRounds): DataFrame = {
+    val spark = docs.sparkSession
+    val sep = BpeSepChar
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit(sep), array_join(split(col("w"), ""), sep),
+        lit(sep)).as("s"), col("n"))
+      .persist()
+    try {
+      var sym = vocab
+      val merges = (1 to rounds).map { r =>
+        val cells = sym
+          .select(col("n"), filter(split(col("s"), sep), x => x =!= "").as("c"))
+        val units = cells
+          .select(col("n"), explode(col("c")).as("u"))
+          .groupBy("u").agg(sum("n").as("cu"))
+        val best = cells
+          .filter(size(col("c")) >= 2)
+          .select(col("n"), explode(transform(
+            sequence(lit(1), size(col("c")) - 1),
+            i => struct(element_at(col("c"), i).as("a"),
+              element_at(col("c"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("n").as("cnt"))
+          .join(units.select(col("u").as("a"), col("cu").as("ca")), Seq("a"))
+          .join(units.select(col("u").as("b"), col("cu").as("cb")), Seq("b"))
+          .withColumn("score_milli", expr(
+            s"${sparkL2M("cnt")} - ${sparkL2M("ca")} - ${sparkL2M("cb")}"))
+          .orderBy(col("score_milli").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()(0)
+        val (a, b) = (best.getAs[String]("a"), best.getAs[String]("b"))
+        sym = sym.withColumn("s",
+          replace(col("s"), lit(sep + a + sep + b + sep), lit(sep + a + b + sep)))
+        (r.toLong, a, b, best.getAs[Long]("cnt"), best.getAs[Long]("score_milli"))
+      }
+      spark.createDataFrame(merges)
+        .toDF("round", "sym_a", "sym_b", "n_pairs", "score_milli")
+    } finally vocab.unpersist()
+  }
+
+  /** Corpus encoding with the trained WordPiece vocabulary: per-doc
+    * token/piece/char accounting via the one-pass greedy
+    * longest-match-first kernel ([[graft.functions.WordpieceStats]] —
+    * the BERT inference algorithm; NOT the trainer's merge replay,
+    * exactly as in production WordPiece where training builds the
+    * vocab and inference greedy-matches it). Vocab = the R merge
+    * products, driver-collected (train-then-apply); single characters
+    * match implicitly (character-coverage floor), so no UNK path
+    * exists. compress_ppm = pieces per char in exact integer ppm —
+    * the tokenizer-efficiency scalar next to [[bpeFertility]].
+    *
+    * Shape at scale: train is vocab-bound ([[wordpieceTrainMerges]]);
+    * apply is ONE narrow corpus scan with zero shuffle. */
+  def wordpieceCorpusStats(docs: DataFrame, textCol: String = "text",
+      rounds: Int = WpTrainRounds): DataFrame = {
+    val merges = wordpieceTrainMerges(docs, textCol, rounds).collect()
+      .map(r => r.getAs[String]("sym_a") + r.getAs[String]("sym_b")).toSeq
+    val st = graft.functions.WordpieceNative.wordpiece_stats(
+      col(textCol), merges.distinct, WpMaxWordLen, WpMaxPieceLen)
+    docs.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+        col("st.n_pieces").as("n_pieces"), col("st.n_chars").as("n_chars"))
+      .withColumn("compress_ppm",
+        expr("(n_pieces * 1000000) div greatest(n_chars, 1)"))
   }
 
   /** Query-term set for the driver's `txt_bm25` query (shared with the
@@ -924,7 +1157,7 @@ object TextOps {
     * [[graft.functions.UnigramKernel.log2Milli]]: floor-log2 from the
     * binary-string length, fractional octave by integer linear
     * interpolation. Bit-identical to the Scala form for all n ≥ 1. */
-  private def sqlL2M(x: String): String =
+  private[graft] def sqlL2M(x: String): String =
     s"(1000*(length(bin($x))-1) + ((($x)*1000) >> (length(bin($x))-1)) - 1000)"
 
   /** Full-training SQL replay of [[unigramTrain]] /
@@ -1093,6 +1326,11 @@ object TextOps {
     // DuckDB oracle replays the full training (candidate extraction,
     // both Viterbi E-steps, both count M-steps) bit-identically
     "unigram_train" -> ((s, d) => unigramTrain(t(s, d, "documents"))),
+    // WordPiece: likelihood-argmax merge training (the third tokenizer
+    // family) + greedy longest-match corpus encode, both replayed in
+    // exact milli-log2 / pure-string SQL
+    "wordpiece_train" -> ((s, d) => wordpieceTrainMerges(t(s, d, "documents"))),
+    "txt_wordpiece_corpus" -> ((s, d) => wordpieceCorpusStats(t(s, d, "documents"))),
     // corpus encode with the trained unigram vocab: train (driver-
     // collected, vocab-scale) then one narrow corpus scan
     "txt_unigram_corpus" -> ((s, d) => unigramCorpusStats(t(s, d, "documents"))),
@@ -1125,6 +1363,11 @@ object TextOps {
     "txt_tfidf" -> ((s, d) => tfidfTopTerms(t(s, d, "documents"))),
     "txt_pmi_bigrams" -> ((s, d) => pmiBigrams(t(s, d, "documents"))),
     "txt_lm_surprise" -> ((s, d) => lmSurprise(t(s, d, "documents"))),
+    // interpolated Kneser-Ney bigram LM: reference-split train (the
+    // CCNet discipline) + full-corpus perplexity scoring, all exact
+    // integer ppm / milli-log2 so DuckDB replays train AND score
+    "lm_kn_train" -> ((s, d) => knTrain(t(s, d, "documents"))),
+    "txt_kn_ppl" -> ((s, d) => knScore(t(s, d, "documents"))),
     // deterministic train/valid/test split: hash-bucket assignment is
     // reproducible across runs/engines (RNG sampling is not) — the
     // standard trick for stable dataset splits at any scale
@@ -1148,6 +1391,42 @@ object TextOps {
 
   // Shared SQL fragments keep the Spark and DuckDB formulations aligned.
   private val sqlToks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
+  /** DuckDB replay of the [[knTables]] training chain (reference
+    * split → bigram types → context/continuation stats → interpolated
+    * model with the D = 3/4 discount) — shared verbatim by the
+    * `lm_kn_train` and `txt_kn_ppl` oracles so the two replays cannot
+    * desync. Same truncating-div ppm arithmetic as the Spark side
+    * (all operands positive, so DuckDB's floor `//` ≡ Spark's
+    * truncating `div`). */
+  private lazy val knTrainCtes: String =
+    s"""rtk AS (
+       |  SELECT $sqlToks AS toks FROM documents WHERE doc_id % $KnRefMod = 0),
+       |rbg AS (
+       |  SELECT toks[i] AS w1, toks[i+1] AS w2
+       |  FROM rtk, unnest(range(1, len(toks))) AS t(i)),
+       |bi AS (
+       |  SELECT w1, w2, CAST(COUNT(1) AS BIGINT) AS c_ab
+       |  FROM rbg GROUP BY w1, w2),
+       |ctx AS (
+       |  SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+       |    CAST(COUNT(1) AS BIGINT) AS n1_fwd
+       |  FROM bi GROUP BY w1),
+       |cont AS (
+       |  SELECT w2, CAST(COUNT(1) AS BIGINT) AS n1_bwd
+       |  FROM bi GROUP BY w2),
+       |nt AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_types FROM bi),
+       |model AS (
+       |  SELECT bi.w1, bi.w2, bi.c_ab,
+       |    CAST(GREATEST(1,
+       |      (((4 * bi.c_ab) - 3) * 250000) // ctx.c_a
+       |      + (((3 * ctx.n1_fwd * 250000) // ctx.c_a)
+       |         * ((cont.n1_bwd * 1000000) // nt.n_types)) // 1000000)
+       |      AS BIGINT) AS p_ppm
+       |  FROM bi
+       |  JOIN ctx ON bi.w1 = ctx.w1
+       |  JOIN cont ON bi.w2 = cont.w2
+       |  CROSS JOIN nt)""".stripMargin
 
   /** Replays the committed BPE merge table in rank order as nested
     * greedy replaces over a chr(1)-delimited symbol string per word `w`
@@ -1196,6 +1475,110 @@ object TextOps {
        |$stages
        |$out""".stripMargin
   }
+  /** Shared training-replay CTEs for [[wordpieceTrainMerges]] /
+    * [[wordpieceCorpusStats]] oracles: the [[bpeTrainSql]] round
+    * structure with the likelihood argmax — per round, unit counts
+    * (u$r) and overlapping pair counts (p$r) from the same symbol
+    * split, the milli-log2 score join (sc$r), the
+    * (score DESC, a, b) argmax (best$r), and the greedy leftmost
+    * merge (sym$r). All counts are BIGINT and all scores [[sqlL2M]]
+    * integers, so every argmax replays bit-identically. */
+  private def wpTrainCtes(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""cl$r AS MATERIALIZED (
+         |  SELECT list_filter(string_split(s, chr(1)), x -> x != '') AS c, n
+         |  FROM sym${r - 1}),
+         |u$r AS (
+         |  SELECT u AS sym, CAST(SUM(n) AS BIGINT) AS cu
+         |  FROM (SELECT unnest(c) AS u, n FROM cl$r) GROUP BY 1),
+         |p$r AS (
+         |  SELECT c[i] AS a, c[i+1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM cl$r t, unnest(range(1, len(c))) AS u(i)
+         |  GROUP BY 1, 2),
+         |sc$r AS (
+         |  SELECT p.a, p.b, p.cnt,
+         |    (${sqlL2M("p.cnt")} - ${sqlL2M("ua.cu")} - ${sqlL2M("ub.cu")})::BIGINT
+         |      AS score_milli
+         |  FROM p$r p JOIN u$r ua ON ua.sym = p.a JOIN u$r ub ON ub.sym = p.b),
+         |best$r AS (
+         |  SELECT a, b, cnt, score_milli FROM sc$r
+         |  ORDER BY score_milli DESC, a ASC, b ASC LIMIT 1),
+         |sym$r AS (
+         |  SELECT replace(s,
+         |    chr(1) || (SELECT a FROM best$r) || chr(1) || (SELECT b FROM best$r) || chr(1),
+         |    chr(1) || (SELECT a || b FROM best$r) || chr(1)) AS s, n
+         |  FROM sym${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""vocab AS MATERIALIZED (
+       |  SELECT w, COUNT(1) AS n
+       |  FROM (SELECT unnest($sqlToks) AS w FROM documents) tw GROUP BY 1),
+       |sym0 AS (
+       |  SELECT chr(1) || array_to_string(
+       |    list_transform(range(1, length(w) + 1), i -> substr(w, i::INT, 1)),
+       |    chr(1)) || chr(1) AS s, n FROM vocab),
+       |$stages""".stripMargin
+  }
+
+  /** Oracle for [[wordpieceTrainMerges]]: the full R-round replay. */
+  private def wpTrainSql(rounds: Int): String = {
+    val out = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b, " +
+        s"cnt AS n_pairs, score_milli FROM best$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${wpTrainCtes(rounds)}\n$out"
+  }
+
+  /** Oracle for [[wordpieceCorpusStats]]: replays training, collects
+    * the merge-product vocab (wpv), then replays the greedy
+    * longest-match walk position-unrolled (g0..g$W: each step's
+    * `ROW_NUMBER() OVER (PARTITION BY w ORDER BY l DESC)` picks the
+    * longest matching candidate; `u.l = 1 OR ... IN wpv` encodes the
+    * implicit single-char coverage floor), with the long-word
+    * per-character fallback, joined back to per-doc occurrences. */
+  private def wpCorpusSql(rounds: Int): String = {
+    val W = WpMaxWordLen; val P = WpMaxPieceLen
+    val steps = (1 to W).map { k =>
+      s"""g$k AS MATERIALIZED (
+         |  SELECT w, pos, np FROM g${k - 1} WHERE pos > length(w)
+         |  UNION ALL
+         |  SELECT w, pos + l AS pos, np + 1 AS np FROM (
+         |    SELECT w, pos, np, l,
+         |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY l DESC) AS rn
+         |    FROM (
+         |      SELECT g.w, g.pos, g.np, u.l
+         |      FROM g${k - 1} g, unnest(range(1, ${P + 1})) AS u(l)
+         |      WHERE g.pos <= length(g.w) AND u.l <= length(g.w) - g.pos + 1
+         |        AND (u.l = 1 OR
+         |             substr(g.w, g.pos::INT, u.l::INT) IN (SELECT piece FROM wpv))))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val wpv = (1 to rounds).map(r => s"SELECT a || b AS piece FROM best$r")
+      .mkString("\n  UNION ")
+    s"""WITH ${wpTrainCtes(rounds)},
+       |wpv AS MATERIALIZED (
+       |  $wpv),
+       |cw AS MATERIALIZED (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+       |dws AS (SELECT DISTINCT w FROM cw WHERE length(w) <= $W),
+       |g0 AS (SELECT w, 1::BIGINT AS pos, 0::BIGINT AS np FROM dws),
+       |$steps,
+       |ws AS (
+       |  SELECT w, np FROM g$W
+       |  UNION ALL
+       |  SELECT w, length(w)::BIGINT AS np
+       |  FROM (SELECT DISTINCT w FROM cw WHERE length(w) > $W)),
+       |agg AS (
+       |  SELECT c.doc_id, COUNT(1)::BIGINT AS n_tokens,
+       |    SUM(s.np)::BIGINT AS n_pieces,
+       |    SUM(length(c.w))::BIGINT AS n_chars
+       |  FROM cw c JOIN ws s ON s.w = c.w GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+       |  COALESCE(a.n_pieces, 0)::BIGINT AS n_pieces,
+       |  COALESCE(a.n_chars, 0)::BIGINT AS n_chars,
+       |  (COALESCE(a.n_pieces, 0) * 1000000 //
+       |    GREATEST(COALESCE(a.n_chars, 0), 1))::BIGINT AS compress_ppm
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   private def sqlScore(words: Seq[String]) =
     s"len(list_filter($sqlToks, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
 
@@ -1280,6 +1663,8 @@ object TextOps {
     },
 
     "bpe_train_merges" -> bpeTrainSql(BpeTrainRounds),
+    "wordpiece_train" -> wpTrainSql(WpTrainRounds),
+    "txt_wordpiece_corpus" -> wpCorpusSql(WpTrainRounds),
     "unigram_train" -> unigramOracle(UniRounds, "train"),
     "txt_unigram_corpus" -> unigramOracle(UniRounds, "corpus"),
 
@@ -1460,6 +1845,45 @@ object TextOps {
          |SELECT d.doc_id,
          |  coalesce(a.n_bigrams, 0::BIGINT) AS n_bigrams,
          |  a.avg_surprise_ppm
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "lm_kn_train" ->
+      s"""WITH $knTrainCtes
+         |SELECT w1, w2, c_ab, p_ppm FROM model""".stripMargin,
+
+    // knScore: the train CTEs verbatim, then the full-corpus bigram
+    // scan joined through the seen-bigram / seen-context / continuation
+    // backoff cascade; surprise in exact milli-log2
+    "txt_kn_ppl" ->
+      s"""WITH $knTrainCtes,
+         |lam AS (
+         |  SELECT w1, CAST((3 * n1_fwd * 250000) // c_a AS BIGINT) AS lam_ppm
+         |  FROM ctx),
+         |cnt AS (
+         |  SELECT w2, CAST((n1_bwd * 1000000) // nt.n_types AS BIGINT) AS cont_ppm
+         |  FROM cont CROSS JOIN nt),
+         |dtk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |dbg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM dtk, unnest(range(1, len(toks))) AS t(i)),
+         |sc AS (
+         |  SELECT dbg.doc_id, GREATEST(1,
+         |    CASE WHEN m.p_ppm IS NOT NULL THEN m.p_ppm
+         |         WHEN l.lam_ppm IS NOT NULL
+         |           THEN (l.lam_ppm * COALESCE(c.cont_ppm, 0)) // 1000000
+         |         ELSE COALESCE(c.cont_ppm, 0) END) AS p
+         |  FROM dbg
+         |  LEFT JOIN model m ON dbg.w1 = m.w1 AND dbg.w2 = m.w2
+         |  LEFT JOIN lam l ON dbg.w1 = l.w1
+         |  LEFT JOIN cnt c ON dbg.w2 = c.w2),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM($L2M1M - ${sqlL2M("p")}) // COUNT(1) AS BIGINT)
+         |      AS ppl_mbits
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_bigrams, 0::BIGINT) AS n_bigrams,
+         |  a.ppl_mbits
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "txt_chunks" ->

@@ -109,6 +109,10 @@ object PlanDump {
     // shuffle) and the unigram-LM tokenizer pair (corpus touched once;
     // EM rounds vocab-bound; encode a pure narrow projection)
     "dedup_span_anchored", "unigram_train", "txt_unigram_corpus",
+    // round-11 WordPiece: the corpus encode's value is the train-then-
+    // apply shape — one narrow zero-exchange scan through the greedy
+    // longest-match kernel (the trainer's own plan is literal rows)
+    "txt_wordpiece_corpus",
     // round-10 second wave: SQ8 serving (codes stay a narrow
     // projection of the corpus scan, integer-ADC join broadcasts the
     // query codes, shortlist is a map-side partial top-k, rerank
@@ -142,6 +146,12 @@ object PlanDump {
     // round-10 capstone: composing CC → split → keeper → Feistel must
     // add only the keeper filter + one keyed join over the CC plan
     "curate_export_manifest",
+    // round-11 serving-manifest pair: the build's value is ONE corpus
+    // scan feeding both arms (codes narrow, assignment broadcast-K
+    // argmax) with a single cid-keyed agg; the append must keep the
+    // delta batch assigned against a FROZEN broadcast centroid table
+    // (any centroid recompute touching new rows is a regression)
+    "serve_index_build", "serve_index_append",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

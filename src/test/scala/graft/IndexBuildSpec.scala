@@ -96,6 +96,68 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(hotKept < 60, "the hot mode must actually be capped")
   }
 
+  test("indexAppend: delta manifest counts the split exactly; drift signal moves") {
+    import spark.implicits._
+    val e = emb(400)
+    val m = SimilarityOps.indexAppend(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // split is exact: 400 vectors, vec_id % 8 == 7 -> 50 new, 350 base
+    assert(m.map(_._2).sum == 350L)
+    assert(m.map(_._3).sum == 50L)
+    // centroids froze on the base: every cell id is a base vector id
+    assert(m.forall { case (cid, _, _, _) => cid % 8 != 7 })
+    // drift alarm: an ingest batch pointing AWAY from every base
+    // vector scores lower assignment mass per vector than an in-
+    // distribution batch
+    val drifted = e.filter(col("vec_id") % 8 =!= 7).unionByName(
+      (0 until 50).map { i =>
+        val id = i * 8L + 7L
+        // constant direction orthogonal-ish to the sin soup
+        (id, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f), 0L)
+      }.toDF("vec_id", "embedding", "label"))
+    val dm = SimilarityOps.indexAppend(drifted).collect()
+    def meanSim(rows: Array[(Long, Long, Long, Long)]) =
+      rows.map(_._4).sum.toDouble / math.max(rows.map(_._3).sum, 1L)
+    val inDist = meanSim(m)
+    val offDist = dm.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3)))
+    info(f"mean new-assignment micro-cos: in-dist $inDist%.0f, " +
+      f"drifted ${meanSim(offDist)}%.0f")
+    assert(meanSim(offDist) < inDist,
+      "drifted ingest must score lower assignment mass")
+  }
+
+  test("semDedupRecall: exact copies audit at recall 1.0 in the hi band") {
+    import spark.implicits._
+    // 10 exact-duplicate pairs planted among spread vectors: identical
+    // embeddings get identical assignments, so cell-scoping can NEVER
+    // split them — hi band must audit 1.0 while lo-band boundary pairs
+    // may be partial (the honest number). Spread vectors are md5-
+    // derived (verified max pairwise cos 0.966 < 0.98 — a single-phase
+    // sin construction aliases into thousands of accidental near-dups)
+    def h8(i: Int, j: Int): Float = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2000) / 1000.0f) - 1.0f
+    }
+    val spread = (0 until 300).map { i =>
+      (i.toLong, (0 until 8).map(j => h8(i, j)), 0L)
+    }
+    val dups = (0 until 10).flatMap { k =>
+      val v = (0 until 8).map(j => h8(9000 + k, j))
+      Seq((1000L + 2 * k, v, 1L), (1001L + 2 * k, v, 1L))
+    }
+    val df = (spread ++ dups).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.semDedupRecall(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (nExact, nFound, ppm) = out("hi")
+    assert(nExact == 10L, s"expected exactly the planted duplicate pairs: $nExact")
+    assert(nFound == nExact && ppm == 1000000L,
+      s"identical vectors must always share a cell: $nFound/$nExact")
+  }
+
   test("gopherGate: each rule fails exactly the planted violator") {
     import spark.implicits._
     val docs = Seq(

@@ -248,9 +248,12 @@ class PlanAuditSpec extends AnyFunSuite {
     //    archive side
     val allowNested = Set("sim_topk", "sim_ivf_topk", "join_bloom_prefilter",
       "skyline_parts", "emb_semdedup", "dedup_incr_bloom",
-      // mix_cluster_cap / serve_index_build reuse emb_semdedup's
-      // corpus x broadcast(K centroids) assignment front end
-      "mix_cluster_cap", "serve_index_build",
+      // mix_cluster_cap / serve_index_build / serve_index_append reuse
+      // emb_semdedup's corpus x broadcast(K centroids) assignment front
+      // end; emb_semdedup_recall additionally pays the exhaustive
+      // all-pairs audit arm on the bounded count-driven subsample
+      "mix_cluster_cap", "serve_index_build", "serve_index_append",
+      "emb_semdedup_recall",
       // PQ/RQ/SQ: the 1-row codebook crossJoin and the queries-broadcast
       // ADC join (q_id != n_id) are both deliberate broadcast-NLJ
       // shapes (RQ's and SQ8's integer-ADC scans are the same idiom)
