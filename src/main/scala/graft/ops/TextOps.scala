@@ -437,13 +437,20 @@ object TextOps {
 
   // ------------------------------------------- Kneser-Ney LM filter
 
-  /** Reference-split modulus for [[knTrain]]: docs with
-    * `doc_id % KnRefMod == 0` (~25 %) are the held-out high-quality
-    * reference the quality LM trains on — CCNet-style perplexity
-    * filtering trains its KenLM on a reference corpus (Wikipedia),
-    * never on the crawl being scored, so good-but-unusual documents
-    * aren't rewarded merely for resembling the crawl's own noise. */
+  /** Reference-split floor modulus and size target for [[knTrain]]:
+    * docs with `doc_id % max(KnRefMod, N div KnRefTarget) == 0` are
+    * the held-out high-quality reference the quality LM trains on —
+    * CCNet-style perplexity filtering trains its KenLM on a FIXED
+    * reference corpus (Wikipedia), never on the crawl being scored,
+    * so (a) good-but-unusual documents aren't rewarded merely for
+    * resembling the crawl's own noise, and (b) the reference — and
+    * with it the model artifact and the training cost — stays
+    * CONSTANT-SIZE at any corpus scale (the count-driven-modulus
+    * discipline of `servingQueryPred`/`nearDupRecall`). At the sf0.01
+    * gate N = 500 ⇒ N div 125 = 4 = the floor, so the modulus is
+    * exactly 4 and committed hashes are unaffected. */
   val KnRefMod = 4
+  val KnRefTarget = 125
 
   /** Exact milli-log2 of 1,000,000 under the house bit-length formula
     * (≡ [[sparkL2M]]/[[sqlL2M]] at x = 10⁶) — the zero point that
@@ -457,14 +464,19 @@ object TextOps {
     * truncating division so the whole train replays in DuckDB. */
   private def knTables(docs: DataFrame, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val tk = docs.filter(col("doc_id") % KnRefMod === 0)
+    val mod = math.max(KnRefMod.toLong, docs.count() / KnRefTarget)
+    val tk = docs.filter(col("doc_id") % mod === 0)
       .select(tokens(col(textCol)).as("toks"))
     val n1 = greatest(size(col("toks")) - 1, lit(0))
-    val bi = tk.select(explode(zip_with(
-        slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
-        (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    // the bigram-type table is read by model, lambda AND continuation —
+    // checkpoint it so the reference pays its one volume pass ONCE
+    // (it is materialized here anyway: nTypes needs an action)
+    val bi = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
+      tk.select(explode(zip_with(
+          slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")))
     // context totals + forward continuation types, both derivable from
     // the (Heaps-sublinear) bigram-type table — no second corpus pass
     val ctx = bi.groupBy("w1").agg(sum("c_ab").as("c_a"),
@@ -475,7 +487,10 @@ object TextOps {
       expr("(3 * n1_fwd * 250000) div c_a").as("lam_ppm"))
     val contP = cont.select(col("w2"),
       expr(s"(n1_bwd * 1000000) div ${nTypes}L").as("cont_ppm"))
-    val model = bi.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+    // ctx/cont are vocab-keyed rollups of the checkpointed type table
+    // (stats-free after the checkpoint, so hint what we know is small)
+    val model = bi.join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
       .select(col("w1"), col("w2"), col("c_ab"),
         greatest(lit(1L), expr(
           s"(((4 * c_ab) - 3) * 250000) div c_a" +
@@ -1401,7 +1416,9 @@ object TextOps {
     * truncating `div`). */
   private lazy val knTrainCtes: String =
     s"""rtk AS (
-       |  SELECT $sqlToks AS toks FROM documents WHERE doc_id % $KnRefMod = 0),
+       |  SELECT $sqlToks AS toks FROM documents
+       |  WHERE doc_id % GREATEST($KnRefMod,
+       |    (SELECT COUNT(1) FROM documents) // $KnRefTarget) = 0),
        |rbg AS (
        |  SELECT toks[i] AS w1, toks[i+1] AS w2
        |  FROM rtk, unnest(range(1, len(toks))) AS t(i)),

@@ -113,6 +113,11 @@ object PlanDump {
     // apply shape — one narrow zero-exchange scan through the greedy
     // longest-match kernel (the trainer's own plan is literal rows)
     "txt_wordpiece_corpus",
+    // round-11 KN perplexity scoring: the plan's value is the three
+    // BROADCAST model/lambda/cont joins over the one bigram-explode
+    // corpus scan — a hash-shuffle join on (w1,w2) would move the
+    // whole exploded corpus and is the regression this fixture catches
+    "txt_kn_ppl",
     // round-10 second wave: SQ8 serving (codes stay a narrow
     // projection of the corpus scan, integer-ADC join broadcasts the
     // query codes, shortlist is a map-side partial top-k, rerank
