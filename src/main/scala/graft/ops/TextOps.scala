@@ -144,20 +144,28 @@ object TextOps {
     * Shape at scale: ONE corpus scan of narrow column expressions into
     * a source-keyed agg with map-side partials — |sources| output
     * rows; the per-doc flags never shuffle. */
-  def gopherGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  /** Per-document Gopher rule flags (doc_id, source, r_*) — the
+    * per-doc half of [[gopherGate]], shared with [[qualityEnsemble]]
+    * so the rollup monitor and the ensemble keep/drop decision apply
+    * the IDENTICAL rules. */
+  private def gopherFlags(docs: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val flags = docs.select(col("source"),
+    docs.select(col("doc_id"), col("source"),
       size(toks).cast("long").as("n_tok"),
       aggregate(toks, lit(0L), (a, x) => a + length(x)).as("sum_wlen"),
       size(filter(toks, x => x.isin(stopEn: _*))).cast("long").as("n_stop"),
       regexp_count(col(textCol), lit("[.,!?;:]")).cast("long").as("n_punct"),
       length(col(textCol)).cast("long").as("n_chars"))
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         (col("n_tok") >= 5L && col("n_tok") <= 100000L).as("r_words"),
         (col("sum_wlen") >= col("n_tok") * 3L &&
           col("sum_wlen") <= col("n_tok") * 10L).as("r_wlen"),
         (col("n_stop") >= 1L).as("r_stop"),
         (col("n_punct") * 10L <= col("n_chars")).as("r_punct"))
+  }
+
+  def gopherGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val flags = gopherFlags(docs, textCol)
     flags.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("r_words") && col("r_wlen") && col("r_stop") &&
@@ -567,6 +575,71 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("ppl_mbits"))
+  }
+
+  /** Max duplicate-bigram fraction for [[qualityEnsemble]]'s
+    * repetition arm as the cross-multiplied integer rule
+    * (n_bg − n_distinct)·20 ≤ n_bg, i.e. ≤ 5 % — strict enough to
+    * exercise both branches on the gate corpus; production tunes. */
+  val RepDupMult = 20L
+
+  /** QUALITY-ENSEMBLE capstone — the FineWeb-style filtering decision
+    * as ONE composed per-document plan: (1) the [[gopherGate]] rule
+    * flags (shared [[gopherFlags]] derivation, so monitor and decision
+    * can never disagree), (2) the Gopher repetition screen
+    * (duplicate-bigram fraction via [[RepDupMult]]), and (3) the
+    * [[knScore]] perplexity tier — CCNet's head/middle/tail, with the
+    * tercile thresholds taken as EXACT order statistics over the
+    * bounded reference split's own scores (driver sort of
+    * ~[[KnRefTarget]] longs — the train-then-apply discipline; CCNet
+    * computes exactly these buckets from its LM's score distribution).
+    * keep = all rules pass AND the doc is not in the tail tier.
+    *
+    * Scale shape: three per-doc derivations over the corpus composed
+    * into one job — the flags are a narrow projection riding the main
+    * scan, the repetition screen is a (doc, bigram)-keyed agg pair,
+    * the KN arm is [[knScore]]'s broadcast train-then-apply; the final
+    * assembly is doc_id-keyed joins. No stage sees more than the
+    * corpus once; the only driver traffic is the 3 vocab/reference-
+    * bound artifacts. */
+  def qualityEnsemble(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = knScore(docs, textCol)
+    val mod = math.max(KnRefMod.toLong, docs.count() / KnRefTarget)
+    val refPpl = scored
+      .filter(col("doc_id") % mod === 0 && col("ppl_mbits").isNotNull)
+      .select("ppl_mbits").collect().map(_.getLong(0)).sorted
+    val n = refPpl.length
+    require(n > 0, "reference split produced no scored docs")
+    val t1 = refPpl((n + 2) / 3 - 1)
+    val t2 = refPpl((2 * n + 2) / 3 - 1)
+    val g = gopherFlags(docs, textCol).select(col("doc_id"),
+      when(col("r_words") && col("r_wlen") && col("r_stop") &&
+        col("r_punct"), 1L).otherwise(0L).as("gopher_pass"))
+    val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("w"))
+    val nb = greatest(size(col("w")) - 1, lit(0))
+    val rep = tk.select(col("doc_id"), explode(zip_with(
+        slice(col("w"), lit(1), nb), slice(col("w"), lit(2), nb),
+        (x, y) => concat_ws(" ", x, y))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sum("cnt").as("n_bg"),
+        count(lit(1)).as("n_dg"))
+      .select(col("doc_id"),
+        when((col("n_bg") - col("n_dg")) * RepDupMult <= col("n_bg"), 1L)
+          .otherwise(0L).as("rep_pass"))
+    docs.select(col("doc_id"))
+      .join(g, Seq("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(scored.select(col("doc_id"), col("ppl_mbits")), Seq("doc_id"))
+      .select(col("doc_id"), col("gopher_pass"),
+        coalesce(col("rep_pass"), lit(1L)).as("rep_pass"),
+        col("ppl_mbits"),
+        when(col("ppl_mbits").isNull, "na")
+          .when(col("ppl_mbits") <= t1, "head")
+          .when(col("ppl_mbits") <= t2, "middle")
+          .otherwise("tail").as("ppl_tier"))
+      .withColumn("keep",
+        when(col("gopher_pass") === 1L && col("rep_pass") === 1L &&
+          col("ppl_tier").isin("head", "middle"), 1L).otherwise(0L))
   }
 
   /** Merge rounds for the driver's `bpe_train_merges` query. */
@@ -1383,6 +1456,10 @@ object TextOps {
     // integer ppm / milli-log2 so DuckDB replays train AND score
     "lm_kn_train" -> ((s, d) => knTrain(t(s, d, "documents"))),
     "txt_kn_ppl" -> ((s, d) => knScore(t(s, d, "documents"))),
+    // the FineWeb-style ensemble: Gopher rules + repetition screen +
+    // KN perplexity tercile tier -> one per-doc keep decision
+    "curate_quality_ensemble" -> ((s, d) =>
+      qualityEnsemble(t(s, d, "documents"))),
     // deterministic train/valid/test split: hash-bucket assignment is
     // reproducible across runs/engines (RNG sampling is not) — the
     // standard trick for stable dataset splits at any scale
@@ -1902,6 +1979,94 @@ object TextOps {
          |  coalesce(a.n_bigrams, 0::BIGINT) AS n_bigrams,
          |  a.ppl_mbits
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // qualityEnsemble: the txt_kn_ppl replay (train CTEs + cascade)
+    // composed with the per-doc Gopher flags, the repetition screen,
+    // and reference-tercile tier thresholds as exact order statistics
+    "curate_quality_ensemble" ->
+      s"""WITH $knTrainCtes,
+         |lam AS (
+         |  SELECT w1, CAST((3 * n1_fwd * 250000) // c_a AS BIGINT) AS lam_ppm
+         |  FROM ctx),
+         |cnt AS (
+         |  SELECT w2, CAST((n1_bwd * 1000000) // nt.n_types AS BIGINT) AS cont_ppm
+         |  FROM cont CROSS JOIN nt),
+         |dtk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |dbg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM dtk, unnest(range(1, len(toks))) AS t(i)),
+         |sc AS (
+         |  SELECT dbg.doc_id, GREATEST(1,
+         |    CASE WHEN m.p_ppm IS NOT NULL THEN m.p_ppm
+         |         WHEN l.lam_ppm IS NOT NULL
+         |           THEN (l.lam_ppm * COALESCE(c.cont_ppm, 0)) // 1000000
+         |         ELSE COALESCE(c.cont_ppm, 0) END) AS p
+         |  FROM dbg
+         |  LEFT JOIN model m ON dbg.w1 = m.w1 AND dbg.w2 = m.w2
+         |  LEFT JOIN lam l ON dbg.w1 = l.w1
+         |  LEFT JOIN cnt c ON dbg.w2 = c.w2),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(SUM($L2M1M - ${sqlL2M("p")}) // COUNT(1) AS BIGINT)
+         |      AS ppl_mbits
+         |  FROM sc GROUP BY doc_id),
+         |gf AS (
+         |  SELECT doc_id, CASE WHEN
+         |      (n_tok >= 5 AND n_tok <= 100000)
+         |      AND (sum_wlen >= n_tok * 3 AND sum_wlen <= n_tok * 10)
+         |      AND (n_stop >= 1) AND (n_punct * 10 <= n_chars)
+         |    THEN 1 ELSE 0 END AS gopher_pass
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(toks) AS n_tok,
+         |      list_reduce(list_prepend(0::BIGINT,
+         |        list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+         |        (a, b) -> a + b) AS sum_wlen,
+         |      len(list_filter(toks,
+         |        x -> list_contains(['the','and','of','to','is'], x))) AS n_stop,
+         |      len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         |      length(text) AS n_chars
+         |    FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents))),
+         |rep AS (
+         |  SELECT doc_id, CASE WHEN (n_bg - n_dg) * $RepDupMult <= n_bg
+         |    THEN 1 ELSE 0 END AS rep_pass
+         |  FROM (
+         |    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bg,
+         |      CAST(COUNT(1) AS BIGINT) AS n_dg
+         |    FROM (SELECT doc_id, g, COUNT(1) AS n
+         |          FROM (SELECT doc_id,
+         |                  unnest(list_transform(range(1, len(toks)),
+         |                    i -> toks[i] || ' ' || toks[i+1])) AS g
+         |                FROM dtk)
+         |          GROUP BY 1, 2)
+         |    GROUP BY 1)),
+         |rk AS (
+         |  SELECT a.ppl_mbits AS v, ROW_NUMBER() OVER (ORDER BY a.ppl_mbits) AS rn,
+         |    COUNT(1) OVER () AS n
+         |  FROM agg a
+         |  WHERE a.doc_id % GREATEST($KnRefMod,
+         |      (SELECT COUNT(1) FROM documents) // $KnRefTarget) = 0
+         |    AND a.ppl_mbits IS NOT NULL),
+         |th AS (
+         |  SELECT MAX(CASE WHEN rn <= (n + 2) // 3 THEN v END) AS t1,
+         |    MAX(CASE WHEN rn <= (2 * n + 2) // 3 THEN v END) AS t2
+         |  FROM rk)
+         |SELECT d.doc_id,
+         |  CAST(gf.gopher_pass AS BIGINT) AS gopher_pass,
+         |  CAST(COALESCE(rep.rep_pass, 1) AS BIGINT) AS rep_pass,
+         |  a.ppl_mbits,
+         |  CASE WHEN a.ppl_mbits IS NULL THEN 'na'
+         |       WHEN a.ppl_mbits <= th.t1 THEN 'head'
+         |       WHEN a.ppl_mbits <= th.t2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_tier,
+         |  CAST(CASE WHEN gf.gopher_pass = 1 AND COALESCE(rep.rep_pass, 1) = 1
+         |      AND a.ppl_mbits IS NOT NULL AND a.ppl_mbits <= th.t2
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents d
+         |JOIN gf USING (doc_id)
+         |LEFT JOIN rep USING (doc_id)
+         |LEFT JOIN agg a USING (doc_id)
+         |CROSS JOIN th""".stripMargin,
 
     "txt_chunks" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
