@@ -61,6 +61,64 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** vec_dot_n(a, b, n) — [[VecDot]] over only the FIRST n elements of
+  * each side: the Matryoshka-retrieval kernel (Kusupati et al. 2022 —
+  * MRL-trained embeddings carry a usable coarse representation in
+  * their leading dimensions, so a d/4-prefix dot is a cheap first-pass
+  * ranker). Reading a bounded prefix of the array, not a sliced COPY
+  * of it, is the point: the `slice(a,1,n)` formulation allocates two
+  * n-element arrays per candidate pair, which at corpus×query pair
+  * counts is the same allocation wall VecDot exists to avoid. Same
+  * sequential left-to-right double fold as VecDot / DuckDB's
+  * list_reduce-over-list_slice, so results are bit-identical. */
+case class VecDotPrefix(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n > 0, "vec_dot_n needs a positive prefix length")
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_n requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val m = math.min(n, math.min(x.numElements(), y.numElements()))
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = java.lang.Math.min($n,
+         |  java.lang.Math.min($x.numElements(), $y.numElements()));
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** plane_band_keys(embedding) → array<long> of LSH band keys: plane i's
   * sign bit (dot(weights(i), v) > 0) lands in band i/bitsPerBand at
   * position i%bitsPerBand. One pass over the vector per plane — no
@@ -396,6 +454,8 @@ object VectorFunctions {
   import org.apache.spark.sql.functions.sqrt
 
   def vec_dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
+  def vec_dot_n(a: Column, b: Column, n: Int): Column =
+    toCol(VecDotPrefix(toExpr(a), toExpr(b), n))
   def vec_sqdist(a: Column, b: Column): Column = toCol(VecSqdist(toExpr(a), toExpr(b)))
   def vec_cos_sim(a: Column, b: Column): Column = toCol(VecCosSim(toExpr(a), toExpr(b)))
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))

@@ -323,6 +323,142 @@ object SimilarityOps {
         expr("(n_hit * 1000000) div greatest(n_exact, 1)"))
   }
 
+  /** Serving RANKING audit (Mean-Reciprocal-Rank) — the ORDER-quality
+    * companion of [[ivfRecall]]'s membership audit: recall@k says the
+    * true neighbor is somewhere in the returned list; MRR says WHERE.
+    * For each serving query the ground truth is the exhaustive top-1
+    * neighbor; the audited system is [[ivfTopK]]'s returned ranking,
+    * and rr = 1/rank of the true neighbor in that list (0 if the cell
+    * probing missed it entirely). Exact integer ppm (1000000 div rank
+    * — no float reciprocal), one row per audited query so the
+    * downstream SLO can aggregate mean/percentile as it likes.
+    *
+    * Cost shape: the exhaustive side is the bounded
+    * [[servingQueryPred]] batch × corpus scan [[bruteForceTopK]]
+    * already pays for recall; the audited side is the serving plan
+    * itself — the audit adds ONE broadcast-able |Q|-row join. */
+  def servingMrr(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      nCentroids: Int = IvfCentroids, nProbe: Int = IvfProbe): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryPred, 1)
+      .select(col("q_id"), col("n_id").as("true_nn"))
+    val approx = ivfTopK(embeddings, queryPred, k, nCentroids, nProbe)
+      .select(col("q_id").as("q2"), col("n_id").as("n2"), col("rank"))
+    truth
+      .join(approx, col("q_id") === col("q2") && col("true_nn") === col("n2"),
+        "left")
+      .select(col("q_id"), col("true_nn"),
+        coalesce(col("rank"), lit(0L)).as("nn_rank"))
+      .withColumn("rr_ppm",
+        when(col("nn_rank") > 0L, expr("1000000 div nn_rank"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Prefix dot over the first n dims ([[graft.functions.VecDotPrefix]]). */
+  def dotN(a: Column, b: Column, n: Int): Column =
+    graft.functions.VectorFunctions.vec_dot_n(a, b, n)
+
+  /** Matryoshka serving prefix — d/4 of the 64-dim oracle corpus. */
+  val MrlPrefixDim = 16
+
+  /** Prefix-cosine top-n shortlist per serving query — the stage-1
+    * scan shared by [[adaptiveTopK]] (n = shortlist) and [[mrlRecall]]
+    * (n = k): cosine over only the FIRST prefixDim dims via the
+    * [[graft.functions.VecDotPrefix]] kernel (no sliced array copies),
+    * prefix norms computed once per side BEFORE the join, shortlist as
+    * a map-side partial top-k. Zero-prefix vectors (norm 0 on the
+    * leading dims) can neither match nor rank and are screened like
+    * every cosine operator screens zero-norm vectors. */
+  private def prefixShortlist(embeddings: DataFrame, queryPred: Column,
+      n: Int, prefixDim: Int): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(dotN(col("embedding"), col("embedding"), prefixDim)).as("q_pn"))
+      .filter(definedNrm(col("q_pn")))
+    val c = embeddings
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        sqrt(dotN(col("embedding"), col("embedding"), prefixDim)).as("n_pn"))
+      .filter(definedNrm(col("n_pn")))
+    val short = udaf(new graft.functions.TopKSimAgg(n))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("psim",
+        dotN(col("q_emb"), col("n_emb"), prefixDim) / (col("q_pn") * col("n_pn")))
+      .groupBy("q_id")
+      .agg(short(col("n_id"), col("psim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("prank"),
+        col("col.sim").as("psim"))
+  }
+
+  /** ADAPTIVE RETRIEVAL — the two-stage Matryoshka serving pattern
+    * (Kusupati et al. 2022): shortlist by cosine over the LEADING
+    * prefixDim dims, exact full-dimension cosine rerank of the
+    * shortlist. The production rationale at 100 TB: with the prefix
+    * materialized as its own column (a layout_compact-style split),
+    * the stage-1 corpus scan reads prefixDim/d of the vector bytes —
+    * a 4× IO cut at d/4 before any quantization — and stage 2 touches
+    * full vectors only for the ≤|Q|·shortlist candidate set. Here both
+    * stages read the one array column and the saving is the kernel's
+    * (prefix loop + no per-pair array allocation); the PLAN is the
+    * production plan: corpus never shuffled, query side and shortlist
+    * broadcast, shortlist a map-side partial top-k.
+    *
+    * [[mrlRecall]] is this operator's sizing audit: it measures, per
+    * prefix width, how much of the exact top-k the prefix ranking
+    * already captures — i.e. which prefixDim/shortlist pair meets a
+    * recall SLO before you ship this serving plan. */
+  def adaptiveTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      prefixDim: Int = MrlPrefixDim, shortlist: Int = PqShortlist): DataFrame = {
+    val cand = prefixShortlist(embeddings, queryPred, shortlist, prefixDim)
+      .select(col("q_id"), col("n_id"))
+    val corpus = embeddings.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), norm(col("embedding")).as("n_nrm"))
+      .filter(definedNrm(col("n_nrm")))
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .filter(definedNrm(col("q_nrm")))
+    val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    corpus
+      .join(broadcast(cand), "n_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("sim",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** MRL TRUNCATION AUDIT — recall@k of the prefix-cosine ranking vs
+    * the exact full-dimension top-k, one row per (query, prefix
+    * width): the measurement that licenses [[adaptiveTopK]]'s prefix
+    * choice (and, upstream, how aggressively a Matryoshka-trained
+    * embedding column can be truncated AT REST — the 100 TB question,
+    * since storing 16 of 64 dims is a 4× corpus shrink). Exact-side
+    * cost is ONE bounded-batch corpus scan (checkpointed — the k·|Q|
+    * truth set feeds every arm); each prefix arm is one more bounded
+    * scan through the prefix kernel. Recall in exact integer ppm. */
+  def mrlRecall(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      prefixDims: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    val ex = bruteForceTopK(embeddings, queryPred, k)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint(eager = false)
+    val nex = ex.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+    val arms = prefixDims.map { d =>
+      val pd = prefixShortlist(embeddings, queryPred, k, d)
+        .select(col("q_id"), col("n_id"))
+      val hits = ex.join(pd, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      nex.join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), lit(d.toLong).as("prefix_dim"),
+          col("n_exact"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    }
+    arms.reduce(_.union(_))
+      .withColumn("recall_ppm",
+        expr("(n_hit * 1000000) div greatest(n_exact, 1)"))
+  }
+
   /** LSH near-dup RECALL audit vs exhaustive pairs, banded by
     * similarity — the estimator a production near-dup pipeline runs on
     * a corpus sample to size nBands: hyperplane recall is
@@ -2203,6 +2339,15 @@ object SimilarityOps {
     "emb_outliers" -> ((s, d) => kmeansOutliers(t(s, d, "embeddings"))),
     "sim_ivf_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
       ivfRecall(e, servingQueryPred(e)) }),
+    // ranking-order audit next to the membership audit: reciprocal
+    // rank of the exhaustive top-1 inside the served IVF list
+    "sim_serving_mrr" -> ((s, d) => { val e = t(s, d, "embeddings")
+      servingMrr(e, servingQueryPred(e)) }),
+    // Matryoshka pair: prefix-shortlist serving + its truncation audit
+    "sim_adaptive_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      adaptiveTopK(e, servingQueryPred(e)) }),
+    "sim_mrl_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
+      mrlRecall(e, servingQueryPred(e)) }),
     "sim_neardup_recall" -> ((s, d) =>
       nearDupRecall(t(s, d, "embeddings"), dim = OracleDim)),
     "emb_rq_encode" -> ((s, d) => rqEncode(t(s, d, "embeddings"))),
@@ -2304,6 +2449,14 @@ object SimilarityOps {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($x, $y), s -> s[1]::DOUBLE * s[2]::DOUBLE)), (u,v) -> u+v)"
   private def sqlNrm(x: String) =
     s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($x, t -> t::DOUBLE * t::DOUBLE)), (u,v) -> u+v))"
+
+  /** Prefix twins of [[sqlDot]]/[[sqlNrm]] — DuckDB list_slice is
+    * 1-based inclusive, so `[1, n]` is exactly the first n elements
+    * the VecDotPrefix kernel folds, in the same order. */
+  private def sqlDotN(x: String, y: String, n: Int) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(list_slice($x, 1, $n), list_slice($y, 1, $n)), s -> s[1]::DOUBLE * s[2]::DOUBLE)), (u,v) -> u+v)"
+  private def sqlNrmN(x: String, n: Int) =
+    s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_slice($x, 1, $n), t -> t::DOUBLE * t::DOUBLE)), (u,v) -> u+v))"
 
   /** Sequential-fold squared-L2 in DuckDB — the SQL twin of [[sqdist]]. */
   private def sqlSqd(a: String, b: String): String =
@@ -2812,6 +2965,135 @@ object SimilarityOps {
          |  CAST(COALESCE(h.n_hit, 0) * 1000000 // GREATEST(n.n_exact, 1) AS BIGINT)
          |    AS recall_ppm
          |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin,
+
+    // servingMrr: the sim_ivf_recall chains with ex cut to the top-1
+    // truth and the IVF ranks kept; rr in exact integer ppm
+    "sim_serving_mrr" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |ex0 AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDot("q.emb", "c.emb")} / (q.nrm * c.nrm) DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0) q
+         |  JOIN e c ON q.vec_id != c.vec_id),
+         |tru AS (SELECT q_id, n_id AS true_nn FROM ex0 WHERE rank = 1),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+         |         FROM e WHERE vec_id < $IvfCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id AS n_id, e.emb AS n_emb, e.nrm AS n_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT n_id, n_emb, n_nrm, cid FROM asg0 WHERE rn = 1),
+         |prb0 AS (
+         |  SELECT q.vec_id AS q_id, q.emb AS q_emb, q.nrm AS q_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDot("q.emb", "cent.c_emb")} / (q.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0) q, cent),
+         |prb AS (SELECT q_id, q_emb, q_nrm, cid FROM prb0 WHERE rn <= $IvfProbe),
+         |sims AS (
+         |  SELECT prb.q_id, asg.n_id,
+         |    ${sqlDot("prb.q_emb", "asg.n_emb")} / (prb.q_nrm * asg.n_nrm) AS sim
+         |  FROM prb JOIN asg USING (cid)
+         |  WHERE prb.q_id != asg.n_id),
+         |iv AS (
+         |  SELECT q_id, n_id, rank FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
+         |        AS rank
+         |    FROM sims) WHERE rank <= 10)
+         |SELECT t.q_id, t.true_nn,
+         |  CAST(COALESCE(i.rank, 0) AS BIGINT) AS nn_rank,
+         |  CAST(CASE WHEN COALESCE(i.rank, 0) > 0
+         |    THEN 1000000 // i.rank ELSE 0 END AS BIGINT) AS rr_ppm
+         |FROM tru t
+         |LEFT JOIN iv i ON t.q_id = i.q_id AND t.true_nn = i.n_id""".stripMargin,
+
+    // adaptiveTopK: prefix-cosine shortlist (first MrlPrefixDim dims,
+    // rn <= shortlist) then exact full-dim cosine rerank
+    "sim_adaptive_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS e,
+         |    ${sqlNrmN("embedding", MrlPrefixDim)} AS pn,
+         |    ${sqlNrm("embedding")} AS fn
+         |  FROM embeddings),
+         |qq AS (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0 AND pn > 0),
+         |ps AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${sqlDotN("q.e", "c.e", MrlPrefixDim)} / (q.pn * c.pn) AS psim
+         |  FROM qq q JOIN e c ON q.vec_id != c.vec_id
+         |  WHERE c.pn > 0),
+         |cand AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY psim DESC, n_id ASC) AS rn
+         |    FROM ps) WHERE rn <= $PqShortlist),
+         |rer AS (
+         |  SELECT cd.q_id, cd.n_id,
+         |    ${sqlDot("qe.e", "ne.e")} / (qe.fn * ne.fn) AS sim
+         |  FROM cand cd
+         |  JOIN e qe ON qe.vec_id = cd.q_id
+         |  JOIN e ne ON ne.vec_id = cd.n_id
+         |  WHERE qe.fn > 0 AND ne.fn > 0)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+         |FROM (
+         |  SELECT q_id, n_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, n_id ASC) AS rank
+         |  FROM rer)
+         |WHERE rank <= 10""".stripMargin,
+
+    // mrlRecall: per prefix width, recall@10 of the prefix-cosine
+    // ranking vs the exact full-dim top-10 (one arm per width)
+    "sim_mrl_recall" -> {
+      val dims = Seq(4, 8, 16, 32)
+      val arms = dims.map { d =>
+        s"""p$d AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${sqlDotN("q.e", "c.e", d)}
+           |          / (${sqlNrmN("q.e", d)} * ${sqlNrmN("c.e", d)}) DESC,
+           |                 c.vec_id ASC) AS rn
+           |    FROM qq q JOIN e c ON q.vec_id != c.vec_id
+           |    WHERE ${sqlNrmN("q.e", d)} > 0 AND ${sqlNrmN("c.e", d)} > 0)
+           |  WHERE rn <= 10),
+           |h$d AS (
+           |  SELECT x.q_id, COUNT(*) AS n_hit
+           |  FROM ex x JOIN p$d p ON x.q_id = p.q_id AND x.n_id = p.n_id
+           |  GROUP BY 1),
+           |a$d AS (
+           |  SELECT n.q_id, CAST($d AS BIGINT) AS prefix_dim,
+           |    CAST(n.n_exact AS BIGINT) AS n_exact,
+           |    CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit
+           |  FROM nex n LEFT JOIN h$d h ON n.q_id = h.q_id)""".stripMargin
+      }.mkString(",\n")
+      val unions = dims.map(d => s"SELECT * FROM a$d").mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS e, ${sqlNrm("embedding")} AS fn
+         |  FROM embeddings),
+         |qq AS (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0 AND fn > 0),
+         |ex AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlDot("q.e", "c.e")} / (q.fn * c.fn) DESC,
+         |                 c.vec_id ASC) AS rank
+         |    FROM qq q JOIN e c ON q.vec_id != c.vec_id
+         |    WHERE c.fn > 0)
+         |  WHERE rank <= 10),
+         |nex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+         |$arms
+         |SELECT q_id, prefix_dim, n_exact, n_hit,
+         |  CAST((n_hit * 1000000) // GREATEST(n_exact, 1) AS BIGINT) AS recall_ppm
+         |FROM ($unions)""".stripMargin
+    },
     "sim_pq_topk" -> pqOracle,
 
     // Independent replay of the SQ8 serving stack: quantize → integer

@@ -104,6 +104,14 @@ object PlanDump {
     "bpe_train_merges", "emb_label_prop", "emb_hard_negatives",
     "emb_outliers", "dq_drift_chi2",
     "sim_ivf_recall", "sim_neardup_recall", "sim_rq_recall",
+    // round-11 ranking-order audit: the exhaustive truth side is the
+    // same bounded-batch BNLJ the recall audits pay; the audited side
+    // is ivfTopK's own pinned plan plus ONE |Q|-row broadcast join
+    "sim_serving_mrr",
+    // round-11 Matryoshka pair: prefix-kernel shortlist scan + exact
+    // rerank (corpus never shuffled, query/shortlist broadcast), and
+    // the per-width truncation audit (one bounded scan per arm)
+    "sim_adaptive_topk", "sim_mrl_recall",
     // round-10 additions: anchored span dedup (same keyed-span shape
     // as the strided detector — narrow anchor filter, no per-token
     // shuffle) and the unigram-LM tokenizer pair (corpus touched once;
@@ -118,6 +126,10 @@ object PlanDump {
     // corpus scan — a hash-shuffle join on (w1,w2) would move the
     // whole exploded corpus and is the regression this fixture catches
     "txt_kn_ppl",
+    // round-11 quality capstone: three per-doc derivations (gopher
+    // narrow flags, repetition agg pair, the KN broadcast apply)
+    // composed by doc_id-keyed joins — the corpus enters each arm once
+    "curate_quality_ensemble",
     // round-10 second wave: SQ8 serving (codes stay a narrow
     // projection of the corpus scan, integer-ADC join broadcasts the
     // query codes, shortlist is a map-side partial top-k, rerank

@@ -269,6 +269,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // sampled audit set only, never the serving path
       "sim_ivf_recall", "sim_neardup_recall", "sim_rq_recall",
       "sim_sq_recall",
+      // the MRR ranking audit's truth side is the same bounded-batch
+      // exhaustive scan the recall audits pay
+      "sim_serving_mrr",
+      // Matryoshka serving: stage 1 is the corpus × broadcast-queries
+      // prefix-kernel scan (the sim_topk idiom at 1/4 the arithmetic);
+      // the truncation audit runs one such scan per prefix width
+      "sim_adaptive_topk", "sim_mrl_recall",
       // MMR reranks the brute-force top-C shortlist (the sim_topk
       // corpus × broadcast-queries idiom feeds it); the greedy rounds
       // themselves are keyed small-frame joins

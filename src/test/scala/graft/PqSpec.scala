@@ -142,6 +142,24 @@ class PqSpec extends AnyFunSuite {
     assert(adcCmp.count() == 0, "pq_adc kernel == HOF on every pair")
   }
 
+  test("vec_dot_n kernel is bit-identical to vec_dot over slice() copies, " +
+    "for every prefix width incl. over-length") {
+    val base = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val q = base.filter(pred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val pairs = base.join(broadcast(q), col("q_id") =!= col("vec_id"))
+    Seq(1, 4, 16, 64, 1000).foreach { n =>
+      val cmp = pairs
+        .withColumn("native", graft.functions.VectorFunctions
+          .vec_dot_n(col("q_emb"), col("embedding"), n))
+        .withColumn("sliced", graft.functions.VectorFunctions
+          .vec_dot(slice(col("q_emb"), 1, n), slice(col("embedding"), 1, n)))
+        .filter(not(col("native") === col("sliced")))
+      assert(cmp.count() == 0, s"vec_dot_n($n) == vec_dot(slice($n)) on every pair")
+    }
+  }
+
   test("codebook row: M*K sub-codewords of subspace width") {
     val cb = SimilarityOps.pqCodebookRow(emb, dim = SimilarityOps.OracleDim)
       .collect()

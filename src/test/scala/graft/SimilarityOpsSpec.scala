@@ -136,6 +136,72 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(part.forall(p => p >= 0L && p <= 1000000L))
   }
 
+  test("servingMrr: exhaustive probing ranks the true neighbor first for every " +
+    "query; partial probing stays in [0, 1e6] and misses score exactly 0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = SimilarityOps.servingMrr(emb, col("vec_id") % 50 === 0,
+      nCentroids = SimilarityOps.IvfCentroids,
+      nProbe = SimilarityOps.IvfCentroids).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(3) == 1000000L,
+        s"exhaustive IVF ≡ brute force, so the truth must rank 1: $r")
+    }
+    val part = SimilarityOps.servingMrr(emb, col("vec_id") % 50 === 0).collect()
+    part.foreach { r =>
+      val (rank, rr) = (r.getLong(2), r.getLong(3))
+      assert(rank >= 0L && rr >= 0L && rr <= 1000000L)
+      assert(if (rank == 0L) rr == 0L else rr == 1000000L / rank,
+        s"rr must be exactly the integer reciprocal of the rank: $r")
+    }
+  }
+
+  test("adaptiveTopK: full-width prefix + corpus-sized shortlist reproduces " +
+    "bruteForceTopK exactly; narrow prefix keeps ranks/sims well-formed") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val n = emb.count().toInt
+    val pred = col("vec_id") % 50 === 0
+    val exact = SimilarityOps.bruteForceTopK(emb, pred, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = SimilarityOps.adaptiveTopK(emb, pred, k = 10,
+      prefixDim = dim, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact,
+      "full-width prefix with an unbounded shortlist must be the exact ranking")
+    val narrow = SimilarityOps.adaptiveTopK(emb, pred).collect()
+    assert(narrow.nonEmpty)
+    narrow.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getLong(2)).sorted
+      assert(ranks.head == 1L && ranks.toSeq == (1L to ranks.length).toSeq,
+        s"ranks must be dense from 1 for q=$q")
+      val byRank = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"rerank sims must be non-increasing for q=$q")
+    }
+  }
+
+  test("mrlRecall: a full-width prefix arm has recall exactly 1.0 per query; " +
+    "every arm stays in [0, 1e6] and ppm is the exact integer ratio") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val pred = col("vec_id") % 50 === 0
+    val full = SimilarityOps.mrlRecall(emb, pred, prefixDims = Seq(dim)).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(4) == 1000000L,
+        s"prefix = full width ⇒ identical ranking ⇒ recall 1.0: $r")
+    }
+    val arms = SimilarityOps.mrlRecall(emb, pred).collect()
+    assert(arms.map(_.getLong(1)).distinct.sorted.toSeq == Seq(4L, 8L, 16L, 32L))
+    arms.foreach { r =>
+      val (nx, nh, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nh >= 0L && nh <= nx)
+      assert(ppm == nh * 1000000L / math.max(nx, 1L),
+        s"ppm must be the exact integer ratio: $r")
+    }
+  }
+
   test("nearDupRecall: exact dups (hi band) recall 1.0 — identical bytes " +
     "share every band key; recall never exceeds 1.0 anywhere") {
     import spark.implicits._
