@@ -158,6 +158,83 @@ case class PlaneBandKeys(child: Expression, weights: Seq[Seq[Double]], bitsPerBa
     copy(child = newChild)
 }
 
+/** cell_probe(embedding) → array<long> of the nProbe best coarse-cell
+  * ids by cosine, best-first, ties → lowest cid — the IVF probe/assign
+  * step as ONE narrow per-row pass against a driver-constant centroid
+  * matrix (train-then-apply: the index's centroids are fixed at build
+  * time). The window formulation (crossJoin K centroids → row_number
+  * ≤ nProbe) needs a per-query sort Spark's streaming engine forbids;
+  * this expression is streaming-legal, shuffle-free, and identical in
+  * result: per centroid a sequential double dot fold (the vec_dot /
+  * DuckDB list_reduce order), c_sim = dot/(nrm·c_nrm) with both norms
+  * from the same fold, selection by insertion into an nProbe-slot
+  * list under (c_sim DESC, cid ASC). Zero/NaN-norm inputs probe
+  * nothing (empty array) — the definedNrm screen, total-function
+  * form. Like [[PlaneBandKeys]], CodegenFallback: one virtual call
+  * per row around a fused loop nest. */
+case class CellProbe(child: Expression, cents: Seq[(Long, Seq[Float])], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nProbe > 0 && cents.nonEmpty)
+  @transient private lazy val cid: Array[Long] = cents.map(_._1).toArray
+  @transient private lazy val cemb: Array[Array[Float]] = cents.map(_._2.toArray).toArray
+  // centroid norms: the same sequential fold the SQL twin computes
+  @transient private lazy val cnrm: Array[Double] = cemb.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var qAcc = 0.0
+    var i = 0
+    while (i < n) { val f = x.getFloat(i).toDouble; qAcc += f * f; i += 1 }
+    val qNrm = math.sqrt(qAcc)
+    if (!(qNrm > 0.0) || qNrm.isNaN)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val m = math.min(nProbe, cid.length)
+    val bestSim = new Array[Double](m)
+    val bestCid = new Array[Long](m)
+    var filled = 0
+    var c = 0
+    while (c < cid.length) {
+      if (cnrm(c) > 0.0 && !cnrm(c).isNaN) {
+        val ce = cemb(c)
+        val d = math.min(n, ce.length)
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += x.getFloat(j).toDouble * ce(j); j += 1 }
+        val sim = acc / (qNrm * cnrm(c))
+        // insertion under (sim DESC, cid ASC) into the nProbe slots
+        var pos = filled
+        while (pos > 0 && (sim > bestSim(pos - 1) ||
+            (sim == bestSim(pos - 1) && cid(c) < bestCid(pos - 1)))) pos -= 1
+        if (pos < m) {
+          val last = math.min(filled, m - 1)
+          var k = last
+          while (k > pos) { bestSim(k) = bestSim(k - 1); bestCid(k) = bestCid(k - 1); k -= 1 }
+          bestSim(pos) = sim
+          bestCid(pos) = cid(c)
+          if (filled < m) filled += 1
+        }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestCid, filled))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** pq_encode(embedding, fcb) → array<int> of per-subspace codeword
   * indices (argmin squared-L2, tie → lowest code). Replaces the
   * transform/array_min/aggregate HOF tower in the PQ encode path: HOFs
@@ -465,6 +542,8 @@ object VectorFunctions {
     toCol(PqAdc(toExpr(q), toExpr(codes), toExpr(fcb), nSubs, nCodes))
   def plane_band_keys(v: Column, weights: Seq[Seq[Double]], bitsPerBand: Int): Column =
     toCol(PlaneBandKeys(toExpr(v), weights, bitsPerBand))
+  def cell_probe(v: Column, cents: Seq[(Long, Seq[Float])], nProbe: Int): Column =
+    toCol(CellProbe(toExpr(v), cents, nProbe))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -41,10 +41,26 @@ object StreamOps {
     "stream_static_enrich" -> ((s, d) =>
       EventStreams.enrichedTumbling(t(s, d, "events"), t(s, d, "customer"))),
     "stream_drift_chi2" -> ((s, d) =>
-      EventStreams.tumblingDrift(t(s, d, "events"), t(s, d, "events")))
+      EventStreams.tumblingDrift(t(s, d, "events"), t(s, d, "events"))),
+    // streaming ANN serving (batch twin): window-free cell probing +
+    // stream-static candidate join + TopKSimAgg streaming agg must
+    // reproduce sim_ivf_topk row for row — so it shares that oracle
+    "stream_ann_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.streaming.StreamAnnServe.serveTopK(
+        e.filter(graft.ops.SimilarityOps.servingQueryPred(e))
+          .select(col("vec_id"), col("embedding")),
+        e,
+        nCentroids = graft.ops.SimilarityOps.IvfCentroids,
+        nProbe = graft.ops.SimilarityOps.IvfProbe)
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    // the serving stream's batch twin is sim_ivf_topk row for row
+    // (same first-K centroids, probe count, tie-breaks), so its
+    // oracle is the identical committed IVF CTE chain
+    "stream_ann_topk" -> graft.ops.SimilarityOps.oracle("sim_ivf_topk"),
     // Spark's tumbling windows are epoch-aligned: start = us - us % len
     "stream_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimilarityOps
+import graft.streaming.StreamAnnServe
+
+/** The streaming ANN serving path (window-free CellProbe kernel +
+  * stream-static candidate join + TopKSimAgg streaming agg) must (a)
+  * reproduce the batch IVF operator row for row when run in batch
+  * mode — same centroids, probes, tie-breaks — and (b) produce the
+  * SAME answers when the query workload arrives split across
+  * micro-batches, each query answered within its own batch. */
+class StreamAnnServeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val emb = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+  private val pred = col("vec_id") % 25 === 0
+
+  private def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("batch twin ≡ ivfTopK row for row (same first-K centroids, probes, ties)") {
+    val want = asTuples(SimilarityOps.ivfTopK(emb, pred,
+      nCentroids = SimilarityOps.IvfCentroids, nProbe = SimilarityOps.IvfProbe)
+      .collect())
+    val got = asTuples(StreamAnnServe.serveTopK(
+      emb.filter(pred).select(col("vec_id"), col("embedding")), emb,
+      nCentroids = SimilarityOps.IvfCentroids, nProbe = SimilarityOps.IvfProbe)
+      .collect())
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("CellProbe: exhaustive probe returns every live cell in exact " +
+    "(sim DESC, cid ASC) order; nProbe=1 is its head") {
+    val cents = StreamAnnServe.collectCentroids(emb, SimilarityOps.IvfCentroids)
+    val k = cents.length
+    val full = emb.filter(pred)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cell_probe(col("embedding"), cents, k).as("cids"),
+        graft.functions.VectorFunctions.cell_probe(col("embedding"), cents, 1).as("one"))
+      .collect()
+    assert(full.nonEmpty)
+    // reference ordering via the window formulation the kernel replaces
+    val wanted = emb.filter(pred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        SimilarityOps.norm(col("embedding")).as("q_nrm"))
+      .crossJoin(emb.filter(col("vec_id") < SimilarityOps.IvfCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+          SimilarityOps.norm(col("embedding")).as("c_nrm")))
+      .withColumn("c_sim",
+        SimilarityOps.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .select("q_id", "cid", "c_sim")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getLong(1)).toSeq
+      }
+    full.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getSeq[Long](1) == wanted(q),
+        s"kernel ordering must equal the window formulation for q=$q")
+      assert(r.getSeq[Long](2) == wanted(q).take(1))
+    }
+  }
+
+  test("stream ≡ batch: queries split across 3 micro-batches produce the " +
+    "batch twin's answers, each query emitted in its own batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val queries = emb.filter(pred)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(queries.length >= 3)
+    val want = asTuples(StreamAnnServe.serveTopK(
+      emb.filter(pred).select(col("vec_id"), col("embedding")), emb).collect())
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val qdf = mem.toDF().select(col("_1").as("vec_id"),
+      col("_2").cast("array<float>").as("embedding"))
+    val served = StreamAnnServe.serveTopK(qdf, emb)
+    val query = served.writeStream.format("memory").queryName("ann_serve")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = queries.splitAt(1)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      mem.addData(b1: _*); query.processAllAvailable()
+      val afterB1 = spark.table("ann_serve").collect()
+      assert(afterB1.map(_.getLong(0)).toSet == b1.map(_._1).toSet,
+        "a query's answer must complete within its own micro-batch")
+      mem.addData(b2: _*); query.processAllAvailable()
+      mem.addData(b3: _*); query.processAllAvailable()
+      val got = asTuples(spark.table("ann_serve").collect())
+      assert(got == want, "streamed answers must equal the batch twin's")
+    } finally query.stop()
+  }
+}
