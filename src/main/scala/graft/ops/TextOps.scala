@@ -577,6 +577,45 @@ object TextOps {
         col("ppl_mbits"))
   }
 
+  /** UNIGRAM reference LM scoring — the weak-model arm of
+    * [[CurationOps.doremiWeights]]'s excess-loss measurement and the
+    * unigram twin of [[knScore]]: p(w) trains on the SAME
+    * [[KnRefMod]]-disciplined reference split
+    * (p_ppm = max(1, c(w)·10⁶ div n_ref_tokens)), and every corpus
+    * document scores as its mean TOKEN surprise in exact milli-bits
+    * (OOV floors at 1 ppm ⇒ exactly [[L2M1M]] mbits, like the KN
+    * cascade's ceiling). The kn−unigram GAP per document is how much
+    * the bigram structure explains — the learnability signal the
+    * DoReMi reweighting aggregates per domain.
+    *
+    * Scale shape: train is one bounded reference scan to a
+    * vocab-bound count table; scoring is one token-explode corpus
+    * scan through ONE broadcast join + a doc-keyed agg. Zero-token
+    * docs keep a null score (the explicit-fate discipline). */
+  def uniRefScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val mod = math.max(KnRefMod.toLong, docs.count() / KnRefTarget)
+    val rtk = docs.filter(col("doc_id") % mod === 0)
+      .select(tokens(col(textCol)).as("toks"))
+    val nRef = math.max(1L, Option(
+      rtk.agg(sum(size(col("toks")))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L))
+    val uni = rtk.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+      .select(col("w"),
+        greatest(lit(1L), expr(s"(c_w * 1000000) div ${nRef}L")).as("p_ppm"))
+    val scored = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(uni), Seq("w"), "left")
+      .withColumn("p", greatest(lit(1L), coalesce(col("p_ppm"), lit(0L))))
+      .withColumn("s_mbits", expr(s"${L2M1M}L - ${sparkL2M("p")}"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(s_mbits) div count(1)").as("uni_mbits"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("uni_mbits"))
+  }
+
   /** Max duplicate-bigram fraction for [[qualityEnsemble]]'s
     * repetition arm as the cross-multiplied integer rule
     * (n_bg − n_distinct)·20 ≤ n_bg, i.e. ≤ 5 % — strict enough to
@@ -640,6 +679,71 @@ object TextOps {
       .withColumn("keep",
         when(col("gopher_pass") === 1L && col("rep_pass") === 1L &&
           col("ppl_tier").isin("head", "middle"), 1L).otherwise(0L))
+  }
+
+  /** DoReMi temperature τ in milli-bits for [[doremiWeights]] —
+    * 1000 mbits = one full bit: a domain whose bigram reference model
+    * explains one more bit per document than another earns 2× the
+    * mixture weight before normalization. */
+  val DoremiTauMbits = 1000L
+
+  /** DoReMi-STYLE DOMAIN REWEIGHTING (Xie et al. 2023) — the mixture
+    * question the `mix_*` family sizes by volume, answered by
+    * LEARNABILITY instead: DoReMi upweights domains where a stronger
+    * model's advantage over a weaker one (the "excess loss") is
+    * largest — structured, learnable, under-modeled data — via an
+    * exponentiated-gradient update. The house instantiation keeps
+    * every step integer-exact: the strong arm is the [[knScore]]
+    * bigram reference LM and the weak arm the [[uniRefScore]] unigram
+    * LM (both trained on the SAME bounded reference split, both
+    * scoring in exact milli-bits through the same l2m formula), so
+    * per-document excess = uni_mbits − kn_mbits is how much bigram
+    * STRUCTURE explains. Per domain: excess as a difference of the
+    * two per-domain integer means (never a negative division — floor
+    * `//` and truncating `div` agree only on non-negatives); the EG
+    * step exp2(shift/τ) on the min-shifted excess (EG weights are
+    * normalization-invariant, so the shift is exact in the real-exp
+    * world and DEFINES the integer form) via the [[sqlL2M]] trick's
+    * inverse — power-of-two shift × linear interpolation:
+    * w_raw = (1 << (shift div 1000)) · (1000 + shift mod 1000);
+    * weight_ppm = w_raw·10⁶ div Σw_raw. Uniform prior (volume priors
+    * are [[CurationOps.mixTemperature]]'s job; DoReMi composes ON TOP
+    * of a volume mix).
+    *
+    * Scale shape: both scoring arms are one-corpus-scan broadcast-join
+    * pipelines (reference-vocab-bound artifacts — the train-then-apply
+    * discipline); the domain rollup is one keyed agg; the EG update
+    * runs over the HANDFUL of domain rows (bounded-global windows).
+    * Shift ≤ [[L2M1M]] ⇒ w_raw < 2²⁰·2000 — no overflow anywhere. */
+  def doremiWeights(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val kn = knScore(docs, textCol)
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("ppl_mbits"))
+    val uni = uniRefScore(docs, textCol)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("uni_mbits"))
+    val perDoc = docs.select(col("doc_id"), col(domainCol).as("domain"))
+      .join(kn, Seq("doc_id"))
+      .join(uni, Seq("doc_id"))
+    val dom = perDoc.groupBy("domain").agg(
+      count(lit(1)).as("n_docs"),
+      expr("sum(ppl_mbits) div count(1)").as("kn_mbits"),
+      expr("sum(uni_mbits) div count(1)").as("uni_mbits"))
+      .withColumn("excess_mbits", col("uni_mbits") - col("kn_mbits"))
+    val w = WindowUtil.boundedGlobal(col("domain")).rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    dom
+      .withColumn("shift_mbits",
+        col("excess_mbits") - min(col("excess_mbits")).over(w))
+      .withColumn("w_raw", expr(
+        s"shiftleft(1L, cast(shift_mbits div $DoremiTauMbits as int))" +
+          s" * ($DoremiTauMbits + shift_mbits % $DoremiTauMbits)"))
+      .withColumn("w_tot", sum(col("w_raw")).over(w))
+      .withColumn("weight_ppm", expr("(w_raw * 1000000) div w_tot"))
+      .select(col("domain").as(domainCol), col("n_docs"), col("kn_mbits"),
+        col("uni_mbits"), col("excess_mbits"), col("weight_ppm"))
   }
 
   /** Merge rounds for the driver's `bpe_train_merges` query. */
@@ -1456,6 +1560,8 @@ object TextOps {
     // integer ppm / milli-log2 so DuckDB replays train AND score
     "lm_kn_train" -> ((s, d) => knTrain(t(s, d, "documents"))),
     "txt_kn_ppl" -> ((s, d) => knScore(t(s, d, "documents"))),
+    "txt_uniref_ppl" -> ((s, d) => uniRefScore(t(s, d, "documents"))),
+    "mix_doremi" -> ((s, d) => doremiWeights(t(s, d, "documents"))),
     // the FineWeb-style ensemble: Gopher rules + repetition screen +
     // KN perplexity tercile tier -> one per-doc keep decision
     "curate_quality_ensemble" -> ((s, d) =>
@@ -1521,6 +1627,34 @@ object TextOps {
        |  JOIN ctx ON bi.w1 = ctx.w1
        |  JOIN cont ON bi.w2 = cont.w2
        |  CROSS JOIN nt)""".stripMargin
+
+  /** DuckDB replay of the [[uniRefScore]] chain (reference split →
+    * unigram ppm table → per-doc mean token surprise in milli-bits) —
+    * shared by the `txt_uniref_ppl` and `mix_doremi` oracles. CTE
+    * names are u-prefixed so the chain composes next to
+    * [[knTrainCtes]] without collision. */
+  private lazy val uniRefCtes: String =
+    s"""urtk AS (
+       |  SELECT $sqlToks AS toks FROM documents
+       |  WHERE doc_id % GREATEST($KnRefMod,
+       |    (SELECT COUNT(1) FROM documents) // $KnRefTarget) = 0),
+       |urn AS (SELECT GREATEST(CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT), 1)
+       |          AS n FROM urtk),
+       |uvoc AS (
+       |  SELECT w, CAST(COUNT(1) AS BIGINT) AS c_w
+       |  FROM (SELECT unnest(toks) AS w FROM urtk) GROUP BY w),
+       |uni AS (
+       |  SELECT w, CAST(GREATEST(1, (c_w * 1000000) // urn.n) AS BIGINT) AS p_ppm
+       |  FROM uvoc CROSS JOIN urn),
+       |udtk AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+       |usc AS (
+       |  SELECT udtk.doc_id, GREATEST(1, COALESCE(uni.p_ppm, 0)) AS p
+       |  FROM udtk LEFT JOIN uni ON udtk.w = uni.w),
+       |uagg AS (
+       |  SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_tokens,
+       |    CAST(SUM($L2M1M - ${sqlL2M("p")}) // COUNT(1) AS BIGINT)
+       |      AS uni_mbits
+       |  FROM usc GROUP BY doc_id)""".stripMargin
 
   /** Replays the committed BPE merge table in rank order as nested
     * greedy replaces over a chr(1)-delimited symbol string per word `w`
@@ -1979,6 +2113,70 @@ object TextOps {
          |  coalesce(a.n_bigrams, 0::BIGINT) AS n_bigrams,
          |  a.ppl_mbits
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "txt_uniref_ppl" ->
+      s"""WITH $uniRefCtes
+         |SELECT d.doc_id,
+         |  coalesce(a.n_tokens, 0::BIGINT) AS n_tokens,
+         |  a.uni_mbits
+         |FROM documents d LEFT JOIN uagg a USING (doc_id)""".stripMargin,
+
+    // doremiWeights: the txt_kn_ppl replay (strong arm) + the
+    // txt_uniref_ppl replay (weak arm) rolled up per domain, then the
+    // integer EG step: min-shifted excess → power-of-two shift ×
+    // linear interpolation → ppm normalization over the domain rows
+    "mix_doremi" ->
+      s"""WITH $knTrainCtes,
+         |lam AS (
+         |  SELECT w1, CAST((3 * n1_fwd * 250000) // c_a AS BIGINT) AS lam_ppm
+         |  FROM ctx),
+         |cnt AS (
+         |  SELECT w2, CAST((n1_bwd * 1000000) // nt.n_types AS BIGINT) AS cont_ppm
+         |  FROM cont CROSS JOIN nt),
+         |dtk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |dbg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM dtk, unnest(range(1, len(toks))) AS t(i)),
+         |sc AS (
+         |  SELECT dbg.doc_id, GREATEST(1,
+         |    CASE WHEN m.p_ppm IS NOT NULL THEN m.p_ppm
+         |         WHEN l.lam_ppm IS NOT NULL
+         |           THEN (l.lam_ppm * COALESCE(c.cont_ppm, 0)) // 1000000
+         |         ELSE COALESCE(c.cont_ppm, 0) END) AS p
+         |  FROM dbg
+         |  LEFT JOIN model m ON dbg.w1 = m.w1 AND dbg.w2 = m.w2
+         |  LEFT JOIN lam l ON dbg.w1 = l.w1
+         |  LEFT JOIN cnt c ON dbg.w2 = c.w2),
+         |kagg AS (
+         |  SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM($L2M1M - ${sqlL2M("p")}) // COUNT(1) AS BIGINT)
+         |      AS ppl_mbits
+         |  FROM sc GROUP BY doc_id),
+         |$uniRefCtes,
+         |pd AS (
+         |  SELECT d.source AS domain, k.ppl_mbits, u.uni_mbits
+         |  FROM documents d
+         |  JOIN kagg k ON d.doc_id = k.doc_id
+         |  JOIN uagg u ON d.doc_id = u.doc_id),
+         |dom AS (
+         |  SELECT domain, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |    CAST(SUM(ppl_mbits) // COUNT(1) AS BIGINT) AS kn_mbits,
+         |    CAST(SUM(uni_mbits) // COUNT(1) AS BIGINT) AS uni_mbits
+         |  FROM pd GROUP BY domain),
+         |sh AS (
+         |  SELECT *, uni_mbits - kn_mbits AS excess_mbits,
+         |    (uni_mbits - kn_mbits)
+         |      - MIN(uni_mbits - kn_mbits) OVER () AS shift_mbits
+         |  FROM dom),
+         |wr AS (
+         |  SELECT *, (1::BIGINT << (shift_mbits // $DoremiTauMbits))
+         |    * ($DoremiTauMbits + shift_mbits % $DoremiTauMbits) AS w_raw
+         |  FROM sh)
+         |SELECT domain AS source, n_docs, kn_mbits, uni_mbits,
+         |  CAST(excess_mbits AS BIGINT) AS excess_mbits,
+         |  CAST((w_raw * 1000000) // (SUM(w_raw) OVER ()) AS BIGINT)
+         |    AS weight_ppm
+         |FROM wr""".stripMargin,
 
     // qualityEnsemble: the txt_kn_ppl replay (train CTEs + cascade)
     // composed with the per-doc Gopher flags, the repetition screen,

@@ -130,6 +130,12 @@ object PlanDump {
     // narrow flags, repetition agg pair, the KN broadcast apply)
     // composed by doc_id-keyed joins — the corpus enters each arm once
     "curate_quality_ensemble",
+    // round-11 DoReMi pair: the unigram reference scorer is one
+    // token-explode scan + ONE broadcast vocab join; the reweighting
+    // composes it with the KN arm and rolls up to a handful of domain
+    // rows — the EG step must stay window-over-domain-rows, never a
+    // corpus-sized frame
+    "txt_uniref_ppl", "mix_doremi",
     // round-10 second wave: SQ8 serving (codes stay a narrow
     // projection of the corpus scan, integer-ADC join broadcasts the
     // query codes, shortlist is a map-side partial top-k, rerank
