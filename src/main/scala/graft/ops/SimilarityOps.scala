@@ -2317,6 +2317,90 @@ object SimilarityOps {
         expr("(n_hit * 1000000) div greatest(n_exact, 1)"))
   }
 
+  /** Sign-bit word width for [[bqTopK]] — 32 bits per packed word
+    * (not 64: a 63-bit shift overflows DuckDB's signed BIGINT, and
+    * two half-words replay exactly in both engines). */
+  val BqWordBits = 32
+
+  /** Sign-bit code words for [[bqTopK]]: bit i of word i/32 is
+    * (v_i > 0) — [[graft.functions.PlaneBandKeys]] with axis-unit
+    * planes, so the packing is the committed LSH kernel with the
+    * identity rotation. dim 64 ⇒ array of exactly 2 longs. */
+  private def bqCodeWords(emb: Column, dim: Int): Column = {
+    val eye = (0 until dim).map(i =>
+      Seq.tabulate(dim)(j => if (i == j) 1.0 else 0.0))
+    graft.functions.VectorFunctions.plane_band_keys(emb, eye, BqWordBits)
+  }
+
+  /** BINARY (sign-bit) QUANTIZATION serving — the cheapest rung of
+    * the quantized-ANN ladder under SQ8/PQ/RQ: 1 bit per dimension
+    * (64-dim float32 → 8 bytes, 32×), candidate distance = Hamming
+    * distance XOR+popcount — the bitwise kernel vector stores ship as
+    * their first-pass filter because it runs at register speed and,
+    * unlike float ADC, is EXACTLY replayable: the whole shortlist
+    * stage is integer (popcount sums, ties by n_id), no IEEE fold
+    * anywhere. Exact-dot rerank of the shortlist restores precision —
+    * the [[sqTopK]] contract at 1/8 its code bytes.
+    *
+    * Scale shape: codes are a narrow projection of the corpus scan
+    * (8 B/vector at rest — a 32× IO cut on the candidate pass); the
+    * Hamming join broadcasts only the query code words; the shortlist
+    * is a map-side partial top-k; the rerank broadcasts the
+    * ≤|Q|·shortlist id set. Nothing corpus-sized shuffles or
+    * broadcasts. Recall is measured, not assumed — [[bqRecall]]. */
+  def bqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      shortlist: Int = PqShortlist, dim: Int = OracleDim): DataFrame = {
+    val codes = embeddings.select(col("vec_id"),
+      bqCodeWords(col("embedding"), dim).as("cw"))
+    val qCodes = codes.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("cw").as("qw"))
+    val nWords = (dim + BqWordBits - 1) / BqWordBits
+    val ham = (0 until nWords).map(i =>
+        expr(s"bit_count(element_at(qw, ${i + 1}) ^ element_at(cw, ${i + 1}))")
+          .cast("long"))
+      .reduce(_ + _)
+    val short = udaf(new graft.functions.TopKSimAgg(shortlist))
+    val cand = codes.select(col("vec_id").as("n_id"), col("cw"))
+      .join(broadcast(qCodes), col("q_id") =!= col("n_id"))
+      .withColumn("ham", ham)
+      .groupBy("q_id")
+      .agg(short(col("n_id"), -col("ham").cast("double")).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+    val corpus = embeddings.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"))
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wRank = Window.partitionBy("q_id")
+      .orderBy(col("dotp").desc, col("n_id").asc)
+    corpus
+      .join(broadcast(cand), "n_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("dotp", dot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("dotp"), 6).as("dotp"))
+  }
+
+  /** Binary-quantization recall audit — the fifth member of the
+    * self-measuring quartet (IVF, near-dup LSH, RQ, SQ): served top-k
+    * vs the exhaustive dot ranking, per query in exact ppm, on the
+    * bounded query batch only. */
+  def bqRecall(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      shortlist: Int = PqShortlist): DataFrame = {
+    val exact = dotTopK(embeddings, queryPred, k)
+    val approx = bqTopK(embeddings, queryPred, k, shortlist)
+      .select(col("q_id").as("q2"), col("n_id").as("n2"))
+    val hits = exact
+      .join(approx, col("q_id") === col("q2") && col("n_id") === col("n2"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm",
+        expr("(n_hit * 1000000) div greatest(n_exact, 1)"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
       bruteForceTopK(e, servingQueryPred(e), k = 10) }),
@@ -2348,6 +2432,11 @@ object SimilarityOps {
       adaptiveTopK(e, servingQueryPred(e)) }),
     "sim_mrl_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
       mrlRecall(e, servingQueryPred(e)) }),
+    // binary-quantization rung: XOR+popcount shortlist, exact rerank
+    "sim_bq_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      bqTopK(e, servingQueryPred(e)) }),
+    "sim_bq_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
+      bqRecall(e, servingQueryPred(e)) }),
     "sim_neardup_recall" -> ((s, d) =>
       nearDupRecall(t(s, d, "embeddings"), dim = OracleDim)),
     "emb_rq_encode" -> ((s, d) => rqEncode(t(s, d, "embeddings"))),
@@ -2656,6 +2745,72 @@ object SimilarityOps {
   /** SQL replay of [[sqTopK]]/[[sqRecall]]: shared quantize → integer
     * ADC → exact-dot rerank CTE chain; `mode = "recall"` appends the
     * exhaustive-dot reference and the per-query ppm compare. */
+  /** SQL replay of [[bqTopK]]/[[bqRecall]]: sign-bit 32-bit code
+    * words → XOR+popcount Hamming shortlist (all-integer ordering) →
+    * exact-dot rerank; `mode = "recall"` appends the exhaustive-dot
+    * reference and the per-query ppm compare (the sqOracle shape). */
+  private def bqOracle(mode: String): String = {
+    def word(lo: Int): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range($lo, ${lo + BqWordBits}),
+         |      i -> CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << (i - $lo))
+         |                ELSE 0::BIGINT END)), (a,b) -> a+b)""".stripMargin
+    val tail = mode match {
+      case "topk" =>
+        s"""SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
+           |  ROUND(dotp, 6) AS dotp
+           |FROM ranked WHERE rank <= 10""".stripMargin
+      case "recall" =>
+        s"""iv AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
+           |exd AS (SELECT qe.vec_id AS q_id, ne.vec_id AS n_id,
+           |    ${sqlDot("qe.embedding", "ne.embedding")} AS dotp
+           |  FROM (SELECT * FROM embeddings WHERE vec_id % $sqlServeMod = 0) qe
+           |  JOIN embeddings ne ON qe.vec_id != ne.vec_id),
+           |ex AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotp DESC, n_id ASC)
+           |        AS rank FROM exd) WHERE rank <= 10),
+           |hits AS (SELECT x.q_id, COUNT(*) AS n_hit
+           |  FROM ex x JOIN iv i ON x.q_id = i.q_id AND x.n_id = i.n_id
+           |  GROUP BY 1),
+           |nex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+           |SELECT n.q_id, CAST(n.n_exact AS BIGINT) AS n_exact,
+           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  CAST(COALESCE(h.n_hit, 0) * 1000000 // GREATEST(n.n_exact, 1)
+           |    AS BIGINT) AS recall_ppm
+           |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin
+    }
+    val glue = if (mode == "recall") "," else ""
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    ${word(0)} AS c0,
+       |    ${word(BqWordBits)} AS c1
+       |  FROM embeddings),
+       |qc AS (SELECT vec_id AS q_id, c0 AS q0, c1 AS q1
+       |       FROM codes WHERE vec_id % $sqlServeMod = 0),
+       |hm AS (
+       |  SELECT qc.q_id, n.vec_id AS n_id,
+       |    CAST(bit_count(xor(qc.q0, n.c0)) AS BIGINT)
+       |      + CAST(bit_count(xor(qc.q1, n.c1)) AS BIGINT) AS ham
+       |  FROM qc JOIN codes n ON qc.q_id != n.vec_id),
+       |sl AS (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ham ASC, n_id ASC)
+       |      AS srn
+       |  FROM hm),
+       |rerank AS (
+       |  SELECT s.q_id, s.n_id,
+       |    ${sqlDot("qe.embedding", "ne.embedding")} AS dotp
+       |  FROM sl s JOIN embeddings qe ON s.q_id = qe.vec_id
+       |  JOIN embeddings ne ON s.n_id = ne.vec_id
+       |  WHERE s.srn <= $PqShortlist),
+       |ranked AS (
+       |  SELECT q_id, n_id, dotp,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotp DESC, n_id ASC)
+       |      AS rank
+       |  FROM rerank)$glue
+       |$tail""".stripMargin
+  }
+
   private def sqOracle(mode: String): String = {
     val tail = mode match {
       case "topk" =>
@@ -3103,6 +3258,8 @@ object SimilarityOps {
     // exhaustive-dot reference and the per-query ppm compare.
     "sim_sq_topk" -> sqOracle("topk"),
     "sim_sq_recall" -> sqOracle("recall"),
+    "sim_bq_topk" -> bqOracle("topk"),
+    "sim_bq_recall" -> bqOracle("recall"),
 
     // Verbatim replay of the k-step MMR greedy: candidate top-C +
     // pair matrix in micro-cosine ints, then one MATERIALIZED CTE per

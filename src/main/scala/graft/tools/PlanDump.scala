@@ -146,6 +146,9 @@ object PlanDump {
     // split (the dedup_cc_groups CC shape + one narrow hash
     // projection — no extra exchange over the groups plan)
     "sim_sq_topk", "sim_sq_recall", "export_shuffle", "split_leakage_safe",
+    // round-11 binary-quantization rung: the SQ plan shape with the
+    // integer ADC replaced by XOR+popcount over two packed words
+    "sim_bq_topk", "sim_bq_recall",
     // MMR: the fixture pins that the per-round greedy joins stay keyed
     // on q_id over shortlist-sized frames — the corpus appears ONLY in
     // the candidate stage

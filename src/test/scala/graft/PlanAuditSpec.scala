@@ -258,6 +258,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // ADC join (q_id != n_id) are both deliberate broadcast-NLJ
       // shapes (RQ's and SQ8's integer-ADC scans are the same idiom)
       "sim_pq_topk", "sim_rq_topk", "sim_sq_topk",
+      // the binary-quantization rung: same broadcast-query-codes
+      // Hamming scan + bounded rerank idiom as the SQ/PQ members
+      "sim_bq_topk", "sim_bq_recall",
       // multi-probe assignment scores every vector against the
       // broadcast K-centroid table (the ivf_topk idiom); DSIR scoring
       // rides a 1-row broadcast weight-array crossJoin
