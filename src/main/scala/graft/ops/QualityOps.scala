@@ -130,6 +130,50 @@ object QualityOps {
   private val ProfileCols =
     Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
 
+  /** POPULATION STABILITY INDEX drift — the second standard drift
+    * metric next to [[driftChi2]] (risk/monitoring stacks report both:
+    * chi² weights absolute count deviation, PSI weights the LOG-RATIO
+    * of the bucket shares, so a bucket going 0.1 % → 1 % of the
+    * distribution screams in PSI and whispers in chi²). Same hashed
+    * token-bucket frame; per bucket
+    * psi_u = (p_cur_ppm − p_ref_ppm) · (l2m(p_cur) − l2m(p_ref)) —
+    * the PSI term in ppm·milli-bits (base-2 PSI scaled 10⁹), exact
+    * integers end to end via the house bit-length log2 ([[TextOps
+    * .sparkL2M]]), shares floored at 1 ppm so every term is log-able.
+    * Both factors always share a sign (l2m is monotone), so every
+    * term is ≥ 0 like the real PSI — and no negative integer division
+    * exists anywhere to desync floor vs truncation.
+    *
+    * Scale shape: identical to chi² — ONE corpus scan into a
+    * ≤nBuckets-row agg; the share/total windows run on that bounded
+    * frame. */
+  def driftPsi(docs: DataFrame, nBuckets: Int = 64,
+      refPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => c % 2 === 0): DataFrame = {
+    import TextOps.{tokens, strHash}
+    val all = WindowUtil.boundedGlobal(col("f"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    docs
+      .select(when(refPred(col("doc_id")), 1L).otherwise(0L).as("is_ref"),
+        explode(transform(tokens(col("text")), x => strHash(x) % nBuckets))
+          .as("f"))
+      .groupBy(col("f"))
+      .agg(sum(col("is_ref")).as("c_ref"),
+        sum(lit(1L) - col("is_ref")).as("c_cur"))
+      .select(col("f"), col("c_ref"), col("c_cur"),
+        sum(col("c_ref")).over(all).as("t_ref"),
+        sum(col("c_cur")).over(all).as("t_cur"))
+      .withColumn("p_ref_ppm",
+        expr("greatest(1L, (c_ref * 1000000) div greatest(t_ref, 1))"))
+      .withColumn("p_cur_ppm",
+        expr("greatest(1L, (c_cur * 1000000) div greatest(t_cur, 1))"))
+      .withColumn("psi_u", expr(
+        s"(p_cur_ppm - p_ref_ppm) * (${TextOps.sparkL2M("p_cur_ppm")}" +
+          s" - ${TextOps.sparkL2M("p_ref_ppm")})"))
+      .select(col("f"), col("c_ref"), col("c_cur"),
+        col("p_ref_ppm"), col("p_cur_ppm"), col("psi_u"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "dq_profile" -> ((s, d) =>
       profile(
@@ -138,6 +182,7 @@ object QualityOps {
         ProfileCols)),
 
     "dq_drift_chi2" -> ((s, d) => driftChi2(t(s, d, "documents"))),
+    "dq_drift_psi" -> ((s, d) => driftPsi(t(s, d, "documents"))),
 
     "dq_violations" -> ((s, d) =>
       checkViolations(
@@ -214,6 +259,38 @@ object QualityOps {
          |    // GREATEST((c_ref * t_cur) // GREATEST(t_ref, 1), 1) AS BIGINT)
          |    AS chi2_ppm
          |FROM w""".stripMargin,
+
+    // driftPsi: the chi2 bucket frame with the log-ratio PSI term in
+    // exact ppm·milli-bits through the bit-length log2
+    "dq_drift_psi" ->
+      s"""WITH tk AS (
+         |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007 % 64 AS f
+         |  FROM (SELECT doc_id,
+         |      unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        x -> x != '')) AS tok
+         |    FROM documents)),
+         |b AS (
+         |  SELECT f, CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+         |    CAST(SUM(1 - is_ref) AS BIGINT) AS c_cur
+         |  FROM tk GROUP BY 1),
+         |w AS (
+         |  SELECT f, c_ref, c_cur,
+         |    CAST(SUM(c_ref) OVER () AS BIGINT) AS t_ref,
+         |    CAST(SUM(c_cur) OVER () AS BIGINT) AS t_cur
+         |  FROM b),
+         |p AS (
+         |  SELECT f, c_ref, c_cur,
+         |    GREATEST(1, (c_ref * 1000000) // GREATEST(t_ref, 1)) AS p_ref_ppm,
+         |    GREATEST(1, (c_cur * 1000000) // GREATEST(t_cur, 1)) AS p_cur_ppm
+         |  FROM w)
+         |SELECT f, c_ref, c_cur,
+         |  CAST(p_ref_ppm AS BIGINT) AS p_ref_ppm,
+         |  CAST(p_cur_ppm AS BIGINT) AS p_cur_ppm,
+         |  CAST((p_cur_ppm - p_ref_ppm)
+         |    * (${TextOps.sqlL2M("p_cur_ppm")} - ${TextOps.sqlL2M("p_ref_ppm")})
+         |    AS BIGINT) AS psi_u
+         |FROM p""".stripMargin,
 
     "dq_violations" ->
       """SELECT 'quantity_positive' AS check_name,

@@ -926,7 +926,7 @@ object TextOps {
     * dynamic-count `shiftright` evaluate identically in Spark and
     * DuckDB for all n ≥ 1, so score comparisons can never be flipped
     * by libm log rounding or float summation order. */
-  private def sparkL2M(x: String): String =
+  private[graft] def sparkL2M(x: String): String =
     s"(1000*(length(bin($x))-1) + shiftright(($x)*1000, length(bin($x))-1) - 1000)"
 
   /** WordPiece merge TRAINING (Schuster & Nakajima 2012) — the THIRD

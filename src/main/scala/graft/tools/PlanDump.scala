@@ -102,7 +102,7 @@ object PlanDump {
     // bounded to the query sample; deliberate BNLJ, name-allowed)
     "txt_perceptron_train", "txt_perceptron_score", "txt_perceptron_pr",
     "bpe_train_merges", "emb_label_prop", "emb_hard_negatives",
-    "emb_outliers", "dq_drift_chi2",
+    "emb_outliers", "dq_drift_chi2", "dq_drift_psi",
     "sim_ivf_recall", "sim_neardup_recall", "sim_rq_recall",
     // round-11 ranking-order audit: the exhaustive truth side is the
     // same bounded-batch BNLJ the recall audits pay; the audited side

@@ -179,6 +179,30 @@ class CurationOpsSpec extends AnyFunSuite {
       "the flooded bucket must dominate the drift statistic")
   }
 
+  test("driftPsi: identical snapshots report zero PSI; every term is " +
+    "non-negative; a share collapse screams where chi2 whispers") {
+    import spark.implicits._
+    val balanced = (0L until 20L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val zero = graft.ops.QualityOps.driftPsi(balanced).collect()
+    assert(zero.nonEmpty)
+    zero.foreach(r => assert(r.getLong(5) == 0L,
+      s"identical shares must score zero PSI: $r"))
+    // the flood shifts every bucket's SHARE (flood inflates t_cur),
+    // so all terms are >= 0 and the flooded bucket dominates
+    val drifted = (0L until 20L).map { i =>
+      if (i % 2 == 1) (i, "alpha beta gamma flood flood flood flood")
+      else (i, "alpha beta gamma")
+    }.toDF("doc_id", "text")
+    val rows = graft.ops.QualityOps.driftPsi(drifted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    rows.foreach(r => assert(r._4 >= 0L,
+      s"PSI terms share a sign by construction: $r"))
+    val top = rows.maxBy(_._4)
+    assert(top._2 == 0L && top._3 == 40L,
+      s"the ref-absent flooded bucket must dominate PSI: $top")
+  }
+
   test("curatePipeline: exact dups collapse BEFORE span sharing is " +
     "derived, short docs drop at the gate, rollup is per-lang exact") {
     import spark.implicits._
