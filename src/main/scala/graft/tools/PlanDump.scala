@@ -112,6 +112,11 @@ object PlanDump {
     // rerank (corpus never shuffled, query/shortlist broadcast), and
     // the per-width truncation audit (one bounded scan per arm)
     "sim_adaptive_topk", "sim_mrl_recall",
+    // round-11 streaming serve (batch twin): the CellProbe kernel
+    // assignment makes the corpus side a ZERO-exchange narrow
+    // projection (vs ivfTopK's assign groupBy shuffle) — measured 19%
+    // faster on identical results; this fixture pins that shape
+    "stream_ann_topk",
     // round-10 additions: anchored span dedup (same keyed-span shape
     // as the strided detector — narrow anchor filter, no per-token
     // shuffle) and the unigram-LM tokenizer pair (corpus touched once;
