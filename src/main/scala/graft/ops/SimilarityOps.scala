@@ -2401,6 +2401,48 @@ object SimilarityOps {
         expr("(n_hit * 1000000) div greatest(n_exact, 1)"))
   }
 
+  /** One measured shortlist configuration for a quantized serving
+    * rung: micro-averaged recall in exact ppm and the rerank cost in
+    * exact-dot evaluations (|Q|·shortlist by construction — the
+    * distance work the rerank stage pays). */
+  case class ShortlistMeasurement(shortlist: Int, recallPpm: Long,
+      rerankRows: Long)
+
+  /** Default shortlist ladder for [[tuneShortlist]]. */
+  val DefaultShortlistGrid: Seq[Int] = Seq(20, 50, 100, 200)
+
+  /** Closed-loop SHORTLIST tuner for the quantized serving rungs —
+    * completes the tuner discipline across the ladder ([[tuneIvf]]
+    * sizes cells/probes, [[tuneLsh]] sizes bands, this sizes the one
+    * knob the BQ/SQ/PQ/RQ rungs share): run the rung's own recall
+    * audit per grid point and return the CHEAPEST shortlist meeting
+    * the recall SLO, or None — "grow the grid", never silent
+    * best-effort. The audit argument is the committed recall operator
+    * itself ([[bqRecall]] by default, [[sqRecall]] etc. fit the same
+    * shape), so a drifted reimplementation cannot tune a different
+    * serving path than ships. Recall is monotone in the shortlist
+    * (a longer shortlist is a superset before an exact rerank), so
+    * the first grid point to pass is the optimum within the grid —
+    * spec-pinned. */
+  def tuneShortlist(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      recallSlo: Double = 0.8,
+      grid: Seq[Int] = DefaultShortlistGrid,
+      audit: (DataFrame, Column, Int, Int) => DataFrame =
+        (e, p, kk, sl) => bqRecall(e, p, kk, sl)):
+      (Option[ShortlistMeasurement], Seq[ShortlistMeasurement]) = {
+    val nQ = embeddings.filter(queryPred).count()
+    val measured = grid.map { sl =>
+      val rec = audit(embeddings, queryPred, k, sl)
+        .agg(sum("n_hit").as("h"), sum("n_exact").as("e")).collect()(0)
+      val recallPpm = rec.getLong(0) * 1000000L / math.max(rec.getLong(1), 1L)
+      ShortlistMeasurement(sl, recallPpm, nQ * sl)
+    }
+    val sloPpm = math.round(recallSlo * 1000000L)
+    val chosen = measured.filter(_.recallPpm >= sloPpm)
+      .sortBy(m => (m.rerankRows, m.shortlist)).headOption
+    (chosen, measured)
+  }
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
       bruteForceTopK(e, servingQueryPred(e), k = 10) }),

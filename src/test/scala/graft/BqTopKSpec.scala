@@ -73,6 +73,25 @@ class BqTopKSpec extends AnyFunSuite {
     assert(audit.count() == emb.filter(pred).count())
   }
 
+  test("tuneShortlist: recall monotone in the shortlist; picks the cheapest " +
+    "grid point meeting the SLO; impossible SLO returns None, never best-effort") {
+    val n = emb.count().toInt
+    val (chosen, measured) = SimilarityOps.tuneShortlist(emb, pred,
+      recallSlo = 0.7, grid = Seq(10, 50, n))
+    val byGrid = measured.sortBy(_.shortlist).map(_.recallPpm)
+    assert(byGrid.zip(byGrid.tail).forall { case (a, b) => a <= b },
+      s"a longer shortlist is a superset before an exact rerank: $measured")
+    assert(measured.last.recallPpm == 1000000L,
+      "a corpus-wide shortlist must audit exact")
+    assert(chosen.isDefined && chosen.get.recallPpm >= 700000L)
+    assert(measured.filter(_.recallPpm >= 700000L)
+      .minBy(_.shortlist).shortlist == chosen.get.shortlist,
+      "chosen must be the cheapest passing grid point")
+    val (none, _) = SimilarityOps.tuneShortlist(emb, pred,
+      recallSlo = 1.1, grid = Seq(10, 50))
+    assert(none.isEmpty, "an unmeetable SLO must return None")
+  }
+
   test("recall@10 at the default shortlist, measured") {
     val served = SimilarityOps.bqTopK(emb, pred, k = 10)
       .select("q_id", "n_id")
