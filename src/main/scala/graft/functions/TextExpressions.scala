@@ -100,6 +100,66 @@ object TextKernel {
   }
 }
 
+/** cdc_chunks(text) → array<struct<n_toks, chunk_md5>> of
+  * CONTENT-DEFINED chunks (the LBFS/FastCDC idea at token
+  * granularity): a chunk closes after any token whose
+  * [[TextKernel.md5Mod]] hash ≡ 0 (mod `mod`) — boundaries are a
+  * function of LOCAL content, so inserting or deleting a token
+  * re-synchronizes the chunking after one boundary instead of
+  * shifting every downstream chunk the way fixed-width chunking
+  * does. That re-synchronization is why storage/transfer dedup
+  * (backup systems, crawl snapshot stores) chunk this way: repeated
+  * chunks across near-identical documents hash identically and
+  * dedup at rest. Expected chunk length = `mod` tokens. One pass,
+  * no explode; zero-token docs chunk to an empty array. */
+case class CdcChunks(child: Expression, mod: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(mod > 0)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n_toks", IntegerType, nullable = false),
+    StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  private def md5Hex(s: String): UTF8String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(Array.empty[Any])
+    val w = TextKernel.tokens(v.asInstanceOf[UTF8String])
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val cur = new java.lang.StringBuilder
+    var n = 0
+    def close(): Unit = if (n > 0) {
+      chunks += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, md5Hex(cur.toString)))
+      cur.setLength(0); n = 0
+    }
+    var i = 0
+    while (i < w.length) {
+      if (n > 0) cur.append(' ')
+      cur.append(w(i)); n += 1
+      if (TextKernel.md5Mod(w(i)) % mod == 0) close()
+      i += 1
+    }
+    close()
+    new GenericArrayData(chunks.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** shingle_hashes(text) → array<long> of distinct word-3-gram hashes. */
 case class ShingleHashes(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -481,4 +541,6 @@ object TextNative {
   def feature_counts(text: Column, nFeatures: Int): Column =
     toCol(FeatureCounts(toExpr(text), nFeatures))
   def entropy_stats(text: Column): Column = toCol(EntropyStats(toExpr(text)))
+  def cdc_chunks(text: Column, mod: Int): Column =
+    toCol(CdcChunks(toExpr(text), mod))
 }

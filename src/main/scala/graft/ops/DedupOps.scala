@@ -610,6 +610,42 @@ object DedupOps {
         col("first_event_id"))
   }
 
+  /** Expected chunk length in tokens for [[cdcChunks]] (the boundary
+    * hash fires with probability 1/mod per token). */
+  val CdcMod = 8
+
+  /** CONTENT-DEFINED CHUNKING — the STORAGE-dedup member of the dedup
+    * family (LBFS/FastCDC at token granularity, via the
+    * [[graft.functions.CdcChunks]] kernel): a chunk closes after any
+    * token whose content hash ≡ 0 (mod [[CdcMod]]), so boundaries are
+    * a function of local content and an insertion/deletion
+    * re-synchronizes the chunking at the next boundary — repeated
+    * regions across near-identical documents (crawl snapshots, backup
+    * generations) produce IDENTICAL chunk hashes and dedup at rest,
+    * where fixed-width chunking would shift every downstream chunk.
+    * Emits one row per chunk with its md5 and the cross-corpus
+    * sharing count (how many distinct docs carry this exact chunk —
+    * the dedup-at-rest savings table).
+    *
+    * Scale shape: the chunker is a one-pass narrow kernel (no
+    * per-token explode or window — the chunk array comes out of the
+    * main scan); the sharing rollup is one chunk-hash-keyed agg with
+    * map-side combine plus one equi-join back. */
+  def cdcChunks(docs: DataFrame, mod: Int = CdcMod,
+      textCol: String = "text"): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextNative.cdc_chunks(col(textCol), mod)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.n_toks").cast("long").as("n_toks"),
+        col("col.chunk_md5").as("chunk_md5"))
+    val share = ch.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+    ch.join(share, Seq("chunk_md5"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
+        col("chunk_md5"), col("n_docs_sharing"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -630,6 +666,7 @@ object DedupOps {
     "dedup_span_anchored" -> ((s, d) => spanDupsAnchored(t(s, d, "documents"))),
     "dedup_span_remove" -> ((s, d) => spanRemove(t(s, d, "documents"))),
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(t(s, d, "documents"))),
+    "dedup_cdc_chunks" -> ((s, d) => cdcChunks(t(s, d, "documents"))),
     "dedup_incr_bloom" -> ((s, d) => incrementalNovelPairs(t(s, d, "events"))),
     // deterministic eval split (doc_id % 50) stands in for the
     // benchmark corpus; every 49/50 "train" doc is probed against it
@@ -720,6 +757,39 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // cdcChunks: token-ordinal replay of the kernel — boundary AFTER
+    // a hash-zero token, chunk index = boundaries strictly before,
+    // chunk md5 over the space-rejoined tokens, sharing rollup
+    "dedup_cdc_chunks" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, i, toks[i] AS tok
+         |  FROM (SELECT doc_id,
+         |      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        x -> x != '') AS toks
+         |    FROM documents),
+         |    unnest(range(1, len(toks) + 1)) AS t(i)),
+         |b AS (
+         |  SELECT doc_id, i, tok,
+         |    CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT
+         |      % $HashMod % $CdcMod = 0 THEN 1 ELSE 0 END AS brk
+         |  FROM tk),
+         |cix AS (
+         |  SELECT doc_id, i, tok,
+         |    COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+         |  FROM b),
+         |ch AS (
+         |  SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
+         |    CAST(COUNT(1) AS BIGINT) AS n_toks,
+         |    md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+         |  FROM cix GROUP BY doc_id, cidx),
+         |sh AS (SELECT chunk_md5,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
+         |  FROM ch GROUP BY 1)
+         |SELECT ch.doc_id, ch.chunk_idx, ch.n_toks, ch.chunk_md5,
+         |  sh.n_docs_sharing
+         |FROM ch JOIN sh USING (chunk_md5)""".stripMargin,
+
     "dedup_winnow_pairs" ->
       s"""$sqlWinnow,
          |sizes AS (SELECT doc_id, COUNT(1) AS n_fp FROM fps GROUP BY 1),

@@ -122,6 +122,10 @@ object PlanDump {
     // shuffle) and the unigram-LM tokenizer pair (corpus touched once;
     // EM rounds vocab-bound; encode a pure narrow projection)
     "dedup_span_anchored", "unigram_train", "txt_unigram_corpus",
+    // round-11 content-defined chunking: the chunk array must come
+    // out of the ONE narrow kernel scan (no per-token explode or
+    // doc-keyed window) — only the sharing rollup exchanges
+    "dedup_cdc_chunks",
     // round-11 WordPiece: the corpus encode's value is the train-then-
     // apply shape — one narrow zero-exchange scan through the greedy
     // longest-match kernel (the trainer's own plan is literal rows)
