@@ -223,6 +223,97 @@ object CurationOps {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
   }
 
+  /** DATA-CONSTRAINED epoch planning (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): given a token
+    * budget of `budgetMult` × the corpus and a repetition cap of
+    * `maxEpochs` (their ~4-epoch "repeating is almost as good as new
+    * data" knee), allocate training tokens per domain. Target weights
+    * are a τ = ½ temperature mixture (w_d ∝ T_d², ppm-quantized) —
+    * the shape that OVERsamples large domains, so the epoch cap
+    * genuinely binds on them; capped domains' surplus is redistributed
+    * to uncapped domains proportional to their available tokens in a
+    * second waterfall round, then re-capped. All arithmetic exact
+    * integer (truncating div both engines): weight_ppm =
+    * (T_d²·10⁶) div ΣT², round-1 alloc = min((B·w) div 10⁶, E·T_d),
+    * leftover = B − Σ, round-2 add = (leftover·T_d) div ΣT_uncapped.
+    * Floor-division residue stays deliberately unallocated.
+    *
+    * Exactness bound: T_d²·10⁶ needs T_d < 3·10⁶ tokens per domain to
+    * stay in int64 — fine here because the τ-weight DERIVATION is the
+    * demo stand-in; a production planner takes weight_ppm as an input
+    * column (from mix_temperature / mix_doremi, both already ppm), and
+    * everything downstream of the weights is O(B·10⁶) « 2⁶³.
+    *
+    * Shape at scale: ONE corpus scan into a source-keyed token-count
+    * agg (map-side combine); every subsequent step operates on the
+    * domain table (tens of rows), reused via lazy localCheckpoint so
+    * the waterfall's three passes over it cannot re-trigger the scan.
+    * The two totals rides are tiny single-row broadcasts. */
+  val EpochBudgetMult = 4L
+  val EpochMax = 4L
+
+  def epochPlan(docs: DataFrame, budgetMult: Long = EpochBudgetMult,
+      maxEpochs: Long = EpochMax): DataFrame = {
+    val per = docs.groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("avail"))
+      .localCheckpoint(eager = false)
+    // waterfall scalars collect driver-side (ΣT, ΣT², Σa1, ΣT_uncapped
+    // are single rows — the bm25/perceptron train-then-apply pattern;
+    // a 1-row crossJoin would constant-fold into a nested-loop join,
+    // which the plan audit rightly rejects)
+    val tot = per.agg(sum("avail"), sum(col("avail") * col("avail"))).first()
+    val (tTotal, tSq) = (tot.getLong(0), math.max(tot.getLong(1), 1L))
+    val budget = tTotal * budgetMult
+    val r1 = per
+      .withColumn("weight_ppm", expr(s"(avail * avail * 1000000) div ${tSq}L"))
+      .withColumn("cap", col("avail") * maxEpochs)
+      .withColumn("a1",
+        least(expr(s"(${budget}L * weight_ppm) div 1000000"), col("cap")))
+      .localCheckpoint(eager = false)
+    val l = r1.agg(sum("a1"),
+      sum(when(col("a1") < col("cap"), col("avail")).otherwise(0L))).first()
+    val leftover = budget - l.getLong(0)
+    val tUnc = math.max(l.getLong(1), 1L)
+    r1.withColumn("a2", least(
+        col("a1") + when(col("a1") < col("cap"),
+          expr(s"(${leftover}L * avail) div ${tUnc}L")).otherwise(0L),
+        col("cap")))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("weight_ppm"), col("a2").as("alloc_tokens"),
+        expr("(a2 * 1000000) div greatest(avail, 1)").as("epochs_ppm"),
+        (col("a2") === col("cap")).as("capped"))
+  }
+
+  /** EPOCH MATERIALIZATION — [[epochPlan]]'s allocation turned into an
+    * actual repeated-document stream: each domain's epochs_ppm becomes
+    * per-doc copy counts via the [[mixUpsample]] discipline (whole
+    * epochs for everyone + a hash-selected fractional remainder, so a
+    * doc's fate is a pure function of its id — partitioning-, retry-
+    * and scale-independent). The two stages compose as ONE plan: the
+    * domain table (tens of rows) broadcasts onto the corpus scan, the
+    * copy explode is narrow, and nothing shuffles at corpus volume —
+    * the planner's one source-keyed agg is the only exchange.
+    *
+    * Fractional rule in exact integer basis points: frac_bp =
+    * (epochs_ppm mod 10⁶) div 100, select iff bucket10k(doc) <
+    * frac_bp — E[extra copies per domain] = frac · n_docs, making the
+    * materialized token mass ≈ alloc_tokens (spec-measured). */
+  def epochMaterialize(docs: DataFrame, budgetMult: Long = EpochBudgetMult,
+      maxEpochs: Long = EpochMax): DataFrame = {
+    val plan = epochPlan(docs, budgetMult, maxEpochs)
+      .select(col("source"), col("epochs_ppm"))
+    docs.join(broadcast(plan), "source")
+      .withColumn("n_copies",
+        expr("epochs_ppm div 1000000") +
+          when(bucket10k(col("doc_id"), "epoch:") <
+            expr("(epochs_ppm % 1000000) div 100"), 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   // ----------------------------------------------- export sharding
 
   /** Deterministic training-export sharding: shard = hash(doc_id) mod
@@ -282,6 +373,41 @@ object CurationOps {
     docs.select(col("doc_id"), feistelPerm(maxDocId(docs)).as("perm"))
       .withColumn("shard", (col("perm") % nShards).cast("int"))
       .withColumn("pos", row_number().over(part).cast("long"))
+  }
+
+  /** Packed-sequence training export — the loader-facing manifest that
+    * composes [[feistelShuffle]]'s global bijection with
+    * [[TextOps.packDocs]]'s greedy fixed-budget rule as ONE plan: docs
+    * land in `nShards` independent shards in Feistel order (i.i.d.-like
+    * stream, reproducible), and within a shard consecutive docs pack
+    * into `budget`-token training sequences — each doc gets its
+    * (shard, seq_id, offset), exactly what a sequence-packing loader
+    * needs to materialize fixed-length batches without padding waste
+    * (a doc straddling a boundary starts at `offset` and spills into
+    * the next sequence — the loader's split is `seq_id·budget +
+    * offset` arithmetic, no re-scan). Invariant: `seq_id·budget +
+    * offset = cum_tokens_before(doc within shard)` — spec-pinned.
+    *
+    * Shape at scale: permutation + token count are one narrow
+    * zero-shuffle scan; the single exchange is the shard hash
+    * partition; per-shard running sums are independent in-partition
+    * windows over W/nShards keys — never a global sort, same contract
+    * as [[exportShards]]. */
+  def exportPackedSequences(docs: DataFrame, nShards: Int = 16,
+      budget: Long = 512L): DataFrame = {
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("perm").asc)
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        feistelPerm(maxDocId(docs)).as("perm"))
+      .withColumn("shard", (col("perm") % nShards).cast("int"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(
+        part.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        expr(s"cum_before div $budget").as("seq_id"),
+        (col("cum_before") % budget).as("offset"))
   }
 
   /** One metadata-answerable max() action fixing the Feistel domain. */
@@ -615,9 +741,16 @@ object CurationOps {
 
     "mix_temperature" -> ((s, d) => mixTemperature(t(s, d, "documents"))),
 
+    "mix_epoch_plan" -> ((s, d) => epochPlan(t(s, d, "documents"))),
+
+    "mix_epoch_materialize" -> ((s, d) => epochMaterialize(t(s, d, "documents"))),
+
     "export_shards" -> ((s, d) => exportShards(t(s, d, "documents"))),
 
     "export_shuffle" -> ((s, d) => feistelShuffle(t(s, d, "documents"))),
+
+    "export_packed_sequences" -> ((s, d) =>
+      exportPackedSequences(t(s, d, "documents"))),
 
     "curate_curriculum" -> ((s, d) => curateCurriculum(t(s, d, "documents"))),
 
@@ -766,6 +899,38 @@ object CurationOps {
         .select("user_id", "item")))
   )
 
+  /** [[epochPlan]]'s waterfall as a reusable CTE chain ending at `r2`
+    * (source, avail, weight_ppm, cap, a2) — shared by the plan oracle
+    * and the materializer oracle so the two can never desync. */
+  private def epochPlanCtes: String =
+    s"""per AS (
+       |  SELECT source, CAST(SUM(len($sqlToks)) AS BIGINT) AS avail
+       |  FROM documents GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(avail) AS BIGINT) AS t_total,
+       |    CAST(SUM(avail * avail) AS BIGINT) AS t_sq
+       |  FROM per),
+       |r1 AS (
+       |  SELECT source, avail,
+       |    t_total * $EpochBudgetMult AS budget,
+       |    (avail * avail * 1000000) // t_sq AS weight_ppm,
+       |    avail * $EpochMax AS cap
+       |  FROM per, tot),
+       |r1b AS (
+       |  SELECT *, LEAST((budget * weight_ppm) // 1000000, cap) AS a1
+       |  FROM r1),
+       |l AS (
+       |  SELECT CAST(SUM(a1) AS BIGINT) AS sum_a1,
+       |    CAST(SUM(CASE WHEN a1 < cap THEN avail ELSE 0 END) AS BIGINT)
+       |      AS t_unc
+       |  FROM r1b),
+       |r2 AS (
+       |  SELECT source, avail, weight_ppm, cap,
+       |    LEAST(a1 + CASE WHEN a1 < cap
+       |      THEN ((budget - sum_a1) * avail) // GREATEST(t_unc, 1)
+       |      ELSE 0 END, cap) AS a2
+       |  FROM r1b, l)""".stripMargin
+
   private val sqlToks =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
 
@@ -860,6 +1025,36 @@ object CurationOps {
          |  FROM meta) s
          |WHERE cum_before < (CASE lang $sqlMixBudgetCase ELSE 0 END)""".stripMargin,
 
+    // epochPlan: exact-integer two-round waterfall replay — τ=½ ppm
+    // weights, per-round LEAST against the epoch cap, truncating divs
+    "mix_epoch_plan" ->
+      s"""WITH $epochPlanCtes
+         |SELECT source, avail AS avail_tokens, weight_ppm,
+         |  a2 AS alloc_tokens,
+         |  (a2 * 1000000) // GREATEST(avail, 1) AS epochs_ppm,
+         |  (a2 = cap) AS capped
+         |FROM r2""".stripMargin,
+
+    // epochMaterialize: the same waterfall CTEs feeding the
+    // mix_upsample copy rule (whole epochs + md5-bucket fractional)
+    "mix_epoch_materialize" ->
+      s"""WITH $epochPlanCtes,
+         |eppm AS (
+         |  SELECT source, (a2 * 1000000) // GREATEST(avail, 1) AS epochs_ppm
+         |  FROM r2),
+         |cnt AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |    epochs_ppm // 1000000 +
+         |    (CASE WHEN ('0x' || substr(md5('epoch:' || d.doc_id::VARCHAR),
+         |        1, 15))::BIGINT % $HashMod % 10000
+         |        < (epochs_ppm % 1000000) // 100
+         |     THEN 1 ELSE 0 END) AS n_copies
+         |  FROM documents d JOIN eppm USING (source))
+         |SELECT doc_id, source, n_tokens, n_copies, t.c AS copy
+         |FROM cnt, unnest(range(1, n_copies + 1)) AS t(c)
+         |WHERE n_copies >= 1""".stripMargin,
+
     "mix_temperature" ->
       s"""WITH tk AS (
          |  SELECT lang, doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tok
@@ -904,6 +1099,25 @@ object CurationOps {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY perm % 16 ORDER BY perm ASC)
          |    AS BIGINT) AS pos
          |FROM pm""".stripMargin,
+
+    // exportPackedSequences: the same Feistel chain + per-shard
+    // running token sums, split into (seq_id, offset) by the budget
+    "export_packed_sequences" ->
+      s"""WITH ${feistelCtes("documents")},
+         |m AS (
+         |  SELECT d.doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |    pm.perm
+         |  FROM documents d JOIN pm USING (doc_id)),
+         |s AS (
+         |  SELECT doc_id, n_tokens, CAST(perm % 16 AS INT) AS shard,
+         |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY perm % 16
+         |      ORDER BY perm ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cum_before
+         |  FROM m)
+         |SELECT doc_id, n_tokens, shard,
+         |  cum_before // 512 AS seq_id, cum_before % 512 AS offset
+         |FROM s""".stripMargin,
 
     // curateCurriculum: the txt_entropy CTEs (difficulty) joined to the
     // Feistel permutation (intra-band order), banded by absolute

@@ -646,6 +646,52 @@ object DedupOps {
         col("chunk_md5"), col("n_docs_sharing"))
   }
 
+  /** Top duplicated n-grams — the MEMORIZATION-RISK monitor table
+    * (Carlini et al. 2022: sequences repeated across many documents
+    * are the ones a model regurgitates verbatim; Lee et al. 2021
+    * report them as the substring-dedup hit list). Returns the top-k
+    * n-grams by cross-document spread: (gram text, gram hash, number
+    * of DISTINCT docs containing it, total occurrences), only grams
+    * seen in ≥ 2 docs, ordered (n_docs DESC, n_occ DESC, hash ASC) so
+    * the LIMIT boundary is deterministic under ties.
+    *
+    * Shape at scale — two passes so gram TEXT never shuffles:
+    * pass 1 explodes every position into a 16-byte md5 only and
+    * aggregates (hash → distinct docs, occurrences) with map-side
+    * combine; the top-k is a `limit` over that (already
+    * vocabulary-sized) table — Spark plans it TakeOrderedAndProject,
+    * map-side partial top-k, k rows to the driver. Pass 2 re-derives
+    * grams WITH their text in the scan projection and broadcast-joins
+    * the k winning hashes, so the full gram strings (n× the token
+    * stream) exist only transiently inside the scan stage and k rows
+    * of them survive. No corpus-volume string shuffle anywhere. */
+  val TopNgramN = 8
+  val TopNgramK = 20
+
+  def topDupNgrams(docs: DataFrame, textCol: String = "text",
+      n: Int = TopNgramN, k: Int = TopNgramK): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val nToks = size(col("toks")).cast("long")
+    val starts = when(nToks >= n, sequence(lit(1L), nToks - (n - 1)))
+      .otherwise(array().cast("array<bigint>"))
+    def gramAt(s: Column): Column =
+      array_join(slice(col("toks"), s.cast("int"), lit(n)), " ")
+    val hashes = tk.select(col("doc_id"),
+      explode(transform(starts, s => md5(gramAt(s)))).as("gram_h"))
+    val top = hashes.groupBy("gram_h")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram_h").asc)
+      .limit(k)
+    val gramsTxt = tk
+      .select(explode(transform(starts, s => gramAt(s))).as("gram"))
+      .select(md5(col("gram")).as("gram_h"), col("gram"))
+    gramsTxt.join(broadcast(top), Seq("gram_h"))
+      .groupBy("gram_h", "n_docs", "n_occ")
+      .agg(min(col("gram")).as("gram"))
+      .select(col("gram"), col("gram_h"), col("n_docs"), col("n_occ"))
+  }
+
   // ------------------------------------------------------------ queries
 
   type QFn = (SparkSession, String) => DataFrame
@@ -667,6 +713,7 @@ object DedupOps {
     "dedup_span_remove" -> ((s, d) => spanRemove(t(s, d, "documents"))),
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(t(s, d, "documents"))),
     "dedup_cdc_chunks" -> ((s, d) => cdcChunks(t(s, d, "documents"))),
+    "dedup_top_ngrams" -> ((s, d) => topDupNgrams(t(s, d, "documents"))),
     "dedup_incr_bloom" -> ((s, d) => incrementalNovelPairs(t(s, d, "events"))),
     // deterministic eval split (doc_id % 50) stands in for the
     // benchmark corpus; every 49/50 "train" doc is probed against it
@@ -757,6 +804,33 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // topDupNgrams: every n-gram start, hash-keyed spread counts,
+    // deterministic top-k (n_docs DESC, n_occ DESC, gram_h ASC)
+    "dedup_top_ngrams" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x != '') AS toks
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks,
+         |    unnest(CASE WHEN len(toks) >= $TopNgramN
+         |      THEN range(1, len(toks) - ${TopNgramN - 2})
+         |      ELSE []::BIGINT[] END) AS s
+         |  FROM tk),
+         |g AS (
+         |  SELECT doc_id,
+         |    array_to_string(toks[s : s + ${TopNgramN - 1}], ' ') AS gram
+         |  FROM st),
+         |c AS (
+         |  SELECT md5(gram) AS gram_h,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    COUNT(1)::BIGINT AS n_occ, MIN(gram) AS gram
+         |  FROM g GROUP BY 1
+         |  HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT gram, gram_h, n_docs, n_occ FROM c
+         |ORDER BY n_docs DESC, n_occ DESC, gram_h ASC LIMIT $TopNgramK""".stripMargin,
+
     // cdcChunks: token-ordinal replay of the kernel — boundary AFTER
     // a hash-zero token, chunk index = boundaries strictly before,
     // chunk md5 over the space-rejoined tokens, sharing rollup

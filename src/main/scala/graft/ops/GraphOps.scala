@@ -346,6 +346,28 @@ object GraphOps {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Quality-aware keeper — the "keep the BEST duplicate" rule real
+    // curation uses (CCNet/RefinedWeb keep the longest/most complete
+    // copy of a near-dup cluster, not the lowest id): keeper =
+    // argmax(n_tokens, tie → min doc_id) per CC component. One keyed
+    // max(struct) agg on top of the committed CC derivation — the
+    // quality column rides the existing node join, no new
+    // corpus-volume exchange.
+    "dedup_cc_keep_longest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = DedupOps.lshCandidatePairs(docs).toDF("src", "dst")
+      val cc = connectedComponents(docs.select(col("doc_id").as("node")),
+        edges, edgesUnique = true)
+      cc.join(docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+          col("node") === col("doc_id"))
+        .groupBy("comp")
+        .agg(count(lit(1)).as("comp_size"),
+          max(struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("b"))
+        .select((-col("b.nid")).as("doc_id"), col("comp"),
+          col("comp_size"), col("b.n_tokens").as("n_tokens"))
+    }),
+
     // embedding-space analogue of dedup_cc_keep: cosine near-dup PAIRS
     // (hashed-plane LSH gate + exact rerank) become transitive groups,
     // keeper = min vec_id — the canonical corpus after semantic dedup.
@@ -457,6 +479,36 @@ object GraphOps {
          |SELECT d.doc_id, d.lang, d.source
          |FROM comp c JOIN documents d ON c.node = d.doc_id
          |WHERE c.node = c.comp""".stripMargin
+    },
+
+    // the same CC chain, keeper = longest (tie → lowest id) per comp
+    "dedup_cc_keep_longest" -> {
+      val pairsSql = DedupOps.oracle("dedup_lsh_pairs")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION
+         |  SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (
+         |  SELECT node, MIN(r) AS comp FROM reach GROUP BY 1),
+         |lens AS (
+         |  SELECT c.node, c.comp,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(d.text)),
+         |      '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+         |  FROM comp c JOIN documents d ON c.node = d.doc_id),
+         |rk AS (
+         |  SELECT node, comp, n_tokens,
+         |    COUNT(1) OVER (PARTITION BY comp) AS comp_size,
+         |    ROW_NUMBER() OVER (PARTITION BY comp
+         |      ORDER BY n_tokens DESC, node ASC) AS rn
+         |  FROM lens)
+         |SELECT node AS doc_id, comp, CAST(comp_size AS BIGINT) AS comp_size,
+         |  n_tokens
+         |FROM rk WHERE rn = 1""".stripMargin
     },
 
     // Capstone composition: the CC/split CTEs verbatim, then the

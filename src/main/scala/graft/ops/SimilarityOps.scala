@@ -956,6 +956,54 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Scatter-gather QUERY ROUTER — the shard-routing table a
+    * distributed vector store computes before fan-out: per serving
+    * query, its nProbe best cells under EXACTLY [[ivfTopK]]'s probe
+    * conventions (same centroids, cosine, tie-breaks), each annotated
+    * with the cell's member count from the index manifest (the
+    * `serve_index_build` cell layout) and the running candidate total
+    * — the per-query cost budget the router enforces ("stop probing
+    * once cum_candidates clears the rerank budget") and the per-cell
+    * fan-out load a capacity planner reads off the other axis.
+    *
+    * Shape at scale: centroids broadcast (K rows); the cell-size
+    * manifest is the one corpus-keyed agg (reused from the index
+    * build in production — here derived in-plan so the query is
+    * self-contained); probing is |Q|·K rows through a bounded
+    * per-query window; the manifest joins back as a broadcast of K
+    * rows. The corpus itself is never shuffled — the router costs
+    * O(|Q|·K + corpus scan), independent of what the gathers later
+    * pay. */
+  def queryRouter(embeddings: DataFrame, queryPred: Column,
+      nCentroids: Int = IvfCentroids, nProbe: Int = IvfProbe): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+      .filter(definedNrm(col("nrm")))
+    val cellSizes = assignBest(vecs, cents, struct(col("cid")))
+      .select(col("best.cid").as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("cell_n_vecs"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("c_sim").desc, col("cid").asc)
+    val wCum = Window.partitionBy("q_id").orderBy("probe_rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vecs.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("c_sim",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .join(broadcast(cellSizes), Seq("cid"))
+      .withColumn("cum_candidates", sum("cell_n_vecs").over(wCum))
+      .select(col("q_id"), col("probe_rank").cast("long").as("probe_rank"),
+        col("cid"), col("cell_n_vecs"), col("cum_candidates"))
+  }
+
   /** The IVF candidate-generation front end shared by [[ivfTopK]] and
     * the [[tuneIvf]] cost meter: (corpus cell assignment, probed cells
     * per query). Shared so the tuner's cost metric counts EXACTLY the
@@ -2459,6 +2507,8 @@ object SimilarityOps {
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "mix_cluster_cap" -> ((s, d) => clusterCap(t(s, d, "embeddings"))),
     "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
+    "serve_query_router" -> ((s, d) => { val e = t(s, d, "embeddings")
+      queryRouter(e, servingQueryPred(e)) }),
     "serve_index_append" -> ((s, d) => indexAppend(t(s, d, "embeddings"))),
     "emb_semdedup_recall" -> ((s, d) => semDedupRecall(t(s, d, "embeddings"))),
     "emb_kmeans_fixed" -> ((s, d) => kmeansFixed(t(s, d, "embeddings"))),
@@ -3486,6 +3536,34 @@ object SimilarityOps {
          |  CAST(SUM(hit) AS BIGINT) AS n_found,
          |  CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
          |FROM j GROUP BY 1""".stripMargin,
+
+    // queryRouter: the committed IVF assignment/probe CTE conventions,
+    // rolled to cell sizes + per-query probe ranking + running cost
+    "serve_query_router" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $IvfCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |sizes AS (
+         |  SELECT cid, COUNT(1)::BIGINT AS cell_n_vecs
+         |  FROM asg0 WHERE rn = 1 GROUP BY 1),
+         |prb0 AS (
+         |  SELECT q.vec_id AS q_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDot("q.emb", "cent.c_emb")} / (q.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0) q, cent),
+         |prb AS (SELECT q_id, cid, rn FROM prb0 WHERE rn <= $IvfProbe)
+         |SELECT q_id, CAST(rn AS BIGINT) AS probe_rank, cid, cell_n_vecs,
+         |  CAST(SUM(cell_n_vecs) OVER (PARTITION BY q_id ORDER BY rn)
+         |    AS BIGINT) AS cum_candidates
+         |FROM prb JOIN sizes USING (cid)""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""WITH e AS (

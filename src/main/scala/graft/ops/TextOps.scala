@@ -1091,6 +1091,55 @@ object TextOps {
       .select(col("doc_id"), col("dl"), col("n_hit_terms"), col("score_u"))
   }
 
+  /** Inverted-index BUILD — the text-serving artifact [[bm25TopDocs]]
+    * assumes already exists, made explicit as one composed plan (the
+    * lexical sibling of the vector side's `serve_index_build`): per
+    * term, the document frequency, collection frequency, the top
+    * posting by tf (tie → lowest doc_id — the head entry an
+    * impact-ordered / WAND-style postings layout stores first so
+    * scorers can early-terminate), and the exact integer BM25
+    * idf_milli — the SAME `((2N−2df+1)·1000) div (2df+1)` formula
+    * [[bm25TopDocs]] computes at query time, so an index built here
+    * and a live query can never disagree on a term weight.
+    *
+    * Shape at scale: the explode reaches the first shuffle already
+    * keyed (term, doc_id) with map-side combine — corpus token volume
+    * is paid exactly once and carries only (term, id, partial count);
+    * the per-term rollup is vocabulary-sized (Heaps-sublinear in the
+    * corpus), and the top posting rides that same keyed agg as a
+    * `max(struct(tf, −doc_id))` — no per-term window over the
+    * postings, no second corpus scan. N is the one driver-side scalar
+    * (train-then-apply discipline, as in [[bm25TopDocs]]). */
+  def textIndexBuild(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nDocs = docs.count()
+    val postings = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    postings.groupBy("term").agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        max(struct(col("tf"), (-col("doc_id")).as("nid"))).as("_top"))
+      .select(col("term"), col("df"), col("cf"),
+        (-col("_top.nid")).as("top_doc_id"), col("_top.tf").as("top_tf"),
+        expr(s"((2 * ${nDocs}L - 2 * df + 1) * 1000) div (2 * df + 1)")
+          .as("idf_milli"))
+  }
+
+  /** Per-document Gopher keep decision — [[gopherGate]]'s rule flags
+    * WITHOUT the source rollup: a stateless narrow projection, which
+    * makes it the STREAMING-legal form of the quality gate (no agg, no
+    * watermark, no state — `readStream → this → writeStream` append
+    * works unchanged; StreamQualityGateSpec pins stream ≡ batch across
+    * micro-batches). The batch twin here shares [[gopherFlags]] with
+    * the rollup monitor and [[qualityEnsemble]], so the three surfaces
+    * apply the IDENTICAL rules by construction. */
+  def gopherKeep(docs: DataFrame, textCol: String = "text"): DataFrame =
+    gopherFlags(docs, textCol)
+      .select(col("doc_id"), col("r_words"), col("r_wlen"),
+        col("r_stop"), col("r_punct"),
+        (col("r_words") && col("r_wlen") && col("r_stop") && col("r_punct"))
+          .as("keep"))
+
   // ------------------------------------------------- perceptron classifier
 
   /** Hashed-feature batch POCKET perceptron (Gallant 1990) — an
@@ -1487,6 +1536,9 @@ object TextOps {
     "txt_langid_ngram" -> ((s, d) => languageIdNgram(t(s, d, "documents"))),
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
     "txt_bm25" -> ((s, d) => bm25TopDocs(t(s, d, "documents"))),
+    "serve_text_index" -> ((s, d) => textIndexBuild(t(s, d, "documents"))),
+    // streaming twin covered by StreamQualityGateSpec (stream ≡ batch)
+    "stream_quality_keep" -> ((s, d) => gopherKeep(t(s, d, "documents"))),
     "txt_perceptron_train" -> ((s, d) => perceptronTrain(t(s, d, "documents"))),
     "txt_perceptron_score" -> ((s, d) => perceptronScore(t(s, d, "documents"))),
     "txt_perceptron_pr" -> ((s, d) => perceptronPr(t(s, d, "documents"))),
@@ -1906,6 +1958,54 @@ object TextOps {
 
     // Gopher-rules gate: four integer-exact structural rules per doc,
     // rolled up per source (the drop-reason monitor table)
+    // the inverted-index artifact: (term, doc) tf → per-term df/cf +
+    // head posting (tf DESC, doc_id ASC) + the committed integer idf
+    "serve_text_index" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         |p AS (
+         |  SELECT term, doc_id, COUNT(1)::BIGINT AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(1) AS n FROM documents),
+         |top AS (
+         |  SELECT term, doc_id AS top_doc_id, tf AS top_tf,
+         |    ROW_NUMBER() OVER (PARTITION BY term
+         |      ORDER BY tf DESC, doc_id ASC) AS rn
+         |  FROM p),
+         |agg AS (
+         |  SELECT term, COUNT(1)::BIGINT AS df,
+         |    CAST(SUM(tf) AS BIGINT) AS cf
+         |  FROM p GROUP BY 1)
+         |SELECT a.term, a.df, a.cf, t.top_doc_id, t.top_tf,
+         |  CAST(((2 * nd.n - 2 * a.df + 1) * 1000) // (2 * a.df + 1)
+         |    AS BIGINT) AS idf_milli
+         |FROM agg a JOIN top t ON a.term = t.term AND t.rn = 1, nd""".stripMargin,
+
+    // per-doc Gopher keep decision (the streaming-legal projection);
+    // rule bodies identical to txt_gopher_gate's CTE
+    "stream_quality_keep" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len($sqlToks) AS n_tok,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform($sqlToks, x -> CAST(length(x) AS BIGINT))),
+         |      (a, b) -> a + b) AS sum_wlen,
+         |    len(list_filter($sqlToks,
+         |      x -> list_contains(['the','and','of','to','is'], x))) AS n_stop,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    (n_tok >= 5 AND n_tok <= 100000) AS r_words,
+         |    (sum_wlen >= n_tok * 3 AND sum_wlen <= n_tok * 10) AS r_wlen,
+         |    (n_stop >= 1) AS r_stop,
+         |    (n_punct * 10 <= n_chars) AS r_punct
+         |  FROM f)
+         |SELECT doc_id, r_words, r_wlen, r_stop, r_punct,
+         |  (r_words AND r_wlen AND r_stop AND r_punct) AS keep
+         |FROM r""".stripMargin,
+
     "txt_gopher_gate" ->
       s"""WITH f AS (
          |  SELECT source,

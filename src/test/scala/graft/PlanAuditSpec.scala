@@ -285,7 +285,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_mmr_topk",
       // hybrid RRF's vector arm IS the sim_topk brute-force shape
       // (1-query broadcast); the fusion joins two ≤k-row lists
-      "sim_hybrid_rrf")
+      "sim_hybrid_rrf",
+      // the query router reuses the ivf_topk idiom twice: corpus ×
+      // broadcast(K centroids) for the cell-size manifest, bounded
+      // query batch × broadcast centroids for the probe ranking
+      "serve_query_router")
     val allowCross = Set("pipe_totals", "pipe_effective_length",
       "agg_heavy_hitters", "agg_kmv_ops")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
