@@ -223,6 +223,51 @@ object CurationOps {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
   }
 
+  /** Stride-scheduling virtual-time scale: vtime = (src_pos+1) ·
+    * (10¹² div w_ppm). 10¹² keeps strides exact for any ppm weight
+    * (min stride 10⁶ at w = 1.0) while (src_pos+1)·stride stays in
+    * int64 up to ~9.2·10⁶·w_ppm docs PER SOURCE — 9.2·10¹¹ at the
+    * 10 % weight, beyond any real per-source corpus. */
+  val StrideScale = 1000000000000L
+
+  /** Deterministic WEIGHTED-FAIR interleave — the global training-
+    * stream ORDER for a multi-source mixture, as stride scheduling /
+    * WFQ virtual time (Waldspurger & Weihl 1995; Demers et al. 1989):
+    * doc at per-source position p (dense, salted-hash order — the
+    * i.i.d.-like stream discipline) is emitted at
+    * vtime = (p+1) · (10¹² div w_ppm), so reading in vtime order
+    * interleaves sources at rates ∝ their ppm weights with O(1)
+    * deviation — the property epoch training wants from "sample
+    * source d with probability w_d" WITHOUT any RNG state: every
+    * doc's slot is a pure function of (its id, its source's weight),
+    * reproducible across retries, partitionings, and scale.
+    *
+    * Emits the ORDER KEY, not a global rank: a loader sorts its own
+    * shard partition by (vtime, lang, doc_id) — the tie-break makes
+    * the global order total — so no global sort ever runs here; the
+    * one exchange is the per-source position window over a narrow
+    * (lang, pri, id) projection, exactly [[mixTokenBudget]]'s shape.
+    * Unlisted sources get weight 0 and are excluded (the
+    * token-budget convention). */
+  def mixInterleave(docs: DataFrame,
+      weights: Seq[(String, Double)] = MixWeights): DataFrame = {
+    val ppm = weights.map { case (k, f) => (k, Math.round(f * 1000000L)) }
+    val wCol = ppm.tail.foldLeft(
+      when(col("lang") === ppm.head._1, lit(ppm.head._2))) {
+      case (acc, (k, v)) => acc.when(col("lang") === k, lit(v))
+    }.otherwise(lit(0L))
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("pri").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"),
+        TextOps.strHash(concat(lit("ilv:"), col("doc_id").cast("string")))
+          .as("pri"))
+      .withColumn("w_ppm", wCol)
+      .filter(col("w_ppm") > 0L)
+      .withColumn("src_pos", row_number().over(part).cast("long") - 1L)
+      .select(col("doc_id"), col("lang"), col("src_pos"), col("w_ppm"),
+        expr(s"(src_pos + 1) * (${StrideScale}L div w_ppm)").as("vtime"))
+  }
+
   /** DATA-CONSTRAINED epoch planning (Muennighoff et al. 2023,
     * "Scaling Data-Constrained Language Models"): given a token
     * budget of `budgetMult` × the corpus and a repetition cap of
@@ -408,6 +453,61 @@ object CurationOps {
       .select(col("doc_id"), col("n_tokens"), col("shard"),
         expr(s"cum_before div $budget").as("seq_id"),
         (col("cum_before") % budget).as("offset"))
+  }
+
+  /** Budget grid [[packEfficiency]] evaluates — the context lengths a
+    * training run actually chooses between. */
+  val PackBudgets = Seq(128L, 256L, 512L, 1024L)
+
+  /** Sequence-budget SIZING table — the measurement that picks
+    * [[exportPackedSequences]]' budget: for each candidate context
+    * length, the sequence count, capacity, tail waste (the packed
+    * stream's only padding: each shard's final partial sequence —
+    * waste_ppm = (capacity − used)·10⁶ div capacity), and the number
+    * of documents STRADDLING a sequence boundary (docs split across
+    * training sequences lose cross-boundary attention — the
+    * quality-vs-waste tradeoff axis the budget choice actually
+    * trades: bigger budgets waste more tail tokens per shard but
+    * split fewer documents... and vice versa; this table makes both
+    * sides of that tradeoff a measurement).
+    *
+    * ONE corpus scan: the Feistel + cum-token window is computed once
+    * (cum_before is budget-independent), then the |budgets|×docs
+    * explode runs over the NARROW 3-column frame (shard, n_tokens,
+    * cum_before — ~24 bytes/doc, never text), rolled up per
+    * (budget, shard) with map-side combine and then per budget —
+    * |budgets| output rows. */
+  def packEfficiency(docs: DataFrame, nShards: Int = 16,
+      budgets: Seq[Long] = PackBudgets): DataFrame = {
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("perm").asc)
+    val packed = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        feistelPerm(maxDocId(docs)).as("perm"))
+      .withColumn("shard", (col("perm") % nShards).cast("int"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(
+        part.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    packed
+      .select(col("shard"), col("n_tokens"), col("cum_before"),
+        explode(typedLit(budgets)).as("budget"))
+      .groupBy("budget", "shard")
+      .agg(sum("n_tokens").as("toks"),
+        sum(when(col("n_tokens") > 0L &&
+          expr("(cum_before + n_tokens - 1) div budget") >
+            expr("cum_before div budget"), 1L).otherwise(0L))
+          .as("n_straddle"))
+      .groupBy("budget")
+      .agg(sum(expr("(toks + budget - 1) div budget")).as("n_seqs"),
+        sum("toks").as("used_tokens"),
+        sum("n_straddle").as("n_straddle"))
+      .select(col("budget"), col("n_seqs"),
+        (col("n_seqs") * col("budget")).as("capacity_tokens"),
+        col("used_tokens"),
+        expr("((n_seqs * budget - used_tokens) * 1000000)" +
+          " div greatest(n_seqs * budget, 1)").as("waste_ppm"),
+        col("n_straddle"))
   }
 
   /** One metadata-answerable max() action fixing the Feistel domain. */
@@ -745,12 +845,17 @@ object CurationOps {
 
     "mix_epoch_materialize" -> ((s, d) => epochMaterialize(t(s, d, "documents"))),
 
+    "mix_interleave" -> ((s, d) => mixInterleave(t(s, d, "documents"))),
+
     "export_shards" -> ((s, d) => exportShards(t(s, d, "documents"))),
 
     "export_shuffle" -> ((s, d) => feistelShuffle(t(s, d, "documents"))),
 
     "export_packed_sequences" -> ((s, d) =>
       exportPackedSequences(t(s, d, "documents"))),
+
+    "export_pack_efficiency" -> ((s, d) =>
+      packEfficiency(t(s, d, "documents"))),
 
     "curate_curriculum" -> ((s, d) => curateCurriculum(t(s, d, "documents"))),
 
@@ -942,6 +1047,11 @@ object CurationOps {
       s"WHEN '$k' THEN ${Math.round(f * MixBudgetTokens)}"
     }.mkString(" ")
 
+  private val sqlMixPpmCase =
+    MixWeights.map { case (k, f) =>
+      s"WHEN '$k' THEN ${Math.round(f * 1000000L)}"
+    }.mkString(" ")
+
   /** DuckDB replay of the full DSIR pipeline: bucket counts, smoothed
     * ppm importance weights, 64-entry weight array, per-doc integer
     * score, top-[[DsirKeep]] selection. The window totals CAST to
@@ -1118,6 +1228,60 @@ object CurationOps {
          |SELECT doc_id, n_tokens, shard,
          |  cum_before // 512 AS seq_id, cum_before % 512 AS offset
          |FROM s""".stripMargin,
+
+    // packEfficiency: the packed-sequences cum-window once, then the
+    // budget grid over the narrow frame — ceil-div sequence counts,
+    // tail waste in ppm, boundary-straddle counts
+    "export_pack_efficiency" ->
+      s"""WITH ${feistelCtes("documents")},
+         |m AS (
+         |  SELECT d.doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |    pm.perm
+         |  FROM documents d JOIN pm USING (doc_id)),
+         |s AS (
+         |  SELECT doc_id, n_tokens, CAST(perm % 16 AS INT) AS shard,
+         |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY perm % 16
+         |      ORDER BY perm ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cum_before
+         |  FROM m),
+         |b AS (SELECT unnest([${PackBudgets.mkString(", ")}]::BIGINT[]) AS budget),
+         |ps AS (
+         |  SELECT b.budget, s.shard, CAST(SUM(s.n_tokens) AS BIGINT) AS toks,
+         |    CAST(SUM(CASE WHEN s.n_tokens > 0 AND
+         |      (s.cum_before + s.n_tokens - 1) // b.budget
+         |        > s.cum_before // b.budget
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+         |  FROM s, b GROUP BY 1, 2)
+         |SELECT budget,
+         |  CAST(SUM((toks + budget - 1) // budget) AS BIGINT) AS n_seqs,
+         |  CAST(SUM((toks + budget - 1) // budget) * budget AS BIGINT)
+         |    AS capacity_tokens,
+         |  CAST(SUM(toks) AS BIGINT) AS used_tokens,
+         |  CAST(((SUM((toks + budget - 1) // budget) * budget - SUM(toks))
+         |      * 1000000)
+         |    // GREATEST(SUM((toks + budget - 1) // budget) * budget, 1)
+         |    AS BIGINT) AS waste_ppm,
+         |  CAST(SUM(n_straddle) AS BIGINT) AS n_straddle
+         |FROM ps GROUP BY 1""".stripMargin,
+
+    // mixInterleave: per-source dense hash-order positions, stride
+    // = 10^12 div w_ppm, vtime = (pos+1)*stride — exact integers
+    "mix_interleave" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5('ilv:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % $HashMod AS pri,
+         |    (CASE lang $sqlMixPpmCase ELSE 0 END)::BIGINT AS w_ppm
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, lang, w_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY pri ASC, doc_id ASC) - 1 AS BIGINT) AS src_pos
+         |  FROM meta WHERE w_ppm > 0)
+         |SELECT doc_id, lang, src_pos, w_ppm,
+         |  CAST((src_pos + 1) * ($StrideScale // w_ppm) AS BIGINT) AS vtime
+         |FROM pos""".stripMargin,
 
     // curateCurriculum: the txt_entropy CTEs (difficulty) joined to the
     // Feistel permutation (intra-band order), banded by absolute

@@ -174,7 +174,43 @@ object QualityOps {
         col("p_ref_ppm"), col("p_cur_ppm"), col("psi_u"))
   }
 
+  /** CORPUS DATA CARD — the per-(source, lang) release artifact
+    * dataset documentation practice asks for (Gebru et al. 2021
+    * "Datasheets for Datasets"; Pushkarna et al. 2022 "Data Cards"),
+    * as ONE composed measurement over the corpus: volume (docs,
+    * tokens, mean doc length), quality (fraction passing the Gopher
+    * gate — the SHARED [[TextOps.gopherFlags]] derivation, so the
+    * card, the `txt_gopher_gate` monitor, the ensemble, and the
+    * streaming keep can never disagree on a rule), and exact-dup
+    * pollution (fraction of docs whose full-text md5 appears more
+    * than once corpus-wide — `dedup_exact`'s hash convention), each
+    * rate in exact integer ppm.
+    *
+    * Shape at scale: one corpus scan computes flags + token counts +
+    * the 16-byte text hash; the dup side is the standard exact-dedup
+    * hash-keyed agg (map-side combine) whose count joins back on the
+    * hash — both exchanges carry ~40-byte narrow rows, never text —
+    * and the rollup is |sources|·|langs| output rows. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val flags = TextOps.gopherFlags(docs, "text", Seq("lang"))
+    val hashes = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val hCnt = hashes.groupBy("h").agg(count(lit(1)).as("n_h"))
+    val dup = hashes.join(hCnt, "h")
+      .select(col("doc_id"), (col("n_h") > 1L).as("is_dup"))
+    flags.join(dup, "doc_id")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        expr("sum(n_tok) div count(1)").as("mean_tokens"),
+        expr("(sum(case when r_words and r_wlen and r_stop and r_punct" +
+          " then 1L else 0L end) * 1000000) div count(1)").as("keep_ppm"),
+        expr("(sum(case when is_dup then 1L else 0L end) * 1000000)" +
+          " div count(1)").as("dup_ppm"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "dq_datacard" -> ((s, d) => dataCard(t(s, d, "documents"))),
+
     "dq_profile" -> ((s, d) =>
       profile(
         t(s, d, "lineitem").withColumn("l_shipdate",
@@ -221,7 +257,44 @@ object QualityOps {
           min("q3_c").as("q3_c"))
     }))
 
+  private val sqlToksQ =
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
   val oracle: Map[String, String] = Map(
+    // dataCard: the Gopher rule bodies (stream_quality_keep's CTE,
+    // source/lang-keyed) + md5 exact-dup counts, rolled to ppm rates
+    "dq_datacard" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source, lang, md5(text) AS h,
+         |    CAST(len($sqlToksQ) AS BIGINT) AS n_tok,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform($sqlToksQ, x -> CAST(length(x) AS BIGINT))),
+         |      (a, b) -> a + b) AS sum_wlen,
+         |    len(list_filter($sqlToksQ,
+         |      x -> list_contains(['the','and','of','to','is'], x))) AS n_stop,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |c AS (SELECT h, COUNT(1) AS n_h FROM f GROUP BY 1),
+         |r AS (
+         |  SELECT f.source, f.lang, f.n_tok,
+         |    (f.n_tok >= 5 AND f.n_tok <= 100000) AS r_words,
+         |    (f.sum_wlen >= f.n_tok * 3 AND f.sum_wlen <= f.n_tok * 10)
+         |      AS r_wlen,
+         |    (f.n_stop >= 1) AS r_stop,
+         |    (f.n_punct * 10 <= f.n_chars) AS r_punct,
+         |    (c.n_h > 1) AS is_dup
+         |  FROM f JOIN c USING (h))
+         |SELECT source, lang, COUNT(1)::BIGINT AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_tok) // COUNT(1) AS BIGINT) AS mean_tokens,
+         |  CAST((SUM(CASE WHEN r_words AND r_wlen AND r_stop AND r_punct
+         |      THEN 1 ELSE 0 END) * 1000000) // COUNT(1) AS BIGINT)
+         |    AS keep_ppm,
+         |  CAST((SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000)
+         |      // COUNT(1) AS BIGINT) AS dup_ppm
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
     "dq_profile" -> {
       val per = ProfileCols.map { c =>
         val v = if (c == "l_shipdate") "strftime(l_shipdate, '%Y-%m-%d')" else c

@@ -148,20 +148,23 @@ object TextOps {
     * per-doc half of [[gopherGate]], shared with [[qualityEnsemble]]
     * so the rollup monitor and the ensemble keep/drop decision apply
     * the IDENTICAL rules. */
-  private def gopherFlags(docs: DataFrame, textCol: String): DataFrame = {
+  private[graft] def gopherFlags(docs: DataFrame, textCol: String,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col(textCol))
-    docs.select(col("doc_id"), col("source"),
+    val ex = extraCols.map(col)
+    docs.select(Seq(col("doc_id"), col("source")) ++ ex ++ Seq(
       size(toks).cast("long").as("n_tok"),
       aggregate(toks, lit(0L), (a, x) => a + length(x)).as("sum_wlen"),
       size(filter(toks, x => x.isin(stopEn: _*))).cast("long").as("n_stop"),
       regexp_count(col(textCol), lit("[.,!?;:]")).cast("long").as("n_punct"),
-      length(col(textCol)).cast("long").as("n_chars"))
-      .select(col("doc_id"), col("source"),
+      length(col(textCol)).cast("long").as("n_chars")): _*)
+      .select(Seq(col("doc_id"), col("source")) ++ ex ++ Seq(
+        col("n_tok"),
         (col("n_tok") >= 5L && col("n_tok") <= 100000L).as("r_words"),
         (col("sum_wlen") >= col("n_tok") * 3L &&
           col("sum_wlen") <= col("n_tok") * 10L).as("r_wlen"),
         (col("n_stop") >= 1L).as("r_stop"),
-        (col("n_punct") * 10L <= col("n_chars")).as("r_punct"))
+        (col("n_punct") * 10L <= col("n_chars")).as("r_punct")): _*)
   }
 
   def gopherGate(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.CurationOps
+
+/** Weighted-fair interleave (`mix_interleave`): the stride-scheduling
+  * rate guarantee (any vtime prefix carries each source ∝ its weight,
+  * O(1) deviation), determinism under repartition, and weight-0
+  * exclusion. */
+class MixInterleaveSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 600 docs over three weighted langs + one unlisted. */
+  private def docs = {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    (0 until 600).map { i =>
+      val lang = (i % 4) match {
+        case 0 => "en"; case 1 => "de"; case 2 => "fr"; case 3 => "xx"
+      }
+      (i.toLong, lang)
+    }.toDF("doc_id", "lang")
+  }
+
+  private val weights = Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+
+  test("stride scheduling: every vtime prefix carries each source at its rate, O(1) off") {
+    val rows = CurationOps.mixInterleave(docs, weights)
+      .select("doc_id", "lang", "src_pos", "w_ppm", "vtime")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._5, r._2, r._1))
+    assert(rows.nonEmpty)
+    // by construction count_d(T) = #{p : (p+1)*stride_d <= T} =
+    // floor(T / stride_d), i.e. within 1 of T*w_d/1e12 — verify the
+    // realized interleave honors that bound at every emission point
+    val strides = weights.map { case (k, f) =>
+      k -> (CurationOps.StrideScale / Math.round(f * 1000000L))
+    }.toMap
+    val total = rows.groupBy(_._2).map { case (l, rs) => l -> rs.length.toLong }
+    val seen = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    rows.foreach { case (_, lang, _, _, vt) =>
+      seen(lang) += 1
+      strides.foreach { case (l, stride) =>
+        // a finite source stops emitting once exhausted — cap the ideal
+        val ideal = math.min(vt / stride, total(l))
+        val have = seen(l)
+        assert(math.abs(have - ideal) <= 1,
+          s"at vtime=$vt source $l has $have emissions, ideal $ideal")
+      }
+    }
+  }
+
+  test("vtime is (src_pos+1) * (1e12 div w_ppm) exactly; unlisted langs excluded") {
+    val rows = CurationOps.mixInterleave(docs, weights).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pos, ppm, vt) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(vt == (pos + 1) * (CurationOps.StrideScale / ppm))
+    }
+    assert(!rows.map(_.getString(1)).contains("xx"), "weight-0 lang excluded")
+    assert(rows.length == 450) // 600 minus the 150 'xx' docs
+  }
+
+  test("assignments are a pure function of content ids (repartition-invariant)") {
+    val a = CurationOps.mixInterleave(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4))).toSet
+    val b = CurationOps.mixInterleave(docs.repartition(7), weights).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4))).toSet
+    assert(a == b)
+  }
+}
