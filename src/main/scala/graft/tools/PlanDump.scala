@@ -187,6 +187,24 @@ object PlanDump {
     // delta batch assigned against a FROZEN broadcast centroid table
     // (any centroid recompute touching new rows is a regression)
     "serve_index_build", "serve_index_append",
+    // round-12 batch: the epoch pair (planner = one source-keyed agg
+    // + driver waterfall scalars; materializer = broadcast plan join
+    // + narrow explode, no corpus exchange beyond the planner's);
+    // packed sequences / interleave / pack sizing (each ONE narrow
+    // hash exchange for per-key windows — text never shuffles, no
+    // global sort); the query router (corpus × broadcast-K manifest
+    // agg + bounded-batch probe windows); the text-index build (one
+    // (term,doc)-keyed explode agg, head posting riding the rollup as
+    // max(struct) — a per-term postings window is the regression);
+    // the stream-legal quality keep (a PURE narrow projection — any
+    // exchange is a regression); top-ngrams (hash-only pass 1, text
+    // confined to scan stages, broadcast k-row winners); the longest
+    // keeper (one keyed agg over the CC derivation); the data card
+    // (flags + hash scans, two narrow keyed exchanges, ppm rollup)
+    "mix_epoch_plan", "mix_epoch_materialize", "export_packed_sequences",
+    "serve_query_router", "serve_text_index", "stream_quality_keep",
+    "dedup_top_ngrams", "dedup_cc_keep_longest",
+    "mix_interleave", "export_pack_efficiency", "dq_datacard",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
