@@ -1004,6 +1004,54 @@ object SimilarityOps {
         col("cid"), col("cell_n_vecs"), col("cum_candidates"))
   }
 
+  /** Serving shards the [[shardPlan]] balancer packs cells into. */
+  val ServeShards = 8
+
+  /** Cell→shard PLACEMENT for a scatter-gather serving tier — the
+    * other half of [[queryRouter]]'s story: the router decides which
+    * cells a query visits, this decides which MACHINE owns each cell.
+    * Serpentine (boustrophedon) striping over the size-ranked cells —
+    * rank cells by (n_vecs DESC, cid), walk shards 0..S−1 then S−1..0
+    * alternately — the classic deterministic LPT approximation that
+    * needs NO sequential bin state (every cell's shard is pure rank
+    * arithmetic, so the plan replays exactly at any scale): each
+    * round of 2S hands every shard one heavier and one lighter cell,
+    * keeping the max−min load spread within the largest cell size in
+    * practice (spec-measured, adversarial descending sizes included).
+    * Emits per cell its rank, shard, and the shard's total load —
+    * the capacity-planning table next to the router's fan-out axis.
+    *
+    * Shape at scale: the cell manifest is the one corpus-keyed agg
+    * (K rows out); ranking and load rollup are windows over the
+    * K-row table (bounded-global by construction — K = O(√N) under
+    * [[autoCentroids]]); the corpus is never shuffled. */
+  def shardPlan(embeddings: DataFrame, nShards: Int = ServeShards,
+      nCentroids: Int = IvfCentroids): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+      .filter(definedNrm(col("nrm")))
+    val cellSizes = assignBest(vecs, cents, struct(col("cid")))
+      .select(col("best.cid").as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    val wRank = WindowUtil.boundedGlobal(col("cid"))
+      .orderBy(col("n_vecs").desc, col("cid").asc)
+    cellSizes
+      .withColumn("cell_rank", row_number().over(wRank).cast("long"))
+      .withColumn("shard", expr(
+        s"cast(case when ((cell_rank - 1) div $nShards) % 2 = 0" +
+          s" then (cell_rank - 1) % $nShards" +
+          s" else ${nShards - 1} - (cell_rank - 1) % $nShards end as int)"))
+      .withColumn("shard_load", sum("n_vecs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select(col("cid"), col("n_vecs"), col("cell_rank"), col("shard"),
+        col("shard_load"))
+  }
+
   /** The IVF candidate-generation front end shared by [[ivfTopK]] and
     * the [[tuneIvf]] cost meter: (corpus cell assignment, probed cells
     * per query). Shared so the tuner's cost metric counts EXACTLY the
@@ -2509,6 +2557,7 @@ object SimilarityOps {
     "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
     "serve_query_router" -> ((s, d) => { val e = t(s, d, "embeddings")
       queryRouter(e, servingQueryPred(e)) }),
+    "serve_shard_plan" -> ((s, d) => shardPlan(t(s, d, "embeddings"))),
     "serve_index_append" -> ((s, d) => indexAppend(t(s, d, "embeddings"))),
     "emb_semdedup_recall" -> ((s, d) => semDedupRecall(t(s, d, "embeddings"))),
     "emb_kmeans_fixed" -> ((s, d) => kmeansFixed(t(s, d, "embeddings"))),
@@ -3536,6 +3585,38 @@ object SimilarityOps {
          |  CAST(SUM(hit) AS BIGINT) AS n_found,
          |  CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
          |FROM j GROUP BY 1""".stripMargin,
+
+    // shardPlan: the committed IVF assignment CTEs to cell sizes,
+    // then pure rank arithmetic — serpentine stripe + per-shard load
+    "serve_shard_plan" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $IvfCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |sizes AS (
+         |  SELECT cid, COUNT(1)::BIGINT AS n_vecs
+         |  FROM asg0 WHERE rn = 1 GROUP BY 1),
+         |rk AS (
+         |  SELECT cid, n_vecs,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cid ASC)
+         |      AS BIGINT) AS cell_rank
+         |  FROM sizes),
+         |sp AS (
+         |  SELECT *, CAST(CASE WHEN ((cell_rank - 1) // $ServeShards) % 2 = 0
+         |    THEN (cell_rank - 1) % $ServeShards
+         |    ELSE ${ServeShards - 1} - (cell_rank - 1) % $ServeShards END
+         |    AS INT) AS shard
+         |  FROM rk)
+         |SELECT cid, n_vecs, cell_rank, shard,
+         |  CAST(SUM(n_vecs) OVER (PARTITION BY shard) AS BIGINT)
+         |    AS shard_load
+         |FROM sp""".stripMargin,
 
     // queryRouter: the committed IVF assignment/probe CTE conventions,
     // rolled to cell sizes + per-query probe ranking + running cost

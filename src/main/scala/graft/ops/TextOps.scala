@@ -749,6 +749,40 @@ object TextOps {
         col("uni_mbits"), col("excess_mbits"), col("weight_ppm"))
   }
 
+  /** DOCUMENT-level learnability selection — the RHO-style rule
+    * (Mindermann et al. 2022 "Prioritized Training on Points that are
+    * Learnable, Worth Learning, and Not Yet Learnt"; Lin et al. 2024
+    * RHO-1) at document granularity, built from the engine's own two
+    * reference LMs: excess = uni_mbits − kn_mbits per doc — how much
+    * bigram STRUCTURE explains beyond unigram frequencies, the same
+    * signal [[doremiWeights]] aggregates per domain, here used to
+    * SELECT. High excess = structured, learnable text; ≈0/negative =
+    * frequency-only noise (scrambled text scores ~0 by construction —
+    * the DoReMi spec's planted separation). keep = excess strictly
+    * above the corpus mean excess (one driver scalar — the
+    * train-then-apply discipline; truncating div matches both
+    * engines on negatives).
+    *
+    * Scale shape: both scorers are train-on-bounded-reference /
+    * apply-everywhere (broadcast model tables, one explode scan
+    * each); the doc_id join carries 3 longs per doc; the mean is ONE
+    * row collected; the final flag is a narrow projection over the
+    * localCheckpoint'd scored frame (scored once, reused by the agg
+    * and the output). */
+  def rhoSelect(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val kn = knScore(docs, textCol).filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("ppl_mbits").as("kn_mbits"))
+    val uni = uniRefScore(docs, textCol).filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("uni_mbits"))
+    val perDoc = kn.join(uni, Seq("doc_id"))
+      .withColumn("excess_mbits", col("uni_mbits") - col("kn_mbits"))
+      .localCheckpoint(eager = false)
+    val m = perDoc.agg(sum("excess_mbits"), count(lit(1))).first()
+    val mean = m.getLong(0) / math.max(m.getLong(1), 1L)
+    perDoc.select(col("doc_id"), col("kn_mbits"), col("uni_mbits"),
+      col("excess_mbits"), (col("excess_mbits") > mean).as("keep"))
+  }
+
   /** Merge rounds for the driver's `bpe_train_merges` query. */
   val BpeTrainRounds = 4
 
@@ -1617,6 +1651,7 @@ object TextOps {
     "txt_kn_ppl" -> ((s, d) => knScore(t(s, d, "documents"))),
     "txt_uniref_ppl" -> ((s, d) => uniRefScore(t(s, d, "documents"))),
     "mix_doremi" -> ((s, d) => doremiWeights(t(s, d, "documents"))),
+    "curate_rho_select" -> ((s, d) => rhoSelect(t(s, d, "documents"))),
     // the FineWeb-style ensemble: Gopher rules + repetition screen +
     // KN perplexity tercile tier -> one per-doc keep decision
     "curate_quality_ensemble" -> ((s, d) =>
@@ -2223,6 +2258,48 @@ object TextOps {
          |  coalesce(a.n_tokens, 0::BIGINT) AS n_tokens,
          |  a.uni_mbits
          |FROM documents d LEFT JOIN uagg a USING (doc_id)""".stripMargin,
+
+    // rhoSelect: the two reference-LM replays joined per doc, excess
+    // = uni − kn, keep iff strictly above the corpus mean (scalar
+    // subquery, truncating div — matches the driver-side Long div)
+    "curate_rho_select" ->
+      s"""WITH $knTrainCtes,
+         |lam AS (
+         |  SELECT w1, CAST((3 * n1_fwd * 250000) // c_a AS BIGINT) AS lam_ppm
+         |  FROM ctx),
+         |cnt AS (
+         |  SELECT w2, CAST((n1_bwd * 1000000) // nt.n_types AS BIGINT) AS cont_ppm
+         |  FROM cont CROSS JOIN nt),
+         |dtk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |dbg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM dtk, unnest(range(1, len(toks))) AS t(i)),
+         |sc AS (
+         |  SELECT dbg.doc_id, GREATEST(1,
+         |    CASE WHEN m.p_ppm IS NOT NULL THEN m.p_ppm
+         |         WHEN l.lam_ppm IS NOT NULL
+         |           THEN (l.lam_ppm * COALESCE(c.cont_ppm, 0)) // 1000000
+         |         ELSE COALESCE(c.cont_ppm, 0) END) AS p
+         |  FROM dbg
+         |  LEFT JOIN model m ON dbg.w1 = m.w1 AND dbg.w2 = m.w2
+         |  LEFT JOIN lam l ON dbg.w1 = l.w1
+         |  LEFT JOIN cnt c ON dbg.w2 = c.w2),
+         |kagg AS (
+         |  SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM($L2M1M - ${sqlL2M("p")}) // COUNT(1) AS BIGINT)
+         |      AS ppl_mbits
+         |  FROM sc GROUP BY doc_id),
+         |$uniRefCtes,
+         |pd AS (
+         |  SELECT k.doc_id, k.ppl_mbits AS kn_mbits, u.uni_mbits,
+         |    u.uni_mbits - k.ppl_mbits AS excess_mbits
+         |  FROM kagg k JOIN uagg u ON k.doc_id = u.doc_id
+         |  WHERE k.n_bigrams > 0 AND u.n_tokens > 0)
+         |SELECT doc_id, kn_mbits, uni_mbits,
+         |  CAST(excess_mbits AS BIGINT) AS excess_mbits,
+         |  (excess_mbits > (SELECT CAST(SUM(excess_mbits) AS BIGINT)
+         |    // GREATEST(COUNT(1), 1) FROM pd)) AS keep
+         |FROM pd""".stripMargin,
 
     // doremiWeights: the txt_kn_ppl replay (strong arm) + the
     // txt_uniref_ppl replay (weak arm) rolled up per domain, then the

@@ -205,6 +205,12 @@ object PlanDump {
     "serve_query_router", "serve_text_index", "stream_quality_keep",
     "dedup_top_ngrams", "dedup_cc_keep_longest",
     "mix_interleave", "export_pack_efficiency", "dq_datacard",
+    // round-12 third wave: RHO selection (two broadcast train-then-
+    // apply scorer arms + a doc_id-keyed 3-long join + driver mean —
+    // a corpus-frame window or hash model join is the regression) and
+    // the shard balancer (ONE corpus-keyed agg to K rows, then pure
+    // rank arithmetic on bounded windows — corpus never shuffled)
+    "curate_rho_select", "serve_shard_plan",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -289,7 +289,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // the query router reuses the ivf_topk idiom twice: corpus ×
       // broadcast(K centroids) for the cell-size manifest, bounded
       // query batch × broadcast centroids for the probe ranking
-      "serve_query_router")
+      "serve_query_router",
+      // the shard balancer's manifest derivation is the same
+      // deliberate corpus × broadcast(K centroids) assignment cross
+      "serve_shard_plan")
     val allowCross = Set("pipe_totals", "pipe_effective_length",
       "agg_heavy_hitters", "agg_kmv_ops")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
