@@ -270,6 +270,37 @@ object DedupOps {
       .withColumn("contaminated", col("n_hit_shingles") > 0)
   }
 
+  /** Contamination REPORT — the per-benchmark-document measurement
+    * published alongside eval numbers (the GPT-3/PaLM-style "n-gram
+    * overlap with training data" appendix): for each EVAL document,
+    * how many of its distinct shingles appear ANYWHERE in train, as
+    * an exact-ppm overlap fraction — the graded view [[decontaminate]]
+    * collapses to a boolean (and aimed at the other side: that flags
+    * TRAIN docs to drop, this scores EVAL docs so a benchmark's
+    * clean/dirty split can be reported and subset-scored).
+    *
+    * Shape at scale: train pays one shingle-explode scan into a
+    * hash-distinct agg (map-side combine); the eval side is a bounded
+    * benchmark, so its (doc, shingle) table BROADCASTS onto that
+    * distinct set and the rollup is |eval| rows. The train corpus is
+    * never shuffled beyond the distinct's own exchange. */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val evalSh = eval.select(col("doc_id"),
+      explode(shingleHashes(col(textCol))).as("sh"))
+    val trainSh = train
+      .select(explode(shingleHashes(col(textCol))).as("sh")).distinct()
+    val hits = trainSh.join(broadcast(evalSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    eval.select(col("doc_id"),
+        size(shingleHashes(col(textCol))).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit_shingles", coalesce(col("n_hit"), lit(0L)))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit_shingles"),
+        expr("(n_hit_shingles * 1000000) div greatest(n_shingles, 1)")
+          .as("overlap_ppm"))
+  }
+
   /** Exact duplicated-span detection — the exact-substring training-
     * data dedup shape (Lee et al. 2021's "Deduplicating Training Data
     * Makes Language Models Better") at span granularity: a suffix
@@ -723,6 +754,13 @@ object DedupOps {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // the same deterministic benchmark split, scored from the eval side
+    "dedup_contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      contaminationReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
     // streaming ingest-time dedup contract, batch-relational form:
     // bucket owner = min doc_id per LSH band bucket, doc kept iff it
     // owns EVERY one of its buckets (the aggressive candidate-level
@@ -1162,6 +1200,25 @@ object DedupOps {
          |  COALESCE(h.n_hit, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          |WHERE d.doc_id % 50 != 0""".stripMargin,
+
+    // contaminationReport: the decontaminate split mirrored — train's
+    // distinct shingle set, per-eval-doc hit counts, exact-ppm overlap
+    "dedup_contamination_report" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, unnest($sqlShingleHashes) AS sh FROM documents),
+         |tr AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 50 != 0),
+         |sizes AS (
+         |  SELECT doc_id, CAST(len($sqlShingleHashes) AS BIGINT) AS n_shingles
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |hits AS (
+         |  SELECT doc_id, COUNT(1) AS n_hit FROM ds
+         |  WHERE doc_id % 50 = 0 AND sh IN (SELECT sh FROM tr)
+         |  GROUP BY 1)
+         |SELECT s.doc_id, s.n_shingles,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
+         |  CAST((COALESCE(h.n_hit, 0) * 1000000) // GREATEST(s.n_shingles, 1)
+         |    AS BIGINT) AS overlap_ppm
+         |FROM sizes s LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     // oracle = exhaustive pairwise hamming (the banded join must find
     // exactly these pairs — pigeonhole completeness)

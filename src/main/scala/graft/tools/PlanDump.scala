@@ -211,6 +211,10 @@ object PlanDump {
     // the shard balancer (ONE corpus-keyed agg to K rows, then pure
     // rank arithmetic on bounded windows — corpus never shuffled)
     "curate_rho_select", "serve_shard_plan",
+    // contamination report: train pays ONE shingle-distinct agg, the
+    // bounded eval table broadcasts onto it — a shuffle join on sh or
+    // a second train scan is the regression
+    "dedup_contamination_report",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
