@@ -270,6 +270,58 @@ object DedupOps {
       .withColumn("contaminated", col("n_hit_shingles") > 0)
   }
 
+  /** Matches returned per query by [[attributionTopK]]. */
+  val AttributionK = 3
+
+  /** Training-data ATTRIBUTION lookup — the provenance question asked
+    * about a generated or benchmark text ("which training documents
+    * is this from?", the serving-side of the memorization story
+    * [[topDupNgrams]] monitors corpus-side): for each QUERY document,
+    * the top-k train documents by exact n-gram Jaccard, candidates
+    * gated by the SAME banded-MinHash front end the dedup family
+    * serves from ([[bandKeys]] — an exact copy collides on every
+    * band by construction, so full-copy attribution has recall 1.0
+    * structurally; graded near-dups inherit the banding's tuned
+    * recall, measured by `dedup_lsh_recall`). Jaccard in exact
+    * integer ppm so the ranking (and its tie-break) is hash-exact
+    * cross-engine.
+    *
+    * Shape at scale: the band join is keyed on (band, key) — the
+    * corpus never fans out beyond bucket collisions; the rerank joins
+    * shingle arrays for CANDIDATES only; the top-k is a per-query
+    * window over candidate rows. The query side is a bounded batch
+    * (the benchmark / the generation under audit), the train side
+    * pays one signature scan — the dedup serving contract. */
+  def attributionTopK(train: DataFrame, eval: DataFrame,
+      textCol: String = "text", k: Int = AttributionK): DataFrame = {
+    val qArr = eval.select(col("doc_id").as("q_id"),
+      shingleHashes(col(textCol)).as("q_shs"))
+    val tArr = train.select(col("doc_id").as("t_id"),
+      shingleHashes(col(textCol)).as("t_shs"))
+    val qBands = bandKeys(eval, textCol)
+      .select(col("doc_id").as("q_id"), col("band"), col("key"))
+    val tBands = bandKeys(train, textCol)
+      .select(col("doc_id").as("t_id"), col("band").as("tband"),
+        col("key").as("tkey"))
+    val cand = qBands.join(tBands,
+        col("band") === col("tband") && col("key") === col("tkey"))
+      .select("q_id", "t_id").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("jacc_ppm").desc, col("t_id").asc)
+    cand.join(qArr, "q_id").join(tArr, "t_id")
+      .withColumn("n_inter", graft.functions.TextNative
+        .sorted_inter_count(col("q_shs"), col("t_shs")).cast("long"))
+      .withColumn("n_union",
+        size(col("q_shs")).cast("long") + size(col("t_shs")).cast("long")
+          - col("n_inter"))
+      .withColumn("jacc_ppm",
+        expr("(n_inter * 1000000) div greatest(n_union, 1)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("t_id"), col("n_inter"), col("jacc_ppm"),
+        col("rnk"))
+  }
+
   /** Contamination REPORT — the per-benchmark-document measurement
     * published alongside eval numbers (the GPT-3/PaLM-style "n-gram
     * overlap with training data" appendix): for each EVAL document,
@@ -761,6 +813,13 @@ object DedupOps {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // the same split again as the attribution serving query batch
+    "dedup_attribution_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      attributionTopK(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
     // streaming ingest-time dedup contract, batch-relational form:
     // bucket owner = min doc_id per LSH band bucket, doc kept iff it
     // owns EVERY one of its buckets (the aggressive candidate-level
@@ -1200,6 +1259,42 @@ object DedupOps {
          |  COALESCE(h.n_hit, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          |WHERE d.doc_id % 50 != 0""".stripMargin,
+
+    // attributionTopK: the committed band CTEs split query/train,
+    // list_intersect rerank (shingles are distinct), integer-ppm
+    // Jaccard ranking with the (jacc desc, t_id asc) tie-break
+    "dedup_attribution_topk" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
+         |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
+         |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, m2::VARCHAR || '_' || m3::VARCHAR AS key FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT q.doc_id AS q_id, t.doc_id AS t_id
+         |  FROM (SELECT * FROM bands WHERE doc_id % 50 = 0) q
+         |  JOIN (SELECT * FROM bands WHERE doc_id % 50 != 0) t
+         |    USING (band, key)),
+         |arrs AS (SELECT doc_id, $sqlShingleHashes AS shs FROM documents),
+         |sc AS (
+         |  SELECT c.q_id, c.t_id,
+         |    CAST(len(list_intersect(qa.shs, ta.shs)) AS BIGINT) AS n_inter,
+         |    CAST(len(qa.shs) + len(ta.shs)
+         |      - len(list_intersect(qa.shs, ta.shs)) AS BIGINT) AS n_union
+         |  FROM cand c
+         |  JOIN arrs qa ON c.q_id = qa.doc_id
+         |  JOIN arrs ta ON c.t_id = ta.doc_id),
+         |rk AS (
+         |  SELECT q_id, t_id, n_inter,
+         |    CAST((n_inter * 1000000) // GREATEST(n_union, 1) AS BIGINT)
+         |      AS jacc_ppm
+         |  FROM sc)
+         |SELECT q_id, t_id, n_inter, jacc_ppm, rnk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY jacc_ppm DESC, t_id ASC) AS BIGINT) AS rnk
+         |  FROM rk) WHERE rnk <= $AttributionK""".stripMargin,
 
     // contaminationReport: the decontaminate split mirrored — train's
     // distinct shingle set, per-eval-doc hit counts, exact-ppm overlap

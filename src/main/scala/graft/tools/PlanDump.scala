@@ -215,6 +215,9 @@ object PlanDump {
     // bounded eval table broadcasts onto it — a shuffle join on sh or
     // a second train scan is the regression
     "dedup_contamination_report",
+    // attribution: band-keyed candidate join (never all-pairs), the
+    // shingle-array rerank joins CANDIDATES only, per-query window
+    "dedup_attribution_topk",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
