@@ -466,3 +466,38 @@ final case class BboxBuf(
 final case class BboxOut(
     min_x: Double, max_x: Double, min_y: Double, max_y: Double,
     centroid_x: Double, centroid_y: Double, n_points: Long)
+
+/** One attribution match: train doc, exact shingle intersection, and
+  * integer-ppm Jaccard (the ranking key — exact, so tie-breaks are
+  * decidable cross-engine). */
+final case class JaccEntry(t_id: Long, n_inter: Long, jacc_ppm: Long)
+
+/** Streaming-legal top-k DISTINCT-by-id — [[TopKSimAgg]]'s partial
+  * top-k contract plus id dedup, for inputs where the same (query,
+  * candidate) pair arrives once per colliding LSH band: duplicates of
+  * a pair carry IDENTICAL scores (the score is a pure function of the
+  * pair), so dropping a seen id is always safe and the capped partial
+  * buffers stay correct and associative. Order (jacc_ppm DESC, t_id
+  * ASC); ≤ k entries of state per group, map-side combine. */
+class TopKJaccDistinctAgg(k: Int)
+    extends Aggregator[JaccEntry, Seq[JaccEntry], Seq[JaccEntry]] {
+  private def better(a: JaccEntry, b: JaccEntry): Boolean =
+    a.jacc_ppm > b.jacc_ppm || (a.jacc_ppm == b.jacc_ppm && a.t_id < b.t_id)
+
+  override def zero: Seq[JaccEntry] = Vector.empty
+
+  override def reduce(b: Seq[JaccEntry], e: JaccEntry): Seq[JaccEntry] =
+    if (b.exists(_.t_id == e.t_id)) b
+    else (b :+ e).sortWith(better).take(k)
+
+  override def merge(x: Seq[JaccEntry], y: Seq[JaccEntry]): Seq[JaccEntry] =
+    (x ++ y.filterNot(e => x.exists(_.t_id == e.t_id)))
+      .sortWith(better).take(k)
+
+  override def finish(r: Seq[JaccEntry]): Seq[JaccEntry] = r
+
+  override def bufferEncoder: Encoder[Seq[JaccEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[JaccEntry]]()
+  override def outputEncoder: Encoder[Seq[JaccEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[JaccEntry]]()
+}

@@ -820,6 +820,15 @@ object DedupOps {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // the streaming serve's batch twin (the Structured Streaming
+    // contract: same function, bounded frame) — parity with
+    // attributionTopK is StreamAttributionSpec's first pin
+    "stream_attribution" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.streaming.StreamAttribution.serveTopK(
+        docs.filter(col("doc_id") % 50 === 0),
+        docs.filter(col("doc_id") % 50 =!= 0))
+    }),
     // streaming ingest-time dedup contract, batch-relational form:
     // bucket owner = min doc_id per LSH band bucket, doc kept iff it
     // owns EVERY one of its buckets (the aggressive candidate-level
@@ -899,6 +908,41 @@ object DedupOps {
        |  FROM grams),
        |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n_grams - ${w - 1})""".stripMargin
   }
+
+  /** Shared by `dedup_attribution_topk` and its streaming twin
+    * `stream_attribution` (batch-parity spec-pinned). */
+  private def attributionSql: String =
+    s"""WITH sigs AS (
+         |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
+         |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
+         |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, m2::VARCHAR || '_' || m3::VARCHAR AS key FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT q.doc_id AS q_id, t.doc_id AS t_id
+         |  FROM (SELECT * FROM bands WHERE doc_id % 50 = 0) q
+         |  JOIN (SELECT * FROM bands WHERE doc_id % 50 != 0) t
+         |    USING (band, key)),
+         |arrs AS (SELECT doc_id, $sqlShingleHashes AS shs FROM documents),
+         |sc AS (
+         |  SELECT c.q_id, c.t_id,
+         |    CAST(len(list_intersect(qa.shs, ta.shs)) AS BIGINT) AS n_inter,
+         |    CAST(len(qa.shs) + len(ta.shs)
+         |      - len(list_intersect(qa.shs, ta.shs)) AS BIGINT) AS n_union
+         |  FROM cand c
+         |  JOIN arrs qa ON c.q_id = qa.doc_id
+         |  JOIN arrs ta ON c.t_id = ta.doc_id),
+         |rk AS (
+         |  SELECT q_id, t_id, n_inter,
+         |    CAST((n_inter * 1000000) // GREATEST(n_union, 1) AS BIGINT)
+         |      AS jacc_ppm
+         |  FROM sc)
+         |SELECT q_id, t_id, n_inter, jacc_ppm, rnk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY jacc_ppm DESC, t_id ASC) AS BIGINT) AS rnk
+         |  FROM rk) WHERE rnk <= $AttributionK""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // topDupNgrams: every n-gram start, hash-keyed spread counts,
@@ -1263,38 +1307,13 @@ object DedupOps {
     // attributionTopK: the committed band CTEs split query/train,
     // list_intersect rerank (shingles are distinct), integer-ppm
     // Jaccard ranking with the (jacc desc, t_id asc) tie-break
-    "dedup_attribution_topk" ->
-      s"""WITH sigs AS (
-         |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
-         |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
-         |  FROM documents),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, m2::VARCHAR || '_' || m3::VARCHAR AS key FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT q.doc_id AS q_id, t.doc_id AS t_id
-         |  FROM (SELECT * FROM bands WHERE doc_id % 50 = 0) q
-         |  JOIN (SELECT * FROM bands WHERE doc_id % 50 != 0) t
-         |    USING (band, key)),
-         |arrs AS (SELECT doc_id, $sqlShingleHashes AS shs FROM documents),
-         |sc AS (
-         |  SELECT c.q_id, c.t_id,
-         |    CAST(len(list_intersect(qa.shs, ta.shs)) AS BIGINT) AS n_inter,
-         |    CAST(len(qa.shs) + len(ta.shs)
-         |      - len(list_intersect(qa.shs, ta.shs)) AS BIGINT) AS n_union
-         |  FROM cand c
-         |  JOIN arrs qa ON c.q_id = qa.doc_id
-         |  JOIN arrs ta ON c.t_id = ta.doc_id),
-         |rk AS (
-         |  SELECT q_id, t_id, n_inter,
-         |    CAST((n_inter * 1000000) // GREATEST(n_union, 1) AS BIGINT)
-         |      AS jacc_ppm
-         |  FROM sc)
-         |SELECT q_id, t_id, n_inter, jacc_ppm, rnk FROM (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-         |    ORDER BY jacc_ppm DESC, t_id ASC) AS BIGINT) AS rnk
-         |  FROM rk) WHERE rnk <= $AttributionK""".stripMargin,
+    "dedup_attribution_topk" -> attributionSql,
+
+    // the streaming serve's batch twin reproduces attributionTopK row
+    // for row (StreamAttributionSpec) — same oracle by construction
+    "stream_attribution" -> attributionSql,
+
+
 
     // contaminationReport: the decontaminate split mirrored — train's
     // distinct shingle set, per-eval-doc hit counts, exact-ppm overlap

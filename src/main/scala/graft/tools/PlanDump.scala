@@ -218,6 +218,11 @@ object PlanDump {
     // attribution: band-keyed candidate join (never all-pairs), the
     // shingle-array rerank joins CANDIDATES only, per-query window
     "dedup_attribution_topk",
+    // its streaming twin's batch plan: band-keyed stream-static joins
+    // + the TopKJaccDistinctAgg partial top-k (no distinct exchange,
+    // no window — an ObjectHashAggregate regression to sort-based
+    // shows up here)
+    "stream_attribution",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
