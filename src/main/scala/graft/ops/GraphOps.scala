@@ -308,6 +308,23 @@ object GraphOps {
         .select(col("node").as("doc_id"), col("comp"), col("comp_size"))
     }),
 
+    // The cluster-size DISTRIBUTION — the standard dedup report
+    // figure (how much of the corpus sits in duplicate clusters of
+    // which size): one more |components|-row agg on top of the
+    // committed CC derivation, tiny output, the number a curation
+    // run quotes ("N% of docs live in clusters > 1").
+    "dedup_cluster_hist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = DedupOps.lshCandidatePairs(docs).toDF("src", "dst")
+      val cc = connectedComponents(docs.select(col("doc_id").as("node")), edges,
+        edgesUnique = true)
+      cc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+        .groupBy("comp_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("comp_size"), col("n_clusters"),
+          (col("comp_size") * col("n_clusters")).as("n_docs"))
+    }),
+
     // Near-dup-cluster-aware split (see [[leakageSafeSplit]]): the fix
     // for split_train_test's train→test near-dup contamination.
     "split_leakage_safe" -> ((s, d) => leakageSafeSplit(t(s, d, "documents"))),
@@ -439,6 +456,28 @@ object GraphOps {
          |SELECT doc_id, comp,
          |  COUNT(1) OVER (PARTITION BY comp) AS comp_size
          |FROM comp""".stripMargin
+    },
+
+    // the CC chain rolled twice: comp sizes, then the size histogram
+    "dedup_cluster_hist" -> {
+      val pairsSql = DedupOps.oracle("dedup_lsh_pairs")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION
+         |  SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (
+         |  SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY 1),
+         |sz AS (
+         |  SELECT comp, CAST(COUNT(1) AS BIGINT) AS comp_size
+         |  FROM comp GROUP BY 1)
+         |SELECT comp_size, CAST(COUNT(1) AS BIGINT) AS n_clusters,
+         |  CAST(comp_size * COUNT(1) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1""".stripMargin
     },
 
     "split_leakage_safe" -> {

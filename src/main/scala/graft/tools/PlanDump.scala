@@ -223,6 +223,9 @@ object PlanDump {
     // no window — an ObjectHashAggregate regression to sort-based
     // shows up here)
     "stream_attribution",
+    // cluster-size histogram: one |components|-row agg over the CC
+    // chain — a corpus-sized exchange beyond the CC rounds regresses
+    "dedup_cluster_hist",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -34,6 +34,32 @@ class GraphOpsSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
   }
 
+  test("cluster-size histogram: exact counts on a planted corpus, mass conserved") {
+    import spark.implicits._
+    // two identical docs (one LSH cluster of 2) + three unique docs
+    val docs = Seq(
+      1L -> "one two three four five six seven eight",
+      2L -> "one two three four five six seven eight",
+      3L -> "alpha beta gamma delta eps zeta eta theta",
+      4L -> "red blue green yellow purple orange pink black",
+      5L -> "cats dogs birds fish mice foxes wolves bears"
+    ).toDF("doc_id", "text")
+    val rows = {
+      val edges = graft.ops.DedupOps.lshCandidatePairs(docs).toDF("src", "dst")
+      val comp = GraphOps.connectedComponents(
+        docs.select(org.apache.spark.sql.functions.col("doc_id").as("node")),
+        edges, edgesUnique = true)
+      import org.apache.spark.sql.functions._
+      comp.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+        .groupBy("comp_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("comp_size"), col("n_clusters"),
+          (col("comp_size") * col("n_clusters")).as("n_docs"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(rows == Map(2L -> (1L, 2L), 1L -> (3L, 3L)))
+    assert(rows.values.map(_._2).sum == 5L, "every doc in exactly one cluster")
+  }
+
   test("long path collapses via pointer jumping (diameter 63, few rounds)") {
     val n = 64L
     // path 1-2-3-...-64, reversed edge direction to prove symmetry
