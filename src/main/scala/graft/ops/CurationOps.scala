@@ -297,8 +297,12 @@ object CurationOps {
   val EpochBudgetMult = 4L
   val EpochMax = 4L
 
-  def epochPlan(docs: DataFrame, budgetMult: Long = EpochBudgetMult,
-      maxEpochs: Long = EpochMax): DataFrame = {
+  /** The two-round waterfall shared by [[epochPlan]] and
+    * [[annealPlan]] — `budgetOf` maps the corpus's total token mass to
+    * the phase budget (identity×mult for the single-phase planner; a
+    * precomputed constant for each anneal phase). */
+  private def epochWaterfall(docs: DataFrame, maxEpochs: Long,
+      budgetOf: Long => Long): DataFrame = {
     val per = docs.groupBy("source")
       .agg(sum(size(tokens(col("text"))).cast("long")).as("avail"))
       .localCheckpoint(eager = false)
@@ -307,8 +311,10 @@ object CurationOps {
     // a 1-row crossJoin would constant-fold into a nested-loop join,
     // which the plan audit rightly rejects)
     val tot = per.agg(sum("avail"), sum(col("avail") * col("avail"))).first()
-    val (tTotal, tSq) = (tot.getLong(0), math.max(tot.getLong(1), 1L))
-    val budget = tTotal * budgetMult
+    val tTotal = Option(tot.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val tSq = math.max(
+      Option(tot.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L), 1L)
+    val budget = budgetOf(tTotal)
     val r1 = per
       .withColumn("weight_ppm", expr(s"(avail * avail * 1000000) div ${tSq}L"))
       .withColumn("cap", col("avail") * maxEpochs)
@@ -317,8 +323,10 @@ object CurationOps {
       .localCheckpoint(eager = false)
     val l = r1.agg(sum("a1"),
       sum(when(col("a1") < col("cap"), col("avail")).otherwise(0L))).first()
-    val leftover = budget - l.getLong(0)
-    val tUnc = math.max(l.getLong(1), 1L)
+    val leftover =
+      budget - Option(l.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val tUnc = math.max(
+      Option(l.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L), 1L)
     r1.withColumn("a2", least(
         col("a1") + when(col("a1") < col("cap"),
           expr(s"(${leftover}L * avail) div ${tUnc}L")).otherwise(0L),
@@ -327,6 +335,52 @@ object CurationOps {
         col("weight_ppm"), col("a2").as("alloc_tokens"),
         expr("(a2 * 1000000) div greatest(avail, 1)").as("epochs_ppm"),
         (col("a2") === col("cap")).as("capped"))
+  }
+
+  def epochPlan(docs: DataFrame, budgetMult: Long = EpochBudgetMult,
+      maxEpochs: Long = EpochMax): DataFrame =
+    epochWaterfall(docs, maxEpochs, _ * budgetMult)
+
+  /** Anneal-phase share of the token budget, in ppm (10 %). */
+  val AnnealFracPpm = 100000L
+
+  /** Two-phase ANNEALING schedule — the modern pretraining practice
+    * (the Llama-3 / MiniCPM "annealing" stage: spend the last ~10 %
+    * of the token budget on quality-gated data, upsampled): phase 1
+    * runs the [[epochWaterfall]] over the FULL corpus with budget
+    * B−B₂; phase 2 re-runs it over only the documents passing the
+    * Gopher gate (the SHARED [[TextOps.gopherFlags]] rules — the
+    * card/monitor/ensemble derivation, so the anneal subset can never
+    * disagree with the quality surfaces) with budget B₂ =
+    * (B div 10⁶)·frac_ppm — the div-first form keeps the product in
+    * int64 at any corpus scale, losing <10⁶ tokens of budget to
+    * rounding. The repetition cap applies per phase, so anneal-phase
+    * upsampling of the (smaller) quality subset is bounded at the
+    * same ~4-epoch knee.
+    *
+    * Shape: two source-keyed aggs (one per phase — the keeper filter
+    * rides the second scan as a narrow flag join), tens of output
+    * rows; everything else is the waterfall's driver scalars. */
+  def annealPlan(docs: DataFrame, budgetMult: Long = EpochBudgetMult,
+      maxEpochs: Long = EpochMax,
+      fracPpm: Long = AnnealFracPpm): DataFrame = {
+    val tFull = Option(
+      docs.agg(sum(size(tokens(col("text"))).cast("long"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val b = tFull * budgetMult
+    val b2 = (b / 1000000L) * fracPpm
+    val keepers = TextOps.gopherFlags(docs, "text")
+      .filter(col("r_words") && col("r_wlen") && col("r_stop") &&
+        col("r_punct"))
+      .select("doc_id")
+    epochWaterfall(docs, maxEpochs, _ => b - b2)
+      .withColumn("phase", lit(1L))
+      .unionByName(
+        epochWaterfall(docs.join(keepers, "doc_id"), maxEpochs, _ => b2)
+          .withColumn("phase", lit(2L)))
+      .select(col("phase"), col("source"), col("avail_tokens"),
+        col("weight_ppm"), col("alloc_tokens"), col("epochs_ppm"),
+        col("capped"))
   }
 
   /** EPOCH MATERIALIZATION — [[epochPlan]]'s allocation turned into an
@@ -847,6 +901,8 @@ object CurationOps {
 
     "mix_interleave" -> ((s, d) => mixInterleave(t(s, d, "documents"))),
 
+    "mix_anneal_plan" -> ((s, d) => annealPlan(t(s, d, "documents"))),
+
     "export_shards" -> ((s, d) => exportShards(t(s, d, "documents"))),
 
     "export_shuffle" -> ((s, d) => feistelShuffle(t(s, d, "documents"))),
@@ -1038,6 +1094,38 @@ object CurationOps {
 
   private val sqlToks =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
+  /** Prefix-parameterized replay of [[epochWaterfall]] — shared by the
+    * anneal oracle's two phases (`$budgetSql` is a scalar subquery). */
+  private def waterfallCtes(px: String, docsRel: String,
+      budgetSql: String): String =
+    s"""${px}per AS (
+       |  SELECT source, CAST(SUM(len($sqlToks)) AS BIGINT) AS avail
+       |  FROM $docsRel GROUP BY 1),
+       |${px}tot AS (
+       |  SELECT CAST(SUM(avail) AS BIGINT) AS t_total,
+       |    CAST(SUM(avail * avail) AS BIGINT) AS t_sq
+       |  FROM ${px}per),
+       |${px}r1 AS (
+       |  SELECT source, avail,
+       |    $budgetSql AS budget,
+       |    (avail * avail * 1000000) // t_sq AS weight_ppm,
+       |    avail * $EpochMax AS cap
+       |  FROM ${px}per, ${px}tot),
+       |${px}r1b AS (
+       |  SELECT *, LEAST((budget * weight_ppm) // 1000000, cap) AS a1
+       |  FROM ${px}r1),
+       |${px}l AS (
+       |  SELECT CAST(SUM(a1) AS BIGINT) AS sum_a1,
+       |    CAST(SUM(CASE WHEN a1 < cap THEN avail ELSE 0 END) AS BIGINT)
+       |      AS t_unc
+       |  FROM ${px}r1b),
+       |${px}r2 AS (
+       |  SELECT source, avail, weight_ppm, cap,
+       |    LEAST(a1 + CASE WHEN a1 < cap
+       |      THEN ((budget - sum_a1) * avail) // GREATEST(t_unc, 1)
+       |      ELSE 0 END, cap) AS a2
+       |  FROM ${px}r1b, ${px}l)""".stripMargin
 
   private val sqlMixRateCase =
     MixRates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
@@ -1264,6 +1352,43 @@ object CurationOps {
          |    AS BIGINT) AS waste_ppm,
          |  CAST(SUM(n_straddle) AS BIGINT) AS n_straddle
          |FROM ps GROUP BY 1""".stripMargin,
+
+    // annealPlan: full-corpus budget split (div-first b2), the Gopher
+    // keep rules (stream_quality_keep's bodies) carve the phase-2
+    // subset, then the waterfall replay once per phase
+    "mix_anneal_plan" ->
+      s"""WITH fb AS (
+         |  SELECT CAST(SUM(len($sqlToks)) AS BIGINT) * $EpochBudgetMult AS b
+         |  FROM documents),
+         |ph AS (SELECT b, (b // 1000000) * $AnnealFracPpm AS b2 FROM fb),
+         |keep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      len($sqlToks) AS n_tok,
+         |      list_reduce(list_prepend(0::BIGINT,
+         |        list_transform($sqlToks, x -> CAST(length(x) AS BIGINT))),
+         |        (a, b) -> a + b) AS sum_wlen,
+         |      len(list_filter($sqlToks,
+         |        x -> list_contains(['the','and','of','to','is'], x)))
+         |        AS n_stop,
+         |      len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         |      length(text) AS n_chars
+         |    FROM documents)
+         |  WHERE n_tok >= 5 AND n_tok <= 100000
+         |    AND sum_wlen >= n_tok * 3 AND sum_wlen <= n_tok * 10
+         |    AND n_stop >= 1 AND n_punct * 10 <= n_chars),
+         |d2 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+         |${waterfallCtes("p1_", "documents", "(SELECT b - b2 FROM ph)")},
+         |${waterfallCtes("p2_", "d2", "(SELECT b2 FROM ph)")}
+         |SELECT 1::BIGINT AS phase, source, avail AS avail_tokens,
+         |  weight_ppm, a2 AS alloc_tokens,
+         |  (a2 * 1000000) // GREATEST(avail, 1) AS epochs_ppm,
+         |  (a2 = cap) AS capped
+         |FROM p1_r2
+         |UNION ALL
+         |SELECT 2::BIGINT, source, avail, weight_ppm, a2,
+         |  (a2 * 1000000) // GREATEST(avail, 1), (a2 = cap)
+         |FROM p2_r2""".stripMargin,
 
     // mixInterleave: per-source dense hash-order positions, stride
     // = 10^12 div w_ppm, vtime = (pos+1)*stride — exact integers

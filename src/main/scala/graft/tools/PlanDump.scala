@@ -226,6 +226,10 @@ object PlanDump {
     // cluster-size histogram: one |components|-row agg over the CC
     // chain — a corpus-sized exchange beyond the CC rounds regresses
     "dedup_cluster_hist",
+    // anneal: two source-keyed aggs (full corpus + gate-filtered) —
+    // the keeper filter must ride the scan as a narrow flag join,
+    // everything else driver scalars; a third corpus pass regresses
+    "mix_anneal_plan",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
