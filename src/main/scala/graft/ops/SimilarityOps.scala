@@ -353,6 +353,55 @@ object SimilarityOps {
           .otherwise(lit(0L)))
   }
 
+  /** Integer milli-log2 (the [[TextOps.sparkL2M]] formula on the
+    * driver): floor-log2 from the bit length + a linear fractional
+    * octave — the discount basis [[servingNdcg]] shares with the
+    * oracle so no libm log can flip a discount. */
+  private def l2mLong(n: Long): Long = {
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    1000L * (b - 1) + ((n * 1000L) >> (b - 1)) - 1000L
+  }
+
+  /** nDCG@k of the IVF serving ranking — the ORDER-WEIGHTED audit
+    * completing the serving-quality triad: recall@k says the true
+    * neighbors are somewhere in the list, MRR says where the top-1
+    * landed, nDCG scores the WHOLE list's order (a hit at rank 1 is
+    * worth ~3.3× a hit at rank 9 under the log2 discount — the
+    * standard IR metric serving dashboards quote). Binary relevance
+    * against the exhaustive top-k truth set; discounts are exact
+    * integers — disc(r) = 10⁹ div l2m(r+1) with the house milli-log2
+    * (10⁶ at rank 1), IDCG the prefix sum of discounts up to the
+    * truth-set size (a driver-constant ≤k-entry array), nDCG in ppm
+    * by integer division — so the whole audit replays hash-exact.
+    *
+    * Cost shape: both sides are the committed bounded-batch
+    * derivations (the recall/MRR audit discipline); the audit itself
+    * adds one ≤|Q|·k join + a |Q|-row agg. */
+  def servingNdcg(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      nCentroids: Int = IvfCentroids, nProbe: Int = IvfProbe): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryPred, k)
+      .select(col("q_id"), col("n_id").as("t_id"))
+    val served = ivfTopK(embeddings, queryPred, k, nCentroids, nProbe)
+      .select(col("q_id").as("q2"), col("n_id").as("n2"), col("rank"))
+    val disc = expr(s"1000000000 div ${TextOps.sparkL2M("(rank + 1)")}")
+    val hits = served.join(truth,
+        col("q2") === col("q_id") && col("n2") === col("t_id"))
+      .groupBy(col("q2"))
+      .agg(count(lit(1)).as("n_hit"), sum(disc).as("dcg_micro"))
+    val idcgPrefix = (1 to k).scanLeft(0L) {
+      (acc, r) => acc + 1000000000L / l2mLong(r + 1L)
+    }
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+      .join(hits, col("q_id") === col("q2"), "left")
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        element_at(typedLit(idcgPrefix), col("n_rel").cast("int") + 1)
+          .as("idcg_micro"))
+      .withColumn("ndcg_ppm",
+        expr("(dcg_micro * 1000000) div greatest(idcg_micro, 1)"))
+  }
+
   /** Prefix dot over the first n dims ([[graft.functions.VecDotPrefix]]). */
   def dotN(a: Column, b: Column, n: Int): Column =
     graft.functions.VectorFunctions.vec_dot_n(a, b, n)
@@ -2568,6 +2617,8 @@ object SimilarityOps {
     // rank of the exhaustive top-1 inside the served IVF list
     "sim_serving_mrr" -> ((s, d) => { val e = t(s, d, "embeddings")
       servingMrr(e, servingQueryPred(e)) }),
+    "sim_serving_ndcg" -> ((s, d) => { val e = t(s, d, "embeddings")
+      servingNdcg(e, servingQueryPred(e)) }),
     // Matryoshka pair: prefix-shortlist serving + its truncation audit
     "sim_adaptive_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
       adaptiveTopK(e, servingQueryPred(e)) }),
@@ -3309,6 +3360,71 @@ object SimilarityOps {
          |    THEN 1000000 // i.rank ELSE 0 END AS BIGINT) AS rr_ppm
          |FROM tru t
          |LEFT JOIN iv i ON t.q_id = i.q_id AND t.true_nn = i.n_id""".stripMargin,
+
+    // servingNdcg: the recall-audit chains with binary relevance vs
+    // the exhaustive top-10, integer l2m discounts (10^9 // l2m(r+1)),
+    // IDCG the discount prefix-sum over the truth-set size
+    "sim_serving_ndcg" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |ex0 AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDot("q.emb", "c.emb")} / (q.nrm * c.nrm) DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0) q
+         |  JOIN e c ON q.vec_id != c.vec_id),
+         |tru AS (SELECT q_id, n_id AS t_id FROM ex0 WHERE rank <= 10),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+         |         FROM e WHERE vec_id < $IvfCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id AS n_id, e.emb AS n_emb, e.nrm AS n_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT n_id, n_emb, n_nrm, cid FROM asg0 WHERE rn = 1),
+         |prb0 AS (
+         |  SELECT q.vec_id AS q_id, q.emb AS q_emb, q.nrm AS q_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDot("q.emb", "cent.c_emb")} / (q.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0) q, cent),
+         |prb AS (SELECT q_id, q_emb, q_nrm, cid FROM prb0 WHERE rn <= $IvfProbe),
+         |sims AS (
+         |  SELECT prb.q_id, asg.n_id,
+         |    ${sqlDot("prb.q_emb", "asg.n_emb")} / (prb.q_nrm * asg.n_nrm) AS sim
+         |  FROM prb JOIN asg USING (cid)
+         |  WHERE prb.q_id != asg.n_id),
+         |iv AS (
+         |  SELECT q_id, n_id, rank FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
+         |        AS rank
+         |    FROM sims) WHERE rank <= 10),
+         |hit AS (
+         |  SELECT i.q_id, CAST(COUNT(1) AS BIGINT) AS n_hit,
+         |    CAST(SUM(1000000000 // ${TextOps.sqlL2M("(i.rank + 1)")})
+         |      AS BIGINT) AS dcg_micro
+         |  FROM iv i JOIN tru t ON i.q_id = t.q_id AND i.n_id = t.t_id
+         |  GROUP BY 1),
+         |nrel AS (SELECT q_id, CAST(COUNT(1) AS BIGINT) AS n_rel
+         |         FROM tru GROUP BY 1),
+         |idcg AS (
+         |  SELECT n.q_id, CAST(SUM(1000000000 // ${TextOps.sqlL2M("(t.r + 1)")})
+         |    AS BIGINT) AS idcg_micro
+         |  FROM nrel n, unnest(range(1, n.n_rel + 1)) AS t(r)
+         |  GROUP BY 1)
+         |SELECT n.q_id, n.n_rel,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(h.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+         |  g.idcg_micro,
+         |  CAST((COALESCE(h.dcg_micro, 0) * 1000000)
+         |    // GREATEST(g.idcg_micro, 1) AS BIGINT) AS ndcg_ppm
+         |FROM nrel n
+         |JOIN idcg g ON n.q_id = g.q_id
+         |LEFT JOIN hit h ON n.q_id = h.q_id""".stripMargin,
 
     // adaptiveTopK: prefix-cosine shortlist (first MrlPrefixDim dims,
     // rn <= shortlist) then exact full-dim cosine rerank

@@ -230,6 +230,9 @@ object PlanDump {
     // the keeper filter must ride the scan as a narrow flag join,
     // everything else driver scalars; a third corpus pass regresses
     "mix_anneal_plan",
+    // nDCG: the recall/MRR audit chains + one <=|Q|*k join — the
+    // bounded-batch BNLJ truth side is deliberate (name-allowed)
+    "sim_serving_ndcg",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -275,6 +275,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // the MRR ranking audit's truth side is the same bounded-batch
       // exhaustive scan the recall audits pay
       "sim_serving_mrr",
+      // the nDCG audit pays the identical truth-side scan
+      "sim_serving_ndcg",
       // Matryoshka serving: stage 1 is the corpus × broadcast-queries
       // prefix-kernel scan (the sim_topk idiom at 1/4 the arithmetic);
       // the truncation audit runs one such scan per prefix width

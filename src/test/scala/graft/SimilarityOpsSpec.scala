@@ -156,6 +156,45 @@ class SimilarityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("servingNdcg: exhaustive probing scores exactly 1e6 everywhere; " +
+    "partial probing replays the integer discount arithmetic locally") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") % 50 === 0
+    val full = SimilarityOps.servingNdcg(emb, pred,
+      nCentroids = SimilarityOps.IvfCentroids,
+      nProbe = SimilarityOps.IvfCentroids).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(5) == 1000000L,
+        s"exhaustive IVF ≡ brute force ⇒ every truth hit at its own rank: $r")
+    }
+    // partial probing: recompute DCG from the served+truth frames with
+    // the same integer milli-log2 discounts
+    def l2m(n: Long): Long = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      1000L * (b - 1) + ((n * 1000L) >> (b - 1)) - 1000L
+    }
+    val truth = SimilarityOps.bruteForceTopK(emb, pred, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = SimilarityOps.ivfTopK(emb, pred, 10,
+        SimilarityOps.IvfCentroids, SimilarityOps.IvfProbe).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wantDcg = served.filter(s => truth((s._1, s._2)))
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.map(s => 1000000000L / l2m(s._3 + 1)).sum
+      }
+    val part = SimilarityOps.servingNdcg(emb, pred).collect()
+    part.foreach { r =>
+      val (q, nRel, dcg, idcg, ndcg) =
+        (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(dcg == wantDcg.getOrElse(q, 0L), s"dcg replay mismatch for q=$q")
+      assert(idcg == (1L to nRel).map(rk => 1000000000L / l2m(rk + 1)).sum)
+      assert(ndcg == dcg * 1000000L / math.max(idcg, 1L))
+      assert(ndcg >= 0L && ndcg <= 1000000L)
+    }
+  }
+
   test("adaptiveTopK: full-width prefix + corpus-sized shortlist reproduces " +
     "bruteForceTopK exactly; narrow prefix keeps ranks/sims well-formed") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
