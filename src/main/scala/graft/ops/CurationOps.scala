@@ -279,15 +279,20 @@ object CurationOps {
     * to uncapped domains proportional to their available tokens in a
     * second waterfall round, then re-capped. All arithmetic exact
     * integer (truncating div both engines): weight_ppm =
-    * (T_d²·10⁶) div ΣT², round-1 alloc = min((B·w) div 10⁶, E·T_d),
-    * leftover = B − Σ, round-2 add = (leftover·T_d) div ΣT_uncapped.
+    * (T_d²·10⁶) div ΣT², round-1 alloc = min((B·w) div 10⁶, E·T_d)
+    * computed DIV-FIRST (the naive B·w product overflows int64 once
+    * B exceeds ~9.2·10¹² — a 100 TB corpus at budgetMult=4 is
+    * ~4·10¹⁴ tokens), leftover = B − Σ, round-2 add = (leftover·T_d)
+    * div ΣT_uncapped with the product widened to DECIMAL(38)/HUGEINT.
     * Floor-division residue stays deliberately unallocated.
     *
     * Exactness bound: T_d²·10⁶ needs T_d < 3·10⁶ tokens per domain to
     * stay in int64 — fine here because the τ-weight DERIVATION is the
     * demo stand-in; a production planner takes weight_ppm as an input
-    * column (from mix_temperature / mix_doremi, both already ppm), and
-    * everything downstream of the weights is O(B·10⁶) « 2⁶³.
+    * column (from mix_temperature / mix_doremi, both already ppm).
+    * Downstream of the weights, div-first round 1 holds to B < 2⁶³
+    * tokens and round 2 is exact in DECIMAL(38), so 100 TB allocates
+    * exactly.
     *
     * Shape at scale: ONE corpus scan into a source-keyed token-count
     * agg (map-side combine); every subsequent step operates on the
@@ -315,11 +320,20 @@ object CurationOps {
     val tSq = math.max(
       Option(tot.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L), 1L)
     val budget = budgetOf(tTotal)
+    // round-1 alloc DIV-FIRST: (B div 10⁶)·w + ((B mod 10⁶)·w) div 10⁶
+    // ≡ (B·w) div 10⁶ exactly (B·w = (q·10⁶+r)·w and q·w·10⁶ divides
+    // evenly), but the largest intermediate is max(q·w, r·w) ≤
+    // max(B, 10⁶)·10⁶ — in int64 for budgets up to ~9.2·10¹² · 10⁶
+    // tokens, vs the naive product overflowing at B ≈ 9.2·10¹²
+    // (a 100 TB corpus at budgetMult=4 is ~4·10¹⁴ tokens)
+    val bQ = budget / 1000000L
+    val bR = budget % 1000000L
     val r1 = per
       .withColumn("weight_ppm", expr(s"(avail * avail * 1000000) div ${tSq}L"))
       .withColumn("cap", col("avail") * maxEpochs)
       .withColumn("a1",
-        least(expr(s"(${budget}L * weight_ppm) div 1000000"), col("cap")))
+        least(expr(s"${bQ}L * weight_ppm + (${bR}L * weight_ppm) div 1000000"),
+          col("cap")))
       .localCheckpoint(eager = false)
     val l = r1.agg(sum("a1"),
       sum(when(col("a1") < col("cap"), col("avail")).otherwise(0L))).first()
@@ -327,9 +341,14 @@ object CurationOps {
       budget - Option(l.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val tUnc = math.max(
       Option(l.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L), 1L)
+    // round-2 spread: leftover·avail can reach ~B·T ≈ 10²⁹ at 100 TB,
+    // so the product widens to DECIMAL(38,0) (= DuckDB HUGEINT in the
+    // oracle CTEs); `div` truncates identically in both engines and
+    // the quotient ≤ leftover is back in int64
     r1.withColumn("a2", least(
         col("a1") + when(col("a1") < col("cap"),
-          expr(s"(${leftover}L * avail) div ${tUnc}L")).otherwise(0L),
+          expr(s"CAST((CAST(${leftover}L AS DECIMAL(38,0)) * avail)" +
+            s" div ${tUnc}L AS BIGINT)")).otherwise(0L),
         col("cap")))
       .select(col("source"), col("avail").as("avail_tokens"),
         col("weight_ppm"), col("a2").as("alloc_tokens"),
@@ -1078,7 +1097,8 @@ object CurationOps {
        |    avail * $EpochMax AS cap
        |  FROM per, tot),
        |r1b AS (
-       |  SELECT *, LEAST((budget * weight_ppm) // 1000000, cap) AS a1
+       |  SELECT *, LEAST((budget // 1000000) * weight_ppm
+       |      + ((budget % 1000000) * weight_ppm) // 1000000, cap) AS a1
        |  FROM r1),
        |l AS (
        |  SELECT CAST(SUM(a1) AS BIGINT) AS sum_a1,
@@ -1088,7 +1108,8 @@ object CurationOps {
        |r2 AS (
        |  SELECT source, avail, weight_ppm, cap,
        |    LEAST(a1 + CASE WHEN a1 < cap
-       |      THEN ((budget - sum_a1) * avail) // GREATEST(t_unc, 1)
+       |      THEN CAST((CAST(budget - sum_a1 AS HUGEINT) * avail)
+       |        // GREATEST(t_unc, 1) AS BIGINT)
        |      ELSE 0 END, cap) AS a2
        |  FROM r1b, l)""".stripMargin
 
@@ -1113,7 +1134,8 @@ object CurationOps {
        |    avail * $EpochMax AS cap
        |  FROM ${px}per, ${px}tot),
        |${px}r1b AS (
-       |  SELECT *, LEAST((budget * weight_ppm) // 1000000, cap) AS a1
+       |  SELECT *, LEAST((budget // 1000000) * weight_ppm
+       |      + ((budget % 1000000) * weight_ppm) // 1000000, cap) AS a1
        |  FROM ${px}r1),
        |${px}l AS (
        |  SELECT CAST(SUM(a1) AS BIGINT) AS sum_a1,
@@ -1123,7 +1145,8 @@ object CurationOps {
        |${px}r2 AS (
        |  SELECT source, avail, weight_ppm, cap,
        |    LEAST(a1 + CASE WHEN a1 < cap
-       |      THEN ((budget - sum_a1) * avail) // GREATEST(t_unc, 1)
+       |      THEN CAST((CAST(budget - sum_a1 AS HUGEINT) * avail)
+       |        // GREATEST(t_unc, 1) AS BIGINT)
        |      ELSE 0 END, cap) AS a2
        |  FROM ${px}r1b, ${px}l)""".stripMargin
 

@@ -777,8 +777,13 @@ object TextOps {
     val perDoc = kn.join(uni, Seq("doc_id"))
       .withColumn("excess_mbits", col("uni_mbits") - col("kn_mbits"))
       .localCheckpoint(eager = false)
+    // sum() is NULL on an empty/all-degenerate corpus (every doc
+    // filtered by the n_bigrams/n_tokens guards) — Option-wrap like
+    // epochWaterfall's driver scalars, so the result is an empty
+    // frame instead of an NPE
     val m = perDoc.agg(sum("excess_mbits"), count(lit(1))).first()
-    val mean = m.getLong(0) / math.max(m.getLong(1), 1L)
+    val mean = Option(m.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L) /
+      math.max(m.getLong(1), 1L)
     perDoc.select(col("doc_id"), col("kn_mbits"), col("uni_mbits"),
       col("excess_mbits"), (col("excess_mbits") > mean).as("keep"))
   }
