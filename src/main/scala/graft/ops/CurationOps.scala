@@ -189,6 +189,28 @@ object CurationOps {
     * truncates at the sf0.01 gate (corpus ≈ 27 k tokens there). */
   val MixBudgetTokens = 10000L
 
+  /** Stratum sub-sharding for the per-language windows below.
+    * Language cardinality is tiny and real corpora are dominated by
+    * one language, so a window partitioned by `lang` alone would
+    * funnel the dominant stratum into ONE task's spill-sort at scale.
+    * Because the ordering key `pri` is a uniform hash in
+    * [0, HashMod), RANGE-bucketing it into [[MixStripes]] stripes
+    * keeps the global (pri, doc_id) order stripe-major: every doc in
+    * stripe s precedes every doc in stripe s+1 (pri ties land in the
+    * same stripe), so a per-(lang, stripe) window plus the per-stripe
+    * prefix offsets — a tiny (nLang·nStripes)-row agg windowed
+    * in-plan and broadcast back — reconstructs the EXACT global
+    * running sums/positions while each sort task handles ~1/stripes
+    * of the stratum. At 100 TB raise MixStripes (any value yields
+    * identical output — spec-pinned); the committed hashes are
+    * stripe-count-invariant by the range-bucket argument above. */
+  val MixStripes = 64
+
+  /** `pri` → stripe (range bucket; monotone in pri). */
+  private def stripeCol(stripes: Int): Column =
+    expr(s"pri div ${(TextOps.HashMod + stripes - 1) / stripes}L")
+      .cast("int")
+
   /** Token-budget mixture selection: per language, take documents in
     * deterministic hash order until that language's share of the
     * global token budget is exhausted. Greedy prefix rule: a doc is
@@ -201,24 +223,43 @@ object CurationOps {
     * never moves document text no matter how large the corpus rows
     * are; selected ids then join back to the full rows if the caller
     * needs them. Per-stratum ordering is the inherently sequential
-    * part of any quota sampler; with few strata each sort is one
-    * partition, which is exactly why the projection-first form (not a
-    * window over full rows) is the 100 TB-safe one. */
+    * part of any quota sampler, but it is NOT single-task: the window
+    * partitions by (lang, stripe) with [[MixStripes]] range buckets
+    * of the hash order, and the exact global prefix sums come back
+    * via the broadcast per-stripe offsets (see [[MixStripes]]) — so
+    * the dominant language sorts in parallel across its stripes. The
+    * narrow projection is localCheckpoint'd so the offsets agg and
+    * the window pay the tokenize scan once. */
   def mixTokenBudget(docs: DataFrame, budget: Long = MixBudgetTokens,
-      weights: Seq[(String, Double)] = MixWeights): DataFrame = {
+      weights: Seq[(String, Double)] = MixWeights,
+      stripes: Int = MixStripes): DataFrame = {
     val budgets = weights.map { case (k, f) => (k, Math.round(f * budget)) }
     val langBudget = budgets.tail.foldLeft(
       when(col("lang") === budgets.head._1, lit(budgets.head._2))) {
       case (acc, (k, v)) => acc.when(col("lang") === k, lit(v))
     }.otherwise(lit(0L)) // unlisted strata are excluded entirely
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("pri").asc, col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("lang"),
+    val proj = docs.select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         TextOps.strHash(concat(lit("budget:"), col("doc_id").cast("string")))
           .as("pri"))
-      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("stripe", stripeCol(stripes))
+      .localCheckpoint(eager = false)
+    // per-(lang, stripe) token mass → exclusive prefix over stripes:
+    // a tiny (nLang·nStripes)-row frame windowed in-plan, broadcast back
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("stripe")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = proj.groupBy("lang", "stripe")
+      .agg(sum("n_tokens").as("st_tokens"))
+      .withColumn("off_tokens", coalesce(sum("st_tokens").over(wOff), lit(0L)))
+      .select(col("lang"), col("stripe"), col("off_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "stripe").orderBy(col("pri").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    proj
+      .withColumn("cum_local", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "stripe"))
+      .withColumn("cum_before", col("cum_local") + col("off_tokens"))
       .filter(col("cum_before") < langBudget)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
   }
@@ -246,24 +287,40 @@ object CurationOps {
     * shard partition by (vtime, lang, doc_id) — the tie-break makes
     * the global order total — so no global sort ever runs here; the
     * one exchange is the per-source position window over a narrow
-    * (lang, pri, id) projection, exactly [[mixTokenBudget]]'s shape.
-    * Unlisted sources get weight 0 and are excluded (the
-    * token-budget convention). */
+    * (lang, pri, id) projection, exactly [[mixTokenBudget]]'s shape —
+    * including its (lang, stripe) sub-sharding: the dense per-source
+    * position is a per-stripe row_number plus the broadcast
+    * per-stripe count offsets (see [[MixStripes]]), so the dominant
+    * source never funnels into one sort task. Unlisted sources get
+    * weight 0 and are excluded (the token-budget convention). */
   def mixInterleave(docs: DataFrame,
-      weights: Seq[(String, Double)] = MixWeights): DataFrame = {
+      weights: Seq[(String, Double)] = MixWeights,
+      stripes: Int = MixStripes): DataFrame = {
     val ppm = weights.map { case (k, f) => (k, Math.round(f * 1000000L)) }
     val wCol = ppm.tail.foldLeft(
       when(col("lang") === ppm.head._1, lit(ppm.head._2))) {
       case (acc, (k, v)) => acc.when(col("lang") === k, lit(v))
     }.otherwise(lit(0L))
-    val part = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("pri").asc, col("doc_id").asc)
-    docs.select(col("doc_id"), col("lang"),
+    val proj = docs.select(col("doc_id"), col("lang"),
         TextOps.strHash(concat(lit("ilv:"), col("doc_id").cast("string")))
           .as("pri"))
       .withColumn("w_ppm", wCol)
       .filter(col("w_ppm") > 0L)
-      .withColumn("src_pos", row_number().over(part).cast("long") - 1L)
+      .withColumn("stripe", stripeCol(stripes))
+      .localCheckpoint(eager = false)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("stripe")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = proj.groupBy("lang", "stripe")
+      .agg(count(lit(1)).as("st_n"))
+      .withColumn("off_n", coalesce(sum("st_n").over(wOff), lit(0L)))
+      .select(col("lang"), col("stripe"), col("off_n"))
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "stripe").orderBy(col("pri").asc, col("doc_id").asc)
+    proj
+      .withColumn("loc_pos", row_number().over(part).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("lang", "stripe"))
+      .withColumn("src_pos", col("off_n") + col("loc_pos"))
       .select(col("doc_id"), col("lang"), col("src_pos"), col("w_ppm"),
         expr(s"(src_pos + 1) * (${StrideScale}L div w_ppm)").as("vtime"))
   }

@@ -76,4 +76,39 @@ class MixInterleaveSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4))).toSet
     assert(a == b)
   }
+
+  test("stripe-count invariance: src_pos identical at 1 (the single global " +
+    "window), 7, and 64 stripes — the 100 TB knob cannot move a hash") {
+    def run(n: Int) = CurationOps.mixInterleave(docs, weights, stripes = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    val one = run(1)
+    assert(one.nonEmpty && run(7) == one && run(64) == one)
+  }
+
+  test("the position window genuinely sub-shards the dominant stratum: " +
+    "its partition key count grows with the stripe count") {
+    import spark.implicits._
+    // one dominant language — the corpus shape that single-tasks a
+    // lang-partitioned window
+    val dom = (0 until 2000).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
+    def stripesUsed(n: Int) =
+      CurationOps.mixInterleave(dom, Seq("en" -> 1.0), stripes = n)
+        .select("src_pos").distinct().count() // forces the plan; and:
+    stripesUsed(64)
+    val keys = CurationOps.mixInterleave(dom, Seq("en" -> 1.0), stripes = 64)
+    // count distinct (lang, stripe) sort-partition keys the window ran
+    // over — recomputed from the same pri derivation the operator uses
+    val pri = dom.select(
+      graft.ops.TextOps.strHash(concat(lit("ilv:"),
+        col("doc_id").cast("string"))).as("pri"))
+    val width = (graft.ops.TextOps.HashMod + 63) / 64
+    val nStripes = pri.select(expr(s"pri div ${width}L")).distinct().count()
+    assert(nStripes > 16,
+      s"2000 uniform-hash docs must spread over many stripes, got $nStripes")
+    // and the output is still the dense 0..N-1 per-source position
+    val positions = keys.select("src_pos").collect().map(_.getLong(0)).sorted
+    assert(positions.toSeq == (0L until 2000L))
+  }
 }
