@@ -364,10 +364,16 @@ object CurationOps {
     * the phase budget (identity×mult for the single-phase planner; a
     * precomputed constant for each anneal phase). */
   private def epochWaterfall(docs: DataFrame, maxEpochs: Long,
+      budgetOf: Long => Long): DataFrame =
+    waterfallOnPer(docs.groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("avail")),
+      maxEpochs, budgetOf)
+
+  /** The waterfall proper, over a PRECOMPUTED (source, avail) table —
+    * so [[annealPlan]] can feed both phases from one corpus scan. */
+  private def waterfallOnPer(perRaw: DataFrame, maxEpochs: Long,
       budgetOf: Long => Long): DataFrame = {
-    val per = docs.groupBy("source")
-      .agg(sum(size(tokens(col("text"))).cast("long")).as("avail"))
-      .localCheckpoint(eager = false)
+    val per = perRaw.localCheckpoint(eager = false)
     // waterfall scalars collect driver-side (ΣT, ΣT², Σa1, ΣT_uncapped
     // are single rows — the bm25/perceptron train-then-apply pattern;
     // a 1-row crossJoin would constant-fold into a nested-loop join,
@@ -434,25 +440,35 @@ object CurationOps {
     * upsampling of the (smaller) quality subset is bounded at the
     * same ~4-epoch knee.
     *
-    * Shape: two source-keyed aggs (one per phase — the keeper filter
-    * rides the second scan as a narrow flag join), tens of output
-    * rows; everything else is the waterfall's driver scalars. */
+    * Shape: ONE corpus scan — a (source, gopher_pass)-keyed token agg
+    * (map-side combine, localCheckpoint'd) — feeds tFull, both phase
+    * budgets, and both per-source waterfalls; everything downstream
+    * operates on tens-of-rows frames and driver scalars. */
   def annealPlan(docs: DataFrame, budgetMult: Long = EpochBudgetMult,
       maxEpochs: Long = EpochMax,
       fracPpm: Long = AnnealFracPpm): DataFrame = {
-    val tFull = Option(
-      docs.agg(sum(size(tokens(col("text"))).cast("long"))).first().get(0))
+    // ONE corpus scan: the (source, gopher_pass)-keyed token agg
+    // (the shared gopherFlags derivation riding the same tokenize)
+    // feeds tFull, the phase-1 per-source table (both pass values),
+    // and the phase-2 keeper table (pass = true rows) — the waterfalls
+    // then run entirely on tens-of-rows frames
+    val bySrcPass = TextOps.gopherFlags(docs, "text")
+      .groupBy(col("source"),
+        (col("r_words") && col("r_wlen") && col("r_stop") &&
+          col("r_punct")).as("pass"))
+      .agg(sum("n_tok").as("avail"))
+      .localCheckpoint(eager = false)
+    val tFull = Option(bySrcPass.agg(sum("avail")).first().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val b = tFull * budgetMult
     val b2 = (b / 1000000L) * fracPpm
-    val keepers = TextOps.gopherFlags(docs, "text")
-      .filter(col("r_words") && col("r_wlen") && col("r_stop") &&
-        col("r_punct"))
-      .select("doc_id")
-    epochWaterfall(docs, maxEpochs, _ => b - b2)
+    val perAll = bySrcPass.groupBy("source").agg(sum("avail").as("avail"))
+    val perKeep = bySrcPass.filter(col("pass"))
+      .select(col("source"), col("avail"))
+    waterfallOnPer(perAll, maxEpochs, _ => b - b2)
       .withColumn("phase", lit(1L))
       .unionByName(
-        epochWaterfall(docs.join(keepers, "doc_id"), maxEpochs, _ => b2)
+        waterfallOnPer(perKeep, maxEpochs, _ => b2)
           .withColumn("phase", lit(2L)))
       .select(col("phase"), col("source"), col("avail_tokens"),
         col("weight_ppm"), col("alloc_tokens"), col("epochs_ppm"),
