@@ -820,14 +820,18 @@ object DedupOps {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
-    // the streaming serve's batch twin (the Structured Streaming
-    // contract: same function, bounded frame) — parity with
+    // the streaming serve's batch twin: build + persist the band /
+    // shingle artifacts for the train split, then serve the eval
+    // split from them (probed buckets prune both scans) — parity with
     // attributionTopK is StreamAttributionSpec's first pin
     "stream_attribution" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      val dir = graft.serving.IndexStore.scratchDir(d, "attr")
+      graft.serving.IndexStore.writeAttr(
+        docs.filter(col("doc_id") % 50 =!= 0), dir)
       graft.streaming.StreamAttribution.serveTopK(
         docs.filter(col("doc_id") % 50 === 0),
-        docs.filter(col("doc_id") % 50 =!= 0))
+        graft.serving.IndexStore.loadAttr(s, dir))
     }),
     // streaming ingest-time dedup contract, batch-relational form:
     // bucket owner = min doc_id per LSH band bucket, doc kept iff it

@@ -2604,6 +2604,18 @@ object SimilarityOps {
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "mix_cluster_cap" -> ((s, d) => clusterCap(t(s, d, "embeddings"))),
     "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
+    // the PHYSICAL index: write the cid-partitioned assignment +
+    // centroid artifacts, then report the per-cell manifest READ BACK
+    // FROM the artifact — the oracle recomputes the assignment from
+    // the parquet truth, so a write/load corruption (dropped rows,
+    // drifted types, wrong partition values) breaks the hash
+    "serve_index_write" -> ((s, d) => {
+      val dir = graft.serving.IndexStore.scratchDir(d, "ann")
+      graft.serving.IndexStore.writeAnn(t(s, d, "embeddings"), dir)
+      graft.serving.IndexStore.loadAnn(s, dir).assign
+        .groupBy("cid").agg(count(lit(1)).as("n_vecs"),
+          min("n_id").as("min_vec_id"), max("n_id").as("max_vec_id"))
+    }),
     "serve_query_router" -> ((s, d) => { val e = t(s, d, "embeddings")
       queryRouter(e, servingQueryPred(e)) }),
     "serve_shard_plan" -> ((s, d) => shardPlan(t(s, d, "embeddings"))),
@@ -3924,6 +3936,25 @@ object SimilarityOps {
          |  COALESCE(n.n_new, 0) AS n_new,
          |  COALESCE(n.s, 0) AS new_sim_sum_u
          |FROM b FULL OUTER JOIN n ON b.cid = n.cid""".stripMargin,
+
+    // the physical-index manifest: the IVF-convention (first-K,
+    // K = IvfCentroids) max-cosine assignment recomputed from the
+    // parquet truth, rolled up per cell — what the engine reads back
+    // from the written artifact must equal this
+    "serve_index_write" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $IvfCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent)
+         |SELECT cid, COUNT(1)::BIGINT AS n_vecs,
+         |  MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+         |FROM asg0 WHERE rn = 1 GROUP BY 1""".stripMargin,
 
     // indexBuild: the semDedup assignment CTEs composed with the
     // emb_quantize_int8 code derivation, rolled up per cell

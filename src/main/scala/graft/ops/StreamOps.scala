@@ -42,17 +42,35 @@ object StreamOps {
       EventStreams.enrichedTumbling(t(s, d, "events"), t(s, d, "customer"))),
     "stream_drift_chi2" -> ((s, d) =>
       EventStreams.tumblingDrift(t(s, d, "events"), t(s, d, "events"))),
-    // streaming ANN serving (batch twin): window-free cell probing +
-    // stream-static candidate join + TopKSimAgg streaming agg must
-    // reproduce sim_ivf_topk row for row — so it shares that oracle
+    // streaming ANN serving (batch twin): build + persist the IVF
+    // index artifact, load it, serve the bounded query batch from the
+    // cid-partitioned assignment (probed cells prune the scan) — must
+    // reproduce sim_ivf_topk row for row, so it shares that oracle
     "stream_ann_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "ann")
+      graft.serving.IndexStore.writeAnn(e, dir,
+        graft.ops.SimilarityOps.IvfCentroids)
       graft.streaming.StreamAnnServe.serveTopK(
         e.filter(graft.ops.SimilarityOps.servingQueryPred(e))
           .select(col("vec_id"), col("embedding")),
-        e,
-        nCentroids = graft.ops.SimilarityOps.IvfCentroids,
+        graft.serving.IndexStore.loadAnn(s, dir),
         nProbe = graft.ops.SimilarityOps.IvfProbe)
+    }),
+    // streaming BM25 serving (batch twin): build + persist the
+    // inverted-index artifact, serve the fixed Bm25Terms query from
+    // the term-bucketed postings — must reproduce txt_bm25 row for
+    // row, so it shares that oracle
+    "stream_bm25_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = graft.serving.IndexStore.scratchDir(d, "text")
+      graft.serving.IndexStore.writeText(docs, dir)
+      val idx = graft.serving.IndexStore.loadText(s, dir)
+      import s.implicits._
+      val q = Seq((0L, graft.ops.TextOps.Bm25Terms)).toDF("q_id", "terms")
+      graft.streaming.StreamBm25Serve.serveTopK(q, idx)
+        .select(col("doc_id"), col("dl"), col("n_hit_terms"),
+          col("score_u"))
     })
   )
 
@@ -61,6 +79,9 @@ object StreamOps {
     // (same first-K centroids, probe count, tie-breaks), so its
     // oracle is the identical committed IVF CTE chain
     "stream_ann_topk" -> graft.ops.SimilarityOps.oracle("sim_ivf_topk"),
+    // the lexical serve's batch twin is txt_bm25 row for row (same
+    // terms, integer Okapi form, tie-breaks) — identical committed CTE
+    "stream_bm25_topk" -> graft.ops.TextOps.oracle("txt_bm25"),
     // Spark's tumbling windows are epoch-aligned: start = us - us % len
     "stream_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

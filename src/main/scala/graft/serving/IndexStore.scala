@@ -1,0 +1,220 @@
+package graft.serving
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{DedupOps, SimilarityOps}
+import graft.ops.SimilarityOps.{definedNrm, norm}
+
+/** PHYSICAL serving-index artifacts — the offline half of the
+  * offline/online split, made real: `serve_index_build` scores a cell
+  * layout, this WRITES it (and the attribution family's band/shingle
+  * tables) to storage so the online serves read a prebuilt index
+  * instead of re-deriving corpus-sized state inside every query.
+  *
+  * Why it matters at 100 TB: Structured Streaming re-executes the
+  * static side of a stream-static join EVERY micro-batch. A serve
+  * whose static side is "assign the raw corpus to cells" therefore
+  * pays a full corpus scan + kernel pass per micro-batch, even though
+  * the join volume is only the probed cells. Persisting the
+  * assignment PARTITIONED BY CELL turns that into: read only the
+  * partitions this batch probes — the probed-cid literal filter
+  * becomes a parquet PartitionFilter (spec-pinned), so a micro-batch's
+  * IO is |probed cells|/K of the index, not the corpus.
+  *
+  * Layouts (all plain parquet, loadable with explicit schemas so no
+  * inference step can drift a type):
+  *  - ANN:  `dir/centroids` (cid, c_emb, c_nrm — K rows) and
+  *          `dir/assign` (n_id, n_emb, n_nrm) partitioned by `cid`
+  *          — [[graft.streaming.StreamAnnServe.assignCorpus]]'s
+  *          output, exactly (parquet roundtrips float/double values
+  *          bit-exactly, so a serve from the artifact reproduces the
+  *          in-plan serve row for row; StreamAnnServeSpec pins it).
+  *  - Attribution: `dir/bands` (t_id, band, key) partitioned by
+  *          `pb = band·B + hash(key) mod B` (the band-bucket layout —
+  *          a query's band keys prune to their colliding buckets) and
+  *          `dir/shingles` (t_id, t_shs) partitioned by
+  *          `tb = hash(t_id) mod B` (candidate t_ids prune the rerank
+  *          side the same way).
+  *  - Text: `dir/postings` (term, doc_id, dl, tf) partitioned by
+  *          `tb = hash(term) mod B` (dl denormalized onto the posting
+  *          so scoring never joins a corpus-sized doc-length table),
+  *          `dir/terms` (term, df, idf_milli) under the same
+  *          bucketing, and `dir/stats` (n_docs, n_tokens — one row):
+  *          everything [[graft.ops.TextOps.bm25TopDocs]] derives per
+  *          query, precomputed once.
+  */
+object IndexStore {
+
+  /** Scratch root for driver-query artifacts — keyed by sf dir so
+    * concurrent scale factors never cross; overwritten per build (the
+    * Coverage.rtDir convention: oracles read the parquet TRUTH, never
+    * this path, so its location is free to vary per machine). */
+  def scratchDir(sfDir: String, what: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_serving/" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}/$what"
+
+  // ------------------------------------------------------------- ANN
+
+  /** A loaded ANN serving index: the driver-constant coarse quantizer
+    * (K·dim floats — the index-build artifact, never corpus-sized)
+    * plus the cell-partitioned corpus assignment frame. */
+  final case class AnnIndex(centroids: Seq[(Long, Seq[Float])],
+      assign: DataFrame)
+
+  /** Build + persist the IVF serving index: first-K centroids (the
+    * batch family's convention) and the corpus cell assignment,
+    * partitioned by cid. One corpus scan for the assignment (the
+    * narrow cell_probe projection — no argmax shuffle), one bounded
+    * scan for the K centroids. */
+  def writeAnn(corpus: DataFrame, dir: String,
+      nCentroids: Int = SimilarityOps.IvfCentroids): Unit = {
+    corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val cents = loadCentroids(corpus.sparkSession, dir)
+    graft.streaming.StreamAnnServe.assignCorpus(corpus, cents)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$dir/assign")
+  }
+
+  private def loadCentroids(spark: SparkSession,
+      dir: String): Seq[(Long, Seq[Float])] =
+    spark.read.parquet(s"$dir/centroids")
+      .orderBy("cid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+
+  private val annAssignSchema = StructType(Seq(
+    StructField("n_id", LongType),
+    StructField("n_emb", ArrayType(FloatType)),
+    StructField("n_nrm", DoubleType),
+    StructField("cid", LongType)))
+
+  def loadAnn(spark: SparkSession, dir: String): AnnIndex =
+    AnnIndex(loadCentroids(spark, dir),
+      spark.read.schema(annAssignSchema).parquet(s"$dir/assign"))
+
+  // ----------------------------------------------------- attribution
+
+  /** Band-bucket fanout for the attribution artifacts: with
+    * [[graft.ops.DedupOps.bandKeys]]' 2 bands this yields 2·B
+    * `pb` partitions and B `tb` partitions. At 100 TB raise B — the
+    * layout knob, invariant to results. */
+  val AttrBuckets = 32
+
+  private[graft] def pbCol(band: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (band.cast("long") * AttrBuckets + pmod(xxhash64(key), lit(AttrBuckets)))
+      .cast("int")
+
+  private[graft] def tbCol(
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(id), lit(AttrBuckets)).cast("int")
+
+  final case class AttrIndex(bands: DataFrame, shingles: DataFrame)
+
+  /** Build + persist the attribution serving index: the train band
+    * table bucketed by (band, key-hash) and the train shingle arrays
+    * bucketed by doc-id hash — the two stream-static sides
+    * [[graft.streaming.StreamAttribution]] previously re-derived from
+    * raw train text every micro-batch. Two corpus scans, paid once at
+    * build time. */
+  def writeAttr(train: DataFrame, dir: String,
+      textCol: String = "text"): Unit = {
+    DedupOps.bandKeys(train, textCol)
+      .select(col("doc_id").as("t_id"), col("band"), col("key"))
+      .withColumn("pb", pbCol(col("band"), col("key")))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/bands")
+    train.select(col("doc_id").as("t_id"),
+        DedupOps.shingleHashes(col(textCol)).as("t_shs"))
+      .withColumn("tb", tbCol(col("t_id")))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/shingles")
+  }
+
+  private val attrBandsSchema = StructType(Seq(
+    StructField("t_id", LongType),
+    StructField("band", IntegerType),
+    StructField("key", StringType),
+    StructField("pb", IntegerType)))
+
+  private val attrShinglesSchema = StructType(Seq(
+    StructField("t_id", LongType),
+    StructField("t_shs", ArrayType(LongType)),
+    StructField("tb", IntegerType)))
+
+  def loadAttr(spark: SparkSession, dir: String): AttrIndex =
+    AttrIndex(
+      spark.read.schema(attrBandsSchema).parquet(s"$dir/bands"),
+      spark.read.schema(attrShinglesSchema).parquet(s"$dir/shingles"))
+
+  // ------------------------------------------------------------ text
+
+  /** Term-hash bucket fanout for the text (BM25) artifact. */
+  val TextBuckets = 32
+
+  final case class TextIndex(postings: DataFrame, terms: DataFrame,
+      nDocs: Long, nTokens: Long)
+
+  /** Build + persist the lexical serving index: the (term, doc, tf,
+    * dl) postings bucketed by term hash (dl denormalized onto the
+    * posting so scoring never joins a corpus-sized doc-length table),
+    * the per-term stats (df + the exact integer BM25 idf_milli —
+    * [[graft.ops.TextOps.textIndexBuild]]'s formula, so index and
+    * live query can never disagree on a term weight), and the corpus
+    * totals. The explode reaches the first shuffle already keyed
+    * (term, doc_id) with map-side combine, so corpus token volume is
+    * paid exactly once (the textIndexBuild shape); the term stats are
+    * a vocabulary-sized rollup of that same keyed agg. */
+  def writeText(docs: DataFrame, dir: String,
+      textCol: String = "text"): Unit = {
+    val nDocs = docs.count()
+    val tk = docs.select(col("doc_id"),
+      graft.ops.TextOps.tokens(col(textCol)).as("toks"))
+    tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("tb", tbTermCol(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
+    val posts = spark(docs).read.schema(textPostingsSchema)
+      .parquet(s"$dir/postings")
+    posts.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        expr(s"((2 * ${nDocs}L - 2 * df + 1) * 1000) div (2 * df + 1)")
+          .as("idf_milli"))
+      .withColumn("tb", tbTermCol(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/terms")
+    tk.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("toks"))).cast("long").as("n_tokens"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  private def spark(df: DataFrame): SparkSession = df.sparkSession
+
+  private[graft] def tbTermCol(
+      term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(term), lit(TextBuckets)).cast("int")
+
+  private val textPostingsSchema = StructType(Seq(
+    StructField("term", StringType),
+    StructField("doc_id", LongType),
+    StructField("dl", LongType),
+    StructField("tf", LongType),
+    StructField("tb", IntegerType)))
+
+  private val textTermsSchema = StructType(Seq(
+    StructField("term", StringType),
+    StructField("df", LongType),
+    StructField("idf_milli", LongType),
+    StructField("tb", IntegerType)))
+
+  def loadText(spark: SparkSession, dir: String): TextIndex = {
+    val st = spark.read.parquet(s"$dir/stats").first()
+    TextIndex(
+      spark.read.schema(textPostingsSchema).parquet(s"$dir/postings"),
+      spark.read.schema(textTermsSchema).parquet(s"$dir/terms"),
+      st.getLong(0), st.getLong(1))
+  }
+}

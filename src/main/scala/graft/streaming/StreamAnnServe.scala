@@ -2,46 +2,45 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.ops.SimilarityOps.{definedNrm, dot, norm}
+import graft.serving.IndexStore.AnnIndex
 
 /** Streaming ANN serving: a continuous stream of query vectors served
-  * against a STATIC, pre-built IVF index — the online half of the
-  * offline/online split `serve_index_build` prepares for (the batch
-  * `sim_ivf_topk` answers a query workload known up front; a serving
-  * tier answers queries as they arrive).
+  * against a PREBUILT, PERSISTED IVF index — the online half of the
+  * offline/online split ([[graft.serving.IndexStore.writeAnn]] is the
+  * offline half; the batch `sim_ivf_topk` answers a query workload
+  * known up front, a serving tier answers queries as they arrive).
   *
-  * The whole pipeline is streaming-legal, which constrains every
-  * stage (Structured Streaming forbids window functions and sorts on
-  * unbounded frames — the batch IVF's row_number probe and rank are
-  * both off the table):
+  * The serve reads the index ARTIFACT, never the raw corpus:
   *
   *  1. PROBE — each query row expands to its nProbe best coarse cells
   *     via [[graft.functions.CellProbe]], a narrow per-row kernel
-  *     against the driver-constant centroid matrix (train-then-apply:
-  *     an index's centroids are fixed at build time, exactly like the
-  *     batch family's first-K convention). No crossJoin, no window,
-  *     no shuffle.
-  *  2. CANDIDATES — stream-static INNER equi-join on cid against the
-  *     corpus cell assignment (itself the same kernel at nProbe=1, a
-  *     pure narrow projection of the corpus — zero exchanges on the
-  *     static side, vs the assign-groupBy shuffle of the batch path).
-  *     Stateless: each micro-batch joins only its own queries.
-  *  3. TOP-K — streaming groupBy(q_id) with the TopKSimAgg partial
-  *     top-k aggregator (map-side combine; ≤ k rows of state per
-  *     query key), update output mode. A query's answer is complete
-  *     within its own micro-batch (candidates come only from the
-  *     static side), so update mode emits each query exactly once;
-  *     production would add a query-arrival watermark to evict state.
+  *     against the driver-constant centroid matrix (loaded from the
+  *     artifact — an index's centroids are fixed at build time).
+  *  2. PRUNE — the micro-batch's probed cells (a bounded set: at most
+  *     K, usually |batch|·nProbe distinct cids) become a LITERAL
+  *     isin filter on the assignment table's `cid` PARTITION column,
+  *     so the static side's parquet scan reads ONLY the probed
+  *     partitions (PartitionFilters — spec-pinned). This is the
+  *     100 TB property: per micro-batch IO is |probed cells|/K of
+  *     the index, where the previous in-plan derivation re-scanned
+  *     and re-assigned the whole corpus every micro-batch (Structured
+  *     Streaming re-executes the static side per batch).
+  *  3. CANDIDATES + TOP-K — equi-join on cid, exact cosine, then
+  *     groupBy(q_id) with the TopKSimAgg partial top-k aggregator
+  *     (map-side combine; ≤ k rows of state per query key).
   *
-  * At 100 TB the static side is the serving index laid out ONCE
-  * (bucketed by cid — the layout `serve_index_build` scores), and the
-  * per-batch cost is |batch|·nProbe/K of the corpus — the same
-  * cell-scoped contract as the batch IVF, paid per micro-batch.
+  * Because the prune step derives a literal filter from the batch's
+  * contents, the streaming form runs through foreachBatch
+  * ([[serveStream]]): each micro-batch is served by the SAME batch
+  * function — the per-batch plan is identical to the batch twin's, so
+  * stream ≡ batch is structural (spec-pinned across 3 micro-batches).
   *
-  * Batch twin: the SAME function on a batch query frame (the
-  * Structured Streaming contract) — `stream_ann_topk` runs it on the
-  * bounded serving batch and must reproduce `sim_ivf_topk` row for
-  * row (same centroids, probes, tie-breaks; spec-pinned), so the
+  * Batch twin: `stream_ann_topk` builds the artifact, loads it, and
+  * runs [[serveTopK]] on the bounded serving batch — it must
+  * reproduce `sim_ivf_topk` row for row (same centroids, probes,
+  * tie-breaks; parquet roundtrips float/double bit-exactly), so the
   * committed DuckDB oracle is the identical IVF CTE chain. */
 object StreamAnnServe {
 
@@ -60,7 +59,8 @@ object StreamAnnServe {
 
   /** Corpus cell assignment against the collected centroids: one
     * narrow projection (cell_probe at nProbe=1), no broadcast join,
-    * no argmax shuffle — the static serving index frame. */
+    * no argmax shuffle — the frame [[graft.serving.IndexStore.writeAnn]]
+    * persists partitioned by cid. */
   def assignCorpus(corpus: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame =
     corpus
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
@@ -71,19 +71,22 @@ object StreamAnnServe {
       .drop("cids")
 
   /** Serve exact-cosine top-k over the probed cells for every query
-    * in `queries` (vec_id, embedding) — batch or streaming; the plan
-    * is identical either way (the Structured Streaming contract). */
-  def serveTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-      nCentroids: Int = graft.ops.SimilarityOps.IvfCentroids,
+    * in the BOUNDED frame `queries` (vec_id, embedding), against the
+    * loaded index. The probed-cid collect is ≤ K longs — the literal
+    * filter that prunes the artifact scan to the probed partitions. */
+  def serveTopK(queries: DataFrame, index: AnnIndex, k: Int = 10,
       nProbe: Int = graft.ops.SimilarityOps.IvfProbe): DataFrame = {
-    val cents = collectCentroids(corpus, nCentroids)
-    val asg = assignCorpus(corpus, cents)
+    val cents = index.centroids
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
       .filter(definedNrm(col("q_nrm")))
       .withColumn("cid",
         explode(graft.functions.VectorFunctions.cell_probe(col("q_emb"), cents, nProbe)))
+    // bounded: distinct probed cells ≤ K (the centroid count), no
+    // matter the batch size — the serve's one tiny driver action
+    val probed = q.select("cid").distinct().collect().map(_.getLong(0))
+    val asg = index.assign.filter(col("cid").isin(probed: _*))
     val topk = udaf(new graft.functions.TopKSimAgg(k))
     q.join(asg, Seq("cid"))
       .filter(col("q_id") =!= col("n_id"))
@@ -96,4 +99,19 @@ object StreamAnnServe {
         (col("pos") + 1).cast("long").as("rank"),
         round(col("col.sim"), 6).as("sim"))
   }
+
+  /** The streaming serve: every micro-batch of query vectors runs
+    * through [[serveTopK]] against the SAME loaded index (foreachBatch
+    * — the standard online-serving shape once the static side is a
+    * prebuilt artifact, because the probed-cell prune is a literal
+    * filter derived from the batch's contents). A query's answer
+    * completes within its own micro-batch; `sink` receives the served
+    * top-k frame per batch. */
+  def serveStream(queries: DataFrame, index: AnnIndex, k: Int = 10,
+      nProbe: Int = graft.ops.SimilarityOps.IvfProbe)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => sink(serveTopK(batch.toDF(), index, k, nProbe), id))
+      .start()
 }

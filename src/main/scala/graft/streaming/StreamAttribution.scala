@@ -2,58 +2,89 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.ops.DedupOps
+import graft.serving.IndexStore
+import graft.serving.IndexStore.AttrIndex
 
 /** Streaming training-data ATTRIBUTION: a continuous stream of texts
   * (generated samples under audit, arriving benchmark docs) attributed
-  * against a STATIC training corpus — the lexical twin of
-  * [[StreamAnnServe]]'s vector serving, answering the batch
+  * against a PREBUILT index of the training corpus — the lexical twin
+  * of [[StreamAnnServe]]'s vector serving, answering the batch
   * `dedup_attribution_topk` question online.
   *
-  * Every stage is streaming-legal by design (no windows, no sorts, no
-  * distinct on the stream):
+  * The serve reads the persisted band/shingle artifacts
+  * ([[graft.serving.IndexStore.writeAttr]]), never raw train text:
   *
   *  1. SIGNATURE — each query row derives its shingle array and its
-  *     MinHash band keys via the one-pass native kernels
-  *     ([[DedupOps.bandKeys]] is narrow ops only — the property that
-  *     let [[StreamLshDedup]] run the same derivation on a stream).
-  *  2. CANDIDATES — stream-static INNER equi-join on (band, key)
-  *     against the train corpus's band table, then a second
-  *     stream-static join attaching the candidate's shingle array.
-  *     Stateless; a pair arrives once per colliding band — the
-  *     duplicate the batch path removed with distinct().
-  *  3. RERANK + TOP-K — exact sorted-intersection Jaccard in integer
-  *     ppm (a narrow projection), then streaming groupBy(q_id) with
-  *     [[graft.functions.TopKJaccDistinctAgg]] — the TopKSimAgg
-  *     partial-top-k contract plus id dedup (safe because band
-  *     duplicates carry identical scores), ≤ k rows of state per
-  *     query, update mode: a query's answer completes within its own
-  *     micro-batch (candidates come only from the static side).
+  *     MinHash band keys via the one-pass native kernels (narrow ops
+  *     only — the property that let [[StreamLshDedup]] run the same
+  *     derivation on a stream).
+  *  2. PRUNE + CANDIDATES — the batch's band keys map to their
+  *     (band, key-hash) buckets `pb`; the bounded distinct-pb set
+  *     (≤ 2·B regardless of batch size) becomes a literal filter on
+  *     the band table's PARTITION column, so the static scan reads
+  *     only the buckets this batch collides with. The equi-join on
+  *     (band, key) then yields candidates exactly as the batch
+  *     operator does.
+  *  3. RERANK + TOP-K — candidate t_ids prune the shingle artifact
+  *     the same way (their `tb` buckets, ≤ B values, collected from
+  *     the locally-checkpointed candidate frame), then exact
+  *     sorted-intersection Jaccard in integer ppm and
+  *     [[graft.functions.TopKJaccDistinctAgg]] per query (band
+  *     duplicates carry identical scores, so the id-dedup top-k is
+  *     safe), ≤ k rows of state per query.
   *
-  * At 100 TB the static side is the dedup serving index laid out once
-  * (band table bucketed by (band, key), shingle arrays by doc id) and
-  * a micro-batch pays only its own band-bucket collisions.
+  * At 100 TB a micro-batch therefore pays its colliding buckets' IO
+  * — |probed pb|/(2·B) of the band table and |candidate tb|/B of the
+  * shingle table — where the previous in-plan form re-derived BOTH
+  * tables from the full train corpus inside every micro-batch
+  * (Structured Streaming re-executes the static side per batch).
   *
-  * Batch twin: the SAME function on a bounded query frame must equal
-  * [[DedupOps.attributionTopK]] row for row (spec-pinned), so
-  * `stream_attribution` shares that committed DuckDB oracle. */
+  * Because the prunes are literal filters derived from batch
+  * contents, the streaming form runs through foreachBatch
+  * ([[serveStream]]) — each micro-batch served by the SAME batch
+  * function, so stream ≡ batch is structural (spec-pinned).
+  *
+  * Batch twin: `stream_attribution` builds the artifact, loads it,
+  * and runs [[serveTopK]] on the bounded eval frame — it must equal
+  * [[DedupOps.attributionTopK]] row for row (spec-pinned), so it
+  * shares that committed DuckDB oracle. */
 object StreamAttribution {
 
-  def serveTopK(queries: DataFrame, train: DataFrame,
-      textCol: String = "text",
-      k: Int = DedupOps.AttributionK): DataFrame = {
-    val tBands = DedupOps.bandKeys(train, textCol)
-      .select(col("doc_id").as("t_id"), col("band"), col("key"))
-    val tArr = train.select(col("doc_id").as("t_id"),
-      DedupOps.shingleHashes(col(textCol)).as("t_shs"))
+  /** The candidate stage as a pure plan (pre-checkpoint), so its
+    * band-table pruning is spec-inspectable: query band keys →
+    * probed-pb literal filter on the band artifact → (band, key)
+    * equi-join → (q_id, q_shs, t_id, tb). */
+  private[graft] def candidates(queries: DataFrame, index: AttrIndex,
+      textCol: String = "text"): DataFrame = {
     val qb = DedupOps.bandKeys(
         queries.select(col("doc_id"), col(textCol),
           DedupOps.shingleHashes(col(textCol)).as("q_shs")),
         textCol, passthrough = Seq("q_shs"))
       .select(col("doc_id").as("q_id"), col("q_shs"), col("band"), col("key"))
-    val topk = udaf(new graft.functions.TopKJaccDistinctAgg(k))
+      .withColumn("pb", IndexStore.pbCol(col("band"), col("key")))
+    // bounded: distinct band buckets ≤ 2·AttrBuckets — the literal
+    // partition filter pruning the band-table scan
+    val probedPb = qb.select("pb").distinct().collect().map(_.getInt(0))
+    val tBands = index.bands.filter(col("pb").isin(probedPb: _*))
+      .select(col("t_id"), col("band"), col("key"))
     qb.join(tBands, Seq("band", "key"))
-      .join(tArr, Seq("t_id"))
+      .select(col("q_id"), col("q_shs"), col("t_id"),
+        IndexStore.tbCol(col("t_id")).as("tb"))
+  }
+
+  def serveTopK(queries: DataFrame, index: AttrIndex,
+      textCol: String = "text",
+      k: Int = DedupOps.AttributionK): DataFrame = {
+    // candidates are the batch's band collisions — bounded; checkpoint
+    // so the tb-collect below cannot re-run the band join
+    val cand = candidates(queries, index, textCol).localCheckpoint()
+    val probedTb = cand.select("tb").distinct().collect().map(_.getInt(0))
+    val tArr = index.shingles.filter(col("tb").isin(probedTb: _*))
+      .select(col("t_id"), col("t_shs"))
+    val topk = udaf(new graft.functions.TopKJaccDistinctAgg(k))
+    cand.join(tArr, Seq("t_id"))
       .withColumn("n_inter", graft.functions.TextNative
         .sorted_inter_count(col("q_shs"), col("t_shs")).cast("long"))
       .withColumn("n_union",
@@ -69,4 +100,15 @@ object StreamAttribution {
         col("col.jacc_ppm").as("jacc_ppm"),
         (col("pos") + 1).cast("long").as("rnk"))
   }
+
+  /** Streaming attribution: each micro-batch of texts served by
+    * [[serveTopK]] against the same loaded artifact (foreachBatch —
+    * see [[StreamAnnServe.serveStream]] for why). */
+  def serveStream(queries: DataFrame, index: AttrIndex,
+      textCol: String = "text", k: Int = DedupOps.AttributionK)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => sink(serveTopK(batch.toDF(), index, textCol, k), id))
+      .start()
 }

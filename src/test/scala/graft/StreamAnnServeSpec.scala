@@ -5,14 +5,16 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.SimilarityOps
+import graft.serving.IndexStore
 import graft.streaming.StreamAnnServe
 
-/** The streaming ANN serving path (window-free CellProbe kernel +
-  * stream-static candidate join + TopKSimAgg streaming agg) must (a)
-  * reproduce the batch IVF operator row for row when run in batch
-  * mode — same centroids, probes, tie-breaks — and (b) produce the
-  * SAME answers when the query workload arrives split across
-  * micro-batches, each query answered within its own batch. */
+/** The streaming ANN serving path (persisted cid-partitioned index +
+  * probed-cell partition pruning + TopKSimAgg) must (a) reproduce the
+  * batch IVF operator row for row when serving from the ARTIFACT —
+  * same centroids, probes, tie-breaks, with every float having made a
+  * parquet roundtrip — and (b) produce the SAME answers when the
+  * query workload arrives split across micro-batches (foreachBatch),
+  * each query answered within its own batch. */
 class StreamAnnServeSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -27,16 +29,23 @@ class StreamAnnServeSpec extends AnyFunSuite {
   }
   private val pred = col("vec_id") % 25 === 0
 
+  private lazy val index: IndexStore.AnnIndex = {
+    val dir = IndexStore.scratchDir("spec_ann", "ann")
+    IndexStore.writeAnn(emb, dir, SimilarityOps.IvfCentroids)
+    IndexStore.loadAnn(spark, dir)
+  }
+
   private def asTuples(rows: Array[org.apache.spark.sql.Row]) =
     rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
 
-  test("batch twin ≡ ivfTopK row for row (same first-K centroids, probes, ties)") {
+  test("artifact serve ≡ ivfTopK row for row (same first-K centroids, probes, " +
+    "ties — through a parquet write/load roundtrip)") {
     val want = asTuples(SimilarityOps.ivfTopK(emb, pred,
       nCentroids = SimilarityOps.IvfCentroids, nProbe = SimilarityOps.IvfProbe)
       .collect())
     val got = asTuples(StreamAnnServe.serveTopK(
-      emb.filter(pred).select(col("vec_id"), col("embedding")), emb,
-      nCentroids = SimilarityOps.IvfCentroids, nProbe = SimilarityOps.IvfProbe)
+      emb.filter(pred).select(col("vec_id"), col("embedding")), index,
+      nProbe = SimilarityOps.IvfProbe)
       .collect())
     assert(want.nonEmpty && got == want)
   }
@@ -74,8 +83,39 @@ class StreamAnnServeSpec extends AnyFunSuite {
     }
   }
 
-  test("stream ≡ batch: queries split across 3 micro-batches produce the " +
-    "batch twin's answers, each query emitted in its own batch") {
+  test("the artifact scan reads ONLY probed partitions: PartitionFilters on " +
+    "cid, pruned partition count == the query's probed cells < K") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val oneQuery = emb.filter(col("vec_id") === 75)
+      .select(col("vec_id"), col("embedding"))
+    val served = StreamAnnServe.serveTopK(oneQuery, index,
+      nProbe = SimilarityOps.IvfProbe)
+    val scans = served.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("/assign"))
+        => f
+    }
+    assert(scans.nonEmpty, "the serve must scan the persisted assignment")
+    scans.foreach { f =>
+      // keep only statically-evaluable predicates (the probed-cid isin
+      // literal) — DPP subqueries also land in partitionFilters but
+      // cannot be interpreted outside execution
+      val static = f.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      assert(static.nonEmpty &&
+        static.exists(_.references.exists(_.name == "cid")),
+        s"assign scan must carry a literal cid partition filter, got ${f.partitionFilters}")
+      val pruned = f.relation.location.listFiles(static, Nil).length
+      val total = f.relation.location.listFiles(Nil, Nil).length
+      assert(pruned == SimilarityOps.IvfProbe && pruned < total,
+        s"one query at nProbe=${SimilarityOps.IvfProbe} must read exactly its " +
+          s"probed cells, got $pruned of $total partitions")
+    }
+  }
+
+  test("stream ≡ batch: queries split across 3 micro-batches (foreachBatch " +
+    "against the loaded artifact) produce the batch twin's answers, " +
+    "each query emitted in its own batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val queries = emb.filter(pred)
@@ -84,24 +124,26 @@ class StreamAnnServeSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     assert(queries.length >= 3)
     val want = asTuples(StreamAnnServe.serveTopK(
-      emb.filter(pred).select(col("vec_id"), col("embedding")), emb).collect())
+      emb.filter(pred).select(col("vec_id"), col("embedding")), index).collect())
 
     val mem = MemoryStream[(Long, Array[Float])]
     val qdf = mem.toDF().select(col("_1").as("vec_id"),
       col("_2").cast("array<float>").as("embedding"))
-    val served = StreamAnnServe.serveTopK(qdf, emb)
-    val query = served.writeStream.format("memory").queryName("ann_serve")
-      .outputMode("update").start()
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, Long, Double)])]
+    val query = StreamAnnServe.serveStream(qdf, index) { (out, id) =>
+      perBatch.synchronized { perBatch += id -> asTuples(out.collect()) }
+    }
     try {
       val (b1, rest) = queries.splitAt(1)
       val (b2, b3) = rest.splitAt(rest.length / 2)
       mem.addData(b1: _*); query.processAllAvailable()
-      val afterB1 = spark.table("ann_serve").collect()
-      assert(afterB1.map(_.getLong(0)).toSet == b1.map(_._1).toSet,
+      val afterB1 = perBatch.synchronized(perBatch.flatMap(_._2).toSet)
+      assert(afterB1.map(_._1) == b1.map(_._1).toSet,
         "a query's answer must complete within its own micro-batch")
       mem.addData(b2: _*); query.processAllAvailable()
       mem.addData(b3: _*); query.processAllAvailable()
-      val got = asTuples(spark.table("ann_serve").collect())
+      val got = perBatch.synchronized(perBatch.flatMap(_._2).toSet)
       assert(got == want, "streamed answers must equal the batch twin's")
     } finally query.stop()
   }
