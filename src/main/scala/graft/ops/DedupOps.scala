@@ -292,17 +292,46 @@ object DedupOps {
     * window over candidate rows. The query side is a bounded batch
     * (the benchmark / the generation under audit), the train side
     * pays one signature scan — the dedup serving contract. */
+  /** Hot-band guard for the attribution family: a (band, key) bucket
+    * owning more than this many TRAIN docs is dropped from candidate
+    * generation (the [[ngramJaccardPairs]] df-cap discipline at the
+    * band level). A boilerplate-heavy corpus puts millions of docs on
+    * one band key, exploding every colliding query's candidate set;
+    * the cap bounds per-query candidates at 2·bands·cap. Recall: an
+    * exact copy collides on EVERY band, so it still attributes unless
+    * ALL its bands are hot (the dropped count is logged); the default
+    * is far above any test corpus's max bucket (≤ 4 at sf0.01, dup
+    * groups ≤ 2 at sf0.1) so the gate hashes are cap-invariant —
+    * spec-pinned with a planted hot band. */
+  val AttributionBandDfCap = 1000
+
+  private lazy val dedupLog =
+    org.slf4j.LoggerFactory.getLogger("graft.ops.DedupOps")
+
   def attributionTopK(train: DataFrame, eval: DataFrame,
-      textCol: String = "text", k: Int = AttributionK): DataFrame = {
+      textCol: String = "text", k: Int = AttributionK,
+      bandDfCap: Int = AttributionBandDfCap): DataFrame = {
     val qArr = eval.select(col("doc_id").as("q_id"),
       shingleHashes(col(textCol)).as("q_shs"))
     val tArr = train.select(col("doc_id").as("t_id"),
       shingleHashes(col(textCol)).as("t_shs"))
     val qBands = bandKeys(eval, textCol)
       .select(col("doc_id").as("q_id"), col("band"), col("key"))
-    val tBands = bandKeys(train, textCol)
+    // localCheckpoint (lazy): the band table feeds the df gate AND the
+    // candidate join — without it each consumer re-runs the minhash
+    // kernel over train (the ngramJaccardPairs discipline)
+    val tB = bandKeys(train, textCol)
       .select(col("doc_id").as("t_id"), col("band").as("tband"),
         col("key").as("tkey"))
+      .localCheckpoint(eager = false)
+    val keyDf = tB.groupBy("tband", "tkey").agg(count(lit(1)).as("df"))
+    val nHot = keyDf.filter(col("df") > bandDfCap).count()
+    if (nHot > 0)
+      dedupLog.warn(s"attributionTopK: dropping $nHot hot band bucket(s) " +
+        s"with df > $bandDfCap from candidate generation")
+    val tBands = tB.join(keyDf.filter(col("df") <= bandDfCap),
+        Seq("tband", "tkey"))
+      .select("t_id", "tband", "tkey")
     val cand = qBands.join(tBands,
         col("band") === col("tband") && col("key") === col("tkey"))
       .select("q_id", "t_id").distinct()

@@ -57,7 +57,8 @@ object StreamAttribution {
     * probed-pb literal filter on the band artifact → (band, key)
     * equi-join → (q_id, q_shs, t_id, tb). */
   private[graft] def candidates(queries: DataFrame, index: AttrIndex,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      bandDfCap: Int = DedupOps.AttributionBandDfCap): DataFrame = {
     val qb = DedupOps.bandKeys(
         queries.select(col("doc_id"), col(textCol),
           DedupOps.shingleHashes(col(textCol)).as("q_shs")),
@@ -67,19 +68,36 @@ object StreamAttribution {
     // bounded: distinct band buckets ≤ 2·AttrBuckets — the literal
     // partition filter pruning the band-table scan
     val probedPb = qb.select("pb").distinct().collect().map(_.getInt(0))
-    val tBands = index.bands.filter(col("pb").isin(probedPb: _*))
+    val tRaw = index.bands.filter(col("pb").isin(probedPb: _*))
+      .select(col("t_id"), col("band"), col("key"))
+    // hot-band guard, IDENTICAL to the batch operator's: a key's df
+    // depends only on its own rows, which all live in its one bucket —
+    // so the df computed over the PRUNED scan equals the full-table df
+    // for every candidate key, and batch ≡ stream parity holds even
+    // when the cap binds
+    val keyDf = tRaw.groupBy("band", "key").agg(count(lit(1)).as("df"))
+    val nHot = keyDf.filter(col("df") > bandDfCap).count()
+    if (nHot > 0)
+      attrLog.warn(s"serveTopK: dropping $nHot hot band bucket(s) with " +
+        s"df > $bandDfCap from candidate generation")
+    val tBands = tRaw.join(keyDf.filter(col("df") <= bandDfCap),
+        Seq("band", "key"))
       .select(col("t_id"), col("band"), col("key"))
     qb.join(tBands, Seq("band", "key"))
       .select(col("q_id"), col("q_shs"), col("t_id"),
         IndexStore.tbCol(col("t_id")).as("tb"))
   }
 
+  private lazy val attrLog =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamAttribution")
+
   def serveTopK(queries: DataFrame, index: AttrIndex,
       textCol: String = "text",
-      k: Int = DedupOps.AttributionK): DataFrame = {
+      k: Int = DedupOps.AttributionK,
+      bandDfCap: Int = DedupOps.AttributionBandDfCap): DataFrame = {
     // candidates are the batch's band collisions — bounded; checkpoint
     // so the tb-collect below cannot re-run the band join
-    val cand = candidates(queries, index, textCol).localCheckpoint()
+    val cand = candidates(queries, index, textCol, bandDfCap).localCheckpoint()
     val probedTb = cand.select("tb").distinct().collect().map(_.getInt(0))
     val tArr = index.shingles.filter(col("tb").isin(probedTb: _*))
       .select(col("t_id"), col("t_shs"))

@@ -73,4 +73,53 @@ class AttributionSpec extends AnyFunSuite {
         eval.repartition(3)).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("hot-band guard: a planted boilerplate band is dropped (bounding " +
+    "candidates), cold exact copies still attribute, default cap unbinding") {
+    val boiler =
+      "copy paste header boilerplate lorem ipsum dolor sit amet consectetur"
+    // 30 exact copies of the boilerplate put df=30 on EVERY one of its
+    // band keys; one cold doc stays at df=1
+    val train = mk((1L to 30L).map(i => i -> boiler) :+ (31L -> source))
+    val eval = mk(Seq(100L -> boiler, 101L -> source))
+    // cap below the hot df: the boilerplate query loses every candidate
+    // (all its bands hot — the documented recall trade), the cold one
+    // is untouched
+    val capped = DedupOps.attributionTopK(train, eval, bandDfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(!capped.exists(_._1 == 100L),
+      "all-hot-band query must yield zero candidates under the cap")
+    assert(capped.exists(r => r._1 == 101L && r._2 == 31L && r._3 == 1000000L),
+      "cold exact copy attributes at exactly 1e6 regardless of the cap")
+    // the default cap does not bind: the boilerplate attributes normally
+    val open = DedupOps.attributionTopK(train, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(open.exists(r => r._1 == 100L && r._2 == 1000000L))
+  }
+
+  test("hot-band guard bounds the SERVE's measured candidate volume and " +
+    "matches the batch operator when the cap binds") {
+    import graft.serving.IndexStore
+    val boiler =
+      "copy paste header boilerplate lorem ipsum dolor sit amet consectetur"
+    val train = mk((1L to 30L).map(i => i -> boiler) :+ (31L -> source))
+    val eval = mk(Seq(100L -> boiler, 101L -> source))
+    val dir = IndexStore.scratchDir("spec_attr_hot", "attr")
+    IndexStore.writeAttr(train, dir)
+    val idx = IndexStore.loadAttr(spark, dir)
+    // measured candidate rows: ungated the hot band fans out to 30
+    // candidates x 2 bands; gated it collapses to the cold doc's rows
+    val ungated = graft.streaming.StreamAttribution
+      .candidates(eval, idx, bandDfCap = Int.MaxValue).count()
+    val gated = graft.streaming.StreamAttribution
+      .candidates(eval, idx, bandDfCap = 10).count()
+    assert(ungated >= 60L, s"planted hot band must fan out, got $ungated")
+    assert(gated <= 2L, s"gated candidates must collapse, got $gated")
+    // and the capped serve still equals the capped batch operator
+    val want = DedupOps.attributionTopK(train, eval, bandDfCap = 10)
+      .collect().map(_.toSeq).toSet
+    val got = graft.streaming.StreamAttribution
+      .serveTopK(eval, idx, bandDfCap = 10).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
 }
