@@ -522,13 +522,34 @@ object CurationOps {
     * n_chars). The hash-derived order IS the global shuffle step of a
     * training pipeline: consecutive docs in a shard are unrelated,
     * so sequential readers see an i.i.d.-like stream. */
-  def exportShards(docs: DataFrame, nShards: Int = 16): DataFrame = {
+  /** Sentinel: resolve nShards from the corpus size ([[autoShards]]).
+    * The gate-preserving floor is 16 — the committed `% 16` oracle
+    * hashes are the RESOLVED value at every test scale. */
+  val AutoShards = 0
+
+  /** Doc-count target per shard: ~2¹⁸ docs ≈ 0.5–1 GB of text — the
+    * rolling-file size a training loader wants. */
+  val AutoShardDocs = 262144L
+
+  /** Count-driven shard default (the autoCentroids discipline): one
+    * metadata-cheap count() action — parquet answers count(*) from
+    * footer metadata — so at 100 TB the export fans out to
+    * corpus-size-proportional shards (~N/2¹⁸) instead of a caller's
+    * guess, while every test corpus resolves to the floor of 16. */
+  def autoShards(docs: DataFrame): Int =
+    math.max(16L, (docs.count() + AutoShardDocs - 1) / AutoShardDocs).toInt
+
+  private def resolveShards(docs: DataFrame, nShards: Int): Int =
+    if (nShards == AutoShards) autoShards(docs) else nShards
+
+  def exportShards(docs: DataFrame, nShards: Int = AutoShards): DataFrame = {
+    val nSh = resolveShards(docs, nShards)
     val part = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("pri").asc, col("doc_id").asc)
     docs.select(col("doc_id"), col("n_chars"),
         TextOps.strHash(concat(lit("shard:"), col("doc_id").cast("string")))
           .as("pri"))
-      .withColumn("shard", (col("pri") % nShards).cast("int"))
+      .withColumn("shard", (col("pri") % nSh).cast("int"))
       .withColumn("pos", row_number().over(part).cast("long"))
       .withColumn("cum_bytes",
         sum("n_chars").over(part.rowsBetween(
@@ -558,11 +579,12 @@ object CurationOps {
     * sort at any size. Consecutive docs in a shard are unrelated
     * (avalanche over 4 rounds), giving sequential readers the
     * i.i.d.-like stream epoch training wants, reproducibly. */
-  def feistelShuffle(docs: DataFrame, nShards: Int = 16): DataFrame = {
+  def feistelShuffle(docs: DataFrame, nShards: Int = AutoShards): DataFrame = {
+    val nSh = resolveShards(docs, nShards)
     val part = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("perm").asc)
     docs.select(col("doc_id"), feistelPerm(maxDocId(docs)).as("perm"))
-      .withColumn("shard", (col("perm") % nShards).cast("int"))
+      .withColumn("shard", (col("perm") % nSh).cast("int"))
       .withColumn("pos", row_number().over(part).cast("long"))
   }
 
@@ -584,14 +606,15 @@ object CurationOps {
     * partition; per-shard running sums are independent in-partition
     * windows over W/nShards keys — never a global sort, same contract
     * as [[exportShards]]. */
-  def exportPackedSequences(docs: DataFrame, nShards: Int = 16,
+  def exportPackedSequences(docs: DataFrame, nShards: Int = AutoShards,
       budget: Long = 512L): DataFrame = {
+    val nSh = resolveShards(docs, nShards)
     val part = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("perm").asc)
     docs.select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         feistelPerm(maxDocId(docs)).as("perm"))
-      .withColumn("shard", (col("perm") % nShards).cast("int"))
+      .withColumn("shard", (col("perm") % nSh).cast("int"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(
         part.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
@@ -623,14 +646,15 @@ object CurationOps {
     * cum_before — ~24 bytes/doc, never text), rolled up per
     * (budget, shard) with map-side combine and then per budget —
     * |budgets| output rows. */
-  def packEfficiency(docs: DataFrame, nShards: Int = 16,
+  def packEfficiency(docs: DataFrame, nShards: Int = AutoShards,
       budgets: Seq[Long] = PackBudgets): DataFrame = {
+    val nSh = resolveShards(docs, nShards)
     val part = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("perm").asc)
     val packed = docs.select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         feistelPerm(maxDocId(docs)).as("perm"))
-      .withColumn("shard", (col("perm") % nShards).cast("int"))
+      .withColumn("shard", (col("perm") % nSh).cast("int"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(
         part.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),

@@ -71,4 +71,39 @@ class PackedSequencesSpec extends AnyFunSuite {
     assert(a.toSeq.map(_._2).sum == 200L * 100L)
     assert(a.map(_._3).subsetOf((0 until 4).toSet), "shards in range")
   }
+
+  test("count-driven shard default: every test corpus resolves to the " +
+    "gate floor of 16; a 100 TB-shaped count scales it") {
+    import spark.implicits._
+    assert(CurationOps.autoShards(docs) == 16,
+      "small corpora must resolve to the gate-preserving floor")
+    // parquet answers count(*) from metadata; range() likewise — the
+    // resolution is one metadata-cheap action at any size
+    val big = spark.range(20L * CurationOps.AutoShardDocs).toDF("doc_id")
+    assert(CurationOps.autoShards(big) == 20,
+      "above 16 x target the shard count tracks corpus size")
+    // AutoShards sentinel routes through the resolver
+    val viaDefault = CurationOps.exportPackedSequences(docs).collect()
+      .map(_.getInt(2)).toSet
+    assert(viaDefault.subsetOf((0 until 16).toSet) && viaDefault.size > 1)
+  }
+
+  test("pack invariants hold at two shard counts (the scale knob moves " +
+    "freely): seq_id*budget + offset == per-shard running sum at 4 and 16") {
+    Seq(4, 16).foreach { nSh =>
+      val rows = packed(nSh)
+      assert(rows.map(_._3).toSet.size > 1, s"multiple shards at $nSh")
+      rows.groupBy(_._3).foreach { case (shard, rs) =>
+        val inOrder = rs.sortBy(r => (r._4, r._5))
+        var cum = 0L
+        inOrder.foreach { case (id, n, _, seq, off) =>
+          assert(seq * 512L + off == cum,
+            s"nShards=$nSh shard $shard doc $id: seq=$seq off=$off cum=$cum")
+          cum += n
+        }
+      }
+      assert(rows.map(_._2).sum == 200L * 100L,
+        s"token conservation at nShards=$nSh")
+    }
+  }
 }
