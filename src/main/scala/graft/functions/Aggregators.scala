@@ -73,6 +73,38 @@ class TopKSimAgg(k: Int) extends Aggregator[SimEntry, Seq[SimEntry], Seq[SimEntr
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SimEntry]]()
 }
 
+/** Per-group top-k by (score_u DESC, doc_id ASC) with a payload — the
+  * [[TopKSimAgg]] contract for EXACT-INTEGER scores (a double-scored
+  * agg would lose precision above 2⁵³; BM25 integer scores reach
+  * ~10¹⁷). Used by the BM25 serve so a stop-word query's corpus-sized
+  * candidate set never sorts in one window partition: partials of
+  * size ≤ k merge map-side, only k·partitions rows per query cross
+  * the shuffle. */
+final case class ScoreEntry(doc_id: Long, dl: Long, n_hit_terms: Long,
+    score_u: Long)
+
+class TopKScoreAgg(k: Int)
+    extends Aggregator[ScoreEntry, Seq[ScoreEntry], Seq[ScoreEntry]] {
+  private def better(a: ScoreEntry, b: ScoreEntry): Boolean =
+    a.score_u > b.score_u || (a.score_u == b.score_u && a.doc_id < b.doc_id)
+
+  override def zero: Seq[ScoreEntry] = Vector.empty
+
+  override def reduce(b: Seq[ScoreEntry], e: ScoreEntry): Seq[ScoreEntry] =
+    if (b.length >= k && better(b.last, e)) b
+    else (b :+ e).sortWith(better).take(k)
+
+  override def merge(x: Seq[ScoreEntry], y: Seq[ScoreEntry]): Seq[ScoreEntry] =
+    (x ++ y).sortWith(better).take(k)
+
+  override def finish(r: Seq[ScoreEntry]): Seq[ScoreEntry] = r
+
+  override def bufferEncoder: Encoder[Seq[ScoreEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoreEntry]]()
+  override def outputEncoder: Encoder[Seq[ScoreEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoreEntry]]()
+}
+
 /** KMV (k-minimum-values) distinct-count sketch as a typed Aggregator.
   *
   * Buffer = the k smallest DISTINCT hash values seen, kept sorted —

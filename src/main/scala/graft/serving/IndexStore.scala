@@ -75,7 +75,13 @@ object IndexStore {
       .filter(definedNrm(col("c_nrm")))
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val cents = loadCentroids(corpus.sparkSession, dir)
+    // repartition on the partition column before the partitioned write:
+    // without it every task writes a file into every cell dir (tasks x
+    // cells files — at 1000 executors x O(sqrt N) cells that is a
+    // small-file explosion); with it each cell's rows land in one task
+    // (cells = the parallelism knob, O(sqrt N) under autoCentroids)
     graft.streaming.StreamAnnServe.assignCorpus(corpus, cents)
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$dir/assign")
   }
@@ -123,13 +129,18 @@ object IndexStore {
     * build time. */
   def writeAttr(train: DataFrame, dir: String,
       textCol: String = "text"): Unit = {
+    // repartition on the partition column first (see writeAnn): one
+    // file set per bucket instead of tasks x buckets; AttrBuckets is
+    // the write-parallelism knob at scale
     DedupOps.bandKeys(train, textCol)
       .select(col("doc_id").as("t_id"), col("band"), col("key"))
       .withColumn("pb", pbCol(col("band"), col("key")))
+      .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/bands")
     train.select(col("doc_id").as("t_id"),
         DedupOps.shingleHashes(col(textCol)).as("t_shs"))
       .withColumn("tb", tbCol(col("t_id")))
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/shingles")
   }
 
@@ -177,6 +188,7 @@ object IndexStore {
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("long").as("tf"))
       .withColumn("tb", tbTermCol(col("term")))
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
     val posts = spark(docs).read.schema(textPostingsSchema)
       .parquet(s"$dir/postings")
@@ -185,6 +197,7 @@ object IndexStore {
         expr(s"((2 * ${nDocs}L - 2 * df + 1) * 1000) div (2 * df + 1)")
           .as("idf_milli"))
       .withColumn("tb", tbTermCol(col("term")))
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/terms")
     tk.agg(count(lit(1)).cast("long").as("n_docs"),
         sum(size(col("toks"))).cast("long").as("n_tokens"))

@@ -24,8 +24,12 @@ import graft.serving.IndexStore.TextIndex
   *     integer Okapi form with the corpus totals baked in as
   *     literals from the index manifest, so an index-served score
   *     can never disagree with the live-scan scorer.
-  *  3. TOP-K — per-(query, doc) rollup then a per-query bounded
-  *     window (score DESC, doc_id ASC), k rows out per query.
+  *  3. TOP-K — per-(query, doc) rollup then a per-query PARTIAL
+  *     top-k aggregator ([[graft.functions.TopKScoreAgg]]: score
+  *     DESC, doc_id ASC, exact-integer scores), k rows out per query
+  *     — a stop-word query's corpus-sized candidate set merges
+  *     map-side in ≤ k-row partials instead of sorting in one window
+  *     partition.
   *
   * Streaming form: foreachBatch ([[serveStream]]) — the prune is a
   * literal filter derived from batch contents, the per-batch plan is
@@ -52,8 +56,7 @@ object StreamBm25Serve {
     val posts = index.postings.filter(col("tb").isin(probedTb: _*))
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
     val (nT, nD) = (index.nTokens, index.nDocs)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("score_u").desc, col("doc_id").asc)
+    val topk = udaf(new graft.functions.TopKScoreAgg(k))
     qt.join(terms, Seq("term"))
       .join(posts, Seq("term"))
       .withColumn("contrib",
@@ -62,10 +65,14 @@ object StreamBm25Serve {
       .groupBy("q_id", "doc_id", "dl")
       .agg(sum("contrib").as("score_u"),
         count(lit(1)).as("n_hit_terms"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("doc_id"), col("dl"),
-        col("n_hit_terms"), col("score_u"), col("rnk"))
+      .groupBy("q_id")
+      .agg(topk(col("doc_id"), col("dl"), col("n_hit_terms"),
+        col("score_u")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.doc_id").as("doc_id"),
+        col("col.dl").as("dl"), col("col.n_hit_terms").as("n_hit_terms"),
+        col("col.score_u").as("score_u"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Streaming BM25: each micro-batch of term-set queries served by

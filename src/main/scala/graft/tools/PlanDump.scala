@@ -233,6 +233,13 @@ object PlanDump {
     // nDCG: the recall/MRR audit chains + one <=|Q|*k join — the
     // bounded-batch BNLJ truth side is deliberate (name-allowed)
     "sim_serving_ndcg",
+    // round-13 physical-index pair: serve_index_write's value is the
+    // artifact roundtrip (manifest agg over the LOADED cid-partitioned
+    // scan — a re-derivation from the raw corpus is the regression);
+    // stream_bm25_topk's is the pruned artifact serve (PartitionFilters
+    // on tb for postings AND terms, partial top-k agg — a per-query
+    // window sort or an unpruned postings scan regresses)
+    "serve_index_write", "stream_bm25_topk",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
