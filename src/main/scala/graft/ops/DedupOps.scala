@@ -856,7 +856,7 @@ object DedupOps {
     "stream_attribution" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val dir = graft.serving.IndexStore.scratchDir(d, "attr")
-      graft.serving.IndexStore.writeAttr(
+      graft.serving.IndexStore.ensureAttr(
         docs.filter(col("doc_id") % 50 =!= 0), dir)
       graft.streaming.StreamAttribution.serveTopK(
         docs.filter(col("doc_id") % 50 === 0),

@@ -49,7 +49,7 @@ object StreamOps {
     "stream_ann_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val dir = graft.serving.IndexStore.scratchDir(d, "ann")
-      graft.serving.IndexStore.writeAnn(e, dir,
+      graft.serving.IndexStore.ensureAnn(e, dir,
         graft.ops.SimilarityOps.IvfCentroids)
       graft.streaming.StreamAnnServe.serveTopK(
         e.filter(graft.ops.SimilarityOps.servingQueryPred(e))
@@ -64,7 +64,7 @@ object StreamOps {
     "stream_bm25_topk" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val dir = graft.serving.IndexStore.scratchDir(d, "text")
-      graft.serving.IndexStore.writeText(docs, dir)
+      graft.serving.IndexStore.ensureText(docs, dir)
       val idx = graft.serving.IndexStore.loadText(s, dir)
       import s.implicits._
       val q = Seq((0L, graft.ops.TextOps.Bm25Terms)).toDF("q_id", "terms")

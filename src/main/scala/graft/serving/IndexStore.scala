@@ -54,6 +54,31 @@ object IndexStore {
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_serving/" +
       s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}/$what"
 
+  /** Per-process build-once guard: a production index is built by an
+    * offline job and SERVED many times — the serving queries model
+    * that by ensuring the artifact once per JVM and serving from it
+    * thereafter (so a bench's repeat runs measure SERVING, with the
+    * build cost measured separately by `serve_index_write`, which
+    * always writes). Rebuilds are explicit: call the write* method. */
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def once(dir: String)(build: => Unit): Unit =
+    if (!built.contains(dir)) synchronized {
+      if (!built.contains(dir)) { build; built.add(dir) }
+    }
+
+  def ensureAnn(corpus: DataFrame, dir: String,
+      nCentroids: Int = SimilarityOps.IvfCentroids): Unit =
+    once(dir)(writeAnn(corpus, dir, nCentroids))
+
+  def ensureAttr(train: DataFrame, dir: String,
+      textCol: String = "text"): Unit =
+    once(dir)(writeAttr(train, dir, textCol))
+
+  def ensureText(docs: DataFrame, dir: String,
+      textCol: String = "text"): Unit =
+    once(dir)(writeText(docs, dir, textCol))
+
   // ------------------------------------------------------------- ANN
 
   /** A loaded ANN serving index: the driver-constant coarse quantizer
