@@ -324,7 +324,11 @@ object DedupOps {
       .select(col("doc_id").as("t_id"), col("band").as("tband"),
         col("key").as("tkey"))
       .localCheckpoint(eager = false)
+    // the df table is vocabulary-sized; checkpoint it (lazy) so the
+    // hot-count job and the gate join read the materialized tiny
+    // table instead of re-aggregating the band table twice
     val keyDf = tB.groupBy("tband", "tkey").agg(count(lit(1)).as("df"))
+      .localCheckpoint(eager = false)
     val nHot = keyDf.filter(col("df") > bandDfCap).count()
     if (nHot > 0)
       dedupLog.warn(s"attributionTopK: dropping $nHot hot band bucket(s) " +
