@@ -111,6 +111,25 @@ object IndexStore {
       .parquet(s"$dir/assign")
   }
 
+  /** INCREMENTAL artifact maintenance — the physical form of
+    * `serve_index_append`'s delta manifest: assign ONLY the
+    * newly-arrived vectors against the artifact's FROZEN centroids
+    * (the ingest path between retrains; a full [[writeAnn]] would
+    * re-scan the whole corpus) and append their rows into the same
+    * cid-partitioned layout. Parquet partitioned appends are
+    * directory-additive, so existing cell files are untouched and a
+    * concurrent serve keeps reading a consistent index; the appended
+    * rows land in their probed cells' partitions and are served by
+    * the very next [[graft.streaming.StreamAnnServe.serveTopK]] call
+    * with zero serve-side changes (spec-pinned: append ≡ rebuild). */
+  def appendAnn(newVecs: DataFrame, dir: String): Unit = {
+    val cents = loadCentroids(newVecs.sparkSession, dir)
+    graft.streaming.StreamAnnServe.assignCorpus(newVecs, cents)
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$dir/assign")
+  }
+
   private def loadCentroids(spark: SparkSession,
       dir: String): Seq[(Long, Seq[Float])] =
     spark.read.parquet(s"$dir/centroids")

@@ -113,6 +113,35 @@ class StreamAnnServeSpec extends AnyFunSuite {
     }
   }
 
+  test("physical append: delta vectors assigned against the artifact's " +
+    "FROZEN centroids land in their cells; the appended index serves " +
+    "exactly like an in-memory index over the full corpus") {
+    val newPred = col("vec_id") % 8 === 7 // the serve_index_append split
+    val base = emb.filter(!newPred)
+    val delta = emb.filter(newPred)
+    val dir = IndexStore.scratchDir("spec_ann_append", "ann")
+    IndexStore.writeAnn(base, dir, SimilarityOps.IvfCentroids)
+    IndexStore.appendAnn(delta, dir)
+    val appended = IndexStore.loadAnn(spark, dir)
+    // ground truth: the SAME frozen (base-trained) centroids over the
+    // full corpus, assigned in memory
+    val cents = appended.centroids
+    val want = StreamAnnServe.serveTopK(
+      emb.filter(pred).select(col("vec_id"), col("embedding")),
+      IndexStore.AnnIndex(cents, StreamAnnServe.assignCorpus(emb, cents)
+        .withColumn("cid", col("cid").cast("long"))))
+      .collect()
+    val got = StreamAnnServe.serveTopK(
+      emb.filter(pred).select(col("vec_id"), col("embedding")), appended)
+      .collect()
+    assert(want.nonEmpty && asTuples(got) == asTuples(want),
+      "append ≡ rebuild-under-frozen-centroids, row for row")
+    // and the artifact genuinely contains the delta rows
+    val nLoaded = appended.assign.count()
+    val nExpected = StreamAnnServe.assignCorpus(emb, cents).count()
+    assert(nLoaded == nExpected)
+  }
+
   test("stream ≡ batch: queries split across 3 micro-batches (foreachBatch " +
     "against the loaded artifact) produce the batch twin's answers, " +
     "each query emitted in its own batch") {
