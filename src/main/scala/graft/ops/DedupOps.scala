@@ -853,6 +853,21 @@ object DedupOps {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // the PHYSICAL attribution index: write the band/shingle artifacts
+    // for the full corpus, then report the per-band manifest READ BACK
+    // from the band table — the oracle recomputes the banding from the
+    // parquet truth, so a write/load corruption (dropped rows, drifted
+    // key rendering, wrong bucket values) breaks the hash
+    "serve_attr_index_write" -> ((s, d) => {
+      val dir = graft.serving.IndexStore.scratchDir(d, "attr_full")
+      graft.serving.IndexStore.writeAttr(t(s, d, "documents"), dir)
+      graft.serving.IndexStore.loadAttr(s, dir).bands
+        .groupBy("band", "key").agg(count(lit(1)).as("df"))
+        .groupBy("band").agg(sum("df").as("n_rows"),
+          count(lit(1)).as("n_keys"), max("df").as("max_df"))
+        .select(col("band").cast("long").as("band"), col("n_rows"),
+          col("n_keys"), col("max_df"))
+    }),
     // the streaming serve's batch twin: build + persist the band /
     // shingle artifacts for the train split, then serve the eval
     // split from them (probed buckets prune both scans) — parity with
@@ -1089,6 +1104,23 @@ object DedupOps {
       s"""SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
          |  ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
          |FROM documents""".stripMargin,
+
+    // the band-artifact manifest recomputed from parquet truth: per
+    // band, total posting rows, distinct keys, and the largest bucket
+    // (the hot-band guard's observable)
+    "serve_attr_index_write" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
+         |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
+         |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, m2::VARCHAR || '_' || m3::VARCHAR AS key FROM sigs),
+         |per AS (SELECT band, key, COUNT(1) AS df FROM bands GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band, CAST(SUM(df) AS BIGINT) AS n_rows,
+         |  COUNT(1)::BIGINT AS n_keys, CAST(MAX(df) AS BIGINT) AS max_df
+         |FROM per GROUP BY 1""".stripMargin,
 
     "dedup_lsh_pairs" ->
       s"""WITH sigs AS (

@@ -1579,6 +1579,17 @@ object TextOps {
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
     "txt_bm25" -> ((s, d) => bm25TopDocs(t(s, d, "documents"))),
     "serve_text_index" -> ((s, d) => textIndexBuild(t(s, d, "documents"))),
+    // the PHYSICAL text index: write the postings/terms/stats
+    // artifacts, then report the term-stats table READ BACK from the
+    // artifact — the oracle recomputes df/idf_milli from the parquet
+    // truth with textIndexBuild's exact formula, so a write/load
+    // corruption (lost postings, drifted idf) breaks the hash
+    "serve_text_index_write" -> ((s, d) => {
+      val dir = graft.serving.IndexStore.scratchDir(d, "text")
+      graft.serving.IndexStore.writeText(t(s, d, "documents"), dir)
+      graft.serving.IndexStore.loadText(s, dir).terms
+        .select(col("term"), col("df"), col("idf_milli"))
+    }),
     // streaming twin covered by StreamQualityGateSpec (stream ≡ batch)
     "stream_quality_keep" -> ((s, d) => gopherKeep(t(s, d, "documents"))),
     "txt_perceptron_train" -> ((s, d) => perceptronTrain(t(s, d, "documents"))),
@@ -2003,6 +2014,22 @@ object TextOps {
     // rolled up per source (the drop-reason monitor table)
     // the inverted-index artifact: (term, doc) tf → per-term df/cf +
     // head posting (tf DESC, doc_id ASC) + the committed integer idf
+    // the term-stats artifact recomputed from parquet truth: df =
+    // distinct docs per term, idf_milli = textIndexBuild's exact
+    // integer Robertson ratio
+    "serve_text_index_write" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |per AS (
+         |  SELECT doc_id, tok
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT tok AS term, COUNT(1) AS df FROM per GROUP BY 1),
+         |n AS (SELECT COUNT(1) AS n_docs FROM documents)
+         |SELECT term, CAST(df AS BIGINT) AS df,
+         |  CAST(((2 * n.n_docs - 2 * df + 1) * 1000) // (2 * df + 1)
+         |    AS BIGINT) AS idf_milli
+         |FROM dfq, n""".stripMargin,
+
     "serve_text_index" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($sqlToks) AS term FROM documents),
