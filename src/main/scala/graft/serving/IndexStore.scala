@@ -130,6 +130,31 @@ object IndexStore {
       .parquet(s"$dir/assign")
   }
 
+  /** Compact an appended assignment: every [[appendAnn]] adds one file
+    * set per touched cell, so between retrains a hot ingest path
+    * accumulates small files per cell (the LSM-ish read-amplification
+    * problem every partitioned store has). Rewrites each cell's rows
+    * into a single file set, STAGED: the compacted layout lands in a
+    * sibling directory first and is swapped in with directory renames,
+    * so the serving path never reads a half-written cell (the
+    * [[graft.ops.LayoutOps]] compaction discipline applied to the
+    * index artifact). Row content is untouched — serve-before ≡
+    * serve-after is spec-pinned. */
+  def compactAnn(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val assign = s"$dir/assign"
+    spark.read.schema(annAssignSchema).parquet(assign)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$dir/assign_compacting")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new Path(s"$dir/assign_old")
+    fs.delete(old, true)
+    fs.rename(new Path(assign), old)
+    fs.rename(new Path(s"$dir/assign_compacting"), new Path(assign))
+    fs.delete(old, true)
+  }
+
   private def loadCentroids(spark: SparkSession,
       dir: String): Seq[(Long, Seq[Float])] =
     spark.read.parquet(s"$dir/centroids")

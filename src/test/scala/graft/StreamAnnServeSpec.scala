@@ -140,6 +140,27 @@ class StreamAnnServeSpec extends AnyFunSuite {
     val nLoaded = appended.assign.count()
     val nExpected = StreamAnnServe.assignCorpus(emb, cents).count()
     assert(nLoaded == nExpected)
+
+    // --- compaction: appends accumulate file sets per cell; compact
+    // rewrites each cell to one file set with IDENTICAL serve results
+    def filesPerCell(): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/assign")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = filesPerCell()
+    assert(before.values.exists(_ > 1),
+      s"an append must add file sets to touched cells, got $before")
+    IndexStore.compactAnn(spark, dir)
+    val after = filesPerCell()
+    assert(after.values.forall(_ == 1),
+      s"compaction must leave one file per cell, got $after")
+    val servedAfter = StreamAnnServe.serveTopK(
+      emb.filter(pred).select(col("vec_id"), col("embedding")),
+      IndexStore.loadAnn(spark, dir)).collect()
+    assert(asTuples(servedAfter) == asTuples(want),
+      "compaction must not change a single served row")
   }
 
   test("stream ≡ batch: queries split across 3 micro-batches (foreachBatch " +
