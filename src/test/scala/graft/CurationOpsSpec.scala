@@ -63,6 +63,29 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixTokenBudget stripe-count invariance: cum_before identical at " +
+    "1 (the single global window), 7, and 64 stripes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = (0 until 400).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      (i.toLong, lang, Seq.fill(3 + i % 7)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val weights = Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    def run(n: Int) =
+      CurationOps.mixTokenBudget(docs, budget = 500L, weights, stripes = n)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val one = run(1)
+    assert(one.nonEmpty && run(7) == one && run(64) == one)
+    // the greedy-prefix rule still holds: every kept doc's cum_before
+    // is under its stratum budget
+    val budgets = weights.map { case (k, f) => k -> Math.round(f * 500L) }.toMap
+    one.foreach { case (_, lang, _, cum) => assert(cum < budgets(lang)) }
+  }
+
   test("curate_keep output satisfies every filter it claims") {
     val d = "/root/testdata/sf0.01"
     val kept = CurationOps.queries("curate_keep")(spark, d).collect()
