@@ -1005,6 +1005,43 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Radius threshold for the driver's `sim_radius_search` query —
+    * micro-units; chosen inside the synthetic corpus's near-orthogonal
+    * similarity band (top-10 sims reach ~0.45 at the gate) so the
+    * radius set is non-empty and bounded. */
+  val RadiusTauU = 300000L
+
+  /** Serving RADIUS search — the third member of a vector store's
+    * query API next to top-k ([[ivfTopK]]) and diversified top-k
+    * ([[mmrTopK]]): ALL corpus vectors with cosine ≥ τ, under exactly
+    * the IVF serving conventions (same first-K centroids, probe
+    * ranking, screens — so like every IVF answer it is exact WITHIN
+    * the probed cells; out-of-cell neighbors are the measured recall
+    * trade of the family's audits). Use over top-k when the CALLER
+    * owns the cutoff semantics: dedup candidate pulls ("everything
+    * ≥ 0.9"), safety blocklist matches, near-dup impact analysis.
+    *
+    * Similarity is emitted in exact integer micro-units and the τ
+    * comparison runs on that integer, so no float boundary can flip a
+    * row between engines. Shape at scale: identical to [[ivfTopK]]'s
+    * candidate stage — cell-scoped join volume, corpus never fans out
+    * beyond its one assigned cell — MINUS the per-query window: the
+    * radius filter is a pure narrow predicate, so the operator has no
+    * top-k state at all (cheaper than top-k when τ is selective). */
+  def radiusSearch(embeddings: DataFrame, queryPred: Column,
+      tauU: Long = RadiusTauU, nCentroids: Int = IvfCentroids,
+      nProbe: Int = IvfProbe): DataFrame = {
+    val (assign, probes) = ivfCandFrames(embeddings, queryPred, nCentroids,
+      nProbe, None)
+    probes.join(assign, Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim_u",
+        round(dot(col("q_emb"), col("n_emb")) /
+          (col("q_nrm") * col("n_nrm")) * 1e6).cast("long"))
+      .filter(col("sim_u") >= tauU)
+      .select(col("q_id"), col("n_id"), col("sim_u"))
+  }
+
   /** Scatter-gather QUERY ROUTER — the shard-routing table a
     * distributed vector store computes before fan-out: per serving
     * query, its nProbe best cells under EXACTLY [[ivfTopK]]'s probe
@@ -2601,6 +2638,8 @@ object SimilarityOps {
     "sim_ivf_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
       ivfTopK(e, servingQueryPred(e),
         nCentroids = IvfCentroids, nProbe = IvfProbe) }),
+    "sim_radius_search" -> ((s, d) => { val e = t(s, d, "embeddings")
+      radiusSearch(e, servingQueryPred(e)) }),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "mix_cluster_cap" -> ((s, d) => clusterCap(t(s, d, "embeddings"))),
     "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
@@ -3773,6 +3812,35 @@ object SimilarityOps {
          |  CAST(SUM(cell_n_vecs) OVER (PARTITION BY q_id ORDER BY rn)
          |    AS BIGINT) AS cum_candidates
          |FROM prb JOIN sizes USING (cid)""".stripMargin,
+
+    // radiusSearch: the IVF candidate CTEs with the integer-micro tau
+    // predicate instead of the per-query rank
+    "sim_radius_search" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $IvfCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id AS n_id, e.emb AS n_emb, e.nrm AS n_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT n_id, n_emb, n_nrm, cid FROM asg0 WHERE rn = 1),
+         |prb0 AS (
+         |  SELECT q.vec_id AS q_id, q.emb AS q_emb, q.nrm AS q_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDot("q.emb", "cent.c_emb")} / (q.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0) q, cent),
+         |prb AS (SELECT q_id, q_emb, q_nrm, cid FROM prb0 WHERE rn <= $IvfProbe)
+         |SELECT prb.q_id, asg.n_id,
+         |  CAST(ROUND(${sqlDot("prb.q_emb", "asg.n_emb")}
+         |    / (prb.q_nrm * asg.n_nrm) * 1000000) AS BIGINT) AS sim_u
+         |FROM prb JOIN asg USING (cid)
+         |WHERE prb.q_id != asg.n_id
+         |  AND CAST(ROUND(${sqlDot("prb.q_emb", "asg.n_emb")}
+         |    / (prb.q_nrm * asg.n_nrm) * 1000000) AS BIGINT) >= $RadiusTauU""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""WITH e AS (

@@ -246,7 +246,10 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - dedup_incr_bloom: history x broadcast(1-ROW bloom aggregate),
     //    the join_bloom_prefilter scalar attach on the anti-join's
     //    archive side
-    val allowNested = Set("sim_topk", "sim_ivf_topk", "join_bloom_prefilter",
+    // sim_radius_search shares sim_ivf_topk's candidate front end
+    // (corpus x broadcast(K centroids) assignment + probe ranking)
+    val allowNested = Set("sim_topk", "sim_ivf_topk", "sim_radius_search",
+      "join_bloom_prefilter",
       "skyline_parts", "emb_semdedup", "dedup_incr_bloom",
       // mix_cluster_cap / serve_index_build / serve_index_append reuse
       // emb_semdedup's corpus x broadcast(K centroids) assignment front

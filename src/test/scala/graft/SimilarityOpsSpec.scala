@@ -45,6 +45,31 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(sampledSet.size == exact.size, "same result cardinality (k per query)")
   }
 
+  test("radiusSearch: every row clears tau; agrees with ivfTopK on the " +
+    "probed cells (any top-k row at >= tau is in the radius set, and any " +
+    "radius row reachable at k is in top-k); partitioning-invariant") {
+    val tauU = 250000L
+    val radius = SimilarityOps.radiusSearch(emb, pred, tauU = tauU)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(radius.nonEmpty)
+    assert(radius.forall(_._3 >= tauU), "tau is a hard floor")
+    val radiusSet = radius.map(r => (r._1, r._2)).toSet
+    // same probe conventions as ivfTopK: the two answers must agree on
+    // their overlap region
+    val topk = SimilarityOps.ivfTopK(emb, pred,
+        nCentroids = SimilarityOps.IvfCentroids, nProbe = SimilarityOps.IvfProbe)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(3) * 1e6)))
+    topk.filter(_._3 >= tauU).foreach { case (q, n, s) =>
+      assert(radiusSet.contains((q, n)),
+        s"top-k row ($q,$n,$s) clears tau but is missing from the radius set")
+    }
+    // fates are pure functions of content
+    val b = SimilarityOps.radiusSearch(emb.repartition(7), pred, tauU = tauU)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(b == radius.toSet)
+  }
+
   test("k-means-trained IVF centroids: recall at the same nProbe does not regress") {
     val sampled = recallOf(sampledSet)
     val trained = recallOf(ivfSet(Some(
