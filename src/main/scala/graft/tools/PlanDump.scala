@@ -240,6 +240,10 @@ object PlanDump {
     // on tb for postings AND terms, partial top-k agg — a per-query
     // window sort or an unpruned postings scan regresses)
     "serve_index_write", "stream_bm25_topk",
+    // radius search: ivfTopK's cell-scoped candidate join MINUS the
+    // per-query window — the integer tau predicate must stay a narrow
+    // filter (any top-k state or extra exchange appearing regresses)
+    "sim_radius_search",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
