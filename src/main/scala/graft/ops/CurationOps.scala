@@ -423,6 +423,73 @@ object CurationOps {
       maxEpochs: Long = EpochMax): DataFrame =
     epochWaterfall(docs, maxEpochs, _ * budgetMult)
 
+  /** UniMax parameters for the driver query (shared with the oracle
+    * SQL). budgetMult=2 with a 3-epoch cap genuinely splits the
+    * synthetic corpus: the small languages cap out and their surplus
+    * waterfalls onto the large ones. */
+  val UnimaxBudgetMult = 2L
+  val UnimaxEpochs = 3L
+  /** Fixed redistribution rounds — the waterfall converges in at most
+    * one round per language that caps plus one capless round, so 6
+    * covers any corpus with ≤5 capping languages; extra rounds are
+    * no-ops (share 0 / all capped). Fixed so the oracle unrolls the
+    * identical CTE chain. */
+  val UnimaxRounds = 6
+
+  /** UNIMAX language sampling (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): allocate a token budget UNIFORMLY across
+    * languages — not by corpus share, not by temperature — subject to
+    * a per-language repetition cap of `maxEpochs` epochs; a capped
+    * language's undistributable share is re-spread uniformly over the
+    * still-uncapped languages, round by round, until the budget is
+    * exhausted or everyone caps. The fairness complement of the
+    * proportional family ([[epochPlan]]'s τ=½ temperature waterfall,
+    * mix_temperature, DoReMi): head languages stop eating the budget
+    * and tail languages get exactly as many tokens as repetition
+    * tolerance allows.
+    *
+    * All arithmetic exact integer: per-round share = remaining div
+    * n_uncapped (truncating both engines), caps are avail·maxEpochs.
+    * No squared-count weights anywhere, so nothing overflows int64
+    * below a 2⁶²-token corpus. The ≤`rounds`·n_langs tokens of floor
+    * residue stay deliberately unallocated (the epochWaterfall
+    * discipline).
+    *
+    * Shape at scale: ONE corpus scan into a lang-keyed token agg
+    * (map-side combine, localCheckpoint'd); every round is a driver
+    * scalar pair (Σalloc, #uncapped) + a narrow projection over the
+    * tens-of-rows language table — the train-then-apply pattern, no
+    * corpus re-scan, no window anywhere. */
+  def mixUnimax(docs: DataFrame, budgetMult: Long = UnimaxBudgetMult,
+      maxEpochs: Long = UnimaxEpochs, rounds: Int = UnimaxRounds): DataFrame = {
+    val per = docs.groupBy("lang")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("avail"))
+      .localCheckpoint(eager = false)
+    val tTotal = Option(per.agg(sum("avail")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val budget = tTotal * budgetMult
+    var cur = per.withColumn("cap", col("avail") * maxEpochs)
+      .withColumn("alloc", lit(0L))
+    for (_ <- 1 to rounds) {
+      cur = cur.localCheckpoint(eager = false)
+      val row = cur.agg(sum("alloc"),
+        sum(when(col("alloc") < col("cap"), 1L).otherwise(0L))).first()
+      val spent = Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val nUnc = math.max(
+        Option(row.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L), 1L)
+      val share = (budget - spent) / nUnc
+      cur = cur.withColumn("alloc",
+        when(col("alloc") < col("cap"),
+          least(col("alloc") + lit(share), col("cap")))
+          .otherwise(col("alloc")))
+    }
+    cur.select(col("lang"), col("avail").as("avail_tokens"),
+      col("cap").as("cap_tokens"), col("alloc").as("alloc_tokens"),
+      expr("(alloc * 1000000) div greatest(avail, 1)").as("epochs_ppm"),
+      (col("alloc") === col("cap")).as("capped"))
+  }
+
   /** Anneal-phase share of the token budget, in ppm (10 %). */
   val AnnealFracPpm = 100000L
 
@@ -1013,6 +1080,8 @@ object CurationOps {
 
     "mix_epoch_plan" -> ((s, d) => epochPlan(t(s, d, "documents"))),
 
+    "mix_unimax" -> ((s, d) => mixUnimax(t(s, d, "documents"))),
+
     "mix_epoch_materialize" -> ((s, d) => epochMaterialize(t(s, d, "documents"))),
 
     "mix_interleave" -> ((s, d) => mixInterleave(t(s, d, "documents"))),
@@ -1213,6 +1282,39 @@ object CurationOps {
   private val sqlToks =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
 
+  /** DuckDB replay of [[mixUnimax]] — the lang-keyed token agg, then
+    * `rounds` unrolled uniform-share waterfall rounds (each a scalar
+    * (spent, n_uncapped) CTE + a projection, exactly the driver
+    * loop). */
+  private def unimaxOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (
+         |  SELECT CAST(SUM(alloc) AS BIGINT) AS spent,
+         |    GREATEST(CAST(SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END)
+         |      AS BIGINT), 1) AS n_unc
+         |  FROM a${r - 1}),
+         |a$r AS (
+         |  SELECT lang, avail, cap,
+         |    CASE WHEN alloc < cap
+         |      THEN LEAST(alloc + (t.budget - s.spent) // s.n_unc, cap)
+         |      ELSE alloc END AS alloc
+         |  FROM a${r - 1}, s$r s, tot t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH per AS (
+       |  SELECT lang, CAST(SUM(len($sqlToks)) AS BIGINT) AS avail
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(avail) AS BIGINT) * $UnimaxBudgetMult
+       |        AS budget FROM per),
+       |a0 AS (SELECT lang, avail, avail * $UnimaxEpochs AS cap,
+       |       CAST(0 AS BIGINT) AS alloc FROM per),
+       |$roundCtes
+       |SELECT lang, avail AS avail_tokens, cap AS cap_tokens,
+       |  alloc AS alloc_tokens,
+       |  (alloc * 1000000) // GREATEST(avail, 1) AS epochs_ppm,
+       |  (alloc = cap) AS capped
+       |FROM a$rounds""".stripMargin
+  }
+
   /** Prefix-parameterized replay of [[epochWaterfall]] — shared by the
     * anneal oracle's two phases (`$budgetSql` is a scalar subquery). */
   private def waterfallCtes(px: String, docsRel: String,
@@ -1352,6 +1454,8 @@ object CurationOps {
          |  (a2 * 1000000) // GREATEST(avail, 1) AS epochs_ppm,
          |  (a2 = cap) AS capped
          |FROM r2""".stripMargin,
+
+    "mix_unimax" -> unimaxOracle(UnimaxRounds),
 
     // epochMaterialize: the same waterfall CTEs feeding the
     // mix_upsample copy rule (whole epochs + md5-bucket fractional)

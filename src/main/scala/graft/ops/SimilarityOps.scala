@@ -1571,6 +1571,117 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Graph-ANN serving parameters (shared with the oracle SQL): beam
+    * width kept after the first expansion, and entry seeds per query. */
+  val GraphBeam = 4
+  val GraphSeeds = 2
+
+  /** GRAPH-based ANN serving — fixed-hop beam search over the
+    * [[knnGraph]] edges, the NSW/HNSW-family member completing the
+    * serving ladder next to the cell-probed ([[ivfTopK]]) and
+    * quantized ([[pqTopK]]/[[rqTopK]]/[[sqTopK]]/[[bqTopK]]) rungs.
+    * Production vector stores serve from a proximity graph precisely
+    * because search cost is O(hops × beam × degree) per query —
+    * INDEPENDENT of corpus size — once the graph artifact exists;
+    * this operator is that search, unrolled to a deterministic
+    * two-hop expansion so DuckDB can replay it:
+    *
+    *  1. seed: each query scores the graph's first-K entry nodes (the
+    *     same first-K corpus vectors [[knnGraph]] uses as coarse
+    *     centroids — they ARE graph nodes) and keeps the top
+    *     [[GraphSeeds]] (broadcast of K rows; |Q|·K scored rows)
+    *  2. hop 1: expand seeds along their ≤[[KnnK]] out-edges, score,
+    *     keep the top [[GraphBeam]] per query (the beam)
+    *  3. hop 2: expand the beam the same way
+    *  4. gather: exact cosine top-k over everything visited
+    *     (≤ seeds·(1+k) + beam·k nodes per query)
+    *
+    * Scale shape: the corpus participates ONLY through the edge
+    * artifact (one equi-join per hop keyed on node id — the candidate
+    * side is |Q|·beam·k rows, so AQE broadcasts it into the edge
+    * scan) and the ≤~50-node-per-query embedding lookups; the full
+    * corpus is never scored, shuffled, or scanned per query batch. In
+    * production the edges come from the persisted [[knnGraph]]
+    * artifact (the `serve_index_write` discipline); here the build is
+    * in-plan so the query is self-contained and the whole path —
+    * build + search — replays hash-exact in the oracle. Recall is
+    * bounded by graph connectivity at 2 hops and measured by
+    * [[graphRecall]], exactly the IVF family's audit discipline. */
+  def graphTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      beam: Int = GraphBeam, seedK: Int = GraphSeeds,
+      nCentroids: Int = AutoCentroids): DataFrame = {
+    val kCent = resolveK(embeddings, nCentroids)
+    // the frames below feed MULTIPLE search stages (edges: both hop
+    // expansions; seeds/hop1: the next hop AND the final gather) —
+    // lazy localCheckpoints keep each computed once per query instead
+    // of re-deriving the whole edge build per consumer (the
+    // curate_export_manifest discipline; in production the edges are
+    // the persisted knnGraph artifact and this is a scan)
+    val edges = knnGraph(embeddings, KnnK, kCent, KnnProbes)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(eager = false)
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+      .filter(definedNrm(col("nrm")))
+    val queries = vecs.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val nodeVecs = vecs.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    // score a (q_id, node) frontier: node embeddings via one corpus
+    // equi-join (tiny probe side → broadcast), query vectors via the
+    // bounded-batch join
+    def scored(frontier: DataFrame): DataFrame = frontier
+      .join(nodeVecs, "node")
+      .join(queries, "q_id")
+      .withColumn("sim",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .select(col("q_id"), col("node"), col("sim"))
+    val wBeam = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("node").asc)
+    val seeds = scored(nodeVecs.filter(col("node") < kCent)
+        .select(col("node")).crossJoin(queries.select("q_id")))
+      .withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") <= seedK)
+      .select("q_id", "node")
+      .localCheckpoint(eager = false)
+    val hop1 = seeds.join(edges, seeds("node") === edges("src"))
+      .select(col("q_id"), col("dst").as("node")).distinct()
+      .localCheckpoint(eager = false)
+    val beam1 = scored(hop1)
+      .withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") <= beam)
+      .select("q_id", "node")
+    val hop2 = beam1.join(edges, beam1("node") === edges("src"))
+      .select(col("q_id"), col("dst").as("node"))
+    val visited = seeds.unionByName(hop1).unionByName(hop2)
+      .filter(col("node") =!= col("q_id")).distinct()
+    scored(visited)
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("node").as("n_id"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Recall@k of the graph serve vs brute force — [[ivfRecall]]'s
+    * audit shape on the graph rung, so the serving ladder's accuracy
+    * dashboard covers every family it ships. */
+  def graphRecall(embeddings: DataFrame, queryPred: Column,
+      k: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(embeddings, queryPred, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = graphTopK(embeddings, queryPred, k)
+      .select(col("q_id").as("q2"), col("n_id").as("n2"))
+    val hits = exact
+      .join(approx, col("q_id") === col("q2") && col("n_id") === col("n2"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm",
+        expr("(n_hit * 1000000) div greatest(n_exact, 1)"))
+  }
+
   /** Hard-negative mining parameters for the driver query (shared
     * with the oracle SQL). */
   val HnNegK = 3
@@ -2640,6 +2751,12 @@ object SimilarityOps {
         nCentroids = IvfCentroids, nProbe = IvfProbe) }),
     "sim_radius_search" -> ((s, d) => { val e = t(s, d, "embeddings")
       radiusSearch(e, servingQueryPred(e)) }),
+    // graph rung of the serving ladder: two-hop beam search over the
+    // kNN-graph edges — per-query cost independent of corpus size
+    "sim_graph_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      graphTopK(e, servingQueryPred(e)) }),
+    "sim_graph_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
+      graphRecall(e, servingQueryPred(e)) }),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "mix_cluster_cap" -> ((s, d) => clusterCap(t(s, d, "embeddings"))),
     "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
@@ -3251,6 +3368,106 @@ object SimilarityOps {
        |FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** DuckDB replay of [[graphTopK]] (`mode = "topk"`) and
+    * [[graphRecall]] (`mode = "recall"`): the emb_knn_graph edge
+    * chain, then the unrolled seed → hop1/beam → hop2 → gather
+    * expansion; recall composes the brute-force truth exactly like
+    * sim_ivf_recall's oracle. */
+  private def graphOracle(mode: String): String = {
+    val gatherCtes =
+      s"""q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+         |       FROM e WHERE vec_id % $sqlServeMod = 0),
+         |sd0 AS (
+         |  SELECT q.q_id, c.cid AS node,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${sqlDot("q.q_emb", "c.c_emb")} / (q.q_nrm * c.c_nrm) DESC,
+         |               c.cid ASC) AS rn
+         |  FROM q, cent c),
+         |seeds AS (SELECT q_id, node FROM sd0 WHERE rn <= $GraphSeeds),
+         |hop1 AS (
+         |  SELECT DISTINCT s.q_id, ed.dst AS node
+         |  FROM seeds s JOIN edges ed ON s.node = ed.src),
+         |b0 AS (
+         |  SELECT h.q_id, h.node,
+         |    ROW_NUMBER() OVER (PARTITION BY h.q_id
+         |      ORDER BY ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) DESC,
+         |               h.node ASC) AS rn
+         |  FROM hop1 h JOIN e n ON h.node = n.vec_id
+         |             JOIN q ON h.q_id = q.q_id),
+         |beam1 AS (SELECT q_id, node FROM b0 WHERE rn <= $GraphBeam),
+         |hop2 AS (
+         |  SELECT b.q_id, ed.dst AS node
+         |  FROM beam1 b JOIN edges ed ON b.node = ed.src),
+         |vis AS (
+         |  SELECT DISTINCT q_id, node FROM (
+         |    SELECT q_id, node FROM seeds
+         |    UNION ALL SELECT q_id, node FROM hop1
+         |    UNION ALL SELECT q_id, node FROM hop2)
+         |  WHERE node != q_id),
+         |gsc AS (
+         |  SELECT v.q_id, v.node AS n_id,
+         |    ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) AS sim
+         |  FROM vis v JOIN e n ON v.node = n.vec_id
+         |            JOIN q ON v.q_id = q.q_id),
+         |gr AS (
+         |  SELECT q_id, n_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
+         |      AS rank
+         |  FROM gsc)""".stripMargin
+    val tail = mode match {
+      case "topk" =>
+        """SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+          |FROM gr WHERE rank <= 10""".stripMargin
+      case "recall" =>
+        s"""gv AS (SELECT q_id, n_id FROM gr WHERE rank <= 10),
+           |ex0 AS (
+           |  SELECT q.q_id, c.vec_id AS n_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |      ORDER BY ${sqlDot("q.q_emb", "c.emb")} / (q.q_nrm * c.nrm) DESC,
+           |               c.vec_id ASC) AS rank
+           |  FROM q JOIN e c ON q.q_id != c.vec_id),
+           |ex AS (SELECT q_id, n_id FROM ex0 WHERE rank <= 10),
+           |hits AS (SELECT x.q_id, COUNT(*) AS n_hit
+           |  FROM ex x JOIN gv i ON x.q_id = i.q_id AND x.n_id = i.n_id
+           |  GROUP BY 1),
+           |nex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+           |SELECT n.q_id, CAST(n.n_exact AS BIGINT) AS n_exact,
+           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  CAST(COALESCE(h.n_hit, 0) * 1000000 // GREATEST(n.n_exact, 1) AS BIGINT)
+           |    AS recall_ppm
+           |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin
+    }
+    val tailSep = if (mode == "recall") "," else ""
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+       |         FROM e WHERE vec_id < $sqlAutoK),
+       |asg0 AS (
+       |  SELECT e.vec_id, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+       |               cent.cid ASC) AS rn
+       |  FROM e, cent),
+       |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn <= $KnnProbes),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+       |sims AS (
+       |  SELECT c.src, c.dst,
+       |    ${sqlDot("e1.emb", "e2.emb")} / (e1.nrm * e2.nrm) AS sim
+       |  FROM cand c JOIN e e1 ON c.src = e1.vec_id
+       |              JOIN e e2 ON c.dst = e2.vec_id),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $KnnK),
+       |$gatherCtes$tailSep
+       |$tail""".stripMargin
+  }
+
   /** DuckDB replay of [[knnLabelProp]]: the kNN-graph CTE chain (the
     * emb_knn_graph derivation, edges only) + `rounds` unrolled
     * propagation rounds (votes from the PREVIOUS round's labeled set,
@@ -3312,6 +3529,8 @@ object SimilarityOps {
     "emb_rq_encode" -> rqOracle(8, 2, 8, 2, OracleDim, 1000000L),
     "sim_rq_topk" -> rqOracle(16, 2, 16, 2, OracleDim, 1000000L, "topk"),
     "sim_rq_recall" -> rqOracle(16, 2, 16, 2, OracleDim, 1000000L, "recall"),
+    "sim_graph_topk" -> graphOracle("topk"),
+    "sim_graph_recall" -> graphOracle("recall"),
 
     // recall audit: both sub-pipelines are the separately-oracled
     // derivations (brute-force + IVF), composed and intersected

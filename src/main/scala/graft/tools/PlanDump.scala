@@ -244,6 +244,11 @@ object PlanDump {
     // per-query window — the integer tau predicate must stay a narrow
     // filter (any top-k state or extra exchange appearing regresses)
     "sim_radius_search",
+    // graph serve: the corpus appears ONLY in the edge build + the
+    // tiny per-hop candidate lookups (broadcast probe side) — a
+    // corpus-sized exchange in the search stages regresses the
+    // O(hops·beam·degree)-per-query contract
+    "sim_graph_topk",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -269,6 +269,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // rides a 1-row broadcast weight-array crossJoin
       "emb_knn_graph", "emb_hard_negatives", "curate_dsir_select",
       "sim_ivfpq_topk",
+      // graph serve: the kNN-graph build's broadcast K-centroid
+      // assignment cross, plus the seed step's bounded
+      // K-entry-nodes x |Q|-query-batch cross; the recall twin adds
+      // the usual exhaustive audit arm on the bounded batch
+      "sim_graph_topk", "sim_graph_recall",
       // the self-measuring recall audits COMPARE against the exhaustive
       // estimator, so the brute-force side (corpus x broadcast queries /
       // all-pairs d1 < d2) is the deliberate audit cost — paid on the

@@ -70,6 +70,57 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(b == radius.toSet)
   }
 
+  test("graphTopK: dense ranks, no self hits, <=k rows per query; growing " +
+    "the beam never loses a true neighbor (visited-superset monotonicity); " +
+    "partitioning-invariant") {
+    val res = SimilarityOps.graphTopK(emb, pred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(res.nonEmpty)
+    assert(res.forall(r => r._1 != r._2), "no self hit")
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to rows.length).toSeq,
+        s"ranks dense for query $q")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq,
+        s"sims non-increasing for query $q")
+      assert(rows.length <= 10)
+    }
+    // a larger beam visits a SUPERSET of nodes (top-B by one total
+    // order is a prefix), and a displaced true-top-10 member can only
+    // be displaced by a higher-sim node — itself true-top-10 — so
+    // recall is monotone in the beam
+    def hitSet(beam: Int) = SimilarityOps.graphTopK(emb, pred, beam = beam)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g4 = hitSet(SimilarityOps.GraphBeam)
+    val g8 = hitSet(2 * SimilarityOps.GraphBeam)
+    val rec4 = g4.intersect(exact).size.toDouble / exact.size
+    val rec8 = g8.intersect(exact).size.toDouble / exact.size
+    info(f"graph recall@10 = $rec4%.3f (beam ${SimilarityOps.GraphBeam}), " +
+      f"$rec8%.3f (beam ${2 * SimilarityOps.GraphBeam}) — " +
+      "isotropic random corpus, the graph-navigation worst case")
+    assert(g4.intersect(exact).nonEmpty, "finds at least one true neighbor")
+    assert(rec8 >= rec4, "beam growth must not lose recall")
+    val b = SimilarityOps.graphTopK(emb.repartition(7), pred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(b == res.toSet, "fates are pure functions of content")
+  }
+
+  test("graphRecall: per-query audit rows recompose to the set-level recall " +
+    "of graphTopK vs bruteForceTopK") {
+    val rows = SimilarityOps.graphRecall(emb, pred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val served = SimilarityOps.graphTopK(emb, pred)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(_._2).sum == exact.size, "n_exact totals the truth set")
+    assert(rows.map(_._3).sum == served.intersect(exact).size,
+      "n_hit totals the served-truth intersection")
+    rows.foreach { case (q, nExact, nHit, ppm) =>
+      assert(ppm == nHit * 1000000L / math.max(nExact, 1L), s"ppm exact for $q")
+    }
+  }
+
   test("k-means-trained IVF centroids: recall at the same nProbe does not regress") {
     val sampled = recallOf(sampledSet)
     val trained = recallOf(ivfSet(Some(
