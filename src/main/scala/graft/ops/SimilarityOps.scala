@@ -2757,6 +2757,18 @@ object SimilarityOps {
       graphTopK(e, servingQueryPred(e)) }),
     "sim_graph_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
       graphRecall(e, servingQueryPred(e)) }),
+    // the PHYSICAL graph index: write the src-bucketed edge +
+    // node-bucketed vector artifacts, then report the out-degree
+    // histogram READ BACK FROM the artifact (the serve_index_write
+    // discipline — the oracle recomputes the edges from parquet truth)
+    "serve_graph_index_write" -> ((s, d) => {
+      val dir = graft.serving.IndexStore.scratchDir(d, "knn")
+      graft.serving.IndexStore.writeKnn(t(s, d, "embeddings"), dir)
+      graft.serving.IndexStore.loadKnn(s, dir).edges
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_srcs"),
+          min("src").as("min_src"), max("src").as("max_src"))
+    }),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "mix_cluster_cap" -> ((s, d) => clusterCap(t(s, d, "embeddings"))),
     "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
@@ -3438,7 +3450,16 @@ object SimilarityOps {
            |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin
     }
     val tailSep = if (mode == "recall") "," else ""
-    s"""WITH e AS (
+    s"""WITH $knnChainCtes,
+       |$gatherCtes$tailSep
+       |$tail""".stripMargin
+  }
+
+  /** The emb_knn_graph derivation ending in an `edges` (src, dst) CTE
+    * — the shared front end of the graph-serve oracles
+    * ([[graphOracle]], serve_graph_index_write). */
+  private def knnChainCtes: String =
+    s"""e AS (
        |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
        |  FROM embeddings),
        |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
@@ -3463,10 +3484,7 @@ object SimilarityOps {
        |    SELECT src, dst,
        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
        |    FROM sims)
-       |  WHERE rank <= $KnnK),
-       |$gatherCtes$tailSep
-       |$tail""".stripMargin
-  }
+       |  WHERE rank <= $KnnK)""".stripMargin
 
   /** DuckDB replay of [[knnLabelProp]]: the kNN-graph CTE chain (the
     * emb_knn_graph derivation, edges only) + `rounds` unrolled
@@ -3531,6 +3549,15 @@ object SimilarityOps {
     "sim_rq_recall" -> rqOracle(16, 2, 16, 2, OracleDim, 1000000L, "recall"),
     "sim_graph_topk" -> graphOracle("topk"),
     "sim_graph_recall" -> graphOracle("recall"),
+    // graph-artifact manifest: the oracle recomputes the edge table
+    // from the parquet truth, so a write/load corruption (dropped
+    // edges, drifted types, wrong bucket values) breaks the hash
+    "serve_graph_index_write" ->
+      s"""WITH $knnChainCtes,
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1)
+         |SELECT CAST(deg AS BIGINT) AS deg, COUNT(*)::BIGINT AS n_srcs,
+         |  MIN(src) AS min_src, MAX(src) AS max_src
+         |FROM deg GROUP BY 1""".stripMargin,
 
     // recall audit: both sub-pipelines are the separately-oracled
     // derivations (brute-force + IVF), composed and intersected

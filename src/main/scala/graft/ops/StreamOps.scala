@@ -57,6 +57,20 @@ object StreamOps {
         graft.serving.IndexStore.loadAnn(s, dir),
         nProbe = graft.ops.SimilarityOps.IvfProbe)
     }),
+    // streaming graph-ANN serving (batch twin): build + persist the
+    // kNN-graph artifact (src-bucketed edges, node-bucketed vectors,
+    // entry points), serve the bounded query batch with
+    // frontier-pruned hop joins — must reproduce sim_graph_topk row
+    // for row, so it shares that oracle
+    "stream_graph_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "knn")
+      graft.serving.IndexStore.ensureKnn(e, dir)
+      graft.streaming.StreamGraphServe.serveTopK(
+        e.filter(graft.ops.SimilarityOps.servingQueryPred(e))
+          .select(col("vec_id"), col("embedding")),
+        graft.serving.IndexStore.loadKnn(s, dir))
+    }),
     // streaming BM25 serving (batch twin): build + persist the
     // inverted-index artifact, serve the fixed Bm25Terms query from
     // the term-bucketed postings — must reproduce txt_bm25 row for
@@ -79,6 +93,9 @@ object StreamOps {
     // (same first-K centroids, probe count, tie-breaks), so its
     // oracle is the identical committed IVF CTE chain
     "stream_ann_topk" -> graft.ops.SimilarityOps.oracle("sim_ivf_topk"),
+    // the graph serve's batch twin is sim_graph_topk row for row
+    // (same entry points, hop unrolling, beam, tie-breaks)
+    "stream_graph_topk" -> graft.ops.SimilarityOps.oracle("sim_graph_topk"),
     // the lexical serve's batch twin is txt_bm25 row for row (same
     // terms, integer Okapi form, tie-breaks) — identical committed CTE
     "stream_bm25_topk" -> graft.ops.TextOps.oracle("txt_bm25"),

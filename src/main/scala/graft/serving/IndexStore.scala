@@ -299,4 +299,76 @@ object IndexStore {
       spark.read.schema(textTermsSchema).parquet(s"$dir/terms"),
       st.getLong(0), st.getLong(1))
   }
+
+  // ------------------------------------------------------- kNN graph
+
+  /** Bucket fanout for the graph artifacts (edges by src hash, node
+    * vectors by node hash). At 100 TB raise it — the layout knob,
+    * invariant to results. */
+  val KnnBuckets = 32
+
+  private[graft] def nodeBucket(
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(id), lit(KnnBuckets)).cast("int")
+
+  /** A loaded graph serving index: the driver-constant entry-point
+    * vectors (the same first-K corpus vectors [[graft.ops
+    * .SimilarityOps.knnGraph]] uses as coarse centroids — K·dim
+    * floats, never corpus-sized), the src-bucketed edge table, and
+    * the node-bucketed vector-lookup table (the id → vector row store
+    * every production graph index keeps next to its adjacency
+    * lists). */
+  final case class KnnIndex(entries: Seq[(Long, Seq[Float])],
+      edges: DataFrame, nodes: DataFrame)
+
+  def ensureKnn(corpus: DataFrame, dir: String): Unit =
+    once(dir)(writeKnn(corpus, dir))
+
+  /** Build + persist the graph serving index: the [[graft.ops
+    * .SimilarityOps.knnGraph]] edges partitioned by `sb =
+    * hash(src) mod B` (a search frontier's out-edge lookups prune to
+    * the frontier's buckets), the corpus vectors partitioned by
+    * `nb = hash(node) mod B` (frontier scoring reads only the
+    * frontier's buckets), and the auto-sized first-K entry vectors.
+    * The edge build is the one corpus-scale job; both serving tables
+    * repartition on their bucket column before the partitioned write
+    * (the [[writeAnn]] small-file discipline). */
+  def writeKnn(corpus: DataFrame, dir: String): Unit = {
+    val kCent = SimilarityOps.autoCentroids(corpus.count())
+    corpus.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("node"), col("embedding").as("e_emb"),
+        norm(col("embedding")).as("e_nrm"))
+      .filter(definedNrm(col("e_nrm")))
+      .write.mode("overwrite").parquet(s"$dir/entries")
+    SimilarityOps.knnGraph(corpus, SimilarityOps.KnnK, kCent,
+        SimilarityOps.KnnProbes)
+      .select(col("src"), col("dst"), nodeBucket(col("src")).as("sb"))
+      .repartition(col("sb"))
+      .write.mode("overwrite").partitionBy("sb").parquet(s"$dir/edges")
+    corpus
+      .select(col("vec_id").as("node"), col("embedding").as("n_emb"),
+        norm(col("embedding")).as("n_nrm"))
+      .filter(definedNrm(col("n_nrm")))
+      .withColumn("nb", nodeBucket(col("node")))
+      .repartition(col("nb"))
+      .write.mode("overwrite").partitionBy("nb").parquet(s"$dir/nodes")
+  }
+
+  private val knnEdgesSchema = StructType(Seq(
+    StructField("src", LongType),
+    StructField("dst", LongType),
+    StructField("sb", IntegerType)))
+
+  private val knnNodesSchema = StructType(Seq(
+    StructField("node", LongType),
+    StructField("n_emb", ArrayType(FloatType)),
+    StructField("n_nrm", DoubleType),
+    StructField("nb", IntegerType)))
+
+  def loadKnn(spark: SparkSession, dir: String): KnnIndex =
+    KnnIndex(
+      spark.read.parquet(s"$dir/entries").orderBy("node").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq,
+      spark.read.schema(knnEdgesSchema).parquet(s"$dir/edges"),
+      spark.read.schema(knnNodesSchema).parquet(s"$dir/nodes"))
 }

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ops.SimilarityOps
+import graft.ops.SimilarityOps.{definedNrm, dot, norm}
+import graft.serving.IndexStore
+import graft.serving.IndexStore.KnnIndex
+
+/** STREAMING graph-ANN serving — the online half of `sim_graph_topk`'s
+  * offline/online split, served from the PERSISTED graph artifact
+  * ([[IndexStore.writeKnn]]: src-bucketed edges + node-bucketed
+  * vectors + entry points):
+  *
+  *  1. SEED — the driver-constant entry vectors score each query
+  *     through the `cell_probe` narrow kernel (top-[[SimilarityOps
+  *     .GraphSeeds]] in the batch family's exact (sim DESC, id ASC)
+  *     order — no window, streaming-legal)
+  *  2. HOPS — each expansion derives the frontier's bucket set with
+  *     one tiny action (frontiers are ≤ |Q|·beam·degree rows by
+  *     construction) and equi-joins ONLY those partitions of the
+  *     edge/node artifacts: the literal `sb`/`nb` filters become
+  *     parquet PartitionFilters (spec-pinned), so a batch's IO is its
+  *     own frontier's buckets, never the graph
+  *  3. BEAM + TOP-K — per-query rankings run through the TopKSimAgg
+  *     partial top-k aggregator (map-side combine, ≤ beam/k rows of
+  *     state per query), the StreamAnnServe discipline
+  *
+  * Because the prune step derives literal filters from the batch's
+  * contents, the streaming form runs through foreachBatch
+  * ([[serveStream]]): each micro-batch is served by the SAME batch
+  * function, so stream ≡ batch is structural (spec-pinned across 3
+  * micro-batches).
+  *
+  * Batch twin: `stream_graph_topk` builds + loads the artifact and
+  * serves the bounded query batch — it must reproduce `sim_graph_topk`
+  * row for row (same entry points, hop unrolling, beam, tie-breaks;
+  * parquet roundtrips float/double bit-exactly), so it shares that
+  * committed DuckDB oracle. */
+object StreamGraphServe {
+
+  /** One hop: join a bounded (q_id, node) frontier to ONLY its
+    * buckets of the edge artifact. The bucket collect is one tiny
+    * action (≤ [[IndexStore.KnnBuckets]] ints) whose literal `sb`
+    * filter becomes a parquet PartitionFilter (spec-pinned). */
+  private[graft] def expandFrontier(frontier: DataFrame,
+      index: KnnIndex): DataFrame = {
+    val bs = frontier
+      .select(IndexStore.nodeBucket(col("node")).as("sb"))
+      .distinct().collect().map(_.getInt(0))
+    frontier.join(index.edges.filter(col("sb").isin(bs: _*)),
+        frontier("node") === col("src"))
+      .select(col("q_id"), col("dst").as("node"))
+  }
+
+  /** Score a bounded (q_id, node) frontier: vector lookups read ONLY
+    * the frontier's buckets of the node artifact (literal `nb`
+    * PartitionFilter, spec-pinned); query vectors join from the
+    * bounded batch. */
+  private[graft] def scoreFrontier(frontier: DataFrame, q: DataFrame,
+      index: KnnIndex): DataFrame = {
+    val bs = frontier
+      .select(IndexStore.nodeBucket(col("node")).as("nb"))
+      .distinct().collect().map(_.getInt(0))
+    frontier.join(index.nodes.filter(col("nb").isin(bs: _*)), "node")
+      .join(q, "q_id")
+      .withColumn("sim",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .select(col("q_id"), col("node"), col("sim"))
+  }
+
+  /** Serve the two-hop beam search for every query in the BOUNDED
+    * frame `queries` (vec_id, embedding) against the loaded graph
+    * index. */
+  def serveTopK(queries: DataFrame, index: KnnIndex, k: Int = 10,
+      beam: Int = SimilarityOps.GraphBeam,
+      seedK: Int = SimilarityOps.GraphSeeds): DataFrame = {
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .filter(definedNrm(col("q_nrm")))
+      .localCheckpoint(eager = false)
+    val seeds = q.select(col("q_id"),
+        explode(graft.functions.VectorFunctions.cell_probe(
+          col("q_emb"), index.entries, seedK)).as("node"))
+      .localCheckpoint(eager = false)
+    val hop1 = expandFrontier(seeds, index).distinct()
+      .localCheckpoint(eager = false)
+    val topB = udaf(new graft.functions.TopKSimAgg(beam))
+    val beam1 = scoreFrontier(hop1, q, index)
+      .groupBy("q_id").agg(topB(col("node"), col("sim")).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("node"))
+      .localCheckpoint(eager = false)
+    val hop2 = expandFrontier(beam1, index)
+    val visited = seeds.unionByName(hop1).unionByName(hop2)
+      .filter(col("node") =!= col("q_id")).distinct()
+      .localCheckpoint(eager = false)
+    val topK = udaf(new graft.functions.TopKSimAgg(k))
+    scoreFrontier(visited, q, index)
+      .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.sim"), 6).as("sim"))
+  }
+
+  /** The streaming serve: every micro-batch of query vectors runs
+    * through [[serveTopK]] against the SAME loaded index (foreachBatch
+    * — the frontier-bucket prunes are literal filters derived from
+    * the batch's contents, the [[StreamAnnServe.serveStream]] shape).
+    * A query's answer completes within its own micro-batch. */
+  def serveStream(queries: DataFrame, index: KnnIndex, k: Int = 10,
+      beam: Int = SimilarityOps.GraphBeam,
+      seedK: Int = SimilarityOps.GraphSeeds)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => sink(serveTopK(batch.toDF(), index, k, beam, seedK), id))
+      .start()
+}

@@ -247,8 +247,11 @@ object PlanDump {
     // graph serve: the corpus appears ONLY in the edge build + the
     // tiny per-hop candidate lookups (broadcast probe side) — a
     // corpus-sized exchange in the search stages regresses the
-    // O(hops·beam·degree)-per-query contract
-    "sim_graph_topk",
+    // O(hops·beam·degree)-per-query contract; the artifact twin's
+    // final stage must read the node store through a literal nb
+    // PartitionFilter (an unpruned scan or a window appearing
+    // regresses the frontier-bucket contract)
+    "sim_graph_topk", "stream_graph_topk",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimilarityOps
+import graft.serving.IndexStore
+import graft.streaming.StreamGraphServe
+
+/** The streaming graph-ANN serving path (persisted src-bucketed edges
+  * + node-bucketed vectors + frontier-pruned hop joins + TopKSimAgg)
+  * must (a) reproduce the batch graph operator row for row when
+  * serving from the ARTIFACT — same entry points, hop unrolling,
+  * beam, tie-breaks, with every float having made a parquet roundtrip
+  * — (b) read ONLY a frontier's buckets from both artifacts, and
+  * (c) produce the SAME answers when the query workload arrives split
+  * across micro-batches (foreachBatch). */
+class StreamGraphServeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val emb = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+  private val pred = col("vec_id") % 25 === 0
+
+  private lazy val index: IndexStore.KnnIndex = {
+    val dir = IndexStore.scratchDir("spec_knn", "knn")
+    IndexStore.writeKnn(emb, dir)
+    IndexStore.loadKnn(spark, dir)
+  }
+
+  private def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("artifact serve ≡ graphTopK row for row (same entry points, hops, " +
+    "beam, ties — through a parquet write/load roundtrip)") {
+    val want = asTuples(SimilarityOps.graphTopK(emb, pred).collect())
+    val got = asTuples(StreamGraphServe.serveTopK(
+      emb.filter(pred).select(col("vec_id"), col("embedding")), index)
+      .collect())
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("both artifact scans read ONLY the frontier's buckets: literal " +
+    "PartitionFilters on sb (edges) and nb (nodes), pruned < total") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    // a 2-node frontier for one query — the seed-hop shape
+    val frontier = Seq((0L, 25L), (0L, 150L)).toDF("q_id", "node")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        SimilarityOps.norm(col("embedding")).as("q_nrm"))
+    def audit(df: org.apache.spark.sql.DataFrame, part: String,
+        sub: String): Unit = {
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(sub))
+          => f
+      }
+      assert(scans.nonEmpty, s"must scan the persisted $sub artifact")
+      scans.foreach { f =>
+        val static = f.partitionFilters.filterNot(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+        assert(static.nonEmpty &&
+          static.exists(_.references.exists(_.name == part)),
+          s"$sub scan must carry a literal $part filter, got ${f.partitionFilters}")
+        val pruned = f.relation.location.listFiles(static, Nil).length
+        val total = f.relation.location.listFiles(Nil, Nil).length
+        assert(pruned <= 2 && pruned < total,
+          s"a 2-node frontier must read <= 2 $sub buckets, got $pruned of $total")
+      }
+    }
+    audit(StreamGraphServe.expandFrontier(frontier, index), "sb", "/edges")
+    audit(StreamGraphServe.scoreFrontier(frontier, q, index), "nb", "/nodes")
+  }
+
+  test("stream ≡ batch: queries split across 3 micro-batches (foreachBatch " +
+    "against the loaded artifact) produce the batch twin's answers, " +
+    "each query emitted in its own batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val queries = emb.filter(pred)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(queries.length >= 3)
+    val want = asTuples(StreamGraphServe.serveTopK(
+      emb.filter(pred).select(col("vec_id"), col("embedding")), index).collect())
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val qdf = mem.toDF().select(col("_1").as("vec_id"),
+      col("_2").cast("array<float>").as("embedding"))
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, Long, Double)])]
+    val query = StreamGraphServe.serveStream(qdf, index) { (out, id) =>
+      perBatch.synchronized { perBatch += id -> asTuples(out.collect()) }
+    }
+    try {
+      val (b1, rest) = queries.splitAt(1)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      mem.addData(b1: _*); query.processAllAvailable()
+      val afterB1 = perBatch.synchronized(perBatch.flatMap(_._2).toSet)
+      assert(afterB1.map(_._1) == b1.map(_._1).toSet,
+        "a query's answer must complete within its own micro-batch")
+      mem.addData(b2: _*); query.processAllAvailable()
+      mem.addData(b3: _*); query.processAllAvailable()
+      val got = perBatch.synchronized(perBatch.flatMap(_._2).toSet)
+      assert(got == want, "streamed answers must equal the batch twin's")
+    } finally query.stop()
+  }
+}
