@@ -1667,10 +1667,10 @@ object SimilarityOps {
     * audit shape on the graph rung, so the serving ladder's accuracy
     * dashboard covers every family it ships. */
   def graphRecall(embeddings: DataFrame, queryPred: Column,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, beam: Int = GraphBeam): DataFrame = {
     val exact = bruteForceTopK(embeddings, queryPred, k)
       .select(col("q_id"), col("n_id"))
-    val approx = graphTopK(embeddings, queryPred, k)
+    val approx = graphTopK(embeddings, queryPred, k, beam = beam)
       .select(col("q_id").as("q2"), col("n_id").as("n2"))
     val hits = exact
       .join(approx, col("q_id") === col("q2") && col("n_id") === col("n2"))
@@ -2733,6 +2733,42 @@ object SimilarityOps {
     val sloPpm = math.round(recallSlo * 1000000L)
     val chosen = measured.filter(_.recallPpm >= sloPpm)
       .sortBy(m => (m.rerankRows, m.shortlist)).headOption
+    (chosen, measured)
+  }
+
+  case class GraphBeamMeasurement(beam: Int, recallPpm: Long,
+      visitRows: Long)
+
+  /** Default beam ladder for [[tuneGraph]]. */
+  val DefaultBeamGrid: Seq[Int] = Seq(2, 4, 8, 16)
+
+  /** Closed-loop tuner for the GRAPH serving rung — the beam width is
+    * its one accuracy/cost knob (hop count is pinned by the unrolled
+    * oracle), tuned through the committed [[graphRecall]] audit
+    * exactly like [[tuneShortlist]] tunes the quantized rungs and
+    * tuneIvf the cell-probed one: run the audit per grid beam, return
+    * the CHEAPEST beam meeting the recall SLO, or None ("grow the
+    * grid", never silent best-effort). Cost is the per-batch visited
+    * bound |Q|·(seeds·(1+degree) + beam·degree) — the embedding-lookup
+    * row count the serve pays. Recall is MONOTONE in the beam (a
+    * larger beam's visited set is a superset — the spec-pinned
+    * graphTopK property), so the first grid point to pass is the
+    * optimum within the grid. */
+  def tuneGraph(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      recallSlo: Double = 0.5,
+      grid: Seq[Int] = DefaultBeamGrid):
+      (Option[GraphBeamMeasurement], Seq[GraphBeamMeasurement]) = {
+    val nQ = embeddings.filter(queryPred).count()
+    val measured = grid.map { b =>
+      val rec = graphRecall(embeddings, queryPred, k, beam = b)
+        .agg(sum("n_hit").as("h"), sum("n_exact").as("e")).collect()(0)
+      val recallPpm = rec.getLong(0) * 1000000L / math.max(rec.getLong(1), 1L)
+      GraphBeamMeasurement(b, recallPpm,
+        nQ * (GraphSeeds * (1L + KnnK) + b.toLong * KnnK))
+    }
+    val sloPpm = math.round(recallSlo * 1000000L)
+    val chosen = measured.filter(_.recallPpm >= sloPpm)
+      .sortBy(m => (m.visitRows, m.beam)).headOption
     (chosen, measured)
   }
 

@@ -193,6 +193,28 @@ object TextOps {
     * language) re-ran the split/filter tokenizer ~8× per row — same
     * fix as [[languageIdNgram]]'s `trigram_scores`; HOF ≡ kernel is
     * pinned row-exhaustively in StopwordKernelSpec. */
+  /** SELF-MEASURING language-ID audit — the lexical twin of the ANN
+    * families' recall audits: the confusion matrix of [[languageId]]'s
+    * prediction against the corpus's labeled `lang`, one row per
+    * (true, predicted) pair with the per-true-language fraction in
+    * exact ppm. The quantity a production pipeline watches before
+    * trusting a language gate: per-language recall sits on the
+    * diagonal, and any off-diagonal mass names exactly WHICH language
+    * leaks into which.
+    *
+    * Shape at scale: the classifier is [[languageId]]'s one-pass
+    * narrow kernel; the audit adds one (true, pred)-keyed agg
+    * (map-side combine, ≤ L² rows out) and a bounded window over that
+    * L²-row frame — nothing corpus-sized past the scan. */
+  def langIdConfusion(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val g = languageId(docs, textCol)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val wT = org.apache.spark.sql.expressions.Window.partitionBy("labeled_lang")
+    g.withColumn("n_true", sum("n").over(wT))
+      .withColumn("frac_ppm", expr("(n * 1000000) div n_true"))
+  }
+
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val allScores = graft.functions.TextNative
       .stopword_scores(col(textCol), StopwordProfiles.map(_._2))
@@ -1576,6 +1598,7 @@ object TextOps {
     "txt_gopher_gate" -> ((s, d) => gopherGate(t(s, d, "documents"))),
     "txt_langid" -> ((s, d) => languageId(t(s, d, "documents"))),
     "txt_langid_ngram" -> ((s, d) => languageIdNgram(t(s, d, "documents"))),
+    "txt_langid_confusion" -> ((s, d) => langIdConfusion(t(s, d, "documents"))),
     "txt_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents"))),
     "txt_bm25" -> ((s, d) => bm25TopDocs(t(s, d, "documents"))),
     "serve_text_index" -> ((s, d) => textIndexBuild(t(s, d, "documents"))),
@@ -1916,7 +1939,7 @@ object TextOps {
   private def sqlScore(words: Seq[String]) =
     s"len(list_filter($sqlToks, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "txt_perceptron_train" -> perceptronOracle(PercF, PercRounds, "train"),
     "txt_perceptron_score" -> perceptronOracle(PercF, PercRounds, "score"),
     "txt_perceptron_pr" -> perceptronOracle(PercF, PercRounds, "pr"),
@@ -2516,6 +2539,21 @@ object TextOps {
         |  source
         |FROM documents""".stripMargin
   )
+
+  /** The confusion audit's oracle composes the committed txt_langid
+    * derivation (same stopword profiles, same argmax) with the keyed
+    * count + bounded per-true-language window; SUM OVER in DuckDB
+    * widens to HUGEINT, so every derived count is cast back. */
+  val oracle: Map[String, String] = oracleBase +
+    ("txt_langid_confusion" ->
+      s"""WITH p AS (${oracleBase("txt_langid")}),
+         |g AS (SELECT labeled_lang, pred_lang, COUNT(*) AS n
+         |      FROM p GROUP BY 1, 2)
+         |SELECT labeled_lang, pred_lang, CAST(n AS BIGINT) AS n,
+         |  CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS n_true,
+         |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY labeled_lang)
+         |    AS BIGINT) AS frac_ppm
+         |FROM g""".stripMargin)
 }
 
 /** Committed inputs for `txt_bpe_encode` — the expected encodings in

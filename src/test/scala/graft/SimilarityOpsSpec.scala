@@ -106,6 +106,21 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(b == res.toSet, "fates are pure functions of content")
   }
 
+  test("tuneGraph: recall is beam-monotone across the grid; returns the " +
+    "cheapest beam meeting the SLO, or None for an impossible SLO") {
+    val (chosen, measured) = SimilarityOps.tuneGraph(emb, pred,
+      recallSlo = 0.01)
+    assert(measured.map(_.beam) == SimilarityOps.DefaultBeamGrid)
+    assert(measured.map(_.recallPpm) == measured.map(_.recallPpm).sorted,
+      s"beam-monotone recall, got ${measured.mkString(", ")}")
+    assert(chosen.nonEmpty && chosen.get.beam ==
+      measured.filter(_.recallPpm >= 10000L).map(_.beam).min,
+      "cheapest passing beam (visitRows is monotone in beam)")
+    val (none, all) = SimilarityOps.tuneGraph(emb, pred, recallSlo = 1.01)
+    assert(none.isEmpty && all.length == SimilarityOps.DefaultBeamGrid.length,
+      "an impossible SLO returns None, never silent best-effort")
+  }
+
   test("graphRecall: per-query audit rows recompose to the set-level recall " +
     "of graphTopK vs bruteForceTopK") {
     val rows = SimilarityOps.graphRecall(emb, pred).collect()

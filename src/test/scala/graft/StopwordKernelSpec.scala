@@ -87,4 +87,40 @@ class StopwordKernelSpec extends AnyFunSuite {
     assert(kernel("is ist est es") == Seq(1L, 1L, 1L, 1L))
     assert(kernel("") == Seq(0L, 0L, 0L, 0L))
   }
+
+  test("langIdConfusion: rows recompose languageId's counts exactly; " +
+    "per-true-language fractions sum to 1e6 minus only floor residue") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val conf = TextOps.langIdConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val pred = TextOps.languageId(docs)
+      .select("labeled_lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = pred.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(conf.nonEmpty && conf.length == want.size)
+    conf.foreach { case (t, p, n, nTrue, ppm) =>
+      assert(n == want((t, p)), s"cell ($t,$p)")
+      assert(nTrue == pred.count(_._1 == t).toLong, s"row total for $t")
+      assert(ppm == n * 1000000L / nTrue, s"ppm exact for ($t,$p)")
+    }
+    conf.groupBy(_._1).foreach { case (t, rows) =>
+      val s = rows.map(_._5).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"$t fractions must cover 1e6 up to floor residue, got $s")
+    }
+  }
+
+  test("planted unambiguous corpus: the confusion diagonal is exactly 1e6") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the and of to is", "en"), (2L, "the of is and the", "en"),
+      (3L, "der die und ist das", "de"), (4L, "le les et est une", "fr"),
+      (5L, "el los y es una", "es")).toDF("doc_id", "text", "lang")
+    val conf = TextOps.langIdConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    assert(conf.map(_._1).toSet == Set("en", "de", "fr", "es"))
+    assert(conf.forall { case (t, p, ppm) => t == p && ppm == 1000000L },
+      s"expected a pure diagonal, got ${conf.mkString(", ")}")
+  }
 }
