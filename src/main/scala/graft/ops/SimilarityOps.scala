@@ -1498,10 +1498,15 @@ object SimilarityOps {
   /** The oracle-SQL rendering of [[autoCentroids]] over the
     * `embeddings` table — a scalar subquery, so the oracle tracks the
     * corpus exactly like the engine does. */
-  private def sqlAutoK: String =
+  private def sqlAutoK: String = sqlAutoKFrom("embeddings")
+
+  /** [[sqlAutoK]] over an arbitrary relation — the append oracle's
+    * chain sizes its entry count from the pre-append corpus, exactly
+    * like writeKnn's count(). */
+  private def sqlAutoKFrom(rel: String): String =
     s"(SELECT GREATEST($MinCentroids, LEAST(" +
       "CAST(CEIL(COUNT(*) / 32.0) AS BIGINT), " +
-      "8 * (1::BIGINT << (length(bin(COUNT(*))) >> 1)))) FROM embeddings)"
+      s"8 * (1::BIGINT << (length(bin(COUNT(*))) >> 1)))) FROM $rel)"
 
   /** Shared multi-probe coarse assignment: every screened vector →
     * its top-`nProbes` first-K sample centroids ((c_sim DESC, cid ASC)
@@ -1575,6 +1580,11 @@ object SimilarityOps {
     * width kept after the first expansion, and entry seeds per query. */
   val GraphBeam = 4
   val GraphSeeds = 2
+
+  /** The append split for `serve_graph_index_append` (shared with the
+    * oracle SQL): the serve_index_append convention. */
+  val GraphAppendWhere = "vec_id % 8 = 7"
+  def graphAppendPred: Column = col("vec_id") % 8 === 7
 
   /** GRAPH-based ANN serving — fixed-hop beam search over the
     * [[knnGraph]] edges, the NSW/HNSW-family member completing the
@@ -2805,6 +2815,21 @@ object SimilarityOps {
         .groupBy("deg").agg(count(lit(1)).as("n_srcs"),
           min("src").as("min_src"), max("src").as("max_src"))
     }),
+    // incremental graph maintenance: rebuild the base index on the
+    // pre-append split, insert the delta by graph search
+    // (search-then-connect with back-edges — the NSW insertion), then
+    // report the degree histogram read back from the appended artifact
+    "serve_graph_index_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val newPred = graphAppendPred
+      val dir = graft.serving.IndexStore.scratchDir(d, "knn_append")
+      graft.serving.IndexStore.writeKnn(e.filter(!newPred), dir)
+      graft.serving.IndexStore.appendKnn(e.filter(newPred), dir)
+      graft.serving.IndexStore.loadKnn(s, dir).edges
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_srcs"),
+          min("src").as("min_src"), max("src").as("max_src"))
+    }),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "mix_cluster_cap" -> ((s, d) => clusterCap(t(s, d, "embeddings"))),
     "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
@@ -3422,46 +3447,9 @@ object SimilarityOps {
     * expansion; recall composes the brute-force truth exactly like
     * sim_ivf_recall's oracle. */
   private def graphOracle(mode: String): String = {
-    val gatherCtes =
+    val gatherCtes = graphGatherCtes(
       s"""q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
-         |       FROM e WHERE vec_id % $sqlServeMod = 0),
-         |sd0 AS (
-         |  SELECT q.q_id, c.cid AS node,
-         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
-         |      ORDER BY ${sqlDot("q.q_emb", "c.c_emb")} / (q.q_nrm * c.c_nrm) DESC,
-         |               c.cid ASC) AS rn
-         |  FROM q, cent c),
-         |seeds AS (SELECT q_id, node FROM sd0 WHERE rn <= $GraphSeeds),
-         |hop1 AS (
-         |  SELECT DISTINCT s.q_id, ed.dst AS node
-         |  FROM seeds s JOIN edges ed ON s.node = ed.src),
-         |b0 AS (
-         |  SELECT h.q_id, h.node,
-         |    ROW_NUMBER() OVER (PARTITION BY h.q_id
-         |      ORDER BY ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) DESC,
-         |               h.node ASC) AS rn
-         |  FROM hop1 h JOIN e n ON h.node = n.vec_id
-         |             JOIN q ON h.q_id = q.q_id),
-         |beam1 AS (SELECT q_id, node FROM b0 WHERE rn <= $GraphBeam),
-         |hop2 AS (
-         |  SELECT b.q_id, ed.dst AS node
-         |  FROM beam1 b JOIN edges ed ON b.node = ed.src),
-         |vis AS (
-         |  SELECT DISTINCT q_id, node FROM (
-         |    SELECT q_id, node FROM seeds
-         |    UNION ALL SELECT q_id, node FROM hop1
-         |    UNION ALL SELECT q_id, node FROM hop2)
-         |  WHERE node != q_id),
-         |gsc AS (
-         |  SELECT v.q_id, v.node AS n_id,
-         |    ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) AS sim
-         |  FROM vis v JOIN e n ON v.node = n.vec_id
-         |            JOIN q ON v.q_id = q.q_id),
-         |gr AS (
-         |  SELECT q_id, n_id, sim,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
-         |      AS rank
-         |  FROM gsc)""".stripMargin
+         |       FROM e WHERE vec_id % $sqlServeMod = 0)""".stripMargin)
     val tail = mode match {
       case "topk" =>
         """SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
@@ -3486,20 +3474,68 @@ object SimilarityOps {
            |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin
     }
     val tailSep = if (mode == "recall") "," else ""
-    s"""WITH $knnChainCtes,
+    s"""WITH ${knnChainCtes()},
        |$gatherCtes$tailSep
        |$tail""".stripMargin
   }
 
+  /** The seed → hop1/beam → hop2 → gather CTE chain of the graph
+    * search, over a caller-supplied `q AS (...)` query CTE — shared by
+    * [[graphOracle]] and the append oracle (whose queries are the NEW
+    * vectors, searched against the OLD corpus's chain). Ends in `gr`
+    * (q_id, n_id, sim, rank). */
+  private def graphGatherCtes(qCte: String): String =
+    s"""$qCte,
+       |sd0 AS (
+       |  SELECT q.q_id, c.cid AS node,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${sqlDot("q.q_emb", "c.c_emb")} / (q.q_nrm * c.c_nrm) DESC,
+       |               c.cid ASC) AS rn
+       |  FROM q, cent c),
+       |seeds AS (SELECT q_id, node FROM sd0 WHERE rn <= $GraphSeeds),
+       |hop1 AS (
+       |  SELECT DISTINCT s.q_id, ed.dst AS node
+       |  FROM seeds s JOIN edges ed ON s.node = ed.src),
+       |b0 AS (
+       |  SELECT h.q_id, h.node,
+       |    ROW_NUMBER() OVER (PARTITION BY h.q_id
+       |      ORDER BY ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) DESC,
+       |               h.node ASC) AS rn
+       |  FROM hop1 h JOIN e n ON h.node = n.vec_id
+       |             JOIN q ON h.q_id = q.q_id),
+       |beam1 AS (SELECT q_id, node FROM b0 WHERE rn <= $GraphBeam),
+       |hop2 AS (
+       |  SELECT b.q_id, ed.dst AS node
+       |  FROM beam1 b JOIN edges ed ON b.node = ed.src),
+       |vis AS (
+       |  SELECT DISTINCT q_id, node FROM (
+       |    SELECT q_id, node FROM seeds
+       |    UNION ALL SELECT q_id, node FROM hop1
+       |    UNION ALL SELECT q_id, node FROM hop2)
+       |  WHERE node != q_id),
+       |gsc AS (
+       |  SELECT v.q_id, v.node AS n_id,
+       |    ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) AS sim
+       |  FROM vis v JOIN e n ON v.node = n.vec_id
+       |            JOIN q ON v.q_id = q.q_id),
+       |gr AS (
+       |  SELECT q_id, n_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
+       |      AS rank
+       |  FROM gsc)""".stripMargin
+
   /** The emb_knn_graph derivation ending in an `edges` (src, dst) CTE
     * — the shared front end of the graph-serve oracles
-    * ([[graphOracle]], serve_graph_index_write). */
-  private def knnChainCtes: String =
+    * ([[graphOracle]], serve_graph_index_write/append). `corpusSql`
+    * parameterizes the indexed corpus (the append oracle indexes only
+    * the pre-append rows; the auto-K scalar subquery tracks the same
+    * relation so the entry count matches what writeKnn computed). */
+  private def knnChainCtes(corpusSql: String = "embeddings"): String =
     s"""e AS (
        |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
-       |  FROM embeddings),
+       |  FROM $corpusSql),
        |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
-       |         FROM e WHERE vec_id < $sqlAutoK),
+       |         FROM e WHERE vec_id < ${sqlAutoKFrom(corpusSql)}),
        |asg0 AS (
        |  SELECT e.vec_id, cent.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -3589,8 +3625,27 @@ object SimilarityOps {
     // from the parquet truth, so a write/load corruption (dropped
     // edges, drifted types, wrong bucket values) breaks the hash
     "serve_graph_index_write" ->
-      s"""WITH $knnChainCtes,
+      s"""WITH ${knnChainCtes()},
          |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1)
+         |SELECT CAST(deg AS BIGINT) AS deg, COUNT(*)::BIGINT AS n_srcs,
+         |  MIN(src) AS min_src, MAX(src) AS max_src
+         |FROM deg GROUP BY 1""".stripMargin,
+
+    // graph append: the OLD corpus's chain + the NEW vectors' graph
+    // search (the NSW insert = serve at k=KnnK) + bidirectional edge
+    // union + the same degree histogram over the appended table
+    "serve_graph_index_append" ->
+      s"""WITH ${knnChainCtes(s"(SELECT * FROM embeddings WHERE NOT ($GraphAppendWhere))")},
+         |${graphGatherCtes(
+        s"""q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+           |       ${sqlNrm("embedding")} AS q_nrm
+           |       FROM embeddings WHERE $GraphAppendWhere)""".stripMargin)},
+         |newe AS (SELECT q_id AS src, n_id AS dst FROM gr WHERE rank <= $KnnK),
+         |alle AS (
+         |  SELECT src, dst FROM edges
+         |  UNION ALL SELECT src, dst FROM newe
+         |  UNION ALL SELECT dst AS src, src AS dst FROM newe),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM alle GROUP BY 1)
          |SELECT CAST(deg AS BIGINT) AS deg, COUNT(*)::BIGINT AS n_srcs,
          |  MIN(src) AS min_src, MAX(src) AS max_src
          |FROM deg GROUP BY 1""".stripMargin,

@@ -354,6 +354,40 @@ object IndexStore {
       .write.mode("overwrite").partitionBy("nb").parquet(s"$dir/nodes")
   }
 
+  /** INCREMENTAL graph maintenance — the NSW insertion algorithm
+    * (search-then-connect): each new vector's out-edges are its graph
+    * search top-[[graft.ops.SimilarityOps.KnnK]] against the EXISTING
+    * artifact (the serve path itself, so insert cost = serve cost:
+    * O(hops·beam·degree) per vector, never a corpus rebuild), and
+    * every new edge is mirrored as a BACK-edge so future searches can
+    * reach the inserted nodes — the bidirectional linking every NSW
+    * store does on insert. Old-node degrees grow past KnnK between
+    * rebuilds (real graph stores prune on a schedule; [[writeKnn]] is
+    * the rebuild). Parquet partitioned appends are directory-additive,
+    * so a concurrent serve keeps reading a consistent index. */
+  def appendKnn(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val idx = loadKnn(spark, dir)
+    // checkpointed: the mirror union would otherwise re-run the search
+    val newEdges = graft.streaming.StreamGraphServe.serveTopK(
+        newVecs.select(col("vec_id"), col("embedding")), idx,
+        k = SimilarityOps.KnnK)
+      .select(col("q_id").as("src"), col("n_id").as("dst"))
+      .localCheckpoint(eager = false)
+    newEdges.unionByName(
+        newEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src"), col("dst"), nodeBucket(col("src")).as("sb"))
+      .repartition(col("sb"))
+      .write.mode("append").partitionBy("sb").parquet(s"$dir/edges")
+    newVecs
+      .select(col("vec_id").as("node"), col("embedding").as("n_emb"),
+        norm(col("embedding")).as("n_nrm"))
+      .filter(definedNrm(col("n_nrm")))
+      .withColumn("nb", nodeBucket(col("node")))
+      .repartition(col("nb"))
+      .write.mode("append").partitionBy("nb").parquet(s"$dir/nodes")
+  }
+
   private val knnEdgesSchema = StructType(Seq(
     StructField("src", LongType),
     StructField("dst", LongType),

@@ -81,6 +81,45 @@ class StreamGraphServeSpec extends AnyFunSuite {
     audit(StreamGraphServe.scoreFrontier(frontier, q, index), "nb", "/nodes")
   }
 
+  test("append (NSW search-then-connect): new nodes' out-edges are exactly " +
+    "the graph-search top-KnnK against the base artifact; every new edge " +
+    "carries its back-edge; appended nodes are servable and findable") {
+    val newPred = SimilarityOps.graphAppendPred
+    val dir = IndexStore.scratchDir("spec_knn_append", "knn")
+    IndexStore.writeKnn(emb.filter(!newPred), dir)
+    val base = IndexStore.loadKnn(spark, dir)
+    val want = StreamGraphServe.serveTopK(
+        emb.filter(newPred).select(col("vec_id"), col("embedding")), base,
+        k = SimilarityOps.KnnK)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    IndexStore.appendKnn(emb.filter(newPred), dir)
+    val idx = IndexStore.loadKnn(spark, dir)
+    val newIds = emb.filter(newPred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(newIds.nonEmpty && want.nonEmpty)
+    val edges = idx.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.filter(e => newIds(e._1)).toSet == want,
+      "out-edges of appended nodes = the search results, exactly")
+    assert(edges.filter(e => newIds(e._2)).toSet == want.map(p => (p._2, p._1)),
+      "every new edge has its mirror back-edge")
+    // the node store carries the appended vectors
+    val nodeIds = idx.nodes.select("node").collect().map(_.getLong(0)).toSet
+    assert(newIds.subsetOf(nodeIds))
+    // findability: serve each appended node's own vector under a FRESH
+    // query id — reachable only through a neighbor's back-edge; when
+    // visited, sim 1.0 ranks it first
+    val probes = emb.filter(newPred).orderBy("vec_id").limit(8)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val served = StreamGraphServe.serveTopK(probes, idx).collect()
+      .map(r => (r.getLong(0) - 1000000L, r.getLong(1), r.getLong(2)))
+    val selfTop = served.filter(r => r._1 == r._2 && r._3 == 1L).map(_._1).toSet
+    info(s"self-findable at rank 1: ${selfTop.size} of 8 probed appended nodes")
+    assert(selfTop.size >= 4,
+      "most appended nodes must be findable through back-edges (measured 8/8)")
+  }
+
   test("stream ≡ batch: queries split across 3 micro-batches (foreachBatch " +
     "against the loaded artifact) produce the batch twin's answers, " +
     "each query emitted in its own batch") {
