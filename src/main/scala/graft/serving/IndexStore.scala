@@ -388,6 +388,52 @@ object IndexStore {
       .write.mode("append").partitionBy("nb").parquet(s"$dir/nodes")
   }
 
+  /** Scheduled graph maintenance — the degree prune every NSW store
+    * runs: [[appendKnn]]'s back-edges grow old-node out-degrees past
+    * [[graft.ops.SimilarityOps.KnnK]] and add one file set per touched
+    * bucket; this rewrites the edge table keeping each src's top-KnnK
+    * out-edges by exact cosine ((sim DESC, dst ASC), the knnGraph
+    * tie-break) and lands each bucket in a single file set, STAGED
+    * with directory renames like [[compactAnn]] so a concurrent serve
+    * never reads a half-written bucket. Pruning is the deliberate
+    * accuracy trade of the maintenance schedule: a back-edge survives
+    * iff the inserted node ranks within its neighbor's top-KnnK —
+    * exactly the retention rule a fresh [[writeKnn]] rebuild would
+    * apply. The node store is content-identical, rewritten only for
+    * file-count hygiene. */
+  def compactKnn(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val nodes = spark.read.schema(knnNodesSchema).parquet(s"$dir/nodes")
+    val edges = spark.read.schema(knnEdgesSchema).parquet(s"$dir/edges")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    edges.select("src", "dst").distinct()
+      .join(nodes.select(col("node").as("src"), col("n_emb").as("s_emb"),
+        col("n_nrm").as("s_nrm")), "src")
+      .join(nodes.select(col("node").as("dst"), col("n_emb").as("d_emb"),
+        col("n_nrm").as("d_nrm")), "dst")
+      .withColumn("sim", graft.ops.SimilarityOps.dot(col("s_emb"), col("d_emb"))
+        / (col("s_nrm") * col("d_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SimilarityOps.KnnK)
+      .select(col("src"), col("dst"), nodeBucket(col("src")).as("sb"))
+      .repartition(col("sb"))
+      .write.mode("overwrite").partitionBy("sb")
+      .parquet(s"$dir/edges_compacting")
+    nodes.drop("nb").withColumn("nb", nodeBucket(col("node")))
+      .repartition(col("nb"))
+      .write.mode("overwrite").partitionBy("nb")
+      .parquet(s"$dir/nodes_compacting")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("edges", "nodes").foreach { t =>
+      val old = new Path(s"$dir/${t}_old")
+      fs.delete(old, true)
+      fs.rename(new Path(s"$dir/$t"), old)
+      fs.rename(new Path(s"$dir/${t}_compacting"), new Path(s"$dir/$t"))
+      fs.delete(old, true)
+    }
+  }
+
   private val knnEdgesSchema = StructType(Seq(
     StructField("src", LongType),
     StructField("dst", LongType),

@@ -120,6 +120,58 @@ class StreamGraphServeSpec extends AnyFunSuite {
       "most appended nodes must be findable through back-edges (measured 8/8)")
   }
 
+  test("compact: every out-degree pruned back to exactly each src's " +
+    "top-KnnK by cosine; one file set per bucket; the pruned index serves") {
+    val newPred = SimilarityOps.graphAppendPred
+    val dir = IndexStore.scratchDir("spec_knn_compact", "knn")
+    IndexStore.writeKnn(emb.filter(!newPred), dir)
+    IndexStore.appendKnn(emb.filter(newPred), dir)
+    def filesPerBucket(sub: String): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/$sub")
+      root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    assert(filesPerBucket("edges").values.exists(_ > 1),
+      "an append must add file sets to touched edge buckets")
+    val bEdges = IndexStore.loadKnn(spark, dir).edges
+      .select("src", "dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(bEdges.groupBy(_._1).values.exists(_.length > SimilarityOps.KnnK),
+      "back-edges must overfill some out-degree")
+    // expected retention: per src, top-KnnK by (cos DESC, dst ASC) —
+    // recomputed locally with the kernel's exact sequential double fold
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val wantKeep = bEdges.groupBy(_._1).toSeq.flatMap { case (s, es) =>
+      es.toSeq.map(e => (e._2, cos(vecs(s), vecs(e._2))))
+        .sortBy(t => (-t._2, t._1)).take(SimilarityOps.KnnK)
+        .map(t => (s, t._1))
+    }.toSet
+    IndexStore.compactKnn(spark, dir)
+    val after = IndexStore.loadKnn(spark, dir)
+    val aEdges = after.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(aEdges.length == aEdges.toSet.size, "no duplicate edges survive")
+    assert(aEdges.toSet == wantKeep,
+      "compaction keeps exactly each src's top-KnnK out-edges")
+    assert(filesPerBucket("edges").values.forall(_ == 1) &&
+      filesPerBucket("nodes").values.forall(_ == 1),
+      "one file set per bucket after compaction")
+    val served = StreamGraphServe.serveTopK(
+      emb.filter(pred).select(col("vec_id"), col("embedding")), after).collect()
+    assert(served.nonEmpty, "the pruned index still serves")
+  }
+
   test("stream ≡ batch: queries split across 3 micro-batches (foreachBatch " +
     "against the loaded artifact) produce the batch twin's answers, " +
     "each query emitted in its own batch") {
