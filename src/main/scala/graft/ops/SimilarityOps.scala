@@ -1042,6 +1042,68 @@ object SimilarityOps {
       .select(col("q_id"), col("n_id"), col("sim_u"))
   }
 
+  /** Filter modulus for the driver's `sim_filtered_topk` query
+    * (shared with the oracle SQL): label % 2 = 0 keeps ~half the
+    * corpus eligible. */
+  val FilterLabelMod = 2L
+
+  /** FILTERED vector search — metadata-predicate top-k, the fourth
+    * member of the vector-store query API next to top-k, radius, and
+    * diversified top-k: the k best cosine neighbors AMONG rows
+    * matching a metadata predicate (tenant, license, language,
+    * freshness — every production store exposes this). This is
+    * PRE-filtering: the predicate prunes candidates BEFORE the
+    * ranking, so the answer is the true top-k of the eligible subset.
+    * The cheap alternative (post-filter: take the unfiltered top-k,
+    * then drop non-matching rows) silently returns < k — spec-pinned
+    * as a strict subset.
+    *
+    * Shape at scale: [[ivfTopK]]'s candidate stage exactly, with the
+    * metadata DENORMALIZED ONTO THE INDEX ROW (the assignment struct
+    * carries the label, the dl-on-posting discipline), so the filter
+    * is a narrow predicate on the cell-scoped candidate rows — no
+    * second corpus join, and a selective predicate makes the serve
+    * CHEAPER than unfiltered top-k. */
+  def filteredTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      nCentroids: Int = IvfCentroids, nProbe: Int = IvfProbe,
+      labelMod: Long = FilterLabelMod): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+      .filter(definedNrm(col("c_nrm")))
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        col("label").cast("long").as("n_label"))
+      .filter(definedNrm(col("nrm")))
+    val assign = assignBest(vecs, cents,
+        struct(col("embedding").as("n_emb"), col("nrm").as("n_nrm"),
+          col("cid"), col("n_label")))
+      .select(col("vec_id").as("n_id"), col("best.n_emb").as("n_emb"),
+        col("best.n_nrm").as("n_nrm"), col("best.cid").as("cid"),
+        col("best.n_label").as("n_label"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("c_sim").desc, col("cid").asc)
+    val probes = vecs.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("c_sim",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"))
+    val wRank = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id").asc)
+    probes.join(assign.filter(col("n_label") % labelMod === 0), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("n_label"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Scatter-gather QUERY ROUTER — the shard-routing table a
     * distributed vector store computes before fan-out: per serving
     * query, its nProbe best cells under EXACTLY [[ivfTopK]]'s probe
@@ -2797,6 +2859,10 @@ object SimilarityOps {
         nCentroids = IvfCentroids, nProbe = IvfProbe) }),
     "sim_radius_search" -> ((s, d) => { val e = t(s, d, "embeddings")
       radiusSearch(e, servingQueryPred(e)) }),
+    // metadata-filtered top-k: pre-filter on the denormalized index
+    // label, so the answer is the true top-k of the eligible subset
+    "sim_filtered_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      filteredTopK(e, servingQueryPred(e)) }),
     // graph rung of the serving ladder: two-hop beam search over the
     // kNN-graph edges — per-query cost independent of corpus size
     "sim_graph_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
@@ -4208,6 +4274,43 @@ object SimilarityOps {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
          |  FROM sims)
          |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // filtered search: the ivf chain with the label DENORMALIZED onto
+    // the assignment and pre-filtered before the ranking
+    "sim_filtered_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm,
+         |    CAST(label AS BIGINT) AS n_label
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $IvfCentroids),
+         |asg0 AS (
+         |  SELECT e.vec_id AS n_id, e.emb AS n_emb, e.nrm AS n_nrm,
+         |    e.n_label, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT n_id, n_emb, n_nrm, n_label, cid FROM asg0
+         |        WHERE rn = 1 AND n_label % $FilterLabelMod = 0),
+         |prb0 AS (
+         |  SELECT q.vec_id AS q_id, q.emb AS q_emb, q.nrm AS q_nrm, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDot("q.emb", "cent.c_emb")} / (q.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM (SELECT * FROM e WHERE vec_id % $sqlServeMod = 0) q, cent),
+         |prb AS (SELECT q_id, q_emb, q_nrm, cid FROM prb0 WHERE rn <= $IvfProbe),
+         |sims AS (
+         |  SELECT prb.q_id, asg.n_id, asg.n_label,
+         |    ${sqlDot("prb.q_emb", "asg.n_emb")} / (prb.q_nrm * asg.n_nrm) AS sim
+         |  FROM prb JOIN asg USING (cid)
+         |  WHERE prb.q_id != asg.n_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, n_label, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |  FROM sims)
+         |SELECT q_id, n_id, n_label, CAST(rank AS BIGINT) AS rank,
+         |  ROUND(sim, 6) AS sim
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "emb_semdedup" ->

@@ -244,6 +244,10 @@ object PlanDump {
     // per-query window — the integer tau predicate must stay a narrow
     // filter (any top-k state or extra exchange appearing regresses)
     "sim_radius_search",
+    // filtered search: the label must ride the assignment struct and
+    // filter as a narrow predicate on the candidate rows — a second
+    // corpus join appearing for the metadata is the regression
+    "sim_filtered_topk",
     // graph serve: the corpus appears ONLY in the edge build + the
     // tiny per-hop candidate lookups (broadcast probe side) — a
     // corpus-sized exchange in the search stages regresses the

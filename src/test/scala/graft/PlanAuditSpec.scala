@@ -248,7 +248,10 @@ class PlanAuditSpec extends AnyFunSuite {
     //    archive side
     // sim_radius_search shares sim_ivf_topk's candidate front end
     // (corpus x broadcast(K centroids) assignment + probe ranking)
+    // sim_filtered_topk is the ivf_topk idiom with a narrow label
+    // predicate on the assignment side — same deliberate crosses
     val allowNested = Set("sim_topk", "sim_ivf_topk", "sim_radius_search",
+      "sim_filtered_topk",
       "join_bloom_prefilter",
       "skyline_parts", "emb_semdedup", "dedup_incr_bloom",
       // mix_cluster_cap / serve_index_build / serve_index_append reuse

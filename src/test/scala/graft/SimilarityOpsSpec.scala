@@ -136,6 +136,30 @@ class SimilarityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("filteredTopK: every hit matches the predicate with dense ranks; " +
+    "pre-filtering is the true top-k of the eligible subset — " +
+    "post-filtering ivfTopK returns a strict subset") {
+    val filtered = SimilarityOps.filteredTopK(emb, pred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_._3 % SimilarityOps.FilterLabelMod == 0),
+      "the metadata predicate holds on every returned row")
+    filtered.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"dense ranks for query $q")
+    }
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val post = SimilarityOps.ivfTopK(emb, pred,
+        nCentroids = SimilarityOps.IvfCentroids, nProbe = SimilarityOps.IvfProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => labels(p._2) % SimilarityOps.FilterLabelMod == 0).toSet
+    val pre = filtered.map(r => (r._1, r._2)).toSet
+    assert(post.subsetOf(pre), "post-filtering can only lose results")
+    assert(post.size < pre.size,
+      s"and here it demonstrably does: ${post.size} post vs ${pre.size} pre")
+  }
+
   test("k-means-trained IVF centroids: recall at the same nProbe does not regress") {
     val sampled = recallOf(sampledSet)
     val trained = recallOf(ivfSet(Some(
