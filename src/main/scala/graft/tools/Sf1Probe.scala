@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * case); and rec_cte_tree's replicas deepen no tree but add frontier
   * rows per BFS round, so per-round fixed costs multiply.
   *
-  * Usage: runMain graft.tools.Sf1Probe [gen|bench|all]  (default all)
+  * Usage: runMain graft.tools.Sf1Probe [gen|bench|all] [name…]
+  * (default all). Trailing names restrict the bench to those queries
+  * and MERGE their rows into the existing BENCH_SF1.json — the cheap
+  * path for slope-measuring a newly pinned plan.
   */
 object Sf1Probe {
 
@@ -58,7 +61,7 @@ object Sf1Probe {
     }
   }
 
-  def bench(spark: SparkSession): Unit = {
+  def bench(spark: SparkSession, only: Set[String] = Set.empty): Unit = {
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
@@ -71,7 +74,8 @@ object Sf1Probe {
     // pipe_* stages read the KMZ fixture, not the sf directory — at
     // "both scales" they'd run the identical workload (slope ≡ 1), so
     // they carry no headroom signal and are excluded
-    val rows = PlanDump.Audited.filterNot(_.startsWith("pipe_")).map { name =>
+    val rows = PlanDump.Audited.filterNot(_.startsWith("pipe_"))
+      .filter(n => only.isEmpty || only(n)).map { name =>
       // one DISCARDED run per SCALE first. sf0.1: the first execution
       // carries whole-stage-codegen compile and (for the first queries
       // in the list) JVM-wide C2/reader warmup — round 6's
@@ -102,16 +106,33 @@ object Sf1Probe {
       println(f"[sf1] $name%-22s sf0.1=$t01%6.2f s  sf1=$t1%7.2f s  slope=${t1 / t01}%5.2f")
       (name, t01, t1)
     }
-    val json = rows.map { case (n, a, b) =>
-      f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"slope":${b / a}%.2f}"""
-    }.mkString(",")
+    // subset runs MERGE into the existing file (measured names
+    // overwrite their rows, everything else carries) so a new query's
+    // slope lands without re-probing the other ~100 plans
+    val prior: Seq[(String, String)] =
+      if (only.isEmpty) Nil
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BENCH_SF1.json")))
+        val qs = root.get("queries")
+        import scala.jdk.CollectionConverters._
+        qs.fieldNames().asScala.filterNot(only).map { n =>
+          n -> qs.get(n).toString
+        }.toSeq
+      } catch { case _: Throwable => Nil }
+    val json = (prior.map { case (n, body) => s""""$n":$body""" } ++
+      rows.map { case (n, a, b) =>
+        f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"slope":${b / a}%.2f}"""
+      }).mkString(",")
     val loadavg = try {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(" ")
     } catch { case _: Throwable => "unknown" }
     val out = s"""{"metric":"sf1_headroom","k":$K,"loadavg_end":"$loadavg","queries":{$json}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SF1.json"), out + "\n")
-    println(s"[sf1] wrote BENCH_SF1.json")
+    println(s"[sf1] wrote BENCH_SF1.json (${rows.length} measured" +
+      s"${if (prior.nonEmpty) s", ${prior.length} carried" else ""})")
   }
 
   def main(args: Array[String]): Unit = {
@@ -125,7 +146,7 @@ object Sf1Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "gen" || mode == "all") gen(spark)
-    if (mode == "bench" || mode == "all") bench(spark)
+    if (mode == "bench" || mode == "all") bench(spark, args.drop(1).toSet)
     spark.stop()
   }
 }
