@@ -110,6 +110,9 @@ class SimilarityOpsSpec extends AnyFunSuite {
     "cheapest beam meeting the SLO, or None for an impossible SLO") {
     val (chosen, measured) = SimilarityOps.tuneGraph(emb, pred,
       recallSlo = 0.01)
+    info(measured.map(m =>
+      f"beam ${m.beam}%2d: recall ${m.recallPpm / 1e6}%.3f, " +
+        f"${m.visitRows} visit rows").mkString("; "))
     assert(measured.map(_.beam) == SimilarityOps.DefaultBeamGrid)
     assert(measured.map(_.recallPpm) == measured.map(_.recallPpm).sorted,
       s"beam-monotone recall, got ${measured.mkString(", ")}")
