@@ -490,6 +490,32 @@ object CurationOps {
       (col("alloc") === col("cap")).as("capped"))
   }
 
+  /** Materialize the UniMax plan into an epoch-expanded corpus — the
+    * [[epochMaterialize]] copy rule keyed by LANGUAGE: every document
+    * gets `floor(epochs_ppm / 1e6)` whole copies, and a deterministic
+    * md5-bucket draw ("unimax:" salt, so the fractional selections are
+    * independent of the source-epoch family's) grants one more to the
+    * fractional-epoch share. Shape at scale: the plan is a tens-of-rows
+    * broadcast onto one corpus scan; the explode emits copies without a
+    * shuffle; a doc's fate is a pure function of content (repartition-
+    * invariant, spec-pinned via the shared rule). */
+  def mixUnimaxMaterialize(docs: DataFrame,
+      budgetMult: Long = UnimaxBudgetMult,
+      maxEpochs: Long = UnimaxEpochs): DataFrame = {
+    val plan = mixUnimax(docs, budgetMult, maxEpochs)
+      .select(col("lang"), col("epochs_ppm"))
+    docs.join(broadcast(plan), "lang")
+      .withColumn("n_copies",
+        expr("epochs_ppm div 1000000") +
+          when(bucket10k(col("doc_id"), "unimax:") <
+            expr("(epochs_ppm % 1000000) div 100"), 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   /** Anneal-phase share of the token budget, in ppm (10 %). */
   val AnnealFracPpm = 100000L
 
@@ -1082,6 +1108,9 @@ object CurationOps {
 
     "mix_unimax" -> ((s, d) => mixUnimax(t(s, d, "documents"))),
 
+    "mix_unimax_materialize" ->
+      ((s, d) => mixUnimaxMaterialize(t(s, d, "documents"))),
+
     "mix_epoch_materialize" -> ((s, d) => epochMaterialize(t(s, d, "documents"))),
 
     "mix_interleave" -> ((s, d) => mixInterleave(t(s, d, "documents"))),
@@ -1282,11 +1311,12 @@ object CurationOps {
   private val sqlToks =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
 
-  /** DuckDB replay of [[mixUnimax]] — the lang-keyed token agg, then
-    * `rounds` unrolled uniform-share waterfall rounds (each a scalar
-    * (spent, n_uncapped) CTE + a projection, exactly the driver
-    * loop). */
-  private def unimaxOracle(rounds: Int): String = {
+  /** The [[mixUnimax]] round chain (per → tot → a0 → `rounds`
+    * unrolled uniform-share waterfall rounds, each a scalar
+    * (spent, n_uncapped) CTE + a projection — exactly the driver
+    * loop), ending in `a<rounds>` — shared by the plan and
+    * materialize oracles. */
+  private def unimaxPlanCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""s$r AS (
          |  SELECT CAST(SUM(alloc) AS BIGINT) AS spent,
@@ -1300,20 +1330,44 @@ object CurationOps {
          |      ELSE alloc END AS alloc
          |  FROM a${r - 1}, s$r s, tot t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH per AS (
+    s"""per AS (
        |  SELECT lang, CAST(SUM(len($sqlToks)) AS BIGINT) AS avail
        |  FROM documents GROUP BY 1),
        |tot AS (SELECT CAST(SUM(avail) AS BIGINT) * $UnimaxBudgetMult
        |        AS budget FROM per),
        |a0 AS (SELECT lang, avail, avail * $UnimaxEpochs AS cap,
        |       CAST(0 AS BIGINT) AS alloc FROM per),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB replay of [[mixUnimax]]. */
+  private def unimaxOracle(rounds: Int): String =
+    s"""WITH ${unimaxPlanCtes(rounds)}
        |SELECT lang, avail AS avail_tokens, cap AS cap_tokens,
        |  alloc AS alloc_tokens,
        |  (alloc * 1000000) // GREATEST(avail, 1) AS epochs_ppm,
        |  (alloc = cap) AS capped
        |FROM a$rounds""".stripMargin
-  }
+
+  /** DuckDB replay of [[mixUnimaxMaterialize]] — the plan chain, then
+    * the epochMaterialize copy rule keyed by lang ("unimax:" salt). */
+  private def unimaxMaterializeOracle(rounds: Int): String =
+    s"""WITH ${unimaxPlanCtes(rounds)},
+       |eppm AS (
+       |  SELECT lang, (alloc * 1000000) // GREATEST(avail, 1) AS epochs_ppm
+       |  FROM a$rounds),
+       |cnt AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+       |    epochs_ppm // 1000000 +
+       |    (CASE WHEN ('0x' || substr(md5('unimax:' || d.doc_id::VARCHAR),
+       |        1, 15))::BIGINT % $HashMod % 10000
+       |        < (epochs_ppm % 1000000) // 100
+       |     THEN 1 ELSE 0 END) AS n_copies
+       |  FROM documents d JOIN eppm USING (lang))
+       |SELECT doc_id, lang, n_tokens, n_copies, t.c AS copy
+       |FROM cnt, unnest(range(1, n_copies + 1)) AS t(c)
+       |WHERE n_copies >= 1""".stripMargin
 
   /** Prefix-parameterized replay of [[epochWaterfall]] — shared by the
     * anneal oracle's two phases (`$budgetSql` is a scalar subquery). */
@@ -1456,6 +1510,7 @@ object CurationOps {
          |FROM r2""".stripMargin,
 
     "mix_unimax" -> unimaxOracle(UnimaxRounds),
+    "mix_unimax_materialize" -> unimaxMaterializeOracle(UnimaxRounds),
 
     // epochMaterialize: the same waterfall CTEs feeding the
     // mix_upsample copy rule (whole epochs + md5-bucket fractional)

@@ -77,6 +77,39 @@ class UnimaxSpec extends AnyFunSuite {
     assert(Set(p("a")._3, p("b")._3, p("c")._3).size == 1, "uncapped equal")
   }
 
+  test("materialize: whole epochs copy exactly, fractional epochs select " +
+    "by doc hash within the plan's epochs_ppm; dense copy indices; " +
+    "repartition-invariant") {
+    import spark.implicits._
+    // en: avail 400, cap 1200 — caps in round 1 at exactly 3.0 epochs;
+    // de: avail 2000 — absorbs the surplus to 3600 = 1.8 epochs
+    val docs = ((0 until 40).map(i =>
+      (i.toLong, Seq.fill(10)("w").mkString(" "), "en")) ++
+      (40 until 80).map(i =>
+        (i.toLong, Seq.fill(50)("w").mkString(" "), "de")))
+      .toDF("doc_id", "text", "lang")
+    val plan = CurationOps.mixUnimax(docs, budgetMult = 2L, maxEpochs = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(plan("en") == 3000000L && plan("de") == 1800000L, s"plan $plan")
+    val out = CurationOps.mixUnimaxMaterialize(docs, 2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    out.groupBy(r => (r._1, r._2)).foreach { case ((id, l), copies) =>
+      val base = plan(l) / 1000000L
+      val n = copies.head._3
+      assert(copies.forall(_._3 == n) && (n == base || n == base + 1),
+        s"doc $id ($l): $n copies vs eppm ${plan(l)}")
+      assert(copies.map(_._4).sorted.toSeq == (1L to n).toSeq,
+        s"doc $id dense copy indices")
+    }
+    assert(out.count(_._2 == "en") == 40 * 3, "integral epochs copy exactly")
+    val deCopies = out.count(_._2 == "de")
+    assert(deCopies >= 40 && deCopies <= 80, s"de realized copies $deCopies")
+    val again = CurationOps.mixUnimaxMaterialize(docs.repartition(7), 2L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out.toSet == again, "fates are pure functions of content")
+  }
+
   test("allocations never exceed caps or the budget at any parameter choice") {
     for (mult <- Seq(1L, 2L, 8L); maxE <- Seq(1L, 3L)) {
       val sizes = Map("en" -> 700, "de" -> 300, "fr" -> 100, "zh" -> 10)
