@@ -635,6 +635,20 @@ object CurationOps {
   private def resolveShards(docs: DataFrame, nShards: Int): Int =
     if (nShards == AutoShards) autoShards(docs) else nShards
 
+  /** The Feistel exports need BOTH the shard count (corpus count) and
+    * the permutation domain (max doc_id) — ONE agg(count, max) driver
+    * action answers both, so a frame with an expensive lineage (e.g.
+    * curate_export_manifest's CC→split→keeper chain) executes once for
+    * the scalars instead of once per scalar. */
+  private def shardsAndMax(docs: DataFrame, nShards: Int): (Int, Long) = {
+    val r = docs.agg(count(lit(1)).as("n"), max("doc_id").as("m")).first()
+    val maxId = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val nSh = if (nShards == AutoShards)
+      math.max(16L, (r.getLong(0) + AutoShardDocs - 1) / AutoShardDocs).toInt
+    else nShards
+    (nSh, maxId)
+  }
+
   def exportShards(docs: DataFrame, nShards: Int = AutoShards): DataFrame = {
     val nSh = resolveShards(docs, nShards)
     val part = org.apache.spark.sql.expressions.Window
@@ -673,10 +687,10 @@ object CurationOps {
     * (avalanche over 4 rounds), giving sequential readers the
     * i.i.d.-like stream epoch training wants, reproducibly. */
   def feistelShuffle(docs: DataFrame, nShards: Int = AutoShards): DataFrame = {
-    val nSh = resolveShards(docs, nShards)
+    val (nSh, maxId) = shardsAndMax(docs, nShards)
     val part = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("perm").asc)
-    docs.select(col("doc_id"), feistelPerm(maxDocId(docs)).as("perm"))
+    docs.select(col("doc_id"), feistelPerm(maxId).as("perm"))
       .withColumn("shard", (col("perm") % nSh).cast("int"))
       .withColumn("pos", row_number().over(part).cast("long"))
   }
@@ -701,12 +715,12 @@ object CurationOps {
     * as [[exportShards]]. */
   def exportPackedSequences(docs: DataFrame, nShards: Int = AutoShards,
       budget: Long = 512L): DataFrame = {
-    val nSh = resolveShards(docs, nShards)
+    val (nSh, maxId) = shardsAndMax(docs, nShards)
     val part = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("perm").asc)
     docs.select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
-        feistelPerm(maxDocId(docs)).as("perm"))
+        feistelPerm(maxId).as("perm"))
       .withColumn("shard", (col("perm") % nSh).cast("int"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(
         part.rowsBetween(
@@ -741,12 +755,12 @@ object CurationOps {
     * |budgets| output rows. */
   def packEfficiency(docs: DataFrame, nShards: Int = AutoShards,
       budgets: Seq[Long] = PackBudgets): DataFrame = {
-    val nSh = resolveShards(docs, nShards)
+    val (nSh, maxId) = shardsAndMax(docs, nShards)
     val part = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("perm").asc)
     val packed = docs.select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
-        feistelPerm(maxDocId(docs)).as("perm"))
+        feistelPerm(maxId).as("perm"))
       .withColumn("shard", (col("perm") % nSh).cast("int"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(
         part.rowsBetween(

@@ -340,9 +340,14 @@ object GraphOps {
     "curate_export_manifest" -> ((s, d) => {
       val split = leakageSafeSplit(t(s, d, "documents"))
       val sizes = split.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+      // checkpointed: the keepers frame feeds THREE consumers — the
+      // count+max scalar action feistelShuffle's auto-sizing needs,
+      // the permutation plan, and the comp_size join — so without it
+      // the whole CC→split→keeper lineage executes once per consumer
       val keepers = split
         .filter(col("doc_id") === col("comp") && col("split") === "train")
         .join(sizes, "comp")
+        .localCheckpoint(eager = false)
       CurationOps.feistelShuffle(keepers.select(col("doc_id")))
         .join(keepers.select(col("doc_id"), col("comp_size")), "doc_id")
         .select(col("doc_id"), col("comp_size"), col("perm"),

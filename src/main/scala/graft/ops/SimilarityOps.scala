@@ -21,6 +21,9 @@ import graft.Tables.t
   */
 object SimilarityOps {
 
+  private lazy val simLog =
+    org.slf4j.LoggerFactory.getLogger("graft.ops.SimilarityOps")
+
   /** Sequential double-precision dot product of two float arrays —
     * native codegen'd expression (identical accumulation order to the
     * HOF `aggregate(zip_with(...))` form and DuckDB's list_reduce). */
@@ -1506,6 +1509,23 @@ object SimilarityOps {
   val KnnK = 5
   val KnnProbes = 2
 
+  /** Per-cell CANDIDATE cap for [[knnGraph]]'s cell self-join — the
+    * attribution family's df-cap discipline on the ANN build: a
+    * skewed cell with m members contributes m² candidate rows, and
+    * the measured sf1 slope of the uncapped build (7.46, the suite's
+    * worst) is exactly that tail. The cap bounds every source's
+    * candidates at nProbes·cap by keeping, per cell, only the first
+    * `cap` members in a deterministic content-hash order
+    * (md5('knncap:'||vec_id) — cross-engine, so DuckDB replays the
+    * SAME retention and the gate stays hash-exact at ANY scale where
+    * the cap binds). Sources are never capped — every vector still
+    * probes and keeps edges; only its per-cell candidate MENU is
+    * bounded, the standard IVF-build trade. Dropped member counts are
+    * logged ([[graft.ops.DedupOps.AttributionBandDfCap]] precedent);
+    * the default sits above every gate corpus's max cell, so the
+    * committed sf0.01 hashes are cap-invariant. */
+  val KnnCellCap = 256
+
   // ---------------------------------------------- coarse-cell auto-sizing
 
   /** Corpus-driven coarse-cell sizing, MEASURED rather than guessed:
@@ -1619,10 +1639,28 @@ object SimilarityOps {
     * build. Zero/NaN-norm vectors neither probe nor match
     * ([[definedNrm]]). */
   def knnGraph(embeddings: DataFrame, k: Int = KnnK,
-      nCentroids: Int = AutoCentroids, nProbes: Int = KnnProbes): DataFrame = {
-    val (vecs, assign) = multiProbeAssign(embeddings, nCentroids, nProbes)
+      nCentroids: Int = AutoCentroids, nProbes: Int = KnnProbes,
+      cellCap: Int = KnnCellCap): DataFrame = {
+    val (vecs, assign0) = multiProbeAssign(embeddings, nCentroids, nProbes)
+    // checkpointed (lazy): the assignment feeds the src side, the
+    // capped-dst ranking, and the drop-count probe — one derivation
+    val assign = assign0.localCheckpoint(eager = false)
+    // per-cell candidate cap (see [[KnnCellCap]]): rank members by the
+    // cross-engine content hash and keep the first `cellCap` as
+    // candidate DSTs; the ranking window shares the cid exchange the
+    // join needs anyway
+    val wCell = Window.partitionBy("cid").orderBy(
+      TextOps.strHash(concat(lit("knncap:"), col("vec_id").cast("string"))).asc,
+      col("vec_id").asc)
+    val ranked = assign.withColumn("mrn", row_number().over(wCell))
+      .localCheckpoint(eager = false)
+    val nDrop = ranked.filter(col("mrn") > cellCap).count()
+    if (nDrop > 0)
+      simLog.warn(s"knnGraph: cell cap $cellCap drops $nDrop of the " +
+        s"per-cell candidate memberships from the build's candidate join")
     val cand = assign.select(col("cid"), col("vec_id").as("src"))
-      .join(assign.select(col("cid").as("cid2"), col("vec_id").as("dst")),
+      .join(ranked.filter(col("mrn") <= cellCap)
+          .select(col("cid").as("cid2"), col("vec_id").as("dst")),
         col("cid") === col("cid2") && col("src") =!= col("dst"))
       .select("src", "dst").distinct()
     val wRank = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
@@ -1639,9 +1677,16 @@ object SimilarityOps {
   }
 
   /** Graph-ANN serving parameters (shared with the oracle SQL): beam
-    * width kept after the first expansion, and entry seeds per query. */
+    * width kept after each scored expansion, entry seeds per query,
+    * and the unrolled hop count. Hops=3 (round 14): the 2-hop search
+    * saturated at 0.62 recall — a REACHABILITY bound (beam 8 ≡ beam
+    * 16), not a beam bound — so the ceiling-raiser is another
+    * expansion, exactly like production NSW serves escape a shallow
+    * frontier. Measured ladder in README (recall > the 2-hop 0.62 at
+    * a per-query cost still independent of corpus size). */
   val GraphBeam = 4
   val GraphSeeds = 2
+  val GraphHops = 3
 
   /** The append split for `serve_graph_index_append` (shared with the
     * oracle SQL): the serve_index_append convention. */
@@ -1656,17 +1701,17 @@ object SimilarityOps {
     * because search cost is O(hops × beam × degree) per query —
     * INDEPENDENT of corpus size — once the graph artifact exists;
     * this operator is that search, unrolled to a deterministic
-    * two-hop expansion so DuckDB can replay it:
+    * [[GraphHops]]-hop expansion so DuckDB can replay it:
     *
     *  1. seed: each query scores the graph's first-K entry nodes (the
     *     same first-K corpus vectors [[knnGraph]] uses as coarse
     *     centroids — they ARE graph nodes) and keeps the top
     *     [[GraphSeeds]] (broadcast of K rows; |Q|·K scored rows)
-    *  2. hop 1: expand seeds along their ≤[[KnnK]] out-edges, score,
-    *     keep the top [[GraphBeam]] per query (the beam)
-    *  3. hop 2: expand the beam the same way
-    *  4. gather: exact cosine top-k over everything visited
-    *     (≤ seeds·(1+k) + beam·k nodes per query)
+    *  2. hop h (h = 1..[[GraphHops]]): expand the previous frontier
+    *     along its ≤[[KnnK]] out-edges; between hops, score and keep
+    *     the top [[GraphBeam]] per query (the beam)
+    *  3. gather: exact cosine top-k over everything visited
+    *     (≤ seeds·(1+k) + (hops−1)·beam·k nodes per query)
     *
     * Scale shape: the corpus participates ONLY through the edge
     * artifact (one equi-join per hop keyed on node id — the candidate
@@ -1681,7 +1726,7 @@ object SimilarityOps {
     * [[graphRecall]], exactly the IVF family's audit discipline. */
   def graphTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
       beam: Int = GraphBeam, seedK: Int = GraphSeeds,
-      nCentroids: Int = AutoCentroids): DataFrame = {
+      nCentroids: Int = AutoCentroids, hops: Int = GraphHops): DataFrame = {
     val kCent = resolveK(embeddings, nCentroids)
     // the frames below feed MULTIPLE search stages (edges: both hop
     // expansions; seeds/hop1: the next hop AND the final gather) —
@@ -1717,18 +1762,27 @@ object SimilarityOps {
       .filter(col("rn") <= seedK)
       .select("q_id", "node")
       .localCheckpoint(eager = false)
-    val hop1 = seeds.join(edges, seeds("node") === edges("src"))
-      .select(col("q_id"), col("dst").as("node")).distinct()
-      .localCheckpoint(eager = false)
-    val beam1 = scored(hop1)
-      .withColumn("rn", row_number().over(wBeam))
-      .filter(col("rn") <= beam)
-      .select("q_id", "node")
-    val hop2 = beam1.join(edges, beam1("node") === edges("src"))
-      .select(col("q_id"), col("dst").as("node"))
-    val visited = seeds.unionByName(hop1).unionByName(hop2)
+    // hop loop: expand the frontier along its out-edges; every hop's
+    // nodes join the visited set; between hops the frontier narrows to
+    // the per-query top-`beam` of the NEW nodes (the unrolled beam
+    // search the oracle replays hop for hop)
+    var frontier = seeds
+    var visited = seeds
+    for (h <- 1 to hops) {
+      val hop = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+        .localCheckpoint(eager = false)
+      visited = visited.unionByName(hop)
+      frontier = if (h < hops) scored(hop)
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam)
+        .select("q_id", "node")
+        .localCheckpoint(eager = false)
+      else hop
+    }
+    val gathered = visited
       .filter(col("node") =!= col("q_id")).distinct()
-    scored(visited)
+    scored(gathered)
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("node").as("n_id"),
@@ -1737,12 +1791,16 @@ object SimilarityOps {
 
   /** Recall@k of the graph serve vs brute force — [[ivfRecall]]'s
     * audit shape on the graph rung, so the serving ladder's accuracy
-    * dashboard covers every family it ships. */
+    * dashboard covers every family it ships. `served` lets the audit
+    * score an ARTIFACT-served result frame (the production serve path)
+    * instead of re-running the in-plan build+search. */
   def graphRecall(embeddings: DataFrame, queryPred: Column,
-      k: Int = 10, beam: Int = GraphBeam): DataFrame = {
+      k: Int = 10, beam: Int = GraphBeam, hops: Int = GraphHops,
+      served: Option[DataFrame] = None): DataFrame = {
     val exact = bruteForceTopK(embeddings, queryPred, k)
       .select(col("q_id"), col("n_id"))
-    val approx = graphTopK(embeddings, queryPred, k, beam = beam)
+    val approx = served
+      .getOrElse(graphTopK(embeddings, queryPred, k, beam = beam, hops = hops))
       .select(col("q_id").as("q2"), col("n_id").as("n2"))
     val hits = exact
       .join(approx, col("q_id") === col("q2") && col("n_id") === col("n2"))
@@ -2815,28 +2873,31 @@ object SimilarityOps {
   val DefaultBeamGrid: Seq[Int] = Seq(2, 4, 8, 16)
 
   /** Closed-loop tuner for the GRAPH serving rung — the beam width is
-    * its one accuracy/cost knob (hop count is pinned by the unrolled
-    * oracle), tuned through the committed [[graphRecall]] audit
-    * exactly like [[tuneShortlist]] tunes the quantized rungs and
-    * tuneIvf the cell-probed one: run the audit per grid beam, return
+    * its accuracy/cost knob at the pinned [[GraphHops]] hop count,
+    * tuned through the committed [[graphRecall]] audit exactly like
+    * [[tuneShortlist]] tunes the quantized rungs and tuneIvf the
+    * cell-probed one: measure the audit at EVERY grid beam, return
     * the CHEAPEST beam meeting the recall SLO, or None ("grow the
     * grid", never silent best-effort). Cost is the per-batch visited
-    * bound |Q|·(seeds·(1+degree) + beam·degree) — the embedding-lookup
-    * row count the serve pays. Recall is MONOTONE in the beam (a
-    * larger beam's visited set is a superset — the spec-pinned
-    * graphTopK property), so the first grid point to pass is the
-    * optimum within the grid. */
+    * bound |Q|·(seeds·(1+degree) + (hops−1)·beam·degree) — the
+    * embedding-lookup row count the serve pays. At a single beam
+    * level recall is provably beam-monotone (top-B of one total order
+    * is a prefix); with [[GraphHops]] > 2 the later beams rank
+    * DIFFERENT candidate sets per width, so monotonicity is measured,
+    * not assumed — the tuner scans the whole grid rather than
+    * early-exiting on the first pass. */
   def tuneGraph(embeddings: DataFrame, queryPred: Column, k: Int = 10,
       recallSlo: Double = 0.5,
-      grid: Seq[Int] = DefaultBeamGrid):
+      grid: Seq[Int] = DefaultBeamGrid, hops: Int = GraphHops):
       (Option[GraphBeamMeasurement], Seq[GraphBeamMeasurement]) = {
     val nQ = embeddings.filter(queryPred).count()
     val measured = grid.map { b =>
-      val rec = graphRecall(embeddings, queryPred, k, beam = b)
+      val rec = graphRecall(embeddings, queryPred, k, beam = b, hops = hops)
         .agg(sum("n_hit").as("h"), sum("n_exact").as("e")).collect()(0)
       val recallPpm = rec.getLong(0) * 1000000L / math.max(rec.getLong(1), 1L)
       GraphBeamMeasurement(b, recallPpm,
-        nQ * (GraphSeeds * (1L + KnnK) + b.toLong * KnnK))
+        nQ * (GraphSeeds * (1L + KnnK) +
+          math.max(hops - 1, 0).toLong * b.toLong * KnnK))
     }
     val sloPpm = math.round(recallSlo * 1000000L)
     val chosen = measured.filter(_.recallPpm >= sloPpm)
@@ -2863,12 +2924,29 @@ object SimilarityOps {
     // label, so the answer is the true top-k of the eligible subset
     "sim_filtered_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
       filteredTopK(e, servingQueryPred(e)) }),
-    // graph rung of the serving ladder: two-hop beam search over the
-    // kNN-graph edges — per-query cost independent of corpus size
+    // graph rung of the serving ladder, served from the PERSISTED
+    // sb/nb-bucketed index (ensure-once + load + frontier-pruned
+    // search — the stream_ann_topk precedent): per-query cost is
+    // O(hops·beam·degree), independent of corpus size, and the
+    // corpus-scale knnGraph build is paid ONCE by the artifact write
+    // (serve_graph_index_write), never per query batch. graphTopK's
+    // self-contained build+search remains the committed oracle
+    // fixture (StreamGraphServeSpec pins serve ≡ in-plan row for row)
     "sim_graph_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
-      graphTopK(e, servingQueryPred(e)) }),
+      val dir = graft.serving.IndexStore.scratchDir(d, "knn")
+      graft.serving.IndexStore.ensureKnn(e, dir)
+      graft.streaming.StreamGraphServe.serveTopK(
+        e.filter(servingQueryPred(e)).select(col("vec_id"), col("embedding")),
+        graft.serving.IndexStore.loadKnn(s, dir)) }),
+    // the recall audit scores the SAME artifact-served results the
+    // serving query ships (brute-force truth is the audit's own arm)
     "sim_graph_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
-      graphRecall(e, servingQueryPred(e)) }),
+      val dir = graft.serving.IndexStore.scratchDir(d, "knn")
+      graft.serving.IndexStore.ensureKnn(e, dir)
+      graphRecall(e, servingQueryPred(e), served = Some(
+        graft.streaming.StreamGraphServe.serveTopK(
+          e.filter(servingQueryPred(e)).select(col("vec_id"), col("embedding")),
+          graft.serving.IndexStore.loadKnn(s, dir)))) }),
     // the PHYSICAL graph index: write the src-bucketed edge +
     // node-bucketed vector artifacts, then report the out-degree
     // histogram READ BACK FROM the artifact (the serve_index_write
@@ -3509,9 +3587,9 @@ object SimilarityOps {
 
   /** DuckDB replay of [[graphTopK]] (`mode = "topk"`) and
     * [[graphRecall]] (`mode = "recall"`): the emb_knn_graph edge
-    * chain, then the unrolled seed → hop1/beam → hop2 → gather
-    * expansion; recall composes the brute-force truth exactly like
-    * sim_ivf_recall's oracle. */
+    * chain, then the unrolled seed → (hop/beam)×[[GraphHops]] →
+    * gather expansion; recall composes the brute-force truth exactly
+    * like sim_ivf_recall's oracle. */
   private def graphOracle(mode: String): String = {
     val gatherCtes = graphGatherCtes(
       s"""q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
@@ -3545,12 +3623,38 @@ object SimilarityOps {
        |$tail""".stripMargin
   }
 
-  /** The seed → hop1/beam → hop2 → gather CTE chain of the graph
-    * search, over a caller-supplied `q AS (...)` query CTE — shared by
-    * [[graphOracle]] and the append oracle (whose queries are the NEW
-    * vectors, searched against the OLD corpus's chain). Ends in `gr`
-    * (q_id, n_id, sim, rank). */
-  private def graphGatherCtes(qCte: String): String =
+  /** The seed → (hop/beam)×[[GraphHops]] → gather CTE chain of the
+    * graph search, over a caller-supplied `q AS (...)` query CTE —
+    * shared by [[graphOracle]] and the append oracle (whose queries
+    * are the NEW vectors, searched against the OLD corpus's chain).
+    * Each hop expands the previous frontier (`seeds` for hop 1,
+    * `beam(h−1)` after); every hop except the last narrows to the
+    * per-query top-[[GraphBeam]] — the engine's loop, unrolled hop
+    * for hop. Ends in `gr` (q_id, n_id, sim, rank). */
+  private def graphGatherCtes(qCte: String, hops: Int = GraphHops): String = {
+    val hopCtes = (1 to hops).map { h =>
+      val src = if (h == 1) "seeds" else s"beam${h - 1}"
+      val hop =
+        s"""hop$h AS (
+           |  SELECT DISTINCT s.q_id, ed.dst AS node
+           |  FROM $src s JOIN edges ed ON s.node = ed.src)""".stripMargin
+      val beamed = if (h < hops)
+        s""",
+           |b$h AS (
+           |  SELECT h.q_id, h.node,
+           |    ROW_NUMBER() OVER (PARTITION BY h.q_id
+           |      ORDER BY ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) DESC,
+           |               h.node ASC) AS rn
+           |  FROM hop$h h JOIN e n ON h.node = n.vec_id
+           |             JOIN q ON h.q_id = q.q_id),
+           |beam$h AS (SELECT q_id, node FROM b$h WHERE rn <= $GraphBeam)"""
+          .stripMargin
+      else ""
+      hop + beamed
+    }.mkString(",\n")
+    val visUnion = (1 to hops)
+      .map(h => s"    UNION ALL SELECT q_id, node FROM hop$h")
+      .mkString("\n")
     s"""$qCte,
        |sd0 AS (
        |  SELECT q.q_id, c.cid AS node,
@@ -3559,25 +3663,11 @@ object SimilarityOps {
        |               c.cid ASC) AS rn
        |  FROM q, cent c),
        |seeds AS (SELECT q_id, node FROM sd0 WHERE rn <= $GraphSeeds),
-       |hop1 AS (
-       |  SELECT DISTINCT s.q_id, ed.dst AS node
-       |  FROM seeds s JOIN edges ed ON s.node = ed.src),
-       |b0 AS (
-       |  SELECT h.q_id, h.node,
-       |    ROW_NUMBER() OVER (PARTITION BY h.q_id
-       |      ORDER BY ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) DESC,
-       |               h.node ASC) AS rn
-       |  FROM hop1 h JOIN e n ON h.node = n.vec_id
-       |             JOIN q ON h.q_id = q.q_id),
-       |beam1 AS (SELECT q_id, node FROM b0 WHERE rn <= $GraphBeam),
-       |hop2 AS (
-       |  SELECT b.q_id, ed.dst AS node
-       |  FROM beam1 b JOIN edges ed ON b.node = ed.src),
+       |$hopCtes,
        |vis AS (
        |  SELECT DISTINCT q_id, node FROM (
        |    SELECT q_id, node FROM seeds
-       |    UNION ALL SELECT q_id, node FROM hop1
-       |    UNION ALL SELECT q_id, node FROM hop2)
+       |$visUnion)
        |  WHERE node != q_id),
        |gsc AS (
        |  SELECT v.q_id, v.node AS n_id,
@@ -3589,6 +3679,7 @@ object SimilarityOps {
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
        |      AS rank
        |  FROM gsc)""".stripMargin
+  }
 
   /** The emb_knn_graph derivation ending in an `edges` (src, dst) CTE
     * — the shared front end of the graph-serve oracles
@@ -3609,9 +3700,17 @@ object SimilarityOps {
        |               cent.cid ASC) AS rn
        |  FROM e, cent),
        |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn <= $KnnProbes),
+       |mem AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY ('0x' || substr(md5('knncap:' || vec_id::VARCHAR), 1, 15))::BIGINT
+       |                 % ${TextOps.HashMod} ASC,
+       |               vec_id ASC) AS mrn
+       |  FROM asg),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+       |  FROM asg a JOIN mem b
+       |    ON a.cid = b.cid AND b.mrn <= $KnnCellCap AND a.vec_id != b.vec_id),
        |sims AS (
        |  SELECT c.src, c.dst,
        |    ${sqlDot("e1.emb", "e2.emb")} / (e1.nrm * e2.nrm) AS sim
@@ -3646,32 +3745,7 @@ object SimilarityOps {
          |l$r AS (SELECT * FROM l${r - 1} UNION ALL SELECT * FROM n$r)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
-       |  FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
-       |         FROM e WHERE vec_id < $sqlAutoK),
-       |asg0 AS (
-       |  SELECT e.vec_id, cent.cid,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
-       |               cent.cid ASC) AS rn
-       |  FROM e, cent),
-       |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn <= $KnnProbes),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
-       |sims AS (
-       |  SELECT c.src, c.dst,
-       |    ${sqlDot("e1.emb", "e2.emb")} / (e1.nrm * e2.nrm) AS sim
-       |  FROM cand c JOIN e e1 ON c.src = e1.vec_id
-       |              JOIN e e2 ON c.dst = e2.vec_id),
-       |edges AS (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst,
-       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
-       |    FROM sims)
-       |  WHERE rank <= $KnnK),
+    s"""WITH ${knnChainCtes()},
        |l0 AS (
        |  SELECT vec_id, CAST(label AS BIGINT) AS pred_label, CAST(0 AS BIGINT) AS round
        |  FROM embeddings WHERE vec_id % $LpSeedMod = 0),
@@ -4073,9 +4147,17 @@ object SimilarityOps {
          |               cent.cid ASC) AS rn
          |  FROM e, cent),
          |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn <= $KnnProbes),
+         |mem AS (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY ('0x' || substr(md5('knncap:' || vec_id::VARCHAR), 1, 15))::BIGINT
+         |                 % ${TextOps.HashMod} ASC,
+         |               vec_id ASC) AS mrn
+         |  FROM asg),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+         |  FROM asg a JOIN mem b
+         |    ON a.cid = b.cid AND b.mrn <= $KnnCellCap AND a.vec_id != b.vec_id),
          |sims AS (
          |  SELECT c.src, c.dst,
          |    ${sqlDot("e1.emb", "e2.emb")} / (e1.nrm * e2.nrm) AS sim

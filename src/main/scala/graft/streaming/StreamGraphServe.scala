@@ -70,12 +70,13 @@ object StreamGraphServe {
       .select(col("q_id"), col("node"), col("sim"))
   }
 
-  /** Serve the two-hop beam search for every query in the BOUNDED
-    * frame `queries` (vec_id, embedding) against the loaded graph
-    * index. */
+  /** Serve the [[SimilarityOps.GraphHops]]-hop beam search for every
+    * query in the BOUNDED frame `queries` (vec_id, embedding) against
+    * the loaded graph index. */
   def serveTopK(queries: DataFrame, index: KnnIndex, k: Int = 10,
       beam: Int = SimilarityOps.GraphBeam,
-      seedK: Int = SimilarityOps.GraphSeeds): DataFrame = {
+      seedK: Int = SimilarityOps.GraphSeeds,
+      hops: Int = SimilarityOps.GraphHops): DataFrame = {
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
@@ -85,19 +86,28 @@ object StreamGraphServe {
         explode(graft.functions.VectorFunctions.cell_probe(
           col("q_emb"), index.entries, seedK)).as("node"))
       .localCheckpoint(eager = false)
-    val hop1 = expandFrontier(seeds, index).distinct()
-      .localCheckpoint(eager = false)
+    // hop loop — [[SimilarityOps.graphTopK]]'s unrolling, bucket-pruned:
+    // each expansion reads only its frontier's sb/nb partitions, and
+    // between hops the frontier narrows to the per-query top-`beam` of
+    // the new nodes through the map-side TopKSimAgg partial aggregator
     val topB = udaf(new graft.functions.TopKSimAgg(beam))
-    val beam1 = scoreFrontier(hop1, q, index)
-      .groupBy("q_id").agg(topB(col("node"), col("sim")).as("top"))
-      .select(col("q_id"), explode(col("top.n_id")).as("node"))
-      .localCheckpoint(eager = false)
-    val hop2 = expandFrontier(beam1, index)
-    val visited = seeds.unionByName(hop1).unionByName(hop2)
+    var frontier = seeds
+    var visited = seeds
+    for (h <- 1 to hops) {
+      val hop = expandFrontier(frontier, index).distinct()
+        .localCheckpoint(eager = false)
+      visited = visited.unionByName(hop)
+      frontier = if (h < hops) scoreFrontier(hop, q, index)
+        .groupBy("q_id").agg(topB(col("node"), col("sim")).as("top"))
+        .select(col("q_id"), explode(col("top.n_id")).as("node"))
+        .localCheckpoint(eager = false)
+      else hop
+    }
+    val gathered = visited
       .filter(col("node") =!= col("q_id")).distinct()
       .localCheckpoint(eager = false)
     val topK = udaf(new graft.functions.TopKSimAgg(k))
-    scoreFrontier(visited, q, index)
+    scoreFrontier(gathered, q, index)
       .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.n_id").as("n_id"),
@@ -112,10 +122,11 @@ object StreamGraphServe {
     * A query's answer completes within its own micro-batch. */
   def serveStream(queries: DataFrame, index: KnnIndex, k: Int = 10,
       beam: Int = SimilarityOps.GraphBeam,
-      seedK: Int = SimilarityOps.GraphSeeds)(
+      seedK: Int = SimilarityOps.GraphSeeds,
+      hops: Int = SimilarityOps.GraphHops)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) => sink(serveTopK(batch.toDF(), index, k, beam, seedK), id))
+          id: Long) => sink(serveTopK(batch.toDF(), index, k, beam, seedK, hops), id))
       .start()
 }
