@@ -484,11 +484,29 @@ object CurationOps {
           least(col("alloc") + lit(share), col("cap")))
           .otherwise(col("alloc")))
     }
-    cur.select(col("lang"), col("avail").as("avail_tokens"),
+    // surface the undistributed remainder instead of leaving it
+    // implicit: ≤ rounds·n_langs tokens of floor residue is the
+    // documented discipline, but a corpus where MORE than rounds−1
+    // languages cap would leave real budget stranded — the residual
+    // column makes that visible (and oracle-checked), and the log
+    // names the fix
+    val fin = cur.localCheckpoint(eager = false)
+    val fr = fin.agg(sum("alloc"), count(lit(1))).first()
+    val spentF = Option(fr.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val residual = budget - spentF
+    if (residual > rounds.toLong * math.max(fr.getLong(1), 1L))
+      curLog.warn(s"mixUnimax: $residual tokens undistributed after " +
+        s"$rounds rounds (more than floor residue) — more languages " +
+        "capped than rounds-1; raise `rounds` for this corpus")
+    fin.select(col("lang"), col("avail").as("avail_tokens"),
       col("cap").as("cap_tokens"), col("alloc").as("alloc_tokens"),
       expr("(alloc * 1000000) div greatest(avail, 1)").as("epochs_ppm"),
-      (col("alloc") === col("cap")).as("capped"))
+      (col("alloc") === col("cap")).as("capped"),
+      lit(residual).as("residual_tokens"))
   }
+
+  private lazy val curLog =
+    org.slf4j.LoggerFactory.getLogger("graft.ops.CurationOps")
 
   /** Materialize the UniMax plan into an epoch-expanded corpus — the
     * [[epochMaterialize]] copy rule keyed by LANGUAGE: every document
@@ -1356,12 +1374,14 @@ object CurationOps {
 
   /** DuckDB replay of [[mixUnimax]]. */
   private def unimaxOracle(rounds: Int): String =
-    s"""WITH ${unimaxPlanCtes(rounds)}
+    s"""WITH ${unimaxPlanCtes(rounds)},
+       |sfin AS (SELECT CAST(SUM(alloc) AS BIGINT) AS spent FROM a$rounds)
        |SELECT lang, avail AS avail_tokens, cap AS cap_tokens,
        |  alloc AS alloc_tokens,
        |  (alloc * 1000000) // GREATEST(avail, 1) AS epochs_ppm,
-       |  (alloc = cap) AS capped
-       |FROM a$rounds""".stripMargin
+       |  (alloc = cap) AS capped,
+       |  t.budget - sfin.spent AS residual_tokens
+       |FROM a$rounds, sfin, tot t""".stripMargin
 
   /** DuckDB replay of [[mixUnimaxMaterialize]] — the plan chain, then
     * the epochMaterialize copy rule keyed by lang ("unimax:" salt). */

@@ -22,6 +22,26 @@ import graft.ops.SimilarityOps.{definedNrm, norm}
   * becomes a parquet PartitionFilter (spec-pinned), so a micro-batch's
   * IO is |probed cells|/K of the index, not the corpus.
   *
+  * GENERATIONS (round 14): every artifact lives under a numbered
+  * generation directory `dir/g<N>/<table>` with a zero-byte
+  * `dir/manifest-<N>.json` committed AFTER the generation's tables
+  * are fully written. Readers resolve the CURRENT generation by
+  * listing manifests and taking the highest N — a new manifest
+  * appears atomically (create + close), so a cold load during a
+  * rebuild or compaction always sees a complete generation: either
+  * the old one (manifest not yet committed) or the new one (committed
+  * ⇒ tables finished). This replaces the earlier staged-directory
+  * renames, which had a window between `rename(t→t_old)` and
+  * `rename(t_compacting→t)` where the live path did not exist for a
+  * cold reader, and whose unchecked rename results could strand the
+  * index with no consistent copy on a half-failed swap. A failed
+  * generation write now simply throws before its manifest exists —
+  * the previous generation stays current and intact, and the orphaned
+  * `g<N+1>` directory is overwritten by the next attempt. Old
+  * generations are GC'd after commit (production would add a grace
+  * period for in-flight readers of the previous generation — the
+  * snapshot-retention knob every table format exposes).
+  *
   * Layouts (all plain parquet, loadable with explicit schemas so no
   * inference step can drift a type):
   *  - ANN:  `dir/centroids` (cid, c_emb, c_nrm — K rows) and
@@ -67,6 +87,58 @@ object IndexStore {
       if (!built.contains(dir)) { build; built.add(dir) }
     }
 
+  // ------------------------------------------- generation manifests
+
+  private val ManifestRe = "manifest-(\\d+)\\.json".r
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The artifact's current generation: highest committed manifest
+    * number, or None for an empty/legacy directory. */
+  def currentGen(spark: SparkSession, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else f.listStatus(p).iterator.flatMap(s => s.getPath.getName match {
+      case ManifestRe(n) => Some(n.toInt)
+      case _ => None
+    }).reduceOption(_ max _)
+  }
+
+  /** Resolve a table's CURRENT path: the committed generation's
+    * directory, falling back to the pre-generation flat layout so
+    * artifacts written by older builds stay loadable. */
+  def tableDir(spark: SparkSession, dir: String, table: String): String =
+    currentGen(spark, dir).map(g => s"$dir/g$g/$table")
+      .getOrElse(s"$dir/$table")
+
+  /** Commit a generation: create its manifest (atomic appearance —
+    * readers list manifests, and a created file is either absent or
+    * complete) and GC every older generation. */
+  private def commitGen(spark: SparkSession, dir: String, gen: Int): Unit = {
+    val f = fs(spark, dir)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$dir/manifest-$gen.json"), true)
+    out.write(s"""{"gen":$gen}""".getBytes("UTF-8"))
+    out.close()
+    (0 until gen).foreach { g =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/g$g"), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/manifest-$g.json"), false)
+    }
+  }
+
+  /** Start the NEXT generation: its root path (cleared of any orphan
+    * left by a failed earlier attempt — an orphan has no manifest, so
+    * no reader ever resolved it). */
+  private def nextGenRoot(spark: SparkSession, dir: String): (Int, String) = {
+    val gen = currentGen(spark, dir).map(_ + 1).getOrElse(0)
+    val root = s"$dir/g$gen"
+    fs(spark, dir).delete(new org.apache.hadoop.fs.Path(root), true)
+    (gen, root)
+  }
+
   def ensureAnn(corpus: DataFrame, dir: String,
       nCentroids: Int = SimilarityOps.IvfCentroids): Unit =
     once(dir)(writeAnn(corpus, dir, nCentroids))
@@ -94,12 +166,14 @@ object IndexStore {
     * scan for the K centroids. */
   def writeAnn(corpus: DataFrame, dir: String,
       nCentroids: Int = SimilarityOps.IvfCentroids): Unit = {
+    val spark = corpus.sparkSession
+    val (gen, root) = nextGenRoot(spark, dir)
     corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_nrm"))
       .filter(definedNrm(col("c_nrm")))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    val cents = loadCentroids(corpus.sparkSession, dir)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    val cents = loadCentroidsAt(spark, s"$root/centroids")
     // repartition on the partition column before the partitioned write:
     // without it every task writes a file into every cell dir (tasks x
     // cells files — at 1000 executors x O(sqrt N) cells that is a
@@ -108,7 +182,8 @@ object IndexStore {
     graft.streaming.StreamAnnServe.assignCorpus(corpus, cents)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$dir/assign")
+      .parquet(s"$root/assign")
+    commitGen(spark, dir, gen)
   }
 
   /** INCREMENTAL artifact maintenance — the physical form of
@@ -123,41 +198,46 @@ object IndexStore {
     * the very next [[graft.streaming.StreamAnnServe.serveTopK]] call
     * with zero serve-side changes (spec-pinned: append ≡ rebuild). */
   def appendAnn(newVecs: DataFrame, dir: String): Unit = {
-    val cents = loadCentroids(newVecs.sparkSession, dir)
+    val spark = newVecs.sparkSession
+    val cents = loadCentroids(spark, dir)
     graft.streaming.StreamAnnServe.assignCorpus(newVecs, cents)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid")
-      .parquet(s"$dir/assign")
+      .parquet(tableDir(spark, dir, "assign"))
   }
 
   /** Compact an appended assignment: every [[appendAnn]] adds one file
     * set per touched cell, so between retrains a hot ingest path
     * accumulates small files per cell (the LSM-ish read-amplification
     * problem every partitioned store has). Rewrites each cell's rows
-    * into a single file set, STAGED: the compacted layout lands in a
-    * sibling directory first and is swapped in with directory renames,
-    * so the serving path never reads a half-written cell (the
-    * [[graft.ops.LayoutOps]] compaction discipline applied to the
-    * index artifact). Row content is untouched — serve-before ≡
-    * serve-after is spec-pinned. */
-  def compactAnn(spark: SparkSession, dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val assign = s"$dir/assign"
-    spark.read.schema(annAssignSchema).parquet(assign)
+    * into a single file set in a NEW GENERATION, committed by its
+    * manifest (see the object doc) — a cold load at ANY point during
+    * compaction resolves a complete generation, old until the commit,
+    * new after (spec-pinned via `midCompaction`, a test seam invoked
+    * after the new generation is written but before its manifest
+    * exists). Row content is untouched — serve-before ≡ serve-after
+    * is spec-pinned. */
+  def compactAnn(spark: SparkSession, dir: String,
+      midCompaction: () => Unit = () => ()): Unit = {
+    val (gen, root) = nextGenRoot(spark, dir)
+    spark.read.schema(annAssignSchema)
+      .parquet(tableDir(spark, dir, "assign"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$dir/assign_compacting")
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val old = new Path(s"$dir/assign_old")
-    fs.delete(old, true)
-    fs.rename(new Path(assign), old)
-    fs.rename(new Path(s"$dir/assign_compacting"), new Path(assign))
-    fs.delete(old, true)
+      .parquet(s"$root/assign")
+    spark.read.parquet(tableDir(spark, dir, "centroids"))
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    midCompaction()
+    commitGen(spark, dir, gen)
   }
 
   private def loadCentroids(spark: SparkSession,
       dir: String): Seq[(Long, Seq[Float])] =
-    spark.read.parquet(s"$dir/centroids")
+    loadCentroidsAt(spark, tableDir(spark, dir, "centroids"))
+
+  private def loadCentroidsAt(spark: SparkSession,
+      path: String): Seq[(Long, Seq[Float])] =
+    spark.read.parquet(path)
       .orderBy("cid").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
 
@@ -169,7 +249,8 @@ object IndexStore {
 
   def loadAnn(spark: SparkSession, dir: String): AnnIndex =
     AnnIndex(loadCentroids(spark, dir),
-      spark.read.schema(annAssignSchema).parquet(s"$dir/assign"))
+      spark.read.schema(annAssignSchema)
+        .parquet(tableDir(spark, dir, "assign")))
 
   // ----------------------------------------------------- attribution
 
@@ -198,6 +279,8 @@ object IndexStore {
     * build time. */
   def writeAttr(train: DataFrame, dir: String,
       textCol: String = "text"): Unit = {
+    val spark = train.sparkSession
+    val (gen, root) = nextGenRoot(spark, dir)
     // repartition on the partition column first (see writeAnn): one
     // file set per bucket instead of tasks x buckets; AttrBuckets is
     // the write-parallelism knob at scale
@@ -205,12 +288,13 @@ object IndexStore {
       .select(col("doc_id").as("t_id"), col("band"), col("key"))
       .withColumn("pb", pbCol(col("band"), col("key")))
       .repartition(col("pb"))
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/bands")
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$root/bands")
     train.select(col("doc_id").as("t_id"),
         DedupOps.shingleHashes(col(textCol)).as("t_shs"))
       .withColumn("tb", tbCol(col("t_id")))
       .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/shingles")
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$root/shingles")
+    commitGen(spark, dir, gen)
   }
 
   private val attrBandsSchema = StructType(Seq(
@@ -226,8 +310,10 @@ object IndexStore {
 
   def loadAttr(spark: SparkSession, dir: String): AttrIndex =
     AttrIndex(
-      spark.read.schema(attrBandsSchema).parquet(s"$dir/bands"),
-      spark.read.schema(attrShinglesSchema).parquet(s"$dir/shingles"))
+      spark.read.schema(attrBandsSchema)
+        .parquet(tableDir(spark, dir, "bands")),
+      spark.read.schema(attrShinglesSchema)
+        .parquet(tableDir(spark, dir, "shingles")))
 
   // ------------------------------------------------------------ text
 
@@ -250,6 +336,7 @@ object IndexStore {
   def writeText(docs: DataFrame, dir: String,
       textCol: String = "text"): Unit = {
     val nDocs = docs.count()
+    val (gen, root) = nextGenRoot(spark(docs), dir)
     val tk = docs.select(col("doc_id"),
       graft.ops.TextOps.tokens(col(textCol)).as("toks"))
     tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
@@ -258,19 +345,20 @@ object IndexStore {
       .agg(count(lit(1)).cast("long").as("tf"))
       .withColumn("tb", tbTermCol(col("term")))
       .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$root/postings")
     val posts = spark(docs).read.schema(textPostingsSchema)
-      .parquet(s"$dir/postings")
+      .parquet(s"$root/postings")
     posts.groupBy("term").agg(count(lit(1)).as("df"))
       .select(col("term"), col("df"),
         expr(s"((2 * ${nDocs}L - 2 * df + 1) * 1000) div (2 * df + 1)")
           .as("idf_milli"))
       .withColumn("tb", tbTermCol(col("term")))
       .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/terms")
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$root/terms")
     tk.agg(count(lit(1)).cast("long").as("n_docs"),
         sum(size(col("toks"))).cast("long").as("n_tokens"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(s"$root/stats")
+    commitGen(spark(docs), dir, gen)
   }
 
   private def spark(df: DataFrame): SparkSession = df.sparkSession
@@ -293,10 +381,12 @@ object IndexStore {
     StructField("tb", IntegerType)))
 
   def loadText(spark: SparkSession, dir: String): TextIndex = {
-    val st = spark.read.parquet(s"$dir/stats").first()
+    val st = spark.read.parquet(tableDir(spark, dir, "stats")).first()
     TextIndex(
-      spark.read.schema(textPostingsSchema).parquet(s"$dir/postings"),
-      spark.read.schema(textTermsSchema).parquet(s"$dir/terms"),
+      spark.read.schema(textPostingsSchema)
+        .parquet(tableDir(spark, dir, "postings")),
+      spark.read.schema(textTermsSchema)
+        .parquet(tableDir(spark, dir, "terms")),
       st.getLong(0), st.getLong(1))
   }
 
@@ -334,37 +424,55 @@ object IndexStore {
     * repartition on their bucket column before the partitioned write
     * (the [[writeAnn]] small-file discipline). */
   def writeKnn(corpus: DataFrame, dir: String): Unit = {
+    val spark = corpus.sparkSession
     val kCent = SimilarityOps.autoCentroids(corpus.count())
+    val (gen, root) = nextGenRoot(spark, dir)
     corpus.filter(col("vec_id") < kCent)
       .select(col("vec_id").as("node"), col("embedding").as("e_emb"),
         norm(col("embedding")).as("e_nrm"))
       .filter(definedNrm(col("e_nrm")))
-      .write.mode("overwrite").parquet(s"$dir/entries")
+      .write.mode("overwrite").parquet(s"$root/entries")
     SimilarityOps.knnGraph(corpus, SimilarityOps.KnnK, kCent,
         SimilarityOps.KnnProbes)
       .select(col("src"), col("dst"), nodeBucket(col("src")).as("sb"))
       .repartition(col("sb"))
-      .write.mode("overwrite").partitionBy("sb").parquet(s"$dir/edges")
+      .write.mode("overwrite").partitionBy("sb").parquet(s"$root/edges")
     corpus
       .select(col("vec_id").as("node"), col("embedding").as("n_emb"),
         norm(col("embedding")).as("n_nrm"))
       .filter(definedNrm(col("n_nrm")))
       .withColumn("nb", nodeBucket(col("node")))
       .repartition(col("nb"))
-      .write.mode("overwrite").partitionBy("nb").parquet(s"$dir/nodes")
+      .write.mode("overwrite").partitionBy("nb").parquet(s"$root/nodes")
+    commitGen(spark, dir, gen)
   }
 
-  /** INCREMENTAL graph maintenance — the NSW insertion algorithm
+  /** INCREMENTAL graph maintenance — BATCH NSW insertion
     * (search-then-connect): each new vector's out-edges are its graph
     * search top-[[graft.ops.SimilarityOps.KnnK]] against the EXISTING
     * artifact (the serve path itself, so insert cost = serve cost:
     * O(hops·beam·degree) per vector, never a corpus rebuild), and
     * every new edge is mirrored as a BACK-edge so future searches can
     * reach the inserted nodes — the bidirectional linking every NSW
-    * store does on insert. Old-node degrees grow past KnnK between
-    * rebuilds (real graph stores prune on a schedule; [[writeKnn]] is
-    * the rebuild). Parquet partitioned appends are directory-additive,
-    * so a concurrent serve keeps reading a consistent index. */
+    * store does on insert.
+    *
+    * Deliberate batch trade-off vs SEQUENTIAL NSW insertion: the
+    * whole batch searches the pre-append artifact, so no edge ever
+    * links two vectors of the SAME batch (sequential insertion would
+    * link later vectors to earlier ones). Near-duplicate pairs
+    * arriving in one batch are therefore mutually invisible until the
+    * next [[writeKnn]] rebuild or a caller-chosen sub-batch split
+    * (append in id-ordered slices if intra-batch linkage matters) —
+    * the spec's findability test measures this honestly (appended
+    * nodes reachable through back-edges, not through batch-mates).
+    * In exchange the whole batch is ONE bulk search — |batch|
+    * independent serves, embarrassingly parallel — instead of a
+    * sequential chain of index mutations, which is the only shape
+    * that works for a 1000-executor bulk ingest. Old-node degrees
+    * grow past KnnK between rebuilds (real graph stores prune on a
+    * schedule; [[compactKnn]] is that prune). Parquet partitioned
+    * appends are directory-additive, so a concurrent serve keeps
+    * reading a consistent index. */
   def appendKnn(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
     val idx = loadKnn(spark, dir)
@@ -378,14 +486,16 @@ object IndexStore {
         newEdges.select(col("dst").as("src"), col("src").as("dst")))
       .select(col("src"), col("dst"), nodeBucket(col("src")).as("sb"))
       .repartition(col("sb"))
-      .write.mode("append").partitionBy("sb").parquet(s"$dir/edges")
+      .write.mode("append").partitionBy("sb")
+      .parquet(tableDir(spark, dir, "edges"))
     newVecs
       .select(col("vec_id").as("node"), col("embedding").as("n_emb"),
         norm(col("embedding")).as("n_nrm"))
       .filter(definedNrm(col("n_nrm")))
       .withColumn("nb", nodeBucket(col("node")))
       .repartition(col("nb"))
-      .write.mode("append").partitionBy("nb").parquet(s"$dir/nodes")
+      .write.mode("append").partitionBy("nb")
+      .parquet(tableDir(spark, dir, "nodes"))
   }
 
   /** Scheduled graph maintenance — the degree prune every NSW store
@@ -393,18 +503,22 @@ object IndexStore {
     * [[graft.ops.SimilarityOps.KnnK]] and add one file set per touched
     * bucket; this rewrites the edge table keeping each src's top-KnnK
     * out-edges by exact cosine ((sim DESC, dst ASC), the knnGraph
-    * tie-break) and lands each bucket in a single file set, STAGED
-    * with directory renames like [[compactAnn]] so a concurrent serve
-    * never reads a half-written bucket. Pruning is the deliberate
+    * tie-break) and lands each bucket in a single file set, in a NEW
+    * GENERATION committed by its manifest like [[compactAnn]] so a
+    * cold load at any point resolves a complete generation (the
+    * `midCompaction` seam is spec-pinned). Pruning is the deliberate
     * accuracy trade of the maintenance schedule: a back-edge survives
     * iff the inserted node ranks within its neighbor's top-KnnK —
     * exactly the retention rule a fresh [[writeKnn]] rebuild would
     * apply. The node store is content-identical, rewritten only for
     * file-count hygiene. */
-  def compactKnn(spark: SparkSession, dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val nodes = spark.read.schema(knnNodesSchema).parquet(s"$dir/nodes")
-    val edges = spark.read.schema(knnEdgesSchema).parquet(s"$dir/edges")
+  def compactKnn(spark: SparkSession, dir: String,
+      midCompaction: () => Unit = () => ()): Unit = {
+    val nodes = spark.read.schema(knnNodesSchema)
+      .parquet(tableDir(spark, dir, "nodes"))
+    val edges = spark.read.schema(knnEdgesSchema)
+      .parquet(tableDir(spark, dir, "edges"))
+    val (gen, root) = nextGenRoot(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
     edges.select("src", "dst").distinct()
@@ -419,19 +533,15 @@ object IndexStore {
       .select(col("src"), col("dst"), nodeBucket(col("src")).as("sb"))
       .repartition(col("sb"))
       .write.mode("overwrite").partitionBy("sb")
-      .parquet(s"$dir/edges_compacting")
+      .parquet(s"$root/edges")
     nodes.drop("nb").withColumn("nb", nodeBucket(col("node")))
       .repartition(col("nb"))
       .write.mode("overwrite").partitionBy("nb")
-      .parquet(s"$dir/nodes_compacting")
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("edges", "nodes").foreach { t =>
-      val old = new Path(s"$dir/${t}_old")
-      fs.delete(old, true)
-      fs.rename(new Path(s"$dir/$t"), old)
-      fs.rename(new Path(s"$dir/${t}_compacting"), new Path(s"$dir/$t"))
-      fs.delete(old, true)
-    }
+      .parquet(s"$root/nodes")
+    spark.read.parquet(tableDir(spark, dir, "entries"))
+      .write.mode("overwrite").parquet(s"$root/entries")
+    midCompaction()
+    commitGen(spark, dir, gen)
   }
 
   private val knnEdgesSchema = StructType(Seq(
@@ -447,8 +557,11 @@ object IndexStore {
 
   def loadKnn(spark: SparkSession, dir: String): KnnIndex =
     KnnIndex(
-      spark.read.parquet(s"$dir/entries").orderBy("node").collect()
+      spark.read.parquet(tableDir(spark, dir, "entries"))
+        .orderBy("node").collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq,
-      spark.read.schema(knnEdgesSchema).parquet(s"$dir/edges"),
-      spark.read.schema(knnNodesSchema).parquet(s"$dir/nodes"))
+      spark.read.schema(knnEdgesSchema)
+        .parquet(tableDir(spark, dir, "edges")),
+      spark.read.schema(knnNodesSchema)
+        .parquet(tableDir(spark, dir, "nodes")))
 }

@@ -85,8 +85,7 @@ object StreamAnnServe {
         explode(graft.functions.VectorFunctions.cell_probe(col("q_emb"), cents, nProbe)))
     // bounded: distinct probed cells ≤ K (the centroid count), no
     // matter the batch size — the serve's one tiny driver action
-    val probed = q.select("cid").distinct().collect().map(_.getLong(0))
-    val asg = index.assign.filter(col("cid").isin(probed: _*))
+    val asg = graft.serving.ProbePrune.scan(index.assign, "cid", q)
     val topk = udaf(new graft.functions.TopKSimAgg(k))
     q.join(asg, Seq("cid"))
       .filter(col("q_id") =!= col("n_id"))

@@ -67,8 +67,7 @@ object StreamAttribution {
       .withColumn("pb", IndexStore.pbCol(col("band"), col("key")))
     // bounded: distinct band buckets ≤ 2·AttrBuckets — the literal
     // partition filter pruning the band-table scan
-    val probedPb = qb.select("pb").distinct().collect().map(_.getInt(0))
-    val tRaw = index.bands.filter(col("pb").isin(probedPb: _*))
+    val tRaw = graft.serving.ProbePrune.scan(index.bands, "pb", qb)
       .select(col("t_id"), col("band"), col("key"))
     // hot-band guard, IDENTICAL to the batch operator's: a key's df
     // depends only on its own rows, which all live in its one bucket —
@@ -98,8 +97,7 @@ object StreamAttribution {
     // candidates are the batch's band collisions — bounded; checkpoint
     // so the tb-collect below cannot re-run the band join
     val cand = candidates(queries, index, textCol, bandDfCap).localCheckpoint()
-    val probedTb = cand.select("tb").distinct().collect().map(_.getInt(0))
-    val tArr = index.shingles.filter(col("tb").isin(probedTb: _*))
+    val tArr = graft.serving.ProbePrune.scan(index.shingles, "tb", cand)
       .select(col("t_id"), col("t_shs"))
     val topk = udaf(new graft.functions.TopKJaccDistinctAgg(k))
     cand.join(tArr, Seq("t_id"))

@@ -48,12 +48,12 @@ object StreamBm25Serve {
     val qt = queries
       .select(col("q_id"), explode(array_distinct(col("terms"))).as("term"))
       .withColumn("tb", IndexStore.tbTermCol(col("term")))
-    // bounded: distinct term buckets ≤ TextBuckets — the literal
-    // partition filter pruning the postings/terms scans
-    val probedTb = qt.select("tb").distinct().collect().map(_.getInt(0))
-    val terms = index.terms.filter(col("tb").isin(probedTb: _*))
+    // bounded: distinct term buckets ≤ TextBuckets — one collect
+    // prunes BOTH lexical tables
+    val probedTb = graft.serving.ProbePrune.keys(qt, "tb")
+    val terms = graft.serving.ProbePrune.scan(index.terms, "tb", probedTb)
       .select(col("term"), col("idf_milli"))
-    val posts = index.postings.filter(col("tb").isin(probedTb: _*))
+    val posts = graft.serving.ProbePrune.scan(index.postings, "tb", probedTb)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
     val (nT, nD) = (index.nTokens, index.nDocs)
     val topk = udaf(new graft.functions.TopKScoreAgg(k))

@@ -46,11 +46,9 @@ object StreamGraphServe {
     * filter becomes a parquet PartitionFilter (spec-pinned). */
   private[graft] def expandFrontier(frontier: DataFrame,
       index: KnnIndex): DataFrame = {
-    val bs = frontier
-      .select(IndexStore.nodeBucket(col("node")).as("sb"))
-      .distinct().collect().map(_.getInt(0))
-    frontier.join(index.edges.filter(col("sb").isin(bs: _*)),
-        frontier("node") === col("src"))
+    val pruned = graft.serving.ProbePrune.scan(index.edges, "sb",
+      frontier.select(IndexStore.nodeBucket(col("node")).as("sb")))
+    frontier.join(pruned, frontier("node") === col("src"))
       .select(col("q_id"), col("dst").as("node"))
   }
 
@@ -60,10 +58,9 @@ object StreamGraphServe {
     * bounded batch. */
   private[graft] def scoreFrontier(frontier: DataFrame, q: DataFrame,
       index: KnnIndex): DataFrame = {
-    val bs = frontier
-      .select(IndexStore.nodeBucket(col("node")).as("nb"))
-      .distinct().collect().map(_.getInt(0))
-    frontier.join(index.nodes.filter(col("nb").isin(bs: _*)), "node")
+    val pruned = graft.serving.ProbePrune.scan(index.nodes, "nb",
+      frontier.select(IndexStore.nodeBucket(col("node")).as("nb")))
+    frontier.join(pruned, "node")
       .join(q, "q_id")
       .withColumn("sim",
         dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))

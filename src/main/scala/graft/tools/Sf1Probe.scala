@@ -74,6 +74,12 @@ object Sf1Probe {
     // pipe_* stages read the KMZ fixture, not the sf directory — at
     // "both scales" they'd run the identical workload (slope ≡ 1), so
     // they carry no headroom signal and are excluded
+    // surface filter typos up front: an unknown name in a subset run
+    // would otherwise be silently ignored (measured = everything else)
+    val unknown = only.filterNot(PlanDump.Audited.toSet)
+    if (unknown.nonEmpty)
+      println(s"[sf1] WARNING: filter name(s) match no audited query " +
+        s"and are ignored: ${unknown.toSeq.sorted.mkString(", ")}")
     val rows = PlanDump.Audited.filterNot(_.startsWith("pipe_"))
       .filter(n => only.isEmpty || only(n)).map { name =>
       // one DISCARDED run per SCALE first. sf0.1: the first execution
@@ -120,7 +126,16 @@ object Sf1Probe {
         qs.fieldNames().asScala.filterNot(only).map { n =>
           n -> qs.get(n).toString
         }.toSeq
-      } catch { case _: Throwable => Nil }
+      } catch {
+        case e: Throwable =>
+          // a subset run REWRITES the file — carrying nothing silently
+          // would drop every unmeasured row, so refuse instead of
+          // pretending the prior file was empty
+          throw new IllegalStateException(
+            "subset bench cannot read prior BENCH_SF1.json to merge into " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); run a full " +
+              "bench (no name filter) or restore the file", e)
+      }
     val json = (prior.map { case (n, body) => s""""$n":$body""" } ++
       rows.map { case (n, a, b) =>
         f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"slope":${b / a}%.2f}"""

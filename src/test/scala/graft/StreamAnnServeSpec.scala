@@ -144,7 +144,7 @@ class StreamAnnServeSpec extends AnyFunSuite {
     // --- compaction: appends accumulate file sets per cell; compact
     // rewrites each cell to one file set with IDENTICAL serve results
     def filesPerCell(): Map[String, Int] = {
-      val root = new java.io.File(s"$dir/assign")
+      val root = new java.io.File(IndexStore.tableDir(spark, dir, "assign"))
       root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cid="))
         .map(d => d.getName ->
           d.listFiles().count(_.getName.endsWith(".parquet"))).toMap

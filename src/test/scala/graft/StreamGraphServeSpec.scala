@@ -127,7 +127,7 @@ class StreamGraphServeSpec extends AnyFunSuite {
     IndexStore.writeKnn(emb.filter(!newPred), dir)
     IndexStore.appendKnn(emb.filter(newPred), dir)
     def filesPerBucket(sub: String): Map[String, Int] = {
-      val root = new java.io.File(s"$dir/$sub")
+      val root = new java.io.File(IndexStore.tableDir(spark, dir, sub))
       root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
         .map(d => d.getName ->
           d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
@@ -170,6 +170,39 @@ class StreamGraphServeSpec extends AnyFunSuite {
     val served = StreamGraphServe.serveTopK(
       emb.filter(pred).select(col("vec_id"), col("embedding")), after).collect()
     assert(served.nonEmpty, "the pruned index still serves")
+  }
+
+  test("generation manifests: a COLD load during compaction (after the new " +
+    "generation is written, before its manifest commits) resolves the old, " +
+    "complete generation; after commit the new one; old generations GC'd") {
+    val newPred = SimilarityOps.graphAppendPred
+    val dir = IndexStore.scratchDir("spec_knn_gen", "knn")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IndexStore.writeKnn(emb.filter(!newPred), dir)
+    IndexStore.appendKnn(emb.filter(newPred), dir)
+    val gen0 = IndexStore.currentGen(spark, dir)
+    assert(gen0.contains(0), s"write+append stay in generation 0, got $gen0")
+    def edgeSet(): Set[(Long, Long)] =
+      IndexStore.loadKnn(spark, dir).edges.select("src", "dst").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val preCompact = edgeSet()
+    var midGen: Option[Int] = None
+    var midEdges: Set[(Long, Long)] = Set.empty
+    IndexStore.compactKnn(spark, dir, () => {
+      midGen = IndexStore.currentGen(spark, dir)
+      midEdges = edgeSet()
+    })
+    assert(midGen == gen0,
+      "mid-compaction, the committed generation is still the old one")
+    assert(midEdges == preCompact,
+      "a cold load mid-compaction serves the OLD generation's full edge set")
+    assert(IndexStore.currentGen(spark, dir).contains(1),
+      "the commit flips the manifest to the new generation")
+    assert(!new java.io.File(s"$dir/g0").exists() &&
+      !new java.io.File(s"$dir/manifest-0.json").exists(),
+      "the old generation directory and manifest are GC'd after commit")
+    assert(edgeSet().nonEmpty && edgeSet() != preCompact,
+      "the new generation carries the degree-pruned edge table")
   }
 
   test("stream ≡ batch: queries split across 3 micro-batches (foreachBatch " +

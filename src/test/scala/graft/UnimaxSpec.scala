@@ -69,10 +69,18 @@ class UnimaxSpec extends AnyFunSuite {
       assert(eppm == 3000000L)
     }
     // floor-residue case: B = 6004, round shares truncate — hand replay
-    // leaves exactly 1 token unallocated (< n_langs, never over-given)
-    val p = plan(Map("a" -> 1000, "b" -> 999, "c" -> 998, "d" -> 5), mult = 2L)
+    // leaves exactly 1 token unallocated (< n_langs, never over-given),
+    // and the plan SURFACES it in the residual_tokens column
+    val pr = CurationOps.mixUnimax(
+        corpus(Map("a" -> 1000, "b" -> 999, "c" -> 998, "d" -> 5)),
+        budgetMult = 2L, maxEpochs = 3L).collect()
+    val p = pr.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toMap
     val total = p.values.map(_._3).sum
     assert(total == 6003L, s"6004-token budget, 1-token floor residue: $total")
+    assert(pr.map(_.getLong(6)).toSet == Set(1L),
+      "the 1-token floor residue is emitted as residual_tokens on every row")
     assert(p("d")._5 && p("d")._3 == 15L)
     assert(Set(p("a")._3, p("b")._3, p("c")._3).size == 1, "uncapped equal")
   }
