@@ -114,4 +114,9 @@ object PlanFingerprint {
       // location and the tag are machine/run-specific, not plan shape
       .replaceAll("file:[^\\s,()\\[\\]]*?/graft_(buckets|compact)", "file:*/graft_$1")
       .replaceAll("_run[0-9a-f]{8}", "_run*")
+      // serving-index artifacts live under numbered generation dirs
+      // (IndexStore manifests): the generation is a version pointer
+      // that increments per rebuild in the same scratch dir — version,
+      // not plan shape
+      .replaceAll("/graft_serving/([^\\s,()\\[\\]]*?)/g\\d+/", "/graft_serving/$1/g*/")
 }
