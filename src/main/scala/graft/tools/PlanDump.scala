@@ -256,6 +256,18 @@ object PlanDump {
     // PartitionFilter (an unpruned scan or a window appearing
     // regresses the frontier-bucket contract)
     "sim_graph_topk", "stream_graph_topk",
+    // round-14 slope-coverage closure (the r13 verdict's unmeasured
+    // set): the graph lifecycle's write/append jobs (append = the
+    // bench's most expensive query — its slope is now measured, not
+    // argued), the graph recall audit, the remaining physical-index
+    // writes (one corpus pass into bucketed parquet + read-back
+    // manifest each), the UniMax pair (one lang-keyed agg + driver
+    // scalars; materialize = broadcast plan join + narrow explode),
+    // and the langid confusion audit (one keyed agg past the
+    // classifier kernel)
+    "serve_graph_index_write", "serve_graph_index_append",
+    "sim_graph_recall", "serve_attr_index_write", "serve_text_index_write",
+    "mix_unimax", "mix_unimax_materialize", "txt_langid_confusion",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
