@@ -1364,9 +1364,21 @@ object SimilarityOps {
     * min-id keeper — so the full pipeline is DuckDB-replayable.
     * Zero/NaN-norm vectors cannot cosine-match anything and are
     * screened out (same [[definedNrm]] stance as every similarity
-    * operator). */
+    * operator).
+    *
+    * Per-cell SENIOR cap ([[SemCellCap]], round 14): a skewed cell
+    * with m members pays m² pair rows — the emb_knn_graph slope band.
+    * The greedy keep-lowest-id rule compares each junior against its
+    * EARLIER clustermates; the cap bounds that menu to the cell's
+    * `cellCap` lowest ids (a bounded greedy window — juniors beyond
+    * the window keep their fate against the cell's most-senior
+    * members, the ones the greedy scan trusts first), so work is
+    * N·cap, DuckDB replays the identical retention (ROW_NUMBER by
+    * vec_id), and the default sits above every gate cell so the
+    * committed hashes are cap-invariant. Drops are logged. */
   def semDedup(embeddings: DataFrame, tau: Double = SemTau,
-      nCentroids: Int = AutoCentroids): DataFrame = {
+      nCentroids: Int = AutoCentroids,
+      cellCap: Int = SemCellCap): DataFrame = {
     val kCent = resolveK(embeddings, nCentroids)
     val cents = embeddings.filter(col("vec_id") < kCent)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
@@ -1375,11 +1387,21 @@ object SimilarityOps {
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
       .filter(definedNrm(col("nrm")))
+    // checkpointed (lazy): the assignment feeds the senior ranking,
+    // the junior side, the drop probe, and the final keep join
     val assign = assignBest(vecs, cents,
       struct(col("embedding").as("emb"), col("nrm").as("nrm"), col("cid")))
       .select(col("vec_id"), col("best.emb").as("emb"),
         col("best.nrm").as("nrm"), col("best.cid").as("cid"))
-    val dropped = assign
+      .localCheckpoint(eager = false)
+    val wCell = Window.partitionBy("cid").orderBy(col("vec_id").asc)
+    val seniors = assign.withColumn("srn", row_number().over(wCell))
+      .localCheckpoint(eager = false)
+    val nDrop = seniors.filter(col("srn") > cellCap).count()
+    if (nDrop > 0)
+      simLog.warn(s"semDedup: cell cap $cellCap drops $nDrop senior-menu " +
+        "membership(s) from the within-cell pair join")
+    val dropped = seniors.filter(col("srn") <= cellCap)
       .select(col("cid"), col("vec_id").as("id1"), col("emb").as("e1"),
         col("nrm").as("nrm1"))
       .join(assign.select(col("cid").as("cid2"), col("vec_id").as("id2"),
@@ -1392,6 +1414,9 @@ object SimilarityOps {
       .select(col("vec_id"), col("cid"),
         coalesce(!col("is_dropped"), lit(true)).as("kept"))
   }
+
+  /** Per-cell senior-menu cap for [[semDedup]] — see its scaladoc. */
+  val SemCellCap = 256
 
   /** SemDeDup parameters for the driver query (shared with the oracle
     * SQL). tau sits at the corpus's near-pair cosine knee (the same
@@ -1835,13 +1860,28 @@ object SimilarityOps {
     * Deterministic end to end; DuckDB replays the full build. */
   def hardNegatives(embeddings: DataFrame, anchorPred: Column,
       negK: Int = HnNegK, nCentroids: Int = AutoCentroids,
-      nProbes: Int = HnProbes): DataFrame = {
-    val (vecs0, assign) = multiProbeAssign(embeddings, nCentroids, nProbes)
+      nProbes: Int = HnProbes, cellCap: Int = KnnCellCap): DataFrame = {
+    val (vecs0, assign0) = multiProbeAssign(embeddings, nCentroids, nProbes)
+    // checkpointed (lazy): the assignment feeds the anchor side, the
+    // capped-candidate ranking, and the drop probe — one derivation
+    val assign = assign0.localCheckpoint(eager = false)
     val labels = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
     val vecs = vecs0.join(labels, "vec_id")
+    // per-cell candidate cap — [[KnnCellCap]]'s discipline on the
+    // mining join (same md5 retention order, DuckDB-replayed)
+    val wCell = Window.partitionBy("cid").orderBy(
+      TextOps.strHash(concat(lit("knncap:"), col("vec_id").cast("string"))).asc,
+      col("vec_id").asc)
+    val ranked = assign.withColumn("mrn", row_number().over(wCell))
+      .localCheckpoint(eager = false)
+    val nDrop = ranked.filter(col("mrn") > cellCap).count()
+    if (nDrop > 0)
+      simLog.warn(s"hardNegatives: cell cap $cellCap drops $nDrop of the " +
+        "per-cell candidate memberships from the mining join")
     val cand = assign.filter(anchorPred)
       .select(col("cid"), col("vec_id").as("anchor"))
-      .join(assign.select(col("cid").as("cid2"), col("vec_id").as("other")),
+      .join(ranked.filter(col("mrn") <= cellCap)
+          .select(col("cid").as("cid2"), col("vec_id").as("other")),
         col("cid") === col("cid2") && col("anchor") =!= col("other"))
       .select("anchor", "other").distinct()
     val scored = cand
@@ -2544,23 +2584,24 @@ object SimilarityOps {
     * metadata a query planner prunes on (the curate_export_manifest
     * discipline applied to the serving side).
     *
-    * Scale shape: one corpus scan feeds BOTH arms (codes narrow,
-    * assignment a broadcast-K argmax shuffling ~1 row per vector), one
-    * vec_id equi-join, one cid-keyed agg with map-side partials — the
-    * output is K rows. Nothing corpus-sized shuffles twice, nothing
-    * collects. */
+    * Scale shape: one corpus scan feeds BOTH arms — codes narrow, and
+    * the assignment the CellProbe narrow kernel at nProbe=1 against
+    * the driver-collected K·dim centroid matrix (the stream_ann_topk
+    * discipline: a bounded index-build artifact on the driver, ZERO
+    * exchanges for the assignment, where the broadcast-K argmax join
+    * scored N·K rows — with K ~ 8·√N under autoCentroids that term
+    * was the build's measured sf1 slope 3.77; the kernel is linear in
+    * N·dim) — then one vec_id equi-join and one cid-keyed agg with
+    * map-side partials; the output is K rows. Nothing corpus-sized
+    * shuffles twice, nothing corpus-sized collects. */
   def indexBuild(embeddings: DataFrame,
       nCentroids: Int = AutoCentroids): DataFrame = {
     val kCent = resolveK(embeddings, nCentroids)
-    val cents = embeddings.filter(col("vec_id") < kCent)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
-        norm(col("embedding")).as("c_nrm"))
-      .filter(definedNrm(col("c_nrm")))
-    val vecs = embeddings.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-      .filter(definedNrm(col("nrm")))
-    val assign = assignBest(vecs, cents, col("cid"))
-      .select(col("vec_id"), col("best").as("cid"))
+    val cents = graft.streaming.StreamAnnServe.collectCentroids(
+      embeddings, kCent)
+    val assign = graft.streaming.StreamAnnServe
+      .assignCorpus(embeddings, cents)
+      .select(col("n_id").as("vec_id"), col("cid"))
     // codes only for screened vectors: the inner join drops undefined-
     // norm rows anyway, and an unscreened NaN amax would throw in the
     // ANSI round→long cast before the join could filter it
@@ -4113,9 +4154,17 @@ object SimilarityOps {
          |               cent.cid ASC) AS rn
          |  FROM e, cent),
          |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn <= $HnProbes),
+         |mem AS (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY ('0x' || substr(md5('knncap:' || vec_id::VARCHAR), 1, 15))::BIGINT
+         |                 % ${TextOps.HashMod} ASC,
+         |               vec_id ASC) AS mrn
+         |  FROM asg),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS other
-         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id
+         |  FROM asg a JOIN mem b
+         |    ON a.cid = b.cid AND b.mrn <= $KnnCellCap AND a.vec_id != b.vec_id
          |  WHERE a.vec_id % 20 = 0),
          |scored AS (
          |  SELECT c.anchor, c.other, e1.label AS l1, e2.label AS l2,
@@ -4407,9 +4456,14 @@ object SimilarityOps {
          |               cent.cid ASC) AS rn
          |  FROM e, cent),
          |asg AS (SELECT vec_id, emb, nrm, cid FROM asg0 WHERE rn = 1),
+         |sen AS (
+         |  SELECT vec_id, emb, nrm, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS srn
+         |  FROM asg),
          |dropped AS (
          |  SELECT DISTINCT b.vec_id
-         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  FROM sen a JOIN asg b
+         |    ON a.cid = b.cid AND a.srn <= $SemCellCap AND a.vec_id < b.vec_id
          |  WHERE ${sqlDot("a.emb", "b.emb")} / (a.nrm * b.nrm) >= $SemTau)
          |SELECT asg.vec_id, asg.cid,
          |  (dropped.vec_id IS NULL) AS kept
