@@ -3015,6 +3015,42 @@ object SimilarityOps {
         .groupBy("deg").agg(count(lit(1)).as("n_srcs"),
           min("src").as("min_src"), max("src").as("max_src"))
     }),
+    // the graph lifecycle's LAST stage, oracled: write + NSW append +
+    // the scheduled degree-prune compaction (each src rewound to its
+    // exact-cosine top-KnnK — the writeKnn retention rule — through a
+    // generation-manifest commit), degree histogram read back from
+    // the COMPACTED artifact; DuckDB replays base build + unrolled
+    // insert search + back-edge union + the retention window, so a
+    // compaction that drops/keeps one wrong edge breaks the hash
+    "serve_graph_index_compact" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val newPred = graphAppendPred
+      val dir = graft.serving.IndexStore.scratchDir(d, "knn_compact")
+      graft.serving.IndexStore.writeKnn(e.filter(!newPred), dir)
+      graft.serving.IndexStore.appendKnn(e.filter(newPred), dir)
+      graft.serving.IndexStore.compactKnn(s, dir)
+      graft.serving.IndexStore.loadKnn(s, dir).edges
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_srcs"),
+          min("src").as("min_src"), max("src").as("max_src"))
+    }),
+    // the ANN artifact lifecycle's last stage, oracled: write + delta
+    // append under FROZEN base centroids + small-file compaction
+    // (row-content-identical by contract — the oracle recomputes the
+    // full-corpus frozen-centroid assignment, so a compaction that
+    // loses or duplicates one row breaks the hash), per-cell manifest
+    // read back from the compacted artifact
+    "serve_ann_index_compact" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val newPred = graphAppendPred
+      val dir = graft.serving.IndexStore.scratchDir(d, "ann_compact")
+      graft.serving.IndexStore.writeAnn(e.filter(!newPred), dir, IvfCentroids)
+      graft.serving.IndexStore.appendAnn(e.filter(newPred), dir)
+      graft.serving.IndexStore.compactAnn(s, dir)
+      graft.serving.IndexStore.loadAnn(s, dir).assign
+        .groupBy("cid").agg(count(lit(1)).as("n_vecs"),
+          min("n_id").as("min_vec_id"), max("n_id").as("max_vec_id"))
+    }),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "mix_cluster_cap" -> ((s, d) => clusterCap(t(s, d, "embeddings"))),
     "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
@@ -3811,6 +3847,66 @@ object SimilarityOps {
          |SELECT CAST(deg AS BIGINT) AS deg, COUNT(*)::BIGINT AS n_srcs,
          |  MIN(src) AS min_src, MAX(src) AS max_src
          |FROM deg GROUP BY 1""".stripMargin,
+
+    // graph compaction: the append oracle's edge universe (old chain +
+    // unrolled insert search + back-edge union), deduped, rescored by
+    // exact cosine over the FULL corpus's vectors (the node store
+    // carries base + delta), per-src top-KnnK retention — the exact
+    // rule compactKnn ships — then the degree histogram
+    "serve_graph_index_compact" ->
+      s"""WITH ${knnChainCtes(s"(SELECT * FROM embeddings WHERE NOT ($GraphAppendWhere))")},
+         |${graphGatherCtes(
+        s"""q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+           |       ${sqlNrm("embedding")} AS q_nrm
+           |       FROM embeddings WHERE $GraphAppendWhere)""".stripMargin)},
+         |newe AS (SELECT q_id AS src, n_id AS dst FROM gr WHERE rank <= $KnnK),
+         |alle AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges
+         |    UNION ALL SELECT src, dst FROM newe
+         |    UNION ALL SELECT dst AS src, src AS dst FROM newe)),
+         |ef AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |resc AS (
+         |  SELECT a.src, a.dst,
+         |    ${sqlDot("e1.emb", "e2.emb")} / (e1.nrm * e2.nrm) AS sim
+         |  FROM alle a JOIN ef e1 ON a.src = e1.vec_id
+         |              JOIN ef e2 ON a.dst = e2.vec_id),
+         |kept AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+         |    FROM resc)
+         |  WHERE rk <= $KnnK),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM kept GROUP BY 1)
+         |SELECT CAST(deg AS BIGINT) AS deg, COUNT(*)::BIGINT AS n_srcs,
+         |  MIN(src) AS min_src, MAX(src) AS max_src
+         |FROM deg GROUP BY 1""".stripMargin,
+
+    // ANN compaction: row-content-identical by contract, so the
+    // oracle is the full-corpus assignment under the base-frozen
+    // first-K centroids (base build + frozen-centroid delta append),
+    // rolled into the per-cell manifest
+    "serve_ann_index_compact" ->
+      s"""WITH base AS (SELECT * FROM embeddings WHERE NOT ($GraphAppendWhere)),
+         |e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM base),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+         |         FROM e WHERE vec_id < $IvfCentroids),
+         |ef AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |asg0 AS (
+         |  SELECT ef.vec_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY ef.vec_id
+         |      ORDER BY ${sqlDot("ef.emb", "cent.c_emb")} / (ef.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM ef, cent)
+         |SELECT cid, COUNT(1)::BIGINT AS n_vecs,
+         |  MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+         |FROM asg0 WHERE rn = 1 GROUP BY 1""".stripMargin,
 
     // graph append: the OLD corpus's chain + the NEW vectors' graph
     // search (the NSW insert = serve at k=KnnK) + bidirectional edge

@@ -268,6 +268,11 @@ object PlanDump {
     "serve_graph_index_write", "serve_graph_index_append",
     "sim_graph_recall", "serve_attr_index_write", "serve_text_index_write",
     "mix_unimax", "mix_unimax_materialize", "txt_langid_confusion",
+    // round-14 lifecycle closures: write → append → compact for both
+    // artifact families, manifest read back from the COMPACTED
+    // generation (three build jobs composed — the honest cost of the
+    // full maintenance cycle, slope-measured)
+    "serve_graph_index_compact", "serve_ann_index_compact",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
