@@ -491,13 +491,24 @@ object CurationOps {
     // column makes that visible (and oracle-checked), and the log
     // names the fix
     val fin = cur.localCheckpoint(eager = false)
-    val fr = fin.agg(sum("alloc"), count(lit(1))).first()
+    val fr = fin.agg(sum("alloc"), count(lit(1)), sum("cap")).first()
     val spentF = Option(fr.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val sumCap = Option(fr.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val residual = budget - spentF
-    if (residual > rounds.toLong * math.max(fr.getLong(1), 1L))
-      curLog.warn(s"mixUnimax: $residual tokens undistributed after " +
-        s"$rounds rounds (more than floor residue) — more languages " +
-        "capped than rounds-1; raise `rounds` for this corpus")
+    // two distinct residual causes, two distinct remedies: budget
+    // beyond Σcap is surplus no round count can place (raise
+    // maxEpochs or shrink the budget); otherwise a residual past the
+    // floor-residue bound means the waterfall ran out of rounds
+    if (residual > rounds.toLong * math.max(fr.getLong(1), 1L)) {
+      if (spentF >= sumCap)
+        curLog.warn(s"mixUnimax: $residual tokens undistributed — the " +
+          s"budget exceeds total epoch-cap capacity ($sumCap); raise " +
+          "maxEpochs or lower the budget (rounds cannot place these)")
+      else
+        curLog.warn(s"mixUnimax: $residual tokens undistributed after " +
+          s"$rounds rounds (more than floor residue) — more languages " +
+          "capped than rounds-1; raise `rounds` for this corpus")
+    }
     fin.select(col("lang"), col("avail").as("avail_tokens"),
       col("cap").as("cap_tokens"), col("alloc").as("alloc_tokens"),
       expr("(alloc * 1000000) div greatest(avail, 1)").as("epochs_ppm"),
@@ -647,8 +658,10 @@ object CurationOps {
     * footer metadata — so at 100 TB the export fans out to
     * corpus-size-proportional shards (~N/2¹⁸) instead of a caller's
     * guess, while every test corpus resolves to the floor of 16. */
-  def autoShards(docs: DataFrame): Int =
-    math.max(16L, (docs.count() + AutoShardDocs - 1) / AutoShardDocs).toInt
+  private def autoShardsFromCount(n: Long): Int =
+    math.max(16L, (n + AutoShardDocs - 1) / AutoShardDocs).toInt
+
+  def autoShards(docs: DataFrame): Int = autoShardsFromCount(docs.count())
 
   private def resolveShards(docs: DataFrame, nShards: Int): Int =
     if (nShards == AutoShards) autoShards(docs) else nShards
@@ -661,9 +674,8 @@ object CurationOps {
   private def shardsAndMax(docs: DataFrame, nShards: Int): (Int, Long) = {
     val r = docs.agg(count(lit(1)).as("n"), max("doc_id").as("m")).first()
     val maxId = if (r.isNullAt(1)) 0L else r.getLong(1)
-    val nSh = if (nShards == AutoShards)
-      math.max(16L, (r.getLong(0) + AutoShardDocs - 1) / AutoShardDocs).toInt
-    else nShards
+    val nSh = if (nShards == AutoShards) autoShardsFromCount(r.getLong(0))
+      else nShards
     (nSh, maxId)
   }
 

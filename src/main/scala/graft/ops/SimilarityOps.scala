@@ -1387,15 +1387,15 @@ object SimilarityOps {
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
       .filter(definedNrm(col("nrm")))
-    // checkpointed (lazy): the assignment feeds the senior ranking,
-    // the junior side, the drop probe, and the final keep join
-    val assign = assignBest(vecs, cents,
+    // ONE materialized frame (lazy checkpoint) feeds every consumer —
+    // the senior side, the junior side, the drop probe, and the final
+    // keep join all read the ranked assignment
+    val wCell = Window.partitionBy("cid").orderBy(col("vec_id").asc)
+    val seniors = assignBest(vecs, cents,
       struct(col("embedding").as("emb"), col("nrm").as("nrm"), col("cid")))
       .select(col("vec_id"), col("best.emb").as("emb"),
         col("best.nrm").as("nrm"), col("best.cid").as("cid"))
-      .localCheckpoint(eager = false)
-    val wCell = Window.partitionBy("cid").orderBy(col("vec_id").asc)
-    val seniors = assign.withColumn("srn", row_number().over(wCell))
+      .withColumn("srn", row_number().over(wCell))
       .localCheckpoint(eager = false)
     val nDrop = seniors.filter(col("srn") > cellCap).count()
     if (nDrop > 0)
@@ -1404,13 +1404,13 @@ object SimilarityOps {
     val dropped = seniors.filter(col("srn") <= cellCap)
       .select(col("cid"), col("vec_id").as("id1"), col("emb").as("e1"),
         col("nrm").as("nrm1"))
-      .join(assign.select(col("cid").as("cid2"), col("vec_id").as("id2"),
+      .join(seniors.select(col("cid").as("cid2"), col("vec_id").as("id2"),
           col("emb").as("e2"), col("nrm").as("nrm2")),
         col("cid") === col("cid2") && col("id1") < col("id2"))
       .filter(dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")) >= tau)
       .select(col("id2").as("vec_id")).distinct()
       .withColumn("is_dropped", lit(true))
-    assign.join(dropped, Seq("vec_id"), "left")
+    seniors.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(!col("is_dropped"), lit(true)).as("kept"))
   }
@@ -1663,17 +1663,14 @@ object SimilarityOps {
     * (sim DESC, dst ASC) edge tie-break), so DuckDB replays the whole
     * build. Zero/NaN-norm vectors neither probe nor match
     * ([[definedNrm]]). */
-  def knnGraph(embeddings: DataFrame, k: Int = KnnK,
-      nCentroids: Int = AutoCentroids, nProbes: Int = KnnProbes,
-      cellCap: Int = KnnCellCap): DataFrame = {
-    val (vecs, assign0) = multiProbeAssign(embeddings, nCentroids, nProbes)
-    // checkpointed (lazy): the assignment feeds the src side, the
-    // capped-dst ranking, and the drop-count probe — one derivation
-    val assign = assign0.localCheckpoint(eager = false)
-    // per-cell candidate cap (see [[KnnCellCap]]): rank members by the
-    // cross-engine content hash and keep the first `cellCap` as
-    // candidate DSTs; the ranking window shares the cid exchange the
-    // join needs anyway
+  /** Per-cell candidate retention shared by [[knnGraph]] and
+    * [[hardNegatives]] (see [[KnnCellCap]]): rank each cell's members
+    * in the cross-engine md5 order, materialize ONCE (lazy
+    * checkpoint — both join sides and the drop probe read this one
+    * frame), and log what the cap drops. The dst side filters
+    * `mrn <= cap`; the src/anchor side reads the same frame uncapped. */
+  private def cappedCellMembers(assign: DataFrame, cellCap: Int,
+      what: String): DataFrame = {
     val wCell = Window.partitionBy("cid").orderBy(
       TextOps.strHash(concat(lit("knncap:"), col("vec_id").cast("string"))).asc,
       col("vec_id").asc)
@@ -1681,9 +1678,17 @@ object SimilarityOps {
       .localCheckpoint(eager = false)
     val nDrop = ranked.filter(col("mrn") > cellCap).count()
     if (nDrop > 0)
-      simLog.warn(s"knnGraph: cell cap $cellCap drops $nDrop of the " +
-        s"per-cell candidate memberships from the build's candidate join")
-    val cand = assign.select(col("cid"), col("vec_id").as("src"))
+      simLog.warn(s"$what: cell cap $cellCap drops $nDrop of the " +
+        "per-cell candidate memberships from the candidate join")
+    ranked
+  }
+
+  def knnGraph(embeddings: DataFrame, k: Int = KnnK,
+      nCentroids: Int = AutoCentroids, nProbes: Int = KnnProbes,
+      cellCap: Int = KnnCellCap): DataFrame = {
+    val (vecs, assign) = multiProbeAssign(embeddings, nCentroids, nProbes)
+    val ranked = cappedCellMembers(assign, cellCap, "knnGraph")
+    val cand = ranked.select(col("cid"), col("vec_id").as("src"))
       .join(ranked.filter(col("mrn") <= cellCap)
           .select(col("cid").as("cid2"), col("vec_id").as("dst")),
         col("cid") === col("cid2") && col("src") =!= col("dst"))
@@ -1861,24 +1866,13 @@ object SimilarityOps {
   def hardNegatives(embeddings: DataFrame, anchorPred: Column,
       negK: Int = HnNegK, nCentroids: Int = AutoCentroids,
       nProbes: Int = HnProbes, cellCap: Int = KnnCellCap): DataFrame = {
-    val (vecs0, assign0) = multiProbeAssign(embeddings, nCentroids, nProbes)
-    // checkpointed (lazy): the assignment feeds the anchor side, the
-    // capped-candidate ranking, and the drop probe — one derivation
-    val assign = assign0.localCheckpoint(eager = false)
+    val (vecs0, assign) = multiProbeAssign(embeddings, nCentroids, nProbes)
     val labels = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
     val vecs = vecs0.join(labels, "vec_id")
     // per-cell candidate cap — [[KnnCellCap]]'s discipline on the
     // mining join (same md5 retention order, DuckDB-replayed)
-    val wCell = Window.partitionBy("cid").orderBy(
-      TextOps.strHash(concat(lit("knncap:"), col("vec_id").cast("string"))).asc,
-      col("vec_id").asc)
-    val ranked = assign.withColumn("mrn", row_number().over(wCell))
-      .localCheckpoint(eager = false)
-    val nDrop = ranked.filter(col("mrn") > cellCap).count()
-    if (nDrop > 0)
-      simLog.warn(s"hardNegatives: cell cap $cellCap drops $nDrop of the " +
-        "per-cell candidate memberships from the mining join")
-    val cand = assign.filter(anchorPred)
+    val ranked = cappedCellMembers(assign, cellCap, "hardNegatives")
+    val cand = ranked.filter(anchorPred)
       .select(col("cid"), col("vec_id").as("anchor"))
       .join(ranked.filter(col("mrn") <= cellCap)
           .select(col("cid").as("cid2"), col("vec_id").as("other")),

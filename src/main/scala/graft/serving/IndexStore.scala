@@ -107,26 +107,42 @@ object IndexStore {
     }).reduceOption(_ max _)
   }
 
-  /** Resolve a table's CURRENT path: the committed generation's
-    * directory, falling back to the pre-generation flat layout so
-    * artifacts written by older builds stay loadable. */
+  /** A table's path within a RESOLVED generation (None = the
+    * pre-generation flat layout, kept loadable for artifacts written
+    * by older builds). Loads/appends/compactions resolve
+    * [[currentGen]] ONCE and derive every table path from that one
+    * snapshot — resolving per table would let a concurrent commit
+    * land between two resolutions and hand the reader a torn
+    * mixed-generation index (gen-N centroids with gen-N+1
+    * assignments), the exact failure the manifest scheme exists to
+    * prevent. */
+  private def tableDirAt(dir: String, gen: Option[Int],
+      table: String): String =
+    gen.map(g => s"$dir/g$g/$table").getOrElse(s"$dir/$table")
+
+  /** Resolve a SINGLE table's current path — for callers (specs,
+    * tools) inspecting one table; multi-table loads go through one
+    * [[currentGen]] + [[tableDirAt]] snapshot instead. */
   def tableDir(spark: SparkSession, dir: String, table: String): String =
-    currentGen(spark, dir).map(g => s"$dir/g$g/$table")
-      .getOrElse(s"$dir/$table")
+    tableDirAt(dir, currentGen(spark, dir), table)
 
   /** Commit a generation: create its manifest (atomic appearance —
     * readers list manifests, and a created file is either absent or
-    * complete) and GC every older generation. */
+    * complete), then GC EVERYTHING else in the artifact directory —
+    * older generations and their manifests, orphans of failed
+    * attempts, and a superseded pre-generation flat layout (the
+    * directory is wholly owned by IndexStore: writers create it, so
+    * anything outside the committed generation is dead weight). */
   private def commitGen(spark: SparkSession, dir: String, gen: Int): Unit = {
     val f = fs(spark, dir)
     val out = f.create(
       new org.apache.hadoop.fs.Path(s"$dir/manifest-$gen.json"), true)
     out.write(s"""{"gen":$gen}""".getBytes("UTF-8"))
     out.close()
-    (0 until gen).foreach { g =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/g$g"), true)
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/manifest-$g.json"), false)
-    }
+    val keep = Set(s"g$gen", s"manifest-$gen.json")
+    f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filterNot(s => keep(s.getPath.getName))
+      .foreach(s => f.delete(s.getPath, true))
   }
 
   /** Start the NEXT generation: its root path (cleared of any orphan
@@ -199,11 +215,12 @@ object IndexStore {
     * with zero serve-side changes (spec-pinned: append ≡ rebuild). */
   def appendAnn(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
-    val cents = loadCentroids(spark, dir)
+    val gen = currentGen(spark, dir)
+    val cents = loadCentroidsAt(spark, tableDirAt(dir, gen, "centroids"))
     graft.streaming.StreamAnnServe.assignCorpus(newVecs, cents)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid")
-      .parquet(tableDir(spark, dir, "assign"))
+      .parquet(tableDirAt(dir, gen, "assign"))
   }
 
   /** Compact an appended assignment: every [[appendAnn]] adds one file
@@ -219,21 +236,18 @@ object IndexStore {
     * is spec-pinned. */
   def compactAnn(spark: SparkSession, dir: String,
       midCompaction: () => Unit = () => ()): Unit = {
+    val cur = currentGen(spark, dir)
     val (gen, root) = nextGenRoot(spark, dir)
     spark.read.schema(annAssignSchema)
-      .parquet(tableDir(spark, dir, "assign"))
+      .parquet(tableDirAt(dir, cur, "assign"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$root/assign")
-    spark.read.parquet(tableDir(spark, dir, "centroids"))
+    spark.read.parquet(tableDirAt(dir, cur, "centroids"))
       .write.mode("overwrite").parquet(s"$root/centroids")
     midCompaction()
     commitGen(spark, dir, gen)
   }
-
-  private def loadCentroids(spark: SparkSession,
-      dir: String): Seq[(Long, Seq[Float])] =
-    loadCentroidsAt(spark, tableDir(spark, dir, "centroids"))
 
   private def loadCentroidsAt(spark: SparkSession,
       path: String): Seq[(Long, Seq[Float])] =
@@ -247,10 +261,13 @@ object IndexStore {
     StructField("n_nrm", DoubleType),
     StructField("cid", LongType)))
 
-  def loadAnn(spark: SparkSession, dir: String): AnnIndex =
-    AnnIndex(loadCentroids(spark, dir),
+  def loadAnn(spark: SparkSession, dir: String): AnnIndex = {
+    val gen = currentGen(spark, dir)
+    AnnIndex(
+      loadCentroidsAt(spark, tableDirAt(dir, gen, "centroids")),
       spark.read.schema(annAssignSchema)
-        .parquet(tableDir(spark, dir, "assign")))
+        .parquet(tableDirAt(dir, gen, "assign")))
+  }
 
   // ----------------------------------------------------- attribution
 
@@ -308,12 +325,14 @@ object IndexStore {
     StructField("t_shs", ArrayType(LongType)),
     StructField("tb", IntegerType)))
 
-  def loadAttr(spark: SparkSession, dir: String): AttrIndex =
+  def loadAttr(spark: SparkSession, dir: String): AttrIndex = {
+    val gen = currentGen(spark, dir)
     AttrIndex(
       spark.read.schema(attrBandsSchema)
-        .parquet(tableDir(spark, dir, "bands")),
+        .parquet(tableDirAt(dir, gen, "bands")),
       spark.read.schema(attrShinglesSchema)
-        .parquet(tableDir(spark, dir, "shingles")))
+        .parquet(tableDirAt(dir, gen, "shingles")))
+  }
 
   // ------------------------------------------------------------ text
 
@@ -381,12 +400,13 @@ object IndexStore {
     StructField("tb", IntegerType)))
 
   def loadText(spark: SparkSession, dir: String): TextIndex = {
-    val st = spark.read.parquet(tableDir(spark, dir, "stats")).first()
+    val gen = currentGen(spark, dir)
+    val st = spark.read.parquet(tableDirAt(dir, gen, "stats")).first()
     TextIndex(
       spark.read.schema(textPostingsSchema)
-        .parquet(tableDir(spark, dir, "postings")),
+        .parquet(tableDirAt(dir, gen, "postings")),
       spark.read.schema(textTermsSchema)
-        .parquet(tableDir(spark, dir, "terms")),
+        .parquet(tableDirAt(dir, gen, "terms")),
       st.getLong(0), st.getLong(1))
   }
 
@@ -482,12 +502,13 @@ object IndexStore {
         k = SimilarityOps.KnnK)
       .select(col("q_id").as("src"), col("n_id").as("dst"))
       .localCheckpoint(eager = false)
+    val gen = currentGen(spark, dir)
     newEdges.unionByName(
         newEdges.select(col("dst").as("src"), col("src").as("dst")))
       .select(col("src"), col("dst"), nodeBucket(col("src")).as("sb"))
       .repartition(col("sb"))
       .write.mode("append").partitionBy("sb")
-      .parquet(tableDir(spark, dir, "edges"))
+      .parquet(tableDirAt(dir, gen, "edges"))
     newVecs
       .select(col("vec_id").as("node"), col("embedding").as("n_emb"),
         norm(col("embedding")).as("n_nrm"))
@@ -495,7 +516,7 @@ object IndexStore {
       .withColumn("nb", nodeBucket(col("node")))
       .repartition(col("nb"))
       .write.mode("append").partitionBy("nb")
-      .parquet(tableDir(spark, dir, "nodes"))
+      .parquet(tableDirAt(dir, gen, "nodes"))
   }
 
   /** Scheduled graph maintenance — the degree prune every NSW store
@@ -514,10 +535,11 @@ object IndexStore {
     * file-count hygiene. */
   def compactKnn(spark: SparkSession, dir: String,
       midCompaction: () => Unit = () => ()): Unit = {
+    val cur = currentGen(spark, dir)
     val nodes = spark.read.schema(knnNodesSchema)
-      .parquet(tableDir(spark, dir, "nodes"))
+      .parquet(tableDirAt(dir, cur, "nodes"))
     val edges = spark.read.schema(knnEdgesSchema)
-      .parquet(tableDir(spark, dir, "edges"))
+      .parquet(tableDirAt(dir, cur, "edges"))
     val (gen, root) = nextGenRoot(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
@@ -538,7 +560,7 @@ object IndexStore {
       .repartition(col("nb"))
       .write.mode("overwrite").partitionBy("nb")
       .parquet(s"$root/nodes")
-    spark.read.parquet(tableDir(spark, dir, "entries"))
+    spark.read.parquet(tableDirAt(dir, cur, "entries"))
       .write.mode("overwrite").parquet(s"$root/entries")
     midCompaction()
     commitGen(spark, dir, gen)
@@ -555,13 +577,15 @@ object IndexStore {
     StructField("n_nrm", DoubleType),
     StructField("nb", IntegerType)))
 
-  def loadKnn(spark: SparkSession, dir: String): KnnIndex =
+  def loadKnn(spark: SparkSession, dir: String): KnnIndex = {
+    val gen = currentGen(spark, dir)
     KnnIndex(
-      spark.read.parquet(tableDir(spark, dir, "entries"))
+      spark.read.parquet(tableDirAt(dir, gen, "entries"))
         .orderBy("node").collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq,
       spark.read.schema(knnEdgesSchema)
-        .parquet(tableDir(spark, dir, "edges")),
+        .parquet(tableDirAt(dir, gen, "edges")),
       spark.read.schema(knnNodesSchema)
-        .parquet(tableDir(spark, dir, "nodes")))
+        .parquet(tableDirAt(dir, gen, "nodes")))
+  }
 }

@@ -75,11 +75,18 @@ object Sf1Probe {
     // "both scales" they'd run the identical workload (slope ≡ 1), so
     // they carry no headroom signal and are excluded
     // surface filter typos up front: an unknown name in a subset run
-    // would otherwise be silently ignored (measured = everything else)
+    // would otherwise be silently ignored (measured = everything
+    // else). pipe_* names are audited but EXCLUDED from this probe
+    // (fixture-scale, slope ≡ 1) — flag them too, same silent-ignore
+    // failure otherwise
     val unknown = only.filterNot(PlanDump.Audited.toSet)
     if (unknown.nonEmpty)
       println(s"[sf1] WARNING: filter name(s) match no audited query " +
         s"and are ignored: ${unknown.toSeq.sorted.mkString(", ")}")
+    val piped = only.filter(_.startsWith("pipe_"))
+    if (piped.nonEmpty)
+      println(s"[sf1] WARNING: pipe_* stages carry no sf-scaling signal " +
+        s"and are excluded from this probe: ${piped.toSeq.sorted.mkString(", ")}")
     val rows = PlanDump.Audited.filterNot(_.startsWith("pipe_"))
       .filter(n => only.isEmpty || only(n)).map { name =>
       // one DISCARDED run per SCALE first. sf0.1: the first execution

@@ -70,8 +70,8 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(b == radius.toSet)
   }
 
-  test("graphTopK: dense ranks, no self hits, <=k rows per query; growing " +
-    "the beam never loses a true neighbor (visited-superset monotonicity); " +
+  test("graphTopK: dense ranks, no self hits, <=k rows per query; recall " +
+    "measured across beam widths (monotone in practice at 3 hops); " +
     "partitioning-invariant") {
     val res = SimilarityOps.graphTopK(emb, pred).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -85,10 +85,14 @@ class SimilarityOpsSpec extends AnyFunSuite {
         s"sims non-increasing for query $q")
       assert(rows.length <= 10)
     }
-    // a larger beam visits a SUPERSET of nodes (top-B by one total
-    // order is a prefix), and a displaced true-top-10 member can only
-    // be displaced by a higher-sim node — itself true-top-10 — so
-    // recall is monotone in the beam
+    // At ONE beam level, top-B of a total order is a prefix, so a
+    // larger beam visits a superset. At GraphHops > 2 the LATER beams
+    // rank DIFFERENT candidate sets per width (beam-8's hop-2 set is
+    // larger than beam-4's), so strict beam-monotonicity is no longer
+    // an invariant — it is measured, and the assertion below only
+    // requires that a doubled beam does not COLLAPSE recall (the
+    // regression a broken visited-set union would cause), not that it
+    // never dips by a boundary node.
     def hitSet(beam: Int) = SimilarityOps.graphTopK(emb, pred, beam = beam)
       .select(col("q_id"), col("n_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -100,13 +104,15 @@ class SimilarityOpsSpec extends AnyFunSuite {
       f"$rec8%.3f (beam ${2 * SimilarityOps.GraphBeam}) — " +
       "isotropic random corpus, the graph-navigation worst case")
     assert(g4.intersect(exact).nonEmpty, "finds at least one true neighbor")
-    assert(rec8 >= rec4, "beam growth must not lose recall")
+    assert(rec8 >= rec4 * 0.9,
+      "a doubled beam must not collapse recall (allowing boundary dips " +
+        "— beam-monotonicity is not an invariant at 3 hops)")
     val b = SimilarityOps.graphTopK(emb.repartition(7), pred).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(b == res.toSet, "fates are pure functions of content")
   }
 
-  test("tuneGraph: recall is beam-monotone across the grid; returns the " +
+  test("tuneGraph: measures the whole beam grid; returns the " +
     "cheapest beam meeting the SLO, or None for an impossible SLO") {
     val (chosen, measured) = SimilarityOps.tuneGraph(emb, pred,
       recallSlo = 0.01)
@@ -114,8 +120,13 @@ class SimilarityOpsSpec extends AnyFunSuite {
       f"beam ${m.beam}%2d: recall ${m.recallPpm / 1e6}%.3f, " +
         f"${m.visitRows} visit rows").mkString("; "))
     assert(measured.map(_.beam) == SimilarityOps.DefaultBeamGrid)
-    assert(measured.map(_.recallPpm) == measured.map(_.recallPpm).sorted,
-      s"beam-monotone recall, got ${measured.mkString(", ")}")
+    // no strict monotone assertion: at 3 hops later beams rank
+    // different candidate sets per width (see graphTopK spec); the
+    // grid's ENDS must still order — a wide beam beating the narrow
+    // one is what makes the knob a knob
+    assert(measured.last.recallPpm >= measured.head.recallPpm,
+      s"widest beam must not trail the narrowest, got ${measured.mkString(", ")}")
+    assert(measured.forall(m => m.recallPpm >= 0L && m.recallPpm <= 1000000L))
     assert(chosen.nonEmpty && chosen.get.beam ==
       measured.filter(_.recallPpm >= 10000L).map(_.beam).min,
       "cheapest passing beam (visitRows is monotone in beam)")
