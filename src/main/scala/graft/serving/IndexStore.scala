@@ -37,10 +37,25 @@ import graft.ops.SimilarityOps.{definedNrm, norm}
   * index with no consistent copy on a half-failed swap. A failed
   * generation write now simply throws before its manifest exists —
   * the previous generation stays current and intact, and the orphaned
-  * `g<N+1>` directory is overwritten by the next attempt. Old
-  * generations are GC'd after commit (production would add a grace
-  * period for in-flight readers of the previous generation — the
-  * snapshot-retention knob every table format exposes).
+  * `g<N+1>` directory is overwritten by the next attempt.
+  *
+  * READER grace period (round 15): a commit retains the newest
+  * [[GenRetain]] committed generations and GC's only older ones plus
+  * manifest-less orphans — the snapshot-retention knob every table
+  * format exposes. A WARM reader (an [[AnnIndex]]/[[KnnIndex]] loaded
+  * before a compaction, still serving lazy DataFrames) therefore
+  * keeps its parquet files through the next commit; it loses them
+  * only if it outlives a SECOND commit — the documented reader
+  * contract (re-resolve per micro-batch via [[GenCached]] to never
+  * fall behind).
+  *
+  * WRITER coordination: generation writes are single-writer by
+  * contract, and the commit enforces it — the manifest is created
+  * with overwrite=false, so two racing writers that both resolved the
+  * same next generation cannot both commit: the loser's [[commitGen]]
+  * throws (its interleaved table writes die with it, and the winner's
+  * committed generation is complete by definition of the manifest
+  * protocol — a manifest is written only after its tables).
   *
   * Layouts (all plain parquet, loadable with explicit schemas so no
   * inference step can drift a type):
@@ -126,20 +141,35 @@ object IndexStore {
   def tableDir(spark: SparkSession, dir: String, table: String): String =
     tableDirAt(dir, currentGen(spark, dir), table)
 
+  /** Committed generations retained after a commit — the reader grace
+    * period (see the object doc): 2 keeps the previous generation
+    * alive for warm readers that loaded it before the commit; they
+    * must re-resolve (one manifest list — [[GenCached]]) before a
+    * SECOND commit lands. */
+  val GenRetain = 2
+
   /** Commit a generation: create its manifest (atomic appearance —
     * readers list manifests, and a created file is either absent or
-    * complete), then GC EVERYTHING else in the artifact directory —
-    * older generations and their manifests, orphans of failed
-    * attempts, and a superseded pre-generation flat layout (the
-    * directory is wholly owned by IndexStore: writers create it, so
-    * anything outside the committed generation is dead weight). */
+    * complete; overwrite=false, so a racing writer that resolved the
+    * same next generation fails HERE instead of silently GC'ing the
+    * winner's work — the single-writer contract, enforced), then GC
+    * everything in the artifact directory outside the newest
+    * [[GenRetain]] committed generations — older generations and
+    * their manifests, manifest-less orphans of failed attempts, and a
+    * superseded pre-generation flat layout (the directory is wholly
+    * owned by IndexStore: writers create it). */
   private def commitGen(spark: SparkSession, dir: String, gen: Int): Unit = {
     val f = fs(spark, dir)
     val out = f.create(
-      new org.apache.hadoop.fs.Path(s"$dir/manifest-$gen.json"), true)
+      new org.apache.hadoop.fs.Path(s"$dir/manifest-$gen.json"), false)
     out.write(s"""{"gen":$gen}""".getBytes("UTF-8"))
     out.close()
-    val keep = Set(s"g$gen", s"manifest-$gen.json")
+    val committed = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .iterator.flatMap(_.getPath.getName match {
+        case ManifestRe(n) => Some(n.toInt)
+        case _ => None
+      }).toSeq.sorted.takeRight(GenRetain)
+    val keep = committed.flatMap(g => Seq(s"g$g", s"manifest-$g.json")).toSet
     f.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filterNot(s => keep(s.getPath.getName))
       .foreach(s => f.delete(s.getPath, true))
@@ -147,12 +177,36 @@ object IndexStore {
 
   /** Start the NEXT generation: its root path (cleared of any orphan
     * left by a failed earlier attempt — an orphan has no manifest, so
-    * no reader ever resolved it). */
+    * no reader ever resolved it). Single-writer by contract;
+    * [[commitGen]] enforces it at commit time. */
   private def nextGenRoot(spark: SparkSession, dir: String): (Int, String) = {
     val gen = currentGen(spark, dir).map(_ + 1).getOrElse(0)
     val root = s"$dir/g$gen"
     fs(spark, dir).delete(new org.apache.hadoop.fs.Path(root), true)
     (gen, root)
+  }
+
+  /** A generation-tracking index cache for long-running serves: [[get]]
+    * re-resolves [[currentGen]] (one manifest list — cheap) and
+    * reloads through the gen-pinned loader ONLY when the generation
+    * moved, so a streaming serve calling it at every micro-batch
+    * boundary picks up a mid-stream commit by the next batch while
+    * paying nothing when the artifact is quiet. The loader receives
+    * the resolved gen and must derive every table path from it (the
+    * [[tableDirAt]] resolve-once discipline). */
+  final class GenCached[T](spark: SparkSession, dir: String,
+      load: Option[Int] => T) {
+    private var cached: Option[(Option[Int], T)] = None
+    def get(): T = synchronized {
+      val gen = currentGen(spark, dir)
+      cached match {
+        case Some((g, idx)) if g == gen => idx
+        case _ =>
+          val idx = load(gen)
+          cached = Some((gen, idx))
+          idx
+      }
+    }
   }
 
   def ensureAnn(corpus: DataFrame, dir: String,
@@ -261,13 +315,18 @@ object IndexStore {
     StructField("n_nrm", DoubleType),
     StructField("cid", LongType)))
 
-  def loadAnn(spark: SparkSession, dir: String): AnnIndex = {
-    val gen = currentGen(spark, dir)
+  def loadAnn(spark: SparkSession, dir: String): AnnIndex =
+    loadAnnAt(spark, dir, currentGen(spark, dir))
+
+  /** Gen-pinned load — for callers that resolved [[currentGen]] once
+    * and must keep every read/write on that snapshot ([[GenCached]],
+    * the append paths). */
+  private[graft] def loadAnnAt(spark: SparkSession, dir: String,
+      gen: Option[Int]): AnnIndex =
     AnnIndex(
       loadCentroidsAt(spark, tableDirAt(dir, gen, "centroids")),
       spark.read.schema(annAssignSchema)
         .parquet(tableDirAt(dir, gen, "assign")))
-  }
 
   // ----------------------------------------------------- attribution
 
@@ -325,14 +384,16 @@ object IndexStore {
     StructField("t_shs", ArrayType(LongType)),
     StructField("tb", IntegerType)))
 
-  def loadAttr(spark: SparkSession, dir: String): AttrIndex = {
-    val gen = currentGen(spark, dir)
+  def loadAttr(spark: SparkSession, dir: String): AttrIndex =
+    loadAttrAt(spark, dir, currentGen(spark, dir))
+
+  private[graft] def loadAttrAt(spark: SparkSession, dir: String,
+      gen: Option[Int]): AttrIndex =
     AttrIndex(
       spark.read.schema(attrBandsSchema)
         .parquet(tableDirAt(dir, gen, "bands")),
       spark.read.schema(attrShinglesSchema)
         .parquet(tableDirAt(dir, gen, "shingles")))
-  }
 
   // ------------------------------------------------------------ text
 
@@ -399,8 +460,11 @@ object IndexStore {
     StructField("idf_milli", LongType),
     StructField("tb", IntegerType)))
 
-  def loadText(spark: SparkSession, dir: String): TextIndex = {
-    val gen = currentGen(spark, dir)
+  def loadText(spark: SparkSession, dir: String): TextIndex =
+    loadTextAt(spark, dir, currentGen(spark, dir))
+
+  private[graft] def loadTextAt(spark: SparkSession, dir: String,
+      gen: Option[Int]): TextIndex = {
     val st = spark.read.parquet(tableDirAt(dir, gen, "stats")).first()
     TextIndex(
       spark.read.schema(textPostingsSchema)
@@ -495,14 +559,19 @@ object IndexStore {
     * reading a consistent index. */
   def appendKnn(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
-    val idx = loadKnn(spark, dir)
+    // resolve the generation ONCE; load paths and write paths both
+    // derive from this snapshot (the tableDirAt discipline — a
+    // compaction committing between two resolutions would otherwise
+    // write the appended edges into a different generation than the
+    // one searched, silently losing the append)
+    val gen = currentGen(spark, dir)
+    val idx = loadKnnAt(spark, dir, gen)
     // checkpointed: the mirror union would otherwise re-run the search
     val newEdges = graft.streaming.StreamGraphServe.serveTopK(
         newVecs.select(col("vec_id"), col("embedding")), idx,
         k = SimilarityOps.KnnK)
       .select(col("q_id").as("src"), col("n_id").as("dst"))
       .localCheckpoint(eager = false)
-    val gen = currentGen(spark, dir)
     newEdges.unionByName(
         newEdges.select(col("dst").as("src"), col("src").as("dst")))
       .select(col("src"), col("dst"), nodeBucket(col("src")).as("sb"))
@@ -577,8 +646,11 @@ object IndexStore {
     StructField("n_nrm", DoubleType),
     StructField("nb", IntegerType)))
 
-  def loadKnn(spark: SparkSession, dir: String): KnnIndex = {
-    val gen = currentGen(spark, dir)
+  def loadKnn(spark: SparkSession, dir: String): KnnIndex =
+    loadKnnAt(spark, dir, currentGen(spark, dir))
+
+  private[graft] def loadKnnAt(spark: SparkSession, dir: String,
+      gen: Option[Int]): KnnIndex =
     KnnIndex(
       spark.read.parquet(tableDirAt(dir, gen, "entries"))
         .orderBy("node").collect()
@@ -587,5 +659,4 @@ object IndexStore {
         .parquet(tableDirAt(dir, gen, "edges")),
       spark.read.schema(knnNodesSchema)
         .parquet(tableDirAt(dir, gen, "nodes")))
-  }
 }

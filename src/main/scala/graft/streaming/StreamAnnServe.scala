@@ -113,4 +113,22 @@ object StreamAnnServe {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) => sink(serveTopK(batch.toDF(), index, k, nProbe), id))
       .start()
+
+  /** [[serveStream]] bound to the artifact DIRECTORY instead of one
+    * loaded generation: the generation is re-resolved at every
+    * micro-batch boundary (one manifest list — [[graft.serving
+    * .IndexStore.GenCached]]), so an append/compaction committed
+    * mid-stream is served from batch N+1 on while batch N's answers
+    * stand on the generation they started with. */
+  def serveStreamFrom(queries: DataFrame, dir: String, k: Int = 10,
+      nProbe: Int = graft.ops.SimilarityOps.IvfProbe)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = queries.sparkSession
+    val cache = new graft.serving.IndexStore.GenCached[AnnIndex](
+      spark, dir, g => graft.serving.IndexStore.loadAnnAt(spark, dir, g))
+    queries.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => sink(serveTopK(batch.toDF(), cache.get(), k, nProbe), id))
+      .start()
+  }
 }

@@ -127,4 +127,19 @@ object StreamAttribution {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) => sink(serveTopK(batch.toDF(), index, textCol, k), id))
       .start()
+
+  /** [[serveStream]] bound to the artifact DIRECTORY: generation
+    * re-resolved per micro-batch ([[graft.serving.IndexStore
+    * .GenCached]] — see [[StreamAnnServe.serveStreamFrom]]). */
+  def serveStreamFrom(queries: DataFrame, dir: String,
+      textCol: String = "text", k: Int = DedupOps.AttributionK)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = queries.sparkSession
+    val cache = new graft.serving.IndexStore.GenCached[AttrIndex](
+      spark, dir, g => graft.serving.IndexStore.loadAttrAt(spark, dir, g))
+    queries.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => sink(serveTopK(batch.toDF(), cache.get(), textCol, k), id))
+      .start()
+  }
 }

@@ -85,4 +85,19 @@ object StreamBm25Serve {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) => sink(serveTopK(batch.toDF(), index, k), id))
       .start()
+
+  /** [[serveStream]] bound to the artifact DIRECTORY: generation
+    * re-resolved per micro-batch ([[graft.serving.IndexStore
+    * .GenCached]] — see [[StreamAnnServe.serveStreamFrom]]). */
+  def serveStreamFrom(queries: DataFrame, dir: String,
+      k: Int = graft.ops.TextOps.Bm25TopK)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = queries.sparkSession
+    val cache = new graft.serving.IndexStore.GenCached[TextIndex](
+      spark, dir, g => graft.serving.IndexStore.loadTextAt(spark, dir, g))
+    queries.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => sink(serveTopK(batch.toDF(), cache.get(), k), id))
+      .start()
+  }
 }

@@ -126,4 +126,24 @@ object StreamGraphServe {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) => sink(serveTopK(batch.toDF(), index, k, beam, seedK, hops), id))
       .start()
+
+  /** [[serveStream]] bound to the artifact DIRECTORY: the generation
+    * is re-resolved at every micro-batch boundary (one manifest list —
+    * [[IndexStore.GenCached]]), so an append/compaction committed
+    * mid-stream is served from batch N+1 on while batch N's answers
+    * stand on the generation they started with (spec-pinned). */
+  def serveStreamFrom(queries: DataFrame, dir: String, k: Int = 10,
+      beam: Int = SimilarityOps.GraphBeam,
+      seedK: Int = SimilarityOps.GraphSeeds,
+      hops: Int = SimilarityOps.GraphHops)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = queries.sparkSession
+    val cache = new IndexStore.GenCached[KnnIndex](
+      spark, dir, g => IndexStore.loadKnnAt(spark, dir, g))
+    queries.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        sink(serveTopK(batch.toDF(), cache.get(), k, beam, seedK, hops), id))
+      .start()
+  }
 }

@@ -198,11 +198,101 @@ class StreamGraphServeSpec extends AnyFunSuite {
       "a cold load mid-compaction serves the OLD generation's full edge set")
     assert(IndexStore.currentGen(spark, dir).contains(1),
       "the commit flips the manifest to the new generation")
-    assert(!new java.io.File(s"$dir/g0").exists() &&
-      !new java.io.File(s"$dir/manifest-0.json").exists(),
-      "the old generation directory and manifest are GC'd after commit")
+    assert(new java.io.File(s"$dir/g0").exists() &&
+      new java.io.File(s"$dir/manifest-0.json").exists(),
+      "the previous generation survives ONE commit (reader grace period)")
     assert(edgeSet().nonEmpty && edgeSet() != preCompact,
       "the new generation carries the degree-pruned edge table")
+  }
+
+  test("reader grace period: a WARM reader of generation N-1 completes its " +
+    "scan after the commit of N; a SECOND commit GC's N-1; orphans of " +
+    "failed attempts are GC'd regardless") {
+    val dir = IndexStore.scratchDir("spec_knn_grace", "knn")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IndexStore.writeKnn(emb, dir)                       // gen 0
+    val warm = IndexStore.loadKnn(spark, dir)           // reader holds gen 0
+    // an orphan from a failed attempt: a generation dir with no manifest
+    new java.io.File(s"$dir/g7/edges").mkdirs()
+    IndexStore.compactKnn(spark, dir)                   // commits gen 1
+    assert(new java.io.File(s"$dir/g0").exists(),
+      "gen 0 is retained through the commit of gen 1")
+    assert(!new java.io.File(s"$dir/g7").exists(),
+      "a manifest-less orphan is GC'd at commit")
+    // the warm reader's lazy DataFrames still resolve gen-0 files
+    val oldScan = warm.edges.select("src", "dst").collect()
+    assert(oldScan.nonEmpty, "the warm gen-0 reader completes its scan")
+    IndexStore.compactKnn(spark, dir)                   // commits gen 2
+    assert(!new java.io.File(s"$dir/g0").exists() &&
+      !new java.io.File(s"$dir/manifest-0.json").exists(),
+      "gen 0 is GC'd by the SECOND commit (GenRetain = 2)")
+    assert(new java.io.File(s"$dir/g1").exists(),
+      "gen 1 (now N-1) is retained")
+    assert(IndexStore.currentGen(spark, dir).contains(2))
+  }
+
+  test("writer coordination: a racing writer that committed the same next " +
+    "generation first makes the loser's commit FAIL (manifest created with " +
+    "overwrite=false) instead of silently GC'ing the winner's work") {
+    val dir = IndexStore.scratchDir("spec_knn_race", "knn")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IndexStore.writeKnn(emb, dir)                       // gen 0
+    // the loser: compactKnn resolves next gen = 1, writes its tables,
+    // then — via the midCompaction seam, i.e. BEFORE its own commit —
+    // the racing winner's manifest-1 lands
+    val ex = intercept[Exception] {
+      IndexStore.compactKnn(spark, dir, () => {
+        val f = new java.io.FileOutputStream(s"$dir/manifest-1.json")
+        f.write("""{"gen":1}""".getBytes("UTF-8")); f.close()
+      })
+    }
+    assert(ex != null)
+    assert(new java.io.File(s"$dir/g0").exists() &&
+      new java.io.File(s"$dir/manifest-0.json").exists(),
+      "the failed commit GC'd nothing — gen 0 intact")
+  }
+
+  test("serveStreamFrom: a generation committed BETWEEN micro-batches is " +
+    "served from the next batch on (per-batch manifest re-resolve), while " +
+    "the earlier batch's answers stand on the generation they started with") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val newPred = SimilarityOps.graphAppendPred
+    val dir = IndexStore.scratchDir("spec_knn_live", "knn")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IndexStore.writeKnn(emb.filter(!newPred), dir)       // gen 0: base only
+    val probes = emb.filter(newPred).orderBy("vec_id").limit(4)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def expect(): Set[(Long, Long, Long, Double)] = asTuples(
+      StreamGraphServe.serveTopK(
+        probes.toSeq.toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>")),
+        IndexStore.loadKnn(spark, dir)).collect())
+    val want0 = expect()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val qdf = mem.toDF().select(col("_1").as("vec_id"),
+      col("_2").cast("array<float>").as("embedding"))
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(Long, Long, Long, Double)]]
+    val query = StreamGraphServe.serveStreamFrom(qdf, dir) { (out, _) =>
+      perBatch.synchronized { perBatch += asTuples(out.collect()) }
+    }
+    try {
+      mem.addData(probes.toSeq: _*); query.processAllAvailable()
+      assert(perBatch.synchronized(perBatch.head) == want0,
+        "batch 1 serves generation 0")
+      // mid-stream maintenance: full rebuild over base + delta → gen 1
+      IndexStore.writeKnn(emb, dir)
+      val want1 = expect()
+      assert(want1 != want0,
+        "the rebuilt generation must answer differently for these probes")
+      mem.addData(probes.toSeq: _*); query.processAllAvailable()
+      assert(perBatch.synchronized(perBatch.last) == want1,
+        "batch 2 serves the NEW generation committed between batches")
+      assert(perBatch.synchronized(perBatch.head) == want0,
+        "batch 1's answers stand")
+    } finally query.stop()
   }
 
   test("stream ≡ batch: queries split across 3 micro-batches (foreachBatch " +
