@@ -1391,16 +1391,24 @@ object SimilarityOps {
     // the senior side, the junior side, the drop probe, and the final
     // keep join all read the ranked assignment
     val wCell = Window.partitionBy("cid").orderBy(col("vec_id").asc)
-    val seniors = assignBest(vecs, cents,
-      struct(col("embedding").as("emb"), col("nrm").as("nrm"), col("cid")))
-      .select(col("vec_id"), col("best.emb").as("emb"),
-        col("best.nrm").as("nrm"), col("best.cid").as("cid"))
-      .withColumn("srn", row_number().over(wCell))
-      .localCheckpoint(eager = false)
-    val nDrop = seniors.filter(col("srn") > cellCap).count()
+    // drop probe rides the checkpoint materialization (see
+    // cappedCellMembers); ERROR-level when it binds: beyond-cap
+    // juniors never compare against EACH OTHER, so a skewed cell's
+    // mutual near-dups are both kept — a silent dedup-quality change
+    // the operator surfaces loudly instead (choose LSH+CC or raise
+    // SemCellCap when this fires on a real corpus)
+    val (seniors, nDrop) = org.apache.spark.sql.graft.Bridge
+      .localCheckpointCountingOver(
+        assignBest(vecs, cents,
+          struct(col("embedding").as("emb"), col("nrm").as("nrm"), col("cid")))
+          .select(col("vec_id"), col("best.emb").as("emb"),
+            col("best.nrm").as("nrm"), col("best.cid").as("cid"))
+          .withColumn("srn", row_number().over(wCell)), "srn", cellCap)
     if (nDrop > 0)
-      simLog.warn(s"semDedup: cell cap $cellCap drops $nDrop senior-menu " +
-        "membership(s) from the within-cell pair join")
+      simLog.error(s"semDedup: cell cap $cellCap binds — $nDrop senior-menu " +
+        "membership(s) dropped from the within-cell pair join; beyond-cap " +
+        "near-duplicate pairs are mutually invisible (both kept). Raise " +
+        "SemCellCap or route this corpus through LSH+CC dedup.")
     val dropped = seniors.filter(col("srn") <= cellCap)
       .select(col("cid"), col("vec_id").as("id1"), col("emb").as("e1"),
         col("nrm").as("nrm1"))
@@ -1674,9 +1682,13 @@ object SimilarityOps {
     val wCell = Window.partitionBy("cid").orderBy(
       TextOps.strHash(concat(lit("knncap:"), col("vec_id").cast("string"))).asc,
       col("vec_id").asc)
-    val ranked = assign.withColumn("mrn", row_number().over(wCell))
-      .localCheckpoint(eager = false)
-    val nDrop = ranked.filter(col("mrn") > cellCap).count()
+    // the drop probe RIDES the checkpoint materialization (an
+    // accumulator in the same job) instead of running a separate
+    // action over the ranked frame: a build where the cap cannot bind
+    // pays nothing beyond the materialization both join sides read
+    val (ranked, nDrop) = org.apache.spark.sql.graft.Bridge
+      .localCheckpointCountingOver(
+        assign.withColumn("mrn", row_number().over(wCell)), "mrn", cellCap)
     if (nDrop > 0)
       simLog.warn(s"$what: cell cap $cellCap drops $nDrop of the " +
         "per-cell candidate memberships from the candidate join")

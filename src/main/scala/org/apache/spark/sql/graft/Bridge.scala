@@ -69,4 +69,30 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(spark,
       withStats.copy()(spark, None, None))
   }
+
+  /** Eager `localCheckpoint` that ALSO counts, inside the same
+    * materialization job, the rows whose int column `colName` exceeds
+    * `cap` — a LongAccumulator riding the checkpoint instead of a
+    * separate probe action over the frame. A caller that needs both
+    * "materialize this once for N consumers" and "how many rows
+    * exceed the cap" (the candidate-cap drop probes) pays exactly ONE
+    * job; when the cap cannot bind, the probe costs nothing beyond
+    * the materialization every consumer reads anyway. The count is
+    * exact on a clean run; a retried task can overcount (Spark's
+    * at-least-once transformation-accumulator semantics) — callers
+    * use it for logging, where an overcount is harmless. */
+  def localCheckpointCountingOver(df: org.apache.spark.sql.DataFrame,
+      colName: String, cap: Int): (org.apache.spark.sql.DataFrame, Long) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val idx = df.schema.fieldIndex(colName)
+    val acc = spark.sparkContext.longAccumulator(s"graft.over_cap.$colName")
+    val rdd = ds.queryExecution.toRdd.mapPartitions { it =>
+      it.map { r => if (r.getInt(idx) > cap) acc.add(1L); r.copy() }
+    }.localCheckpoint()
+    rdd.count()
+    val withStats = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, ds, isStreaming = false)
+    (org.apache.spark.sql.classic.Dataset.ofRows(spark, withStats), acc.value)
+  }
 }
