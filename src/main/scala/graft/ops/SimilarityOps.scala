@@ -1735,6 +1735,15 @@ object SimilarityOps {
   val GraphAppendWhere = "vec_id % 8 = 7"
   def graphAppendPred: Column = col("vec_id") % 8 === 7
 
+  /** The deletion split for the `serve_*_index_delete` queries
+    * (shared with the oracle SQL) — stands in for a takedown /
+    * decontamination id list; disjoint from [[GraphAppendWhere]] so
+    * lifecycle stages compose, and it overlaps the centroid/entry
+    * sample (ids < K) so the oracles exercise the
+    * frozen-structure-retained rule too. */
+  val GraphDeleteWhere = "vec_id % 16 = 3"
+  def graphDeletePred: Column = col("vec_id") % 16 === 3
+
   /** GRAPH-based ANN serving — fixed-hop beam search over the
     * [[knnGraph]] edges, the NSW/HNSW-family member completing the
     * serving ladder next to the cell-probed ([[ivfTopK]]) and
@@ -3057,6 +3066,39 @@ object SimilarityOps {
         .groupBy("cid").agg(count(lit(1)).as("n_vecs"),
           min("n_id").as("min_vec_id"), max("n_id").as("max_vec_id"))
     }),
+    // the DELETE lifecycle stage (takedown/decontamination against an
+    // ALREADY-BUILT index): tombstone the deletion split, then report
+    // the per-cell manifest read back through the masked load — the
+    // oracle recomputes the assignment from truth-minus-deleted under
+    // the FULL corpus's frozen centroids (deleting a centroid-sample
+    // row removes the servable row, not the trained structure), so a
+    // mask that leaks or over-drops one row breaks the hash
+    "serve_ann_index_delete" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "ann_delete")
+      graft.serving.IndexStore.writeAnn(e, dir, IvfCentroids)
+      graft.serving.IndexStore.deleteAnn(
+        e.filter(graphDeletePred).select("vec_id"), dir)
+      graft.serving.IndexStore.loadAnn(s, dir).assign
+        .groupBy("cid").agg(count(lit(1)).as("n_vecs"),
+          min("n_id").as("min_vec_id"), max("n_id").as("max_vec_id"))
+    }),
+    // graph DELETE: tombstoned nodes are masked from the node store,
+    // BOTH edge directions, and the entry points — the oracle replays
+    // the full build and strips every edge touching the deletion
+    // split, so a mask that leaves one edge into a deleted node (the
+    // findability path) breaks the hash
+    "serve_graph_index_delete" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "knn_delete")
+      graft.serving.IndexStore.writeKnn(e, dir)
+      graft.serving.IndexStore.deleteKnn(
+        e.filter(graphDeletePred).select("vec_id"), dir)
+      graft.serving.IndexStore.loadKnn(s, dir).edges
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_srcs"),
+          min("src").as("min_src"), max("src").as("max_src"))
+    }),
     "emb_semdedup" -> ((s, d) => semDedup(t(s, d, "embeddings"))),
     "mix_cluster_cap" -> ((s, d) => clusterCap(t(s, d, "embeddings"))),
     "serve_index_build" -> ((s, d) => indexBuild(t(s, d, "embeddings"))),
@@ -3913,6 +3955,37 @@ object SimilarityOps {
          |SELECT cid, COUNT(1)::BIGINT AS n_vecs,
          |  MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
          |FROM asg0 WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    // ANN delete: assignment of truth-minus-deleted under the FULL
+    // corpus's frozen first-K centroids (the structure-retained rule)
+    "serve_ann_index_delete" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+         |         FROM e WHERE vec_id < $IvfCentroids),
+         |surv AS (SELECT * FROM e WHERE NOT ($GraphDeleteWhere)),
+         |asg0 AS (
+         |  SELECT surv.vec_id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY surv.vec_id
+         |      ORDER BY ${sqlDot("surv.emb", "cent.c_emb")} / (surv.nrm * cent.c_nrm) DESC,
+         |               cent.cid ASC) AS rn
+         |  FROM surv, cent)
+         |SELECT cid, COUNT(1)::BIGINT AS n_vecs,
+         |  MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+         |FROM asg0 WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    // graph delete: the full build's edge table minus every edge
+    // touching the deletion split (src OR dst — back-edges included)
+    "serve_graph_index_delete" ->
+      s"""WITH ${knnChainCtes()},
+         |kept AS (
+         |  SELECT src, dst FROM edges
+         |  WHERE NOT (src % 16 = 3) AND NOT (dst % 16 = 3)),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM kept GROUP BY 1)
+         |SELECT CAST(deg AS BIGINT) AS deg, COUNT(*)::BIGINT AS n_srcs,
+         |  MIN(src) AS min_src, MAX(src) AS max_src
+         |FROM deg GROUP BY 1""".stripMargin,
 
     // graph append: the OLD corpus's chain + the NEW vectors' graph
     // search (the NSW insert = serve at k=KnnK) + bidirectional edge

@@ -187,27 +187,130 @@ object IndexStore {
   }
 
   /** A generation-tracking index cache for long-running serves: [[get]]
-    * re-resolves [[currentGen]] (one manifest list — cheap) and
-    * reloads through the gen-pinned loader ONLY when the generation
-    * moved, so a streaming serve calling it at every micro-batch
-    * boundary picks up a mid-stream commit by the next batch while
-    * paying nothing when the artifact is quiet. The loader receives
-    * the resolved gen and must derive every table path from it (the
-    * [[tableDirAt]] resolve-once discipline). */
+    * re-resolves [[currentGen]] plus the generation's tombstone file
+    * count (one manifest list + one bounded tree walk of the tiny
+    * tombstone table — cheap) and reloads through the gen-pinned
+    * loader ONLY when either moved, so a streaming serve calling it
+    * at every micro-batch boundary picks up a mid-stream commit OR a
+    * mid-stream DELETE by the next batch while paying nothing when
+    * the artifact is quiet. The loader receives the resolved gen and
+    * must derive every table path from it (the [[tableDirAt]]
+    * resolve-once discipline). */
   final class GenCached[T](spark: SparkSession, dir: String,
       load: Option[Int] => T) {
-    private var cached: Option[(Option[Int], T)] = None
+    private var cached: Option[((Option[Int], Long), T)] = None
     def get(): T = synchronized {
       val gen = currentGen(spark, dir)
+      val key = (gen, tombStamp(spark, dir, gen))
       cached match {
-        case Some((g, idx)) if g == gen => idx
+        case Some((k, idx)) if k == key => idx
         case _ =>
           val idx = load(gen)
-          cached = Some((gen, idx))
+          cached = Some((key, idx))
           idx
       }
     }
   }
+
+  /** Change stamp of a generation's tombstone table (−1 = none):
+    * deletes only ever ADD files, so the file count is a monotone,
+    * clock-free edit counter. */
+  private def tombStamp(spark: SparkSession, dir: String,
+      gen: Option[Int]): Long = {
+    val p = new org.apache.hadoop.fs.Path(tableDirAt(dir, gen, "tombstones"))
+    val f = fs(spark, dir)
+    if (!f.exists(p)) -1L else f.getContentSummary(p).getFileCount
+  }
+
+  // ------------------------------------------------------- tombstones
+
+  /** DELETE lifecycle (round 15) — the artifact operation every real
+    * training-data pipeline needs constantly: decontamination and
+    * takedown must remove docs/vectors from ALREADY-BUILT serving
+    * indexes without a full rebuild. Three phases:
+    *
+    *  1. [[deleteAnn]]/[[deleteKnn]]/[[deleteText]] append the ids to
+    *     an id-bucketed `tombstones` table INSIDE the current
+    *     generation (directory-additive, like the appends — a
+    *     concurrent reader of the generation keeps a consistent view;
+    *     the delete is visible from the next load on).
+    *  2. Every load MASKS: one broadcast anti-join against the
+    *     tombstone ids on the served tables (deletion sets are
+    *     takedown/decontamination lists — bounded, never
+    *     corpus-sized). The mask composes with the serve-side
+    *     ProbePrune partition pruning: the anti-join sits above the
+    *     scan, so the probed-bucket literal filters still push down
+    *     to parquet PartitionFilters (spec-pinned). For the GRAPH,
+    *     edges are masked in BOTH directions (src and dst — the
+    *     back-edge mirror is what made deleted nodes findable) and
+    *     the driver-side entry points are filtered, so a deleted node
+    *     is neither returned nor routed through; connectivity THROUGH
+    *     a deleted node is lost until the next rebuild, the strict
+    *     removal semantics a takedown requires.
+    *  3. The next compaction ([[compactAnn]]/[[compactKnn]]) applies
+    *     the mask PHYSICALLY — the rewritten generation contains
+    *     neither the deleted rows nor a tombstone table. For the text
+    *     index the physical drop is the [[writeText]] rebuild; until
+    *     then postings are masked at load and the df/idf/corpus stats
+    *     serve stale (the deleted-docs-visible-in-stats behavior
+    *     every lexical index has between compactions, documented).
+    *
+    * Deleting a vector that seeded the FROZEN structure (a
+    * centroid-sample or entry-point id) removes the servable ROW but
+    * not the derived structure — centroid vectors are trained
+    * aggregates, retained until the next rebuild, exactly like a
+    * model trained before the takedown. Re-inserting a deleted id
+    * requires a compaction first (the tombstone wins over a later
+    * append until physically dropped — documented). */
+  private val TombBuckets = 32
+
+  private val tombSchema = StructType(Seq(
+    StructField("n_id", LongType),
+    StructField("db", IntegerType)))
+
+  private def writeTombstones(ids: DataFrame, dir: String,
+      idCol: String): Unit = {
+    val spark = ids.sparkSession
+    val gen = currentGen(spark, dir)
+    ids.select(col(idCol).cast("long").as("n_id")).distinct()
+      .withColumn("db", pmod(xxhash64(col("n_id")), lit(TombBuckets)).cast("int"))
+      .repartition(col("db"))
+      .write.mode("append").partitionBy("db")
+      .parquet(tableDirAt(dir, gen, "tombstones"))
+  }
+
+  /** The generation's tombstone id table, if any deletes happened. */
+  private def tombstonesAt(spark: SparkSession, dir: String,
+      gen: Option[Int]): Option[DataFrame] = {
+    val path = tableDirAt(dir, gen, "tombstones")
+    if (!fs(spark, dir).exists(new org.apache.hadoop.fs.Path(path))) None
+    else Some(spark.read.schema(tombSchema).parquet(path).select("n_id"))
+  }
+
+  /** Mask `df` against the tombstones (broadcast anti-join on the
+    * bounded deletion set); identity when no deletes happened, so an
+    * undeleted artifact's plans are byte-identical to pre-round-15. */
+  private def maskDeleted(df: DataFrame, idCol: String,
+      tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(df)(t => df.join(
+      broadcast(t.withColumnRenamed("n_id", idCol)), Seq(idCol), "left_anti"))
+
+  /** Tombstone vectors in the ANN artifact — masked from every load
+    * from now on, physically dropped at the next [[compactAnn]]. */
+  def deleteAnn(ids: DataFrame, dir: String): Unit =
+    writeTombstones(ids, dir, "vec_id")
+
+  /** Tombstone nodes in the graph artifact — nodes, both edge
+    * directions, and entry points masked from every load, physically
+    * dropped at the next [[compactKnn]]. */
+  def deleteKnn(ids: DataFrame, dir: String): Unit =
+    writeTombstones(ids, dir, "vec_id")
+
+  /** Tombstone documents in the text artifact — postings masked from
+    * every load; df/idf/stats serve stale until the next
+    * [[writeText]] rebuild (see the tombstone doc above). */
+  def deleteText(ids: DataFrame, dir: String): Unit =
+    writeTombstones(ids, dir, "doc_id")
 
   def ensureAnn(corpus: DataFrame, dir: String,
       nCentroids: Int = SimilarityOps.IvfCentroids): Unit =
@@ -292,8 +395,12 @@ object IndexStore {
       midCompaction: () => Unit = () => ()): Unit = {
     val cur = currentGen(spark, dir)
     val (gen, root) = nextGenRoot(spark, dir)
-    spark.read.schema(annAssignSchema)
-      .parquet(tableDirAt(dir, cur, "assign"))
+    // tombstoned rows are dropped PHYSICALLY here: the rewritten
+    // generation carries neither them nor a tombstone table
+    maskDeleted(
+      spark.read.schema(annAssignSchema)
+        .parquet(tableDirAt(dir, cur, "assign")),
+      "n_id", tombstonesAt(spark, dir, cur))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$root/assign")
@@ -325,8 +432,10 @@ object IndexStore {
       gen: Option[Int]): AnnIndex =
     AnnIndex(
       loadCentroidsAt(spark, tableDirAt(dir, gen, "centroids")),
-      spark.read.schema(annAssignSchema)
-        .parquet(tableDirAt(dir, gen, "assign")))
+      maskDeleted(
+        spark.read.schema(annAssignSchema)
+          .parquet(tableDirAt(dir, gen, "assign")),
+        "n_id", tombstonesAt(spark, dir, gen)))
 
   // ----------------------------------------------------- attribution
 
@@ -466,9 +575,13 @@ object IndexStore {
   private[graft] def loadTextAt(spark: SparkSession, dir: String,
       gen: Option[Int]): TextIndex = {
     val st = spark.read.parquet(tableDirAt(dir, gen, "stats")).first()
+    // postings masked; df/idf/stats serve stale until the next
+    // writeText rebuild (see the tombstone doc)
     TextIndex(
-      spark.read.schema(textPostingsSchema)
-        .parquet(tableDirAt(dir, gen, "postings")),
+      maskDeleted(
+        spark.read.schema(textPostingsSchema)
+          .parquet(tableDirAt(dir, gen, "postings")),
+        "doc_id", tombstonesAt(spark, dir, gen)),
       spark.read.schema(textTermsSchema)
         .parquet(tableDirAt(dir, gen, "terms")),
       st.getLong(0), st.getLong(1))
@@ -605,8 +718,15 @@ object IndexStore {
   def compactKnn(spark: SparkSession, dir: String,
       midCompaction: () => Unit = () => ()): Unit = {
     val cur = currentGen(spark, dir)
-    val nodes = spark.read.schema(knnNodesSchema)
-      .parquet(tableDirAt(dir, cur, "nodes"))
+    val tomb = tombstonesAt(spark, dir, cur)
+    // tombstoned nodes drop PHYSICALLY here; their edges (both
+    // directions) vanish through the rescore's inner joins against
+    // the masked node store, and the entry rewrite filters them too —
+    // the new generation carries no tombstone table
+    val nodes = maskDeleted(
+      spark.read.schema(knnNodesSchema)
+        .parquet(tableDirAt(dir, cur, "nodes")),
+      "node", tomb)
     val edges = spark.read.schema(knnEdgesSchema)
       .parquet(tableDirAt(dir, cur, "edges"))
     val (gen, root) = nextGenRoot(spark, dir)
@@ -629,7 +749,8 @@ object IndexStore {
       .repartition(col("nb"))
       .write.mode("overwrite").partitionBy("nb")
       .parquet(s"$root/nodes")
-    spark.read.parquet(tableDirAt(dir, cur, "entries"))
+    maskDeleted(spark.read.parquet(tableDirAt(dir, cur, "entries")),
+        "node", tomb)
       .write.mode("overwrite").parquet(s"$root/entries")
     midCompaction()
     commitGen(spark, dir, gen)
@@ -650,13 +771,20 @@ object IndexStore {
     loadKnnAt(spark, dir, currentGen(spark, dir))
 
   private[graft] def loadKnnAt(spark: SparkSession, dir: String,
-      gen: Option[Int]): KnnIndex =
+      gen: Option[Int]): KnnIndex = {
+    val tomb = tombstonesAt(spark, dir, gen)
     KnnIndex(
-      spark.read.parquet(tableDirAt(dir, gen, "entries"))
+      maskDeleted(spark.read.parquet(tableDirAt(dir, gen, "entries")),
+          "node", tomb)
         .orderBy("node").collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq,
-      spark.read.schema(knnEdgesSchema)
-        .parquet(tableDirAt(dir, gen, "edges")),
-      spark.read.schema(knnNodesSchema)
-        .parquet(tableDirAt(dir, gen, "nodes")))
+      maskDeleted(maskDeleted(
+          spark.read.schema(knnEdgesSchema)
+            .parquet(tableDirAt(dir, gen, "edges")),
+          "src", tomb), "dst", tomb),
+      maskDeleted(
+        spark.read.schema(knnNodesSchema)
+          .parquet(tableDirAt(dir, gen, "nodes")),
+        "node", tomb))
+  }
 }

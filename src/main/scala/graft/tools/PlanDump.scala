@@ -273,6 +273,10 @@ object PlanDump {
     // generation (three build jobs composed — the honest cost of the
     // full maintenance cycle, slope-measured)
     "serve_graph_index_compact", "serve_ann_index_compact",
+    // round-15 DELETE lifecycle: tombstone mask read back through the
+    // serving load — the anti-join must sit ABOVE the bucketed scans
+    // (partition pruning survives the mask, spec-pinned)
+    "serve_ann_index_delete", "serve_graph_index_delete",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimilarityOps
+import graft.serving.IndexStore
+import graft.streaming.{StreamAnnServe, StreamBm25Serve, StreamGraphServe}
+
+/** The index DELETE lifecycle (tombstones): takedown/decontamination
+  * must remove rows from ALREADY-BUILT serving artifacts without a
+  * full rebuild — tombstones masked at every load, physically dropped
+  * at the next compaction. Pinned here:
+  *   - ANN serve-after-delete ≡ rebuild-without-deleted, row for row
+  *     (deletion ids chosen ≥ the centroid sample so the frozen
+  *     structure is identical both ways)
+  *   - graph: deleted nodes are neither returned nor reachable (both
+  *     edge directions masked, entry points filtered)
+  *   - mask ≡ physical drop: compaction removes the rows AND the
+  *     tombstone table, serving identically
+  *   - the mask does not defeat the serve-side partition pruning
+  *   - text: the dedup_decontaminate flagged set deletes cleanly from
+  *     the lexical index (the verdict's deletion-set reuse)
+  */
+class IndexDeleteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val emb = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private val qPred = col("vec_id") % 25 === 0
+
+  private def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  private def fresh(name: String): String = {
+    val dir = IndexStore.scratchDir(s"spec_del_$name", name)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    dir
+  }
+
+  test("ANN: serve-after-delete ≡ rebuild-without-deleted row for row; " +
+    "compaction drops the rows and the tombstone table physically and " +
+    "serves identically") {
+    // deletion ids ≥ the centroid sample → the rebuild trains the SAME
+    // frozen centroids, making the equivalence exact
+    val delPred = col("vec_id") % 5 === 4 &&
+      col("vec_id") >= SimilarityOps.IvfCentroids
+    val nDel = emb.filter(delPred).count()
+    assert(nDel > 0)
+    val dir = fresh("ann")
+    IndexStore.writeAnn(emb, dir, SimilarityOps.IvfCentroids)
+    IndexStore.deleteAnn(emb.filter(delPred).select("vec_id"), dir)
+    val masked = IndexStore.loadAnn(spark, dir)
+    val delIds = emb.filter(delPred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(masked.assign.select("n_id").collect()
+      .forall(r => !delIds(r.getLong(0))), "deleted ids masked from assign")
+    val q = emb.filter(qPred).select(col("vec_id"), col("embedding"))
+    val servedDel = asTuples(StreamAnnServe.serveTopK(q, masked).collect())
+    val rebuildDir = fresh("ann_rebuild")
+    IndexStore.writeAnn(emb.filter(!delPred), rebuildDir,
+      SimilarityOps.IvfCentroids)
+    val servedRebuild = asTuples(StreamAnnServe.serveTopK(q,
+      IndexStore.loadAnn(spark, rebuildDir)).collect())
+    assert(servedDel.nonEmpty && servedDel == servedRebuild,
+      "serve-after-delete ≡ rebuild-without-deleted, row for row")
+    // physical drop at compaction
+    val nSurvivors = masked.assign.count()
+    IndexStore.compactAnn(spark, dir)
+    assert(!new java.io.File(
+      IndexStore.tableDir(spark, dir, "tombstones")).exists(),
+      "the compacted generation carries no tombstone table")
+    val compacted = IndexStore.loadAnn(spark, dir)
+    assert(compacted.assign.count() == nSurvivors,
+      "compaction physically dropped exactly the tombstoned rows")
+    assert(asTuples(StreamAnnServe.serveTopK(q, compacted).collect())
+      == servedDel, "mask ≡ physical drop at serve time")
+  }
+
+  test("graph: deleted nodes are neither returned nor reachable — nodes, " +
+    "BOTH edge directions, and entry points masked; mask ≡ compacted " +
+    "physical drop row for row") {
+    val delPred = SimilarityOps.graphDeletePred  // includes entry ids (3)
+    val dir = fresh("knn")
+    IndexStore.writeKnn(emb, dir)
+    val entriesBefore = IndexStore.loadKnn(spark, dir).entries.map(_._1).toSet
+    IndexStore.deleteKnn(emb.filter(delPred).select("vec_id"), dir)
+    val delIds = emb.filter(delPred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(entriesBefore.exists(delIds),
+      "the deletion split must cover at least one entry point")
+    val idx = IndexStore.loadKnn(spark, dir)
+    assert(idx.entries.forall(e => !delIds(e._1)), "entry points filtered")
+    assert(idx.nodes.select("node").collect()
+      .forall(r => !delIds(r.getLong(0))), "node store masked")
+    val edges = idx.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty &&
+      edges.forall(e => !delIds(e._1) && !delIds(e._2)),
+      "no edge touches a deleted node in either direction")
+    val q = emb.filter(qPred).select(col("vec_id"), col("embedding"))
+    val servedDel = asTuples(StreamGraphServe.serveTopK(q, idx).collect())
+    assert(servedDel.nonEmpty &&
+      servedDel.forall(t => !delIds(t._2)), "deleted ids never served")
+    // compaction: physical drop, identical serve
+    IndexStore.compactKnn(spark, dir)
+    assert(!new java.io.File(
+      IndexStore.tableDir(spark, dir, "tombstones")).exists(),
+      "the compacted generation carries no tombstone table")
+    val after = IndexStore.loadKnn(spark, dir)
+    assert(after.nodes.select("node").collect()
+      .forall(r => !delIds(r.getLong(0))))
+    assert(asTuples(StreamGraphServe.serveTopK(q, after).collect())
+      == servedDel, "mask ≡ physical drop at serve time")
+  }
+
+  test("the tombstone mask does NOT defeat the serve-side partition " +
+    "pruning: frontier scans still carry literal sb/nb PartitionFilters " +
+    "under the anti-join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val dir = fresh("knn_prune")
+    IndexStore.writeKnn(emb, dir)
+    IndexStore.deleteKnn(
+      emb.filter(SimilarityOps.graphDeletePred).select("vec_id"), dir)
+    val idx = IndexStore.loadKnn(spark, dir)
+    val frontier = Seq((0L, 25L), (0L, 150L)).toDF("q_id", "node")
+    val df = StreamGraphServe.expandFrontier(frontier, idx)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("/edges"))
+        => f
+    }
+    assert(scans.nonEmpty, "the masked serve still scans the edge artifact")
+    scans.foreach { f =>
+      val static = f.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      assert(static.nonEmpty &&
+        static.exists(_.references.exists(_.name == "sb")),
+        s"edge scan must keep its literal sb filter, got ${f.partitionFilters}")
+      val pruned = f.relation.location.listFiles(static, Nil).length
+      val total = f.relation.location.listFiles(Nil, Nil).length
+      assert(pruned <= 2 && pruned < total,
+        s"a 2-node frontier must read <= 2 edge buckets, got $pruned of $total")
+    }
+  }
+
+  test("text: the dedup_decontaminate flagged set deletes from the lexical " +
+    "index — postings masked, contaminated docs never served") {
+    val evalPred = col("doc_id") % 50 === 0
+    val flagged = graft.ops.DedupOps.decontaminate(
+        docs.filter(!evalPred), docs.filter(evalPred))
+      .filter(col("contaminated")).select("doc_id")
+    val delIds = flagged.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty, "the decontaminate split must flag documents")
+    val dir = fresh("text")
+    IndexStore.writeText(docs, dir)
+    IndexStore.deleteText(flagged, dir)
+    val idx = IndexStore.loadText(spark, dir)
+    assert(idx.postings.select("doc_id").distinct().collect()
+      .forall(r => !delIds(r.getLong(0))), "postings masked")
+    // serve with terms drawn from a contaminated doc: it must not return
+    val sample = docs.filter(col("doc_id").isin(delIds.take(3).toSeq: _*))
+      .select(col("doc_id").as("q_id"),
+        graft.ops.TextOps.tokens(col("text")).as("terms"))
+    val served = StreamBm25Serve.serveTopK(sample, idx).collect()
+    assert(served.nonEmpty, "other docs still serve")
+    assert(served.forall(r => !delIds(r.getLong(1))),
+      "a contaminated doc is never served, even for its own text")
+  }
+}
