@@ -756,6 +756,95 @@ object IndexStore {
     commitGen(spark, dir, gen)
   }
 
+  // ------------------------------------------------ layered kNN graph
+
+  /** A loaded LAYERED graph serving index (HNSW shape, round 15):
+    * `entries` = the top layer's members plus the first-
+    * [[graft.ops.SimilarityOps.LayerEntryK]] fallback vectors WITH
+    * their embeddings (a bounded table scored distributively per
+    * batch — never driver-collected, because its size is governed by
+    * the depth knob, not guaranteed small); `edges` = per-layer
+    * MIRRORED kNN edges at the layered degree
+    * [[graft.ops.SimilarityOps.LayerK]], partitioned by (layer, sb)
+    * so a hop reads exactly its layer's frontier buckets; `nodes` =
+    * the nb-bucketed vector store ([[writeKnn]]'s layout). */
+  final case class LayeredIndex(entries: DataFrame, edges: DataFrame,
+      nodes: DataFrame)
+
+  def ensureKnnLayered(corpus: DataFrame, dir: String): Unit =
+    once(dir)(writeKnnLayered(corpus, dir))
+
+  /** Build + persist the layered graph index: one [[graft.ops
+    * .SimilarityOps.knnGraph]] build per layer over the md5-sampled
+    * member sets (layer 0 = the corpus; E[|layer ℓ|] = N/16^ℓ),
+    * mirrored (both directions — the NSW linking rule; degree ≤
+    * 2·LayerK), all layers in ONE (layer, sb)-partitioned table.
+    * Layer-0 dominates the build cost; the upper layers are
+    * geometrically cheaper. Generation-manifest committed like every
+    * artifact here. */
+  def writeKnnLayered(corpus: DataFrame, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val (gen, root) = nextGenRoot(spark, dir)
+    (0 to SimilarityOps.GraphLayers).map { l =>
+        val members = if (l == 0) corpus
+          else corpus.filter(SimilarityOps.layerMemberPred(l))
+        SimilarityOps.mirroredEdges(SimilarityOps.knnGraph(
+            members, SimilarityOps.LayerK))
+          .select(lit(l).as("layer"), col("src"), col("dst"),
+            nodeBucket(col("src")).as("sb"))
+      }.reduce(_ unionByName _)
+      .repartition(col("layer"), col("sb"))
+      .write.mode("overwrite").partitionBy("layer", "sb")
+      .parquet(s"$root/ledges")
+    corpus
+      .filter(SimilarityOps.layerMemberPred(SimilarityOps.GraphLayers)
+        || col("vec_id") < SimilarityOps.LayerEntryK)
+      .select(col("vec_id").as("node"), col("embedding").as("e_emb"),
+        norm(col("embedding")).as("e_nrm"))
+      .filter(definedNrm(col("e_nrm")))
+      .write.mode("overwrite").parquet(s"$root/lentries")
+    corpus
+      .select(col("vec_id").as("node"), col("embedding").as("n_emb"),
+        norm(col("embedding")).as("n_nrm"))
+      .filter(definedNrm(col("n_nrm")))
+      .withColumn("nb", nodeBucket(col("node")))
+      .repartition(col("nb"))
+      .write.mode("overwrite").partitionBy("nb").parquet(s"$root/lnodes")
+    commitGen(spark, dir, gen)
+  }
+
+  private val layeredEdgesSchema = StructType(Seq(
+    StructField("src", LongType),
+    StructField("dst", LongType),
+    StructField("layer", IntegerType),
+    StructField("sb", IntegerType)))
+
+  private val layeredEntriesSchema = StructType(Seq(
+    StructField("node", LongType),
+    StructField("e_emb", ArrayType(FloatType)),
+    StructField("e_nrm", DoubleType)))
+
+  def loadKnnLayered(spark: SparkSession, dir: String): LayeredIndex =
+    loadKnnLayeredAt(spark, dir, currentGen(spark, dir))
+
+  private[graft] def loadKnnLayeredAt(spark: SparkSession, dir: String,
+      gen: Option[Int]): LayeredIndex = {
+    val tomb = tombstonesAt(spark, dir, gen)
+    LayeredIndex(
+      maskDeleted(
+        spark.read.schema(layeredEntriesSchema)
+          .parquet(tableDirAt(dir, gen, "lentries")),
+        "node", tomb),
+      maskDeleted(maskDeleted(
+          spark.read.schema(layeredEdgesSchema)
+            .parquet(tableDirAt(dir, gen, "ledges")),
+          "src", tomb), "dst", tomb),
+      maskDeleted(
+        spark.read.schema(knnNodesSchema)
+          .parquet(tableDirAt(dir, gen, "lnodes")),
+        "node", tomb))
+  }
+
   private val knnEdgesSchema = StructType(Seq(
     StructField("src", LongType),
     StructField("dst", LongType),

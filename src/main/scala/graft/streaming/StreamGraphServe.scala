@@ -112,6 +112,98 @@ object StreamGraphServe {
         round(col("col.sim"), 6).as("sim"))
   }
 
+  /** One hop over the LAYERED edge artifact: the literal `layer`
+    * filter plus the frontier's `sb` bucket prune both land as
+    * parquet PartitionFilters (the table is partitioned by
+    * (layer, sb) — spec-pinned). */
+  private[graft] def expandLayer(frontier: DataFrame, edges: DataFrame,
+      layer: Int): DataFrame = {
+    val pruned = graft.serving.ProbePrune.scan(
+      edges.filter(col("layer") === layer), "sb",
+      frontier.select(IndexStore.nodeBucket(col("node")).as("sb")))
+    frontier.join(pruned, frontier("node") === pruned("src"))
+      .select(col("q_id"), col("dst").as("node"))
+  }
+
+  /** [[scoreFrontier]] against an explicit node store (the layered
+    * artifact's lnodes). */
+  private[graft] def scoreNodes(frontier: DataFrame, q: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val pruned = graft.serving.ProbePrune.scan(nodes, "nb",
+      frontier.select(IndexStore.nodeBucket(col("node")).as("nb")))
+    frontier.join(pruned, "node")
+      .join(q, "q_id")
+      .withColumn("sim",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .select(col("q_id"), col("node"), col("sim"))
+  }
+
+  /** Serve the LAYERED (HNSW-shape) search from the persisted layered
+    * artifact ([[IndexStore.writeKnnLayered]]): score the bounded
+    * entry table (top-layer members + fallback), greedy-descend the
+    * upper layers ([[SimilarityOps.LayerHops]] narrowing expansions
+    * each, the last widened to the beam), then the committed
+    * [[SimilarityOps.GraphHops]]-hop beam at layer 0 — [[SimilarityOps
+    * .graphLayeredSearch]]'s loop, bucket-pruned per hop and ranked
+    * through the map-side TopKSimAgg partial aggregator (window-free,
+    * the [[serveTopK]] discipline). Must reproduce the in-plan
+    * operator row for row (spec-pinned). */
+  def serveLayeredTopK(queries: DataFrame, index: IndexStore.LayeredIndex,
+      k: Int = 10, beam: Int = SimilarityOps.GraphBeam,
+      seedK: Int = SimilarityOps.GraphSeeds,
+      hops: Int = SimilarityOps.GraphHops,
+      layers: Int = SimilarityOps.GraphLayers,
+      layerHops: Int = SimilarityOps.LayerHops): DataFrame = {
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .filter(definedNrm(col("q_nrm")))
+      .localCheckpoint(eager = false)
+    val entry = index.entries.join(q, lit(true))
+      .withColumn("sim",
+        dot(col("q_emb"), col("e_emb")) / (col("q_nrm") * col("e_nrm")))
+      .select(col("q_id"), col("node"), col("sim"))
+      .localCheckpoint(eager = false)
+    def topOf(scored: DataFrame, keep: Int): DataFrame = {
+      val agg = udaf(new graft.functions.TopKSimAgg(keep))
+      scored.groupBy("q_id").agg(agg(col("node"), col("sim")).as("top"))
+        .select(col("q_id"), explode(col("top.n_id")).as("node"))
+    }
+    var carry = topOf(entry, seedK).localCheckpoint(eager = false)
+    var visited = entry.select("q_id", "node")
+    for (l <- layers to 1 by -1; s <- 1 to layerHops) {
+      val cand = carry
+        .unionByName(expandLayer(carry, index.edges, l))
+        .distinct()
+        .localCheckpoint(eager = false)
+      visited = visited.unionByName(cand)
+      val keep = if (l == 1 && s == layerHops) math.max(seedK, beam)
+        else seedK
+      carry = topOf(scoreNodes(cand, q, index.nodes), keep)
+        .localCheckpoint(eager = false)
+    }
+    var frontier = carry
+    for (h <- 1 to hops) {
+      val hop = expandLayer(frontier, index.edges, 0).distinct()
+        .localCheckpoint(eager = false)
+      visited = visited.unionByName(hop)
+      frontier = if (h < hops)
+        topOf(scoreNodes(hop, q, index.nodes), beam)
+          .localCheckpoint(eager = false)
+      else hop
+    }
+    val gathered = visited
+      .filter(col("node") =!= col("q_id")).distinct()
+      .localCheckpoint(eager = false)
+    val topK = udaf(new graft.functions.TopKSimAgg(k))
+    scoreNodes(gathered, q, index.nodes)
+      .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.sim"), 6).as("sim"))
+  }
+
   /** The streaming serve: every micro-batch of query vectors runs
     * through [[serveTopK]] against the SAME loaded index (foreachBatch
     * — the frontier-bucket prunes are literal filters derived from

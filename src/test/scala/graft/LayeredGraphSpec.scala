@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimilarityOps
+import graft.serving.IndexStore
+import graft.streaming.StreamGraphServe
+
+/** The LAYERED (HNSW-shape) graph serving rung: hash-sampled upper
+  * layers with mirrored degree-[[SimilarityOps.LayerK]] kNN edges,
+  * greedy descent, committed beam at layer 0. Pinned here:
+  *   - artifact serve ≡ the in-plan operator, row for row
+  *   - the measured ladder entry: ≥ 0.8 recall@10 at ≤ 5 % of the
+  *     corpus scanned on a hierarchically-clustered corpus (the
+  *     structure real embedding corpora have; the driver's synthetic
+  *     embeddings are iid noise, where recall at fraction f scanned
+  *     is bounded near f for EVERY sublinear index — measured and
+  *     documented in SURVEY §2.4)
+  *   - the flat rung (committed degree 5, first-K entry scan) stays
+  *     strictly below the layered rung on the same corpus/budget
+  *   - hop scans carry literal (layer, sb) PartitionFilters
+  *   - tombstone deletes mask the layered artifact too */
+class LayeredGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val emb = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+  private val pred = col("vec_id") % 25 === 0
+
+  /** Hierarchically-clustered corpus: 6×6×6 nested gaussian clusters,
+    * ids permuted (the first-K entry convention assumes id-random
+    * corpora, true of the driver tables). */
+  private lazy val hier: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 64; val b = 6; val nPer = 14
+    val l1 = Array.fill(b)(Array.fill(dim)(rnd.nextGaussian()))
+    val l2 = l1.flatMap(c => Array.fill(b)(c.map(_ + 0.6 * rnd.nextGaussian())))
+    val l3 = l2.flatMap(c => Array.fill(b)(c.map(_ + 0.4 * rnd.nextGaussian())))
+    val pts = l3.flatMap { c =>
+      Array.fill(nPer)(c.map(x => (x + 0.12 * rnd.nextGaussian()).toFloat))
+    }
+    val perm = rnd.shuffle(pts.indices.toList)
+    perm.zipWithIndex.map { case (p, id) => (id.toLong, pts(p)) }
+      .toDF("vec_id", "embedding")
+  }
+
+  private def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  private def fresh(name: String): String = {
+    val dir = IndexStore.scratchDir(s"spec_layered_$name", "lknn")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    dir
+  }
+
+  test("artifact serve ≡ in-plan graphLayeredTopK row for row (same layer " +
+    "sampling, descent, beam, ties — through a parquet roundtrip)") {
+    val want = asTuples(
+      SimilarityOps.graphLayeredTopK(emb, pred).collect())
+    val dir = fresh("eq")
+    IndexStore.writeKnnLayered(emb, dir)
+    val got = asTuples(StreamGraphServe.serveLayeredTopK(
+      emb.filter(pred).select(col("vec_id"), col("embedding")),
+      IndexStore.loadKnnLayered(spark, dir)).collect())
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("measured ladder entry: >= 0.8 recall@10 at <= 5% scanned on the " +
+    "hierarchical corpus, served from the artifact with DEFAULT params; " +
+    "the flat rung stays below on the same corpus") {
+    val n = hier.count()
+    val qp = SimilarityOps.servingQueryPred(hier)
+    val nQ = hier.filter(qp).count()
+    val exact = SimilarityOps.bruteForceTopK(hier, qp)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = fresh("recall")
+    IndexStore.writeKnnLayered(hier, dir)
+    val idx = IndexStore.loadKnnLayered(spark, dir)
+    val served = StreamGraphServe.serveLayeredTopK(
+        hier.filter(qp).select(col("vec_id"), col("embedding")), idx)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = served.intersect(exact).size.toDouble / exact.size
+    // scanned = distinct scored nodes per query, from the in-plan
+    // twin's visited frame (serve ≡ in-plan is pinned above)
+    val (_, visited) = SimilarityOps.graphLayeredSearch(
+      hier, qp, 10, SimilarityOps.GraphBeam, SimilarityOps.GraphSeeds,
+      SimilarityOps.GraphHops, SimilarityOps.GraphLayers)
+    val scanned = visited.count().toDouble / nQ / n
+    info(f"layered: recall=$recall%.3f scanned=${scanned * 100}%.1f%% " +
+      f"(corpus $n, $nQ queries)")
+    assert(recall >= 0.8, s"layered recall $recall must reach 0.8")
+    assert(scanned <= 0.05, s"layered scan fraction $scanned must be <= 5%")
+    val flat = SimilarityOps.graphTopK(hier, qp)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flatRecall = flat.intersect(exact).size.toDouble / exact.size
+    info(f"flat rung on the same corpus: recall=$flatRecall%.3f")
+    assert(flatRecall < recall,
+      "the layered rung must beat the flat rung on structured data")
+  }
+
+  test("hop scans carry literal (layer, sb) PartitionFilters — the layer " +
+    "and the frontier's buckets both prune the (layer, sb)-partitioned " +
+    "edge artifact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val dir = fresh("prune")
+    IndexStore.writeKnnLayered(emb, dir)
+    val idx = IndexStore.loadKnnLayered(spark, dir)
+    val frontier = Seq((0L, 25L), (0L, 150L)).toDF("q_id", "node")
+    val df = StreamGraphServe.expandLayer(frontier, idx.edges, 1)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("/ledges"))
+        => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      val static = f.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      val refs = static.flatMap(_.references.map(_.name)).toSet
+      assert(refs.contains("layer") && refs.contains("sb"),
+        s"expected literal layer+sb filters, got ${f.partitionFilters}")
+      val pruned = f.relation.location.listFiles(static, Nil).length
+      val total = f.relation.location.listFiles(Nil, Nil).length
+      assert(pruned <= 2 && pruned < total,
+        s"a 2-node frontier must read <= 2 (layer,sb) partitions, " +
+          s"got $pruned of $total")
+    }
+  }
+
+  test("tombstone deletes mask the layered artifact: deleted nodes are " +
+    "neither entries, nor edge endpoints, nor served") {
+    val delPred = SimilarityOps.graphDeletePred
+    val dir = fresh("del")
+    IndexStore.writeKnnLayered(emb, dir)
+    IndexStore.deleteKnn(emb.filter(delPred).select("vec_id"), dir)
+    val delIds = emb.filter(delPred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val idx = IndexStore.loadKnnLayered(spark, dir)
+    assert(idx.entries.select("node").collect()
+      .forall(r => !delIds(r.getLong(0))))
+    assert(idx.edges.select("src", "dst").collect()
+      .forall(r => !delIds(r.getLong(0)) && !delIds(r.getLong(1))))
+    val served = StreamGraphServe.serveLayeredTopK(
+      emb.filter(pred).select(col("vec_id"), col("embedding")), idx).collect()
+    assert(served.nonEmpty &&
+      served.forall(r => !delIds(r.getLong(1))))
+  }
+}
