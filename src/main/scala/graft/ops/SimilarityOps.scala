@@ -3158,6 +3158,28 @@ object SimilarityOps {
       graft.streaming.StreamGraphServe.serveTopK(
         e.filter(servingQueryPred(e)).select(col("vec_id"), col("embedding")),
         graft.serving.IndexStore.loadKnn(s, dir)) }),
+    // the LAYERED rung (round 15, HNSW shape): descent through
+    // hash-sampled upper layers from the persisted (layer, sb)-
+    // partitioned artifact; the oracle unrolls build + descent + beam
+    // + gather stage for stage, so one wrong carry/hop breaks the hash
+    "sim_graph_layered_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "lknn")
+      graft.serving.IndexStore.ensureKnnLayered(e, dir)
+      graft.streaming.StreamGraphServe.serveLayeredTopK(
+        e.filter(servingQueryPred(e)).select(col("vec_id"), col("embedding")),
+        graft.serving.IndexStore.loadKnnLayered(s, dir)) }),
+    // the layered artifact's write manifest: per-layer degree
+    // histogram read back from the (layer, sb)-partitioned table —
+    // the oracle recomputes every layer's mirrored member kNN graph
+    "serve_graph_index_layered_write" -> ((s, d) => {
+      val dir = graft.serving.IndexStore.scratchDir(d, "lknn")
+      graft.serving.IndexStore.writeKnnLayered(t(s, d, "embeddings"), dir)
+      graft.serving.IndexStore.loadKnnLayered(s, dir).edges
+        .groupBy(col("layer").cast("long").as("layer"), col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .groupBy("layer", "deg").agg(count(lit(1)).as("n_srcs"),
+          min("src").as("min_src"), max("src").as("max_src"))
+    }),
     // the recall audit scores the SAME artifact-served results the
     // serving query ships (brute-force truth is the audit's own arm)
     "sim_graph_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
@@ -3912,6 +3934,112 @@ object SimilarityOps {
        |$tail""".stripMargin
   }
 
+  /** DuckDB rendering of [[layerMemberPred]] — the same md5 hash the
+    * knncap retention order uses, mod the layer's geometric factor. */
+  private def sqlLayerPred(l: Int, id: String = "vec_id"): String = {
+    val m = (1 to l).foldLeft(1L)((a, _) => a * LayerFactor)
+    s"((('0x' || substr(md5('knnlayer:' || $id::VARCHAR), 1, 15))::BIGINT" +
+      s" % ${TextOps.HashMod}) % $m) = 0"
+  }
+
+  /** DuckDB replay of the LAYERED graph serve ([[graphLayeredSearch]]
+    * / `sim_graph_layered_topk`): one [[knnChainCtes]] per layer over
+    * the md5-sampled member set at degree [[LayerK]], mirrored
+    * (UNION = the engine's union+distinct), then the descent unrolled
+    * stage for stage — entry = top-layer members + fallback, layers ×
+    * [[LayerHops]] expand-and-narrow steps (the last widened to the
+    * beam), [[GraphHops]] hops at layer 0, gather over everything
+    * scored. `mode = "write"` instead rolls the mirrored per-layer
+    * edge tables into the artifact's degree histogram. */
+  private def graphLayeredOracle(mode: String = "topk"): String = {
+    val layers = GraphLayers; val lh = LayerHops; val hops = GraphHops
+    val chains = (0 to layers).map { l =>
+      val corpus = if (l == 0) "embeddings"
+        else s"(SELECT * FROM embeddings WHERE ${sqlLayerPred(l)})"
+      knnChainCtes(corpus, LayerK, s"l$l")
+    }.mkString(",\n")
+    val mirrors = (0 to layers).map { l =>
+      s"""m$l AS (SELECT src, dst FROM l${l}edges
+         |        UNION SELECT dst, src FROM l${l}edges)""".stripMargin
+    }.mkString(",\n")
+    if (mode == "write") {
+      val layerRows = (0 to layers).map(l =>
+        s"  SELECT $l AS layer, src, dst FROM m$l")
+        .mkString("\n  UNION ALL\n")
+      return s"""WITH $chains,
+         |$mirrors,
+         |alle AS (
+         |$layerRows),
+         |deg AS (SELECT layer, src, COUNT(*) AS deg FROM alle GROUP BY 1, 2)
+         |SELECT CAST(layer AS BIGINT) AS layer, CAST(deg AS BIGINT) AS deg,
+         |  COUNT(*)::BIGINT AS n_srcs, MIN(src) AS min_src, MAX(src) AS max_src
+         |FROM deg GROUP BY 1, 2""".stripMargin
+    }
+    def scoreTop(inCte: String, outCte: String, keep: Int): String =
+      s"""${outCte}x AS (
+         |  SELECT i.q_id, i.node,
+         |    ROW_NUMBER() OVER (PARTITION BY i.q_id
+         |      ORDER BY ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) DESC,
+         |               i.node ASC) AS rn
+         |  FROM $inCte i JOIN l0e n ON i.node = n.vec_id
+         |               JOIN q ON i.q_id = q.q_id),
+         |$outCte AS (SELECT q_id, node FROM ${outCte}x WHERE rn <= $keep)"""
+        .stripMargin
+    val descentSteps = (for { l <- (1 to layers).reverse; s <- 1 to lh }
+      yield (l, s)).toList
+    val descent = descentSteps.zipWithIndex.map { case ((l, s), idx) =>
+      val i = idx + 1
+      val keep = if (l == 1 && s == lh) math.max(GraphSeeds, GraphBeam)
+        else GraphSeeds
+      s"""d$i AS (
+         |  SELECT q_id, node FROM c${i - 1}
+         |  UNION SELECT c.q_id, m.dst AS node
+         |        FROM c${i - 1} c JOIN m$l m ON c.node = m.src),
+         |${scoreTop(s"d$i", s"c$i", keep)}""".stripMargin
+    }.mkString(",\n")
+    val nD = descentSteps.size
+    val hopCtes = (1 to hops).map { h =>
+      val src = if (h == 1) s"c$nD" else s"hf${h - 1}"
+      val hop =
+        s"""h$h AS (
+           |  SELECT DISTINCT f.q_id, m.dst AS node
+           |  FROM $src f JOIN m0 m ON f.node = m.src)""".stripMargin
+      if (h < hops) hop + s",\n${scoreTop(s"h$h", s"hf$h", GraphBeam)}"
+      else hop
+    }.mkString(",\n")
+    val visUnion = ((1 to nD).map(i => s"    UNION SELECT q_id, node FROM d$i")
+      ++ (1 to hops).map(h => s"    UNION SELECT q_id, node FROM h$h"))
+      .mkString("\n")
+    s"""WITH $chains,
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+       |      FROM l0e WHERE vec_id % $sqlServeMod = 0),
+       |$mirrors,
+       |ent AS (
+       |  SELECT q.q_id, e.vec_id AS node
+       |  FROM q, l0e e
+       |  WHERE ${sqlLayerPred(layers, "e.vec_id")} OR e.vec_id < $LayerEntryK),
+       |${scoreTop("ent", "c0", GraphSeeds)},
+       |$descent,
+       |$hopCtes,
+       |vis AS (
+       |  SELECT DISTINCT q_id, node FROM (
+       |    SELECT q_id, node FROM ent
+       |$visUnion)
+       |  WHERE node != q_id),
+       |gsc AS (
+       |  SELECT v.q_id, v.node AS n_id,
+       |    ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) AS sim
+       |  FROM vis v JOIN l0e n ON v.node = n.vec_id
+       |            JOIN q ON v.q_id = q.q_id),
+       |gr AS (
+       |  SELECT q_id, n_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
+       |      AS rank
+       |  FROM gsc)
+       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+       |FROM gr WHERE rank <= 10""".stripMargin
+  }
+
   /** The seed → (hop/beam)×[[GraphHops]] → gather CTE chain of the
     * graph search, over a caller-supplied `q AS (...)` query CTE —
     * shared by [[graphOracle]] and the append oracle (whose queries
@@ -3976,41 +4104,42 @@ object SimilarityOps {
     * parameterizes the indexed corpus (the append oracle indexes only
     * the pre-append rows; the auto-K scalar subquery tracks the same
     * relation so the entry count matches what writeKnn computed). */
-  private def knnChainCtes(corpusSql: String = "embeddings"): String =
-    s"""e AS (
+  private def knnChainCtes(corpusSql: String = "embeddings",
+      k: Int = KnnK, p: String = ""): String =
+    s"""${p}e AS (
        |  SELECT vec_id, embedding AS emb, ${sqlNrm("embedding")} AS nrm
        |  FROM $corpusSql),
-       |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
-       |         FROM e WHERE vec_id < ${sqlAutoKFrom(corpusSql)}),
-       |asg0 AS (
+       |${p}cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+       |         FROM ${p}e WHERE vec_id < ${sqlAutoKFrom(corpusSql)}),
+       |${p}asg0 AS (
        |  SELECT e.vec_id, cent.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${sqlDot("e.emb", "cent.c_emb")} / (e.nrm * cent.c_nrm) DESC,
        |               cent.cid ASC) AS rn
-       |  FROM e, cent),
-       |asg AS (SELECT vec_id, cid FROM asg0 WHERE rn <= $KnnProbes),
-       |mem AS (
+       |  FROM ${p}e e, ${p}cent cent),
+       |${p}asg AS (SELECT vec_id, cid FROM ${p}asg0 WHERE rn <= $KnnProbes),
+       |${p}mem AS (
        |  SELECT vec_id, cid,
        |    ROW_NUMBER() OVER (PARTITION BY cid
        |      ORDER BY ('0x' || substr(md5('knncap:' || vec_id::VARCHAR), 1, 15))::BIGINT
        |                 % ${TextOps.HashMod} ASC,
        |               vec_id ASC) AS mrn
-       |  FROM asg),
-       |cand AS (
+       |  FROM ${p}asg),
+       |${p}cand AS (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM asg a JOIN mem b
+       |  FROM ${p}asg a JOIN ${p}mem b
        |    ON a.cid = b.cid AND b.mrn <= $KnnCellCap AND a.vec_id != b.vec_id),
-       |sims AS (
+       |${p}sims AS (
        |  SELECT c.src, c.dst,
        |    ${sqlDot("e1.emb", "e2.emb")} / (e1.nrm * e2.nrm) AS sim
-       |  FROM cand c JOIN e e1 ON c.src = e1.vec_id
-       |              JOIN e e2 ON c.dst = e2.vec_id),
-       |edges AS (
+       |  FROM ${p}cand c JOIN ${p}e e1 ON c.src = e1.vec_id
+       |              JOIN ${p}e e2 ON c.dst = e2.vec_id),
+       |${p}edges AS (
        |  SELECT src, dst FROM (
        |    SELECT src, dst,
        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
-       |    FROM sims)
-       |  WHERE rank <= $KnnK)""".stripMargin
+       |    FROM ${p}sims)
+       |  WHERE rank <= $k)""".stripMargin
 
   /** DuckDB replay of [[knnLabelProp]]: the kNN-graph CTE chain (the
     * emb_knn_graph derivation, edges only) + `rounds` unrolled
@@ -4050,6 +4179,8 @@ object SimilarityOps {
     "sim_rq_recall" -> rqOracle(16, 2, 16, 2, OracleDim, 1000000L, "recall"),
     "sim_graph_topk" -> graphOracle("topk"),
     "sim_graph_recall" -> graphOracle("recall"),
+    "sim_graph_layered_topk" -> graphLayeredOracle("topk"),
+    "serve_graph_index_layered_write" -> graphLayeredOracle("write"),
     // graph-artifact manifest: the oracle recomputes the edge table
     // from the parquet truth, so a write/load corruption (dropped
     // edges, drifted types, wrong bucket values) breaks the hash

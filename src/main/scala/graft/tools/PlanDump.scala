@@ -277,6 +277,10 @@ object PlanDump {
     // serving load — the anti-join must sit ABOVE the bucketed scans
     // (partition pruning survives the mask, spec-pinned)
     "serve_ann_index_delete", "serve_graph_index_delete",
+    // round-15 LAYERED rung: the (layer, sb)-partitioned artifact's
+    // build and its descent serve (literal layer+sb PartitionFilters
+    // per hop, spec-pinned)
+    "sim_graph_layered_topk", "serve_graph_index_layered_write",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run
