@@ -3158,6 +3158,18 @@ object SimilarityOps {
       graft.streaming.StreamGraphServe.serveTopK(
         e.filter(servingQueryPred(e)).select(col("vec_id"), col("embedding")),
         graft.serving.IndexStore.loadKnn(s, dir)) }),
+    // metadata-filtered GRAPH search (round 15 — the filtered-DiskANN
+    // shape): the beam search traverses ALL nodes from the persisted
+    // artifact; only the emit stage filters, so the answer is the
+    // true top-k of the matching VISITED set and connectivity
+    // survives selective predicates (every row matches, spec-pinned)
+    "sim_graph_filtered_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "knn")
+      graft.serving.IndexStore.ensureKnn(e, dir)
+      graft.streaming.StreamGraphServe.serveFilteredTopK(
+        e.filter(servingQueryPred(e)).select(col("vec_id"), col("embedding")),
+        graft.serving.IndexStore.loadKnn(s, dir),
+        e.select(col("vec_id"), col("label"))) }),
     // the LAYERED rung (round 15, HNSW shape): descent through
     // hash-sampled upper layers from the persisted (layer, sb)-
     // partitioned artifact; the oracle unrolls build + descent + beam
@@ -3909,6 +3921,19 @@ object SimilarityOps {
       case "topk" =>
         """SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
           |FROM gr WHERE rank <= 10""".stripMargin
+      case "filtered" =>
+        // filtered-DiskANN: the SAME unfiltered visited set (vis/gsc),
+        // ranked over the predicate-matching subset at the emit stage
+        s"""gf AS (
+           |  SELECT g.q_id, g.n_id, CAST(emb.label AS BIGINT) AS n_label,
+           |    g.sim,
+           |    ROW_NUMBER() OVER (PARTITION BY g.q_id
+           |      ORDER BY g.sim DESC, g.n_id ASC) AS rank
+           |  FROM gsc g JOIN embeddings emb ON g.n_id = emb.vec_id
+           |  WHERE CAST(emb.label AS BIGINT) % $FilterLabelMod = 0)
+           |SELECT q_id, n_id, n_label, CAST(rank AS BIGINT) AS rank,
+           |  ROUND(sim, 6) AS sim
+           |FROM gf WHERE rank <= 10""".stripMargin
       case "recall" =>
         s"""gv AS (SELECT q_id, n_id FROM gr WHERE rank <= 10),
            |ex0 AS (
@@ -3928,7 +3953,7 @@ object SimilarityOps {
            |    AS recall_ppm
            |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin
     }
-    val tailSep = if (mode == "recall") "," else ""
+    val tailSep = if (mode == "topk") "" else ","
     s"""WITH ${knnChainCtes()},
        |$gatherCtes$tailSep
        |$tail""".stripMargin
@@ -4181,6 +4206,7 @@ object SimilarityOps {
     "sim_graph_recall" -> graphOracle("recall"),
     "sim_graph_layered_topk" -> graphLayeredOracle("topk"),
     "serve_graph_index_layered_write" -> graphLayeredOracle("write"),
+    "sim_graph_filtered_topk" -> graphOracle("filtered"),
     // graph-artifact manifest: the oracle recomputes the edge table
     // from the parquet truth, so a write/load corruption (dropped
     // edges, drifted types, wrong bucket values) breaks the hash

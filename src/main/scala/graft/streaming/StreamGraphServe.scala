@@ -67,13 +67,12 @@ object StreamGraphServe {
       .select(col("q_id"), col("node"), col("sim"))
   }
 
-  /** Serve the [[SimilarityOps.GraphHops]]-hop beam search for every
-    * query in the BOUNDED frame `queries` (vec_id, embedding) against
-    * the loaded graph index. */
-  def serveTopK(queries: DataFrame, index: KnnIndex, k: Int = 10,
-      beam: Int = SimilarityOps.GraphBeam,
-      seedK: Int = SimilarityOps.GraphSeeds,
-      hops: Int = SimilarityOps.GraphHops): DataFrame = {
+  /** The normalized bounded query frame plus everything the beam
+    * search VISITED — the shared front half of [[serveTopK]] and
+    * [[serveFilteredTopK]] (the filtered serve traverses the SAME
+    * unfiltered frontier, by construction). */
+  private[graft] def gatherVisited(queries: DataFrame, index: KnnIndex,
+      beam: Int, seedK: Int, hops: Int): (DataFrame, DataFrame) = {
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
@@ -100,9 +99,19 @@ object StreamGraphServe {
         .localCheckpoint(eager = false)
       else hop
     }
-    val gathered = visited
+    (q, visited
       .filter(col("node") =!= col("q_id")).distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false))
+  }
+
+  /** Serve the [[SimilarityOps.GraphHops]]-hop beam search for every
+    * query in the BOUNDED frame `queries` (vec_id, embedding) against
+    * the loaded graph index. */
+  def serveTopK(queries: DataFrame, index: KnnIndex, k: Int = 10,
+      beam: Int = SimilarityOps.GraphBeam,
+      seedK: Int = SimilarityOps.GraphSeeds,
+      hops: Int = SimilarityOps.GraphHops): DataFrame = {
+    val (q, gathered) = gatherVisited(queries, index, beam, seedK, hops)
     val topK = udaf(new graft.functions.TopKSimAgg(k))
     scoreFrontier(gathered, q, index)
       .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
@@ -110,6 +119,46 @@ object StreamGraphServe {
       .select(col("q_id"), col("col.n_id").as("n_id"),
         (col("pos") + 1).cast("long").as("rank"),
         round(col("col.sim"), 6).as("sim"))
+  }
+
+  /** METADATA-FILTERED graph serve — the filtered-DiskANN shape: the
+    * beam search traverses ALL nodes (an unfiltered frontier, so
+    * graph connectivity survives arbitrarily selective predicates),
+    * and only the EMIT stage filters — the per-query ranking runs
+    * over the predicate-matching subset of everything visited. This
+    * is strictly better than naive post-filtering (rank, THEN drop
+    * non-matching — silently returns < k whenever the unfiltered
+    * top-k contains ineligible rows) and is the standard answer for
+    * graph indexes, where the IVF variant's pre-filter
+    * ([[graft.ops.SimilarityOps.filteredTopK]] — the metadata rides
+    * the index row) has no equivalent that preserves connectivity.
+    * `labels` is the (vec_id, label) metadata relation, joined ONLY
+    * against the bounded visited set (per-query O(hops·beam·degree)
+    * rows); a production layout denormalizes the label onto the node
+    * store exactly like the IVF assignment struct. Result semantics
+    * are spec-pinned: every row matches the predicate, and per query
+    * the rows are the true top-k of the matching visited set. */
+  def serveFilteredTopK(queries: DataFrame, index: KnnIndex,
+      labels: DataFrame, k: Int = 10,
+      beam: Int = SimilarityOps.GraphBeam,
+      seedK: Int = SimilarityOps.GraphSeeds,
+      hops: Int = SimilarityOps.GraphHops,
+      labelMod: Long = SimilarityOps.FilterLabelMod): DataFrame = {
+    val (q, gathered) = gatherVisited(queries, index, beam, seedK, hops)
+    val lbl = labels.select(col("vec_id").as("node"),
+      col("label").cast("long").as("n_label"))
+    val topK = udaf(new graft.functions.TopKSimAgg(k))
+    scoreFrontier(gathered, q, index)
+      .join(lbl, "node")
+      .filter(col("n_label") % labelMod === 0)
+      .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("node"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.sim"), 6).as("sim"))
+      .join(lbl, "node")
+      .select(col("q_id"), col("node").as("n_id"), col("n_label"),
+        col("rank"), col("sim"))
   }
 
   /** One hop over the LAYERED edge artifact: the literal `layer`

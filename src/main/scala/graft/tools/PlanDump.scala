@@ -281,6 +281,9 @@ object PlanDump {
     // build and its descent serve (literal layer+sb PartitionFilters
     // per hop, spec-pinned)
     "sim_graph_layered_topk", "serve_graph_index_layered_write",
+    // round-15 filtered graph serve: emit-stage label filter over the
+    // unfiltered bucket-pruned traversal
+    "sim_graph_filtered_topk",
     // the 9 reference-core fixture stages: cheap individually, but
     // their plan shape IS the reference pipeline — a silently lost
     // broadcast or extra exchange here regresses every pipe_* run

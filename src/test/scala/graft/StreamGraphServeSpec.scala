@@ -252,6 +252,40 @@ class StreamGraphServeSpec extends AnyFunSuite {
       "the failed commit GC'd nothing — gen 0 intact")
   }
 
+  test("filtered serve (filtered-DiskANN shape): traversal is UNFILTERED, " +
+    "every returned row matches the predicate, the rows are the true top-k " +
+    "of the matching VISITED set, and it strictly beats naive post-filter") {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val q = emb.filter(pred).select(col("vec_id"), col("embedding"))
+    val mod = SimilarityOps.FilterLabelMod
+    val got = StreamGraphServe.serveFilteredTopK(q, index, labels).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(2) % mod == 0),
+      "every returned row matches the metadata predicate")
+    // expected: top-10 of the matching subset of the SAME (unfiltered)
+    // visited set — recomputed from the exposed gather
+    val labelMap = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (qn, gathered) = StreamGraphServe.gatherVisited(q, index,
+      SimilarityOps.GraphBeam, SimilarityOps.GraphSeeds,
+      SimilarityOps.GraphHops)
+    val want = StreamGraphServe.scoreFrontier(gathered, qn, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => labelMap(t._2) % mod == 0)
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(10).map(t => (t._1, t._2)).toSeq
+      }.toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == want,
+      "the answer is the true top-k of the matching visited set")
+    // naive post-filter (rank THEN drop) silently returns fewer
+    // matching rows whenever the unfiltered top-k holds ineligible ones
+    val naive = StreamGraphServe.serveTopK(q, index).collect()
+      .count(r => labelMap(r.getLong(1)) % mod == 0)
+    info(s"filtered rows ${got.length} vs naive post-filter $naive")
+    assert(naive < got.length,
+      "emit-stage filtering must beat naive post-filter on this corpus")
+  }
+
   test("serveStreamFrom: a generation committed BETWEEN micro-batches is " +
     "served from the next batch on (per-batch manifest re-resolve), while " +
     "the earlier batch's answers stand on the generation they started with") {
