@@ -3,7 +3,7 @@ package graft.serving
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{DedupOps, SimilarityOps}
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
 import graft.ops.SimilarityOps.{definedNrm, norm}
 
 /** PHYSICAL serving-index artifacts — the offline half of the
@@ -658,10 +658,12 @@ object IndexStore {
     * links two vectors of the SAME batch (sequential insertion would
     * link later vectors to earlier ones). Near-duplicate pairs
     * arriving in one batch are therefore mutually invisible until the
-    * next [[writeKnn]] rebuild or a caller-chosen sub-batch split
-    * (append in id-ordered slices if intra-batch linkage matters) —
-    * the spec's findability test measures this honestly (appended
-    * nodes reachable through back-edges, not through batch-mates).
+    * next [[writeKnn]] rebuild, a compaction, or a SLICED append —
+    * the `slices` overload above implements the sub-batch split
+    * (round 15), and the spec plants a same-batch near-dup pair to
+    * pin both behaviors. The findability test measures the slices=1
+    * form honestly (appended nodes reachable through back-edges, not
+    * through batch-mates).
     * In exchange the whole batch is ONE bulk search — |batch|
     * independent serves, embarrassingly parallel — instead of a
     * sequential chain of index mutations, which is the only shape
@@ -670,6 +672,29 @@ object IndexStore {
     * schedule; [[compactKnn]] is that prune). Parquet partitioned
     * appends are directory-additive, so a concurrent serve keeps
     * reading a consistent index. */
+  /** [[appendKnn]]'s SLICED insert mode: the batch is split into
+    * `slices` md5-hash sub-batches, inserted sequentially — each
+    * slice searches the artifact AS OF the previous slice (a fresh
+    * generation-pinned load per slice, reading the directory-additive
+    * appends), so near-duplicate pairs arriving in ONE batch become
+    * mutually linked as long as they land in different slices
+    * (P = 1 − 1/slices per pair; spec-pinned with a planted pair).
+    * Cost: `slices` independent bulk searches over progressively
+    * larger artifacts instead of one — each slice is still
+    * embarrassingly parallel internally, so the 1000-executor ingest
+    * shape survives; the knob trades intra-batch linkage for a
+    * `slices`-deep sequential chain (measured delta in the spec).
+    * slices = 1 is the r14 behavior: one bulk search, batch-mates
+    * never link until the next rebuild/compaction. */
+  def appendKnn(newVecs: DataFrame, dir: String, slices: Int): Unit =
+    if (slices <= 1) appendKnn(newVecs, dir)
+    else (0 until slices).foreach { s =>
+      appendKnn(newVecs.filter(
+        TextOps.strHash(concat(lit("knnslice:"),
+          col("vec_id").cast("string"))).mod(lit(slices.toLong)) === s),
+        dir)
+    }
+
   def appendKnn(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
     // resolve the generation ONCE; load paths and write paths both

@@ -120,6 +120,60 @@ class StreamGraphServeSpec extends AnyFunSuite {
       "most appended nodes must be findable through back-edges (measured 8/8)")
   }
 
+  test("sliced append: a near-dup pair planted in ONE batch gets NO mutual " +
+    "edge with slices=1 (the documented bulk trade-off) and a direct " +
+    "edge + mirror with slices=2, both findable; cost delta measured") {
+    import spark.implicits._
+    val x = emb.filter(col("vec_id") === 10)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    // two fresh ids landing in DIFFERENT md5 slices (the split the
+    // sliced append uses), both carrying x's exact vector
+    val sliceOf = (2000001L to 2000100L).toDF("vec_id")
+      .select(col("vec_id"), graft.ops.TextOps.strHash(
+        concat(lit("knnslice:"), col("vec_id").cast("string")))
+        .mod(lit(2L)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val idA = sliceOf.find(_._2 == 0L).get._1
+    val idB = sliceOf.find(_._2 == 1L).get._1
+    val batch = Seq((idA, x), (idB, x))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val pair = Set(idA, idB)
+    def pairEdges(dir: String): Set[(Long, Long)] =
+      IndexStore.loadKnn(spark, dir).edges.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(e => pair(e._1) && pair(e._2)).toSet
+    val d1 = IndexStore.scratchDir("spec_knn_slice1", "knn")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d1))
+    IndexStore.writeKnn(emb, d1)
+    val t1 = System.nanoTime()
+    IndexStore.appendKnn(batch, d1)
+    val plainMs = (System.nanoTime() - t1) / 1000000
+    assert(pairEdges(d1).isEmpty,
+      "slices=1: batch-mates never link (the documented bulk trade-off)")
+    val d2 = IndexStore.scratchDir("spec_knn_slice2", "knn")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d2))
+    IndexStore.writeKnn(emb, d2)
+    val t2 = System.nanoTime()
+    IndexStore.appendKnn(batch, d2, slices = 2)
+    val slicedMs = (System.nanoTime() - t2) / 1000000
+    assert(pairEdges(d2) == Set((idB, idA), (idA, idB)),
+      "slices=2: the later slice links the earlier near-dup directly, " +
+        "with its mirror back-edge")
+    info(s"append cost: slices=1 ${plainMs} ms, slices=2 ${slicedMs} ms " +
+      f"(${slicedMs.toDouble / plainMs}%.2fx)")
+    // mutual findability: each copy's vector (fresh q_id) returns the other
+    val probes = Seq((9000001L, x), (9000002L, x))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val served = StreamGraphServe.serveTopK(probes,
+      IndexStore.loadKnn(spark, d2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(Seq(9000001L, 9000002L).forall(q =>
+      pair.subsetOf(served.filter(_._1 == q).map(_._2).toSet)),
+      "both planted near-dups are served for their shared vector")
+  }
+
   test("compact: every out-degree pruned back to exactly each src's " +
     "top-KnnK by cosine; one file set per bucket; the pruned index serves") {
     val newPred = SimilarityOps.graphAppendPred
