@@ -3180,12 +3180,51 @@ object SimilarityOps {
       graft.streaming.StreamGraphServe.serveLayeredTopK(
         e.filter(servingQueryPred(e)).select(col("vec_id"), col("embedding")),
         graft.serving.IndexStore.loadKnnLayered(s, dir)) }),
+    // the layered rung's recall audit (the serving-ladder discipline:
+    // every rung ships with its accuracy dashboard) — scores the SAME
+    // artifact-served results the serving query ships vs brute force
+    "sim_graph_layered_recall" -> ((s, d) => { val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "lknn")
+      graft.serving.IndexStore.ensureKnnLayered(e, dir)
+      graphRecall(e, servingQueryPred(e), served = Some(
+        graft.streaming.StreamGraphServe.serveLayeredTopK(
+          e.filter(servingQueryPred(e)).select(col("vec_id"), col("embedding")),
+          graft.serving.IndexStore.loadKnnLayered(s, dir)))) }),
     // the layered artifact's write manifest: per-layer degree
     // histogram read back from the (layer, sb)-partitioned table —
     // the oracle recomputes every layer's mirrored member kNN graph
     "serve_graph_index_layered_write" -> ((s, d) => {
       val dir = graft.serving.IndexStore.scratchDir(d, "lknn")
       graft.serving.IndexStore.writeKnnLayered(t(s, d, "embeddings"), dir)
+      graft.serving.IndexStore.loadKnnLayered(s, dir).edges
+        .groupBy(col("layer").cast("long").as("layer"), col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .groupBy("layer", "deg").agg(count(lit(1)).as("n_srcs"),
+          min("src").as("min_src"), max("src").as("max_src"))
+    }),
+    // layered lifecycle, stage 2: HNSW insert with hash-derived levels
+    // (append and rebuild agree on levels by construction; a new
+    // top-layer member becomes an entry point) — the oracle replays
+    // the whole descent per delta vector per layer
+    "serve_graph_index_layered_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "lknn_append")
+      graft.serving.IndexStore.writeKnnLayered(e.filter(!graphAppendPred), dir)
+      graft.serving.IndexStore.appendKnnLayered(e.filter(graphAppendPred), dir)
+      graft.serving.IndexStore.loadKnnLayered(s, dir).edges
+        .groupBy(col("layer").cast("long").as("layer"), col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .groupBy("layer", "deg").agg(count(lit(1)).as("n_srcs"),
+          min("src").as("min_src"), max("src").as("max_src"))
+    }),
+    // layered lifecycle, stage 3: the scheduled per-layer degree prune
+    // (each (layer, src) rewound to its exact-cosine top-LayerK — the
+    // NSW out-degree bound) through a generation commit
+    "serve_graph_index_layered_compact" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "lknn_compact")
+      graft.serving.IndexStore.writeKnnLayered(e, dir)
+      graft.serving.IndexStore.compactKnnLayered(s, dir)
       graft.serving.IndexStore.loadKnnLayered(s, dir).edges
         .groupBy(col("layer").cast("long").as("layer"), col("src"))
         .agg(count(lit(1)).as("deg"))
@@ -3978,15 +4017,27 @@ object SimilarityOps {
     * edge tables into the artifact's degree histogram. */
   private def graphLayeredOracle(mode: String = "topk"): String = {
     val layers = GraphLayers; val lh = LayerHops; val hops = GraphHops
+    // the append oracle indexes only the pre-append corpus and
+    // searches the delta vectors through the descent (the engine's
+    // insert search = serve search rule)
+    val baseSql =
+      if (mode == "append")
+        s"(SELECT * FROM embeddings WHERE NOT ($GraphAppendWhere))"
+      else "embeddings"
     val chains = (0 to layers).map { l =>
-      val corpus = if (l == 0) "embeddings"
-        else s"(SELECT * FROM embeddings WHERE ${sqlLayerPred(l)})"
+      val corpus = if (l == 0) baseSql
+        else s"(SELECT * FROM $baseSql t WHERE ${sqlLayerPred(l, "t.vec_id")})"
       knnChainCtes(corpus, LayerK, s"l$l")
     }.mkString(",\n")
     val mirrors = (0 to layers).map { l =>
       s"""m$l AS (SELECT src, dst FROM l${l}edges
          |        UNION SELECT dst, src FROM l${l}edges)""".stripMargin
     }.mkString(",\n")
+    val layeredHistTail =
+      s"""deg AS (SELECT layer, src, COUNT(*) AS deg FROM alle GROUP BY 1, 2)
+         |SELECT CAST(layer AS BIGINT) AS layer, CAST(deg AS BIGINT) AS deg,
+         |  COUNT(*)::BIGINT AS n_srcs, MIN(src) AS min_src, MAX(src) AS max_src
+         |FROM deg GROUP BY 1, 2""".stripMargin
     if (mode == "write") {
       val layerRows = (0 to layers).map(l =>
         s"  SELECT $l AS layer, src, dst FROM m$l")
@@ -3995,10 +4046,33 @@ object SimilarityOps {
          |$mirrors,
          |alle AS (
          |$layerRows),
-         |deg AS (SELECT layer, src, COUNT(*) AS deg FROM alle GROUP BY 1, 2)
-         |SELECT CAST(layer AS BIGINT) AS layer, CAST(deg AS BIGINT) AS deg,
-         |  COUNT(*)::BIGINT AS n_srcs, MIN(src) AS min_src, MAX(src) AS max_src
-         |FROM deg GROUP BY 1, 2""".stripMargin
+         |$layeredHistTail""".stripMargin
+    }
+    if (mode == "compact") {
+      // write + degree prune: per (layer, src) top-LayerK by exact
+      // cosine over the mirrored write edges — compactKnnLayered's
+      // exact retention rule
+      val layerRows = (0 to layers).map(l =>
+        s"  SELECT $l AS layer, src, dst FROM m$l")
+        .mkString("\n  UNION ALL\n")
+      return s"""WITH $chains,
+         |$mirrors,
+         |alle0 AS (
+         |$layerRows),
+         |resc AS (
+         |  SELECT a.layer, a.src, a.dst,
+         |    ${sqlDot("e1.emb", "e2.emb")} / (e1.nrm * e2.nrm) AS sim
+         |  FROM (SELECT DISTINCT layer, src, dst FROM alle0) a
+         |  JOIN l0e e1 ON a.src = e1.vec_id
+         |  JOIN l0e e2 ON a.dst = e2.vec_id),
+         |alle AS (
+         |  SELECT layer, src, dst FROM (
+         |    SELECT layer, src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY layer, src
+         |        ORDER BY sim DESC, dst ASC) AS rn
+         |    FROM resc)
+         |  WHERE rn <= $LayerK),
+         |$layeredHistTail""".stripMargin
     }
     def scoreTop(inCte: String, outCte: String, keep: Int): String =
       s"""${outCte}x AS (
@@ -4035,9 +4109,70 @@ object SimilarityOps {
     val visUnion = ((1 to nD).map(i => s"    UNION SELECT q_id, node FROM d$i")
       ++ (1 to hops).map(h => s"    UNION SELECT q_id, node FROM h$h"))
       .mkString("\n")
+    val qCte = if (mode == "append")
+      s"""q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |      ${sqlNrm("embedding")} AS q_nrm
+         |      FROM embeddings WHERE $GraphAppendWhere)""".stripMargin
+    else
+      s"""q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+         |      FROM l0e WHERE vec_id % $sqlServeMod = 0)""".stripMargin
+    if (mode == "append") {
+      // per-layer insert edges: top-LayerK layer-ℓ members among the
+      // descent's scored candidates at that layer (layer 0: the full
+      // gather), for queries whose md5 level reaches ℓ — the engine's
+      // layeredInsertEdges, unrolled
+      val newes = (0 to layers).map { l =>
+        val candSql = if (l == 0) "SELECT q_id, node FROM vis"
+          else {
+            val steps = descentSteps.zipWithIndex
+              .filter(_._1._1 == l).map(_._2 + 1)
+            val un = steps.map(i => s"SELECT q_id, node FROM d$i")
+              .mkString("\n      UNION ")
+            s"""SELECT DISTINCT q_id, node FROM (
+               |      $un) u
+               |    WHERE ${sqlLayerPred(l, "u.node")} AND u.node != u.q_id"""
+              .stripMargin
+          }
+        s"""ne${l}x AS (
+           |  SELECT i.q_id, i.node,
+           |    ROW_NUMBER() OVER (PARTITION BY i.q_id
+           |      ORDER BY ${sqlDot("q.q_emb", "n.emb")} / (q.q_nrm * n.nrm) DESC,
+           |               i.node ASC) AS rn
+           |  FROM ($candSql) i
+           |  JOIN l0e n ON i.node = n.vec_id
+           |  JOIN q ON i.q_id = q.q_id),
+           |newe$l AS (
+           |  SELECT q_id AS src, node AS dst FROM ne${l}x
+           |  WHERE rn <= $LayerK${if (l == 0) ""
+             else s" AND ${sqlLayerPred(l, "q_id")}"})""".stripMargin
+      }.mkString(",\n")
+      val layerRows = (0 to layers).map(l =>
+        s"""  SELECT $l AS layer, src, dst FROM m$l
+           |  UNION ALL SELECT $l, src, dst FROM newe$l
+           |  UNION ALL SELECT $l, dst AS src, src AS dst FROM newe$l"""
+          .stripMargin).mkString("\n  UNION ALL\n")
+      return s"""WITH $chains,
+         |$qCte,
+         |$mirrors,
+         |ent AS (
+         |  SELECT q.q_id, e.vec_id AS node
+         |  FROM q, l0e e
+         |  WHERE ${sqlLayerPred(layers, "e.vec_id")} OR e.vec_id < $LayerEntryK),
+         |${scoreTop("ent", "c0", GraphSeeds)},
+         |$descent,
+         |$hopCtes,
+         |vis AS (
+         |  SELECT DISTINCT q_id, node FROM (
+         |    SELECT q_id, node FROM ent
+         |$visUnion)
+         |  WHERE node != q_id),
+         |$newes,
+         |alle AS (
+         |$layerRows),
+         |$layeredHistTail""".stripMargin
+    }
     s"""WITH $chains,
-       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
-       |      FROM l0e WHERE vec_id % $sqlServeMod = 0),
+       |$qCte,
        |$mirrors,
        |ent AS (
        |  SELECT q.q_id, e.vec_id AS node
@@ -4060,9 +4195,28 @@ object SimilarityOps {
        |  SELECT q_id, n_id, sim,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
        |      AS rank
-       |  FROM gsc)
-       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
-       |FROM gr WHERE rank <= 10""".stripMargin
+       |  FROM gsc)${if (mode == "recall") "," else ""}
+       |${if (mode == "recall")
+        s"""gv AS (SELECT q_id, n_id FROM gr WHERE rank <= 10),
+           |ex0 AS (
+           |  SELECT q.q_id, c.vec_id AS n_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |      ORDER BY ${sqlDot("q.q_emb", "c.emb")} / (q.q_nrm * c.nrm) DESC,
+           |               c.vec_id ASC) AS rank
+           |  FROM q JOIN l0e c ON q.q_id != c.vec_id),
+           |ex AS (SELECT q_id, n_id FROM ex0 WHERE rank <= 10),
+           |hits AS (SELECT x.q_id, COUNT(*) AS n_hit
+           |  FROM ex x JOIN gv i ON x.q_id = i.q_id AND x.n_id = i.n_id
+           |  GROUP BY 1),
+           |nex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+           |SELECT n.q_id, CAST(n.n_exact AS BIGINT) AS n_exact,
+           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  CAST(COALESCE(h.n_hit, 0) * 1000000 // GREATEST(n.n_exact, 1) AS BIGINT)
+           |    AS recall_ppm
+           |FROM nex n LEFT JOIN hits h ON n.q_id = h.q_id""".stripMargin
+      else
+        """SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+          |FROM gr WHERE rank <= 10""".stripMargin}""".stripMargin
   }
 
   /** The seed → (hop/beam)×[[GraphHops]] → gather CTE chain of the
@@ -4206,6 +4360,9 @@ object SimilarityOps {
     "sim_graph_recall" -> graphOracle("recall"),
     "sim_graph_layered_topk" -> graphLayeredOracle("topk"),
     "serve_graph_index_layered_write" -> graphLayeredOracle("write"),
+    "sim_graph_layered_recall" -> graphLayeredOracle("recall"),
+    "serve_graph_index_layered_append" -> graphLayeredOracle("append"),
+    "serve_graph_index_layered_compact" -> graphLayeredOracle("compact"),
     "sim_graph_filtered_topk" -> graphOracle("filtered"),
     // graph-artifact manifest: the oracle recomputes the edge table
     // from the parquet truth, so a write/load corruption (dropped

@@ -838,6 +838,100 @@ object IndexStore {
     commitGen(spark, dir, gen)
   }
 
+  /** INCREMENTAL layered-graph maintenance — HNSW insertion with the
+    * engine's hash-derived level rule (see [[graft.streaming
+    * .StreamGraphServe.layeredInsertEdges]]): each new vector joins
+    * every layer its md5 level reaches (append and rebuild agree on
+    * levels by construction — no random-level state to persist), its
+    * per-layer out-edges are the descent's own scored candidates
+    * (insert cost = serve cost), every edge is mirrored (the NSW
+    * back-link), and a new TOP-layer member also lands in the entry
+    * table — future searches enter through it, exactly like a
+    * rebuild would. Directory-additive parquet appends throughout;
+    * resolve-once generation discipline. */
+  def appendKnnLayered(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val gen = currentGen(spark, dir)
+    val idx = loadKnnLayeredAt(spark, dir, gen)
+    val perLayer = graft.streaming.StreamGraphServe
+      .layeredInsertEdges(newVecs, idx)
+    perLayer.toSeq.sortBy(_._1).map { case (l, e) =>
+        val ed = e.localCheckpoint(eager = false)
+        ed.unionByName(
+            ed.select(col("dst").as("src"), col("src").as("dst")))
+          .select(lit(l).as("layer"), col("src"), col("dst"),
+            nodeBucket(col("src")).as("sb"))
+      }.reduce(_ unionByName _)
+      .repartition(col("layer"), col("sb"))
+      .write.mode("append").partitionBy("layer", "sb")
+      .parquet(tableDirAt(dir, gen, "ledges"))
+    newVecs
+      .select(col("vec_id").as("node"), col("embedding").as("n_emb"),
+        norm(col("embedding")).as("n_nrm"))
+      .filter(definedNrm(col("n_nrm")))
+      .withColumn("nb", nodeBucket(col("node")))
+      .repartition(col("nb"))
+      .write.mode("append").partitionBy("nb")
+      .parquet(tableDirAt(dir, gen, "lnodes"))
+    newVecs
+      .filter(SimilarityOps.layerMemberPred(SimilarityOps.GraphLayers))
+      .select(col("vec_id").as("node"), col("embedding").as("e_emb"),
+        norm(col("embedding")).as("e_nrm"))
+      .filter(definedNrm(col("e_nrm")))
+      .write.mode("append")
+      .parquet(tableDirAt(dir, gen, "lentries"))
+  }
+
+  /** Scheduled layered-graph maintenance — the per-layer degree prune:
+    * rewrites the edge table keeping each (layer, src)'s top-
+    * [[graft.ops.SimilarityOps.LayerK]] out-edges by exact cosine
+    * ((sim DESC, dst ASC)), lands each (layer, sb) partition in one
+    * file set, drops tombstoned rows physically (nodes, both edge
+    * directions through the rescore's inner joins, entries), all in a
+    * NEW generation committed by its manifest. Pruning the mirrored
+    * write edges (out-degree ≤ 2·LayerK) back to LayerK is the NSW
+    * degree bound every production store schedules; some reverse
+    * links drop — the deliberate maintenance trade, oracled. */
+  def compactKnnLayered(spark: SparkSession, dir: String,
+      midCompaction: () => Unit = () => ()): Unit = {
+    val cur = currentGen(spark, dir)
+    val tomb = tombstonesAt(spark, dir, cur)
+    val nodes = maskDeleted(
+      spark.read.schema(knnNodesSchema)
+        .parquet(tableDirAt(dir, cur, "lnodes")),
+      "node", tomb)
+    val edges = spark.read.schema(layeredEdgesSchema)
+      .parquet(tableDirAt(dir, cur, "ledges"))
+    val entries = maskDeleted(
+      spark.read.schema(layeredEntriesSchema)
+        .parquet(tableDirAt(dir, cur, "lentries")),
+      "node", tomb)
+    val (gen, root) = nextGenRoot(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("layer", "src").orderBy(col("sim").desc, col("dst").asc)
+    edges.select("layer", "src", "dst").distinct()
+      .join(nodes.select(col("node").as("src"), col("n_emb").as("s_emb"),
+        col("n_nrm").as("s_nrm")), "src")
+      .join(nodes.select(col("node").as("dst"), col("n_emb").as("d_emb"),
+        col("n_nrm").as("d_nrm")), "dst")
+      .withColumn("sim",
+        graft.ops.SimilarityOps.dot(col("s_emb"), col("d_emb"))
+          / (col("s_nrm") * col("d_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SimilarityOps.LayerK)
+      .select(col("layer"), col("src"), col("dst"),
+        nodeBucket(col("src")).as("sb"))
+      .repartition(col("layer"), col("sb"))
+      .write.mode("overwrite").partitionBy("layer", "sb")
+      .parquet(s"$root/ledges")
+    nodes.drop("nb").withColumn("nb", nodeBucket(col("node")))
+      .repartition(col("nb"))
+      .write.mode("overwrite").partitionBy("nb").parquet(s"$root/lnodes")
+    entries.write.mode("overwrite").parquet(s"$root/lentries")
+    midCompaction()
+    commitGen(spark, dir, gen)
+  }
+
   private val layeredEdgesSchema = StructType(Seq(
     StructField("src", LongType),
     StructField("dst", LongType),

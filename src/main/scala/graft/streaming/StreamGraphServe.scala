@@ -253,6 +253,83 @@ object StreamGraphServe {
         round(col("col.sim"), 6).as("sim"))
   }
 
+  /** Per-layer NSW insert edges for a batch of NEW vectors against the
+    * LAYERED artifact — HNSW insertion with the engine's hash-derived
+    * level rule: vector v joins every layer ℓ with
+    * [[SimilarityOps.layerMemberPred]](ℓ, v) (the SAME membership the
+    * build samples, so append and rebuild agree on levels — no random
+    * level state to persist), and its layer-ℓ out-edges are the
+    * top-[[SimilarityOps.LayerK]] layer-ℓ members among everything
+    * the descent SCORED at that layer (insert search = serve search,
+    * per layer; at layer 0 the full beam gather). Returns
+    * (layer → (src, dst) edges), each frame already filtered to
+    * queries whose level reaches the layer. */
+  private[graft] def layeredInsertEdges(newVecs: DataFrame,
+      index: IndexStore.LayeredIndex,
+      layers: Int = SimilarityOps.GraphLayers,
+      beam: Int = SimilarityOps.GraphBeam,
+      seedK: Int = SimilarityOps.GraphSeeds,
+      hops: Int = SimilarityOps.GraphHops,
+      layerHops: Int = SimilarityOps.LayerHops): Map[Int, DataFrame] = {
+    val q = newVecs
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .filter(definedNrm(col("q_nrm")))
+      .localCheckpoint(eager = false)
+    val entry = index.entries.join(q, lit(true))
+      .withColumn("sim",
+        dot(col("q_emb"), col("e_emb")) / (col("q_nrm") * col("e_nrm")))
+      .select(col("q_id"), col("node"), col("sim"))
+      .localCheckpoint(eager = false)
+    def topOf(scored: DataFrame, keep: Int): DataFrame = {
+      val agg = udaf(new graft.functions.TopKSimAgg(keep))
+      scored.groupBy("q_id").agg(agg(col("node"), col("sim")).as("top"))
+        .select(col("q_id"), explode(col("top.n_id")).as("node"))
+    }
+    def edgesOf(cand: DataFrame, l: Int): DataFrame = {
+      // layer-ℓ out-edges: top-LayerK layer-ℓ members of the scored
+      // candidates, for queries whose level reaches ℓ
+      val eligible = cand
+        .filter(SimilarityOps.layerMemberPred(l, col("node")))
+        .filter(col("node") =!= col("q_id"))
+      topOf(scoreNodes(eligible.select("q_id", "node").distinct(), q,
+          index.nodes), SimilarityOps.LayerK)
+        .filter(SimilarityOps.layerMemberPred(l, col("q_id")))
+        .select(col("q_id").as("src"), col("node").as("dst"))
+    }
+    var carry = topOf(entry, seedK).localCheckpoint(eager = false)
+    var visited = entry.select("q_id", "node")
+    val out = scala.collection.mutable.Map.empty[Int, DataFrame]
+    for (l <- layers to 1 by -1) {
+      var layerCand = carry
+      for (s <- 1 to layerHops) {
+        val cand = carry
+          .unionByName(expandLayer(carry, index.edges, l))
+          .distinct()
+          .localCheckpoint(eager = false)
+        layerCand = layerCand.unionByName(cand).distinct()
+        visited = visited.unionByName(cand)
+        val keep = if (l == 1 && s == layerHops) math.max(seedK, beam)
+          else seedK
+        carry = topOf(scoreNodes(cand, q, index.nodes), keep)
+          .localCheckpoint(eager = false)
+      }
+      out(l) = edgesOf(layerCand, l).localCheckpoint(eager = false)
+    }
+    var frontier = carry
+    for (h <- 1 to hops) {
+      val hop = expandLayer(frontier, index.edges, 0).distinct()
+        .localCheckpoint(eager = false)
+      visited = visited.unionByName(hop)
+      frontier = if (h < hops)
+        topOf(scoreNodes(hop, q, index.nodes), beam)
+          .localCheckpoint(eager = false)
+      else hop
+    }
+    out(0) = edgesOf(visited.distinct(), 0).localCheckpoint(eager = false)
+    out.toMap
+  }
+
   /** The streaming serve: every micro-batch of query vectors runs
     * through [[serveTopK]] against the SAME loaded index (foreachBatch
     * — the frontier-bucket prunes are literal filters derived from

@@ -281,6 +281,8 @@ object PlanDump {
     // build and its descent serve (literal layer+sb PartitionFilters
     // per hop, spec-pinned)
     "sim_graph_layered_topk", "serve_graph_index_layered_write",
+    "sim_graph_layered_recall", "serve_graph_index_layered_append",
+    "serve_graph_index_layered_compact",
     // round-15 filtered graph serve: emit-stage label filter over the
     // unfiltered bucket-pruned traversal
     "sim_graph_filtered_topk",

@@ -140,6 +140,101 @@ class LayeredGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("layered append (HNSW insert, hash-derived levels): edges land only " +
+    "at layers the vector's md5 level reaches, a new top-layer member " +
+    "becomes an entry point, every edge is mirrored, appended nodes serve") {
+    val newPred = SimilarityOps.graphAppendPred
+    val dir = fresh("append")
+    IndexStore.writeKnnLayered(emb.filter(!newPred), dir)
+    val entriesBefore = IndexStore.loadKnnLayered(spark, dir)
+      .entries.select("node").collect().map(_.getLong(0)).toSet
+    IndexStore.appendKnnLayered(emb.filter(newPred), dir)
+    val idx = IndexStore.loadKnnLayered(spark, dir)
+    val newIds = emb.filter(newPred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    // per-id md5 level, computed through the engine's own pred
+    val levelOf = emb.filter(newPred).select(col("vec_id"),
+        (0 to SimilarityOps.GraphLayers).map(l =>
+          when(SimilarityOps.layerMemberPred(l), l).otherwise(-1))
+          .reduce((a, b) => greatest(a, b)).as("lv"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val newEdges = idx.edges.select("layer", "src", "dst").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .filter(e => newIds(e._2) || newIds(e._3))
+    assert(newEdges.nonEmpty)
+    assert(newEdges.forall { case (l, s, d) =>
+      val id = if (newIds(s)) s else d
+      levelOf(id) >= l
+    }, "an appended vector's edges exist ONLY at layers its level reaches")
+    assert(newEdges.map(e => (e._1, e._3, e._2)).toSet
+      .subsetOf(idx.edges.select("layer", "src", "dst").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet),
+      "every appended edge carries its mirror")
+    val topLayerNew = newIds.filter(id => levelOf(id) >= SimilarityOps.GraphLayers)
+    val entriesAfter = idx.entries.select("node").collect()
+      .map(_.getLong(0)).toSet
+    assert((entriesAfter -- entriesBefore) == topLayerNew,
+      "exactly the new TOP-layer members join the entry table")
+    // appended nodes servable: probe each appended vector afresh
+    val probes = emb.filter(newPred).orderBy("vec_id").limit(8)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val served = StreamGraphServe.serveLayeredTopK(probes, idx).collect()
+      .map(r => (r.getLong(0) - 1000000L, r.getLong(1), r.getLong(2)))
+    val selfTop = served.filter(r => r._1 == r._2 && r._3 == 1L).map(_._1).toSet
+    info(s"self-findable at rank 1: ${selfTop.size} of 8 probed appended nodes")
+    assert(selfTop.size >= 4,
+      "most appended nodes findable through mirrors/entries")
+  }
+
+  test("layered compact: every (layer, src) out-degree pruned to exactly " +
+    "its exact-cosine top-LayerK; tombstones dropped physically; the " +
+    "compacted artifact serves the masked artifact's answers") {
+    val delPred = SimilarityOps.graphDeletePred
+    val dir = fresh("compact")
+    IndexStore.writeKnnLayered(emb, dir)
+    IndexStore.deleteKnn(emb.filter(delPred).select("vec_id"), dir)
+    val masked = IndexStore.loadKnnLayered(spark, dir)
+    val q = emb.filter(pred).select(col("vec_id"), col("embedding"))
+    val servedMasked = asTuples(
+      StreamGraphServe.serveLayeredTopK(q, masked).collect())
+    // expected retention from the MASKED edge set, recomputed locally
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bEdges = masked.edges.select("layer", "src", "dst").distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val wantKeep = bEdges.groupBy(e => (e._1, e._2)).toSeq.flatMap {
+      case ((l, s), es) =>
+        es.toSeq.map(e => (e._3, cos(vecs(s), vecs(e._3))))
+          .sortBy(t => (-t._2, t._1)).take(SimilarityOps.LayerK)
+          .map(t => (l, s, t._1))
+    }.toSet
+    IndexStore.compactKnnLayered(spark, dir)
+    assert(!new java.io.File(
+      IndexStore.tableDir(spark, dir, "tombstones")).exists(),
+      "the compacted generation carries no tombstone table")
+    val after = IndexStore.loadKnnLayered(spark, dir)
+    val aEdges = after.edges.select("layer", "src", "dst").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(aEdges.length == aEdges.toSet.size, "no duplicate edges survive")
+    assert(aEdges.toSet == wantKeep,
+      "compaction keeps exactly each (layer, src)'s top-LayerK out-edges")
+    assert(asTuples(StreamGraphServe.serveLayeredTopK(q, after).collect())
+      .nonEmpty, "the pruned layered index still serves")
+    val delIds = emb.filter(delPred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(aEdges.forall(e => !delIds(e._2) && !delIds(e._3)),
+      "tombstoned nodes physically gone from the compacted edges")
+  }
+
   test("tombstone deletes mask the layered artifact: deleted nodes are " +
     "neither entries, nor edge endpoints, nor served") {
     val delPred = SimilarityOps.graphDeletePred
