@@ -3125,6 +3125,52 @@ object SimilarityOps {
     (chosen, measured)
   }
 
+  case class RungMeasurement(rung: String, beam: Int, recallPpm: Long,
+      scannedRows: Long)
+
+  /** Closed-loop SERVING-RUNG tuner for the graph family — the r14
+    * gap closed ("tuneGraph has no layer axis"): measures BOTH graph
+    * rungs (flat 3-hop beam; layered descent) across the beam grid
+    * through the committed [[graphRecall]] audit, costs each config
+    * by its scanned rows — the layered rung's MEASURED per-batch
+    * distinct scored nodes (its search exposes the visited frame),
+    * the flat rung's analytic bound incl. the [[autoCentroids]]-sized
+    * entry scan it actually pays — and returns the cheapest config
+    * meeting the recall SLO, or None ("grow the grid", never silent
+    * best-effort). On corpora with local structure the layered rung
+    * reaches SLOs the flat rung cannot at ANY grid beam (spec-pinned
+    * on the hierarchical corpus: SLO 0.8 picks layered; every flat
+    * config measures below it). */
+  def tuneGraphRung(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      recallSlo: Double = 0.8, grid: Seq[Int] = DefaultBeamGrid,
+      hops: Int = GraphHops):
+      (Option[RungMeasurement], Seq[RungMeasurement]) = {
+    val nQ = embeddings.filter(queryPred).count()
+    val kCent = autoCentroids(embeddings.count())
+    def ppmOf(audit: DataFrame): Long = {
+      val r = audit.agg(sum("n_hit").as("h"), sum("n_exact").as("e"))
+        .collect()(0)
+      r.getLong(0) * 1000000L / math.max(r.getLong(1), 1L)
+    }
+    val flat = grid.map { b =>
+      RungMeasurement("flat", b,
+        ppmOf(graphRecall(embeddings, queryPred, k, beam = b, hops = hops)),
+        nQ * (kCent + GraphSeeds * (1L + KnnK) +
+          math.max(hops - 1, 0).toLong * b * KnnK))
+    }
+    val layered = grid.map { b =>
+      val (topk, visited) = graphLayeredSearch(embeddings, queryPred, k,
+        b, GraphSeeds, hops, GraphLayers)
+      RungMeasurement("layered", b,
+        ppmOf(graphRecall(embeddings, queryPred, k, served = Some(topk))),
+        visited.count())
+    }
+    val all = flat ++ layered
+    val sloPpm = math.round(recallSlo * 1000000L)
+    (all.filter(_.recallPpm >= sloPpm)
+      .sortBy(m => (m.scannedRows, m.beam)).headOption, all)
+  }
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
       bruteForceTopK(e, servingQueryPred(e), k = 10) }),

@@ -345,6 +345,41 @@ object StreamGraphServe {
           id: Long) => sink(serveTopK(batch.toDF(), index, k, beam, seedK, hops), id))
       .start()
 
+  /** Streaming LAYERED serve: every micro-batch runs through
+    * [[serveLayeredTopK]] against the same loaded layered index
+    * (foreachBatch — the descent's layer/bucket prunes are literal
+    * filters derived from the batch, the [[serveStream]] shape), so
+    * stream ≡ batch is structural (spec-pinned). */
+  def serveLayeredStream(queries: DataFrame,
+      index: IndexStore.LayeredIndex, k: Int = 10,
+      beam: Int = SimilarityOps.GraphBeam,
+      seedK: Int = SimilarityOps.GraphSeeds,
+      hops: Int = SimilarityOps.GraphHops)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        sink(serveLayeredTopK(batch.toDF(), index, k, beam, seedK, hops), id))
+      .start()
+
+  /** [[serveLayeredStream]] bound to the artifact DIRECTORY:
+    * generation (and tombstone stamp) re-resolved per micro-batch
+    * ([[IndexStore.GenCached]] — see [[serveStreamFrom]]). */
+  def serveLayeredStreamFrom(queries: DataFrame, dir: String, k: Int = 10,
+      beam: Int = SimilarityOps.GraphBeam,
+      seedK: Int = SimilarityOps.GraphSeeds,
+      hops: Int = SimilarityOps.GraphHops)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = queries.sparkSession
+    val cache = new IndexStore.GenCached[IndexStore.LayeredIndex](
+      spark, dir, g => IndexStore.loadKnnLayeredAt(spark, dir, g))
+    queries.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        sink(serveLayeredTopK(batch.toDF(), cache.get(), k, beam, seedK, hops), id))
+      .start()
+  }
+
   /** [[serveStream]] bound to the artifact DIRECTORY: the generation
     * is re-resolved at every micro-batch boundary (one manifest list —
     * [[IndexStore.GenCached]]), so an append/compaction committed

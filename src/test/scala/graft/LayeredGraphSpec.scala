@@ -235,6 +235,67 @@ class LayeredGraphSpec extends AnyFunSuite {
       "tombstoned nodes physically gone from the compacted edges")
   }
 
+  test("tuneGraphRung (the r14 'no layer axis' gap): at a 0.8 recall SLO " +
+    "on the structured corpus the tuner picks the LAYERED rung — every " +
+    "flat config measures below the SLO at any grid beam") {
+    val qp = SimilarityOps.servingQueryPred(hier)
+    val (chosen, all) = SimilarityOps.tuneGraphRung(hier, qp,
+      recallSlo = 0.8, grid = Seq(4, 16))
+    all.foreach(m => info(f"${m.rung}%-8s beam=${m.beam}%2d " +
+      f"recall=${m.recallPpm / 1e6}%.3f scanned=${m.scannedRows}"))
+    assert(chosen.isDefined, "the grid must contain an SLO-meeting config")
+    assert(chosen.get.rung == "layered",
+      "the layered rung is the only one reaching the SLO")
+    assert(all.filter(_.rung == "flat").forall(_.recallPpm < 800000L),
+      "no flat config reaches 0.8 on this corpus")
+    val cheaper = all.filter(m => m.recallPpm >= 800000L)
+      .minBy(m => (m.scannedRows, m.beam))
+    assert(chosen.get == cheaper, "chosen = cheapest SLO-meeting config")
+  }
+
+  test("layered stream ≡ batch: queries split across 3 micro-batches " +
+    "(serveLayeredStream, foreachBatch) produce the batch serve's answers; " +
+    "serveLayeredStreamFrom picks up a mid-stream rebuild by the next batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val newPred = SimilarityOps.graphAppendPred
+    val dir = fresh("stream")
+    IndexStore.writeKnnLayered(emb.filter(!newPred), dir)
+    val queries = emb.filter(pred)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(queries.length >= 3)
+    def expect(): Set[(Long, Long, Long, Double)] = asTuples(
+      StreamGraphServe.serveLayeredTopK(
+        emb.filter(pred).select(col("vec_id"), col("embedding")),
+        IndexStore.loadKnnLayered(spark, dir)).collect())
+    val want0 = expect()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val qdf = mem.toDF().select(col("_1").as("vec_id"),
+      col("_2").cast("array<float>").as("embedding"))
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(Long, Long, Long, Double)]]
+    val query = StreamGraphServe.serveLayeredStreamFrom(qdf, dir) { (out, _) =>
+      perBatch.synchronized { perBatch += asTuples(out.collect()) }
+    }
+    try {
+      val (b1, b2) = queries.splitAt(queries.length / 2)
+      mem.addData(b1.toSeq: _*); query.processAllAvailable()
+      mem.addData(b2.toSeq: _*); query.processAllAvailable()
+      assert(perBatch.synchronized(perBatch.flatten.toSet) == want0,
+        "streamed answers equal the batch serve's")
+      // mid-stream rebuild over the full corpus → new generation
+      IndexStore.writeKnnLayered(emb, dir)
+      val want1 = expect()
+      assert(want1 != want0)
+      perBatch.synchronized(perBatch.clear())
+      mem.addData(queries.toSeq: _*); query.processAllAvailable()
+      assert(perBatch.synchronized(perBatch.flatten.toSet) == want1,
+        "the next batch serves the generation committed mid-stream")
+    } finally query.stop()
+  }
+
   test("tombstone deletes mask the layered artifact: deleted nodes are " +
     "neither entries, nor edge endpoints, nor served") {
     val delPred = SimilarityOps.graphDeletePred
