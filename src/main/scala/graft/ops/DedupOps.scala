@@ -919,6 +919,17 @@ object DedupOps {
     })
   )
 
+  /** DuckDB rendering of the decontaminate FLAGGED id set (the
+    * doc_id % 50 benchmark split) — shared with the text-index delete
+    * oracle, which reuses this corpus as its deletion set. */
+  private[ops] def sqlContaminatedIds: String =
+    s"""SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_id, unnest($sqlShingleHashes) AS sh FROM documents) t
+       |WHERE doc_id % 50 != 0 AND sh IN (
+       |  SELECT DISTINCT sh FROM (
+       |    SELECT doc_id, unnest($sqlShingleHashes) AS sh FROM documents) e
+       |  WHERE e.doc_id % 50 = 0)""".stripMargin
+
   private val sqlShingleHashes =
     s"""list_distinct(list_transform(
        |  CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')) >= 3

@@ -1613,6 +1613,26 @@ object TextOps {
       graft.serving.IndexStore.loadText(s, dir).terms
         .select(col("term"), col("df"), col("idf_milli"))
     }),
+    // the text DELETE lifecycle with the dedup_decontaminate corpus as
+    // the deletion set (the takedown composition): write the full
+    // index, tombstone the contaminated train docs, compact — the
+    // postings drop PHYSICALLY and df/idf/stats recompute under the
+    // shrunken corpus; the oracle recomputes the term stats from
+    // truth-minus-contaminated, so a leaked posting or a stale idf
+    // breaks the hash
+    "serve_text_index_delete" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = graft.serving.IndexStore.scratchDir(d, "text_delete")
+      graft.serving.IndexStore.writeText(docs, dir)
+      graft.serving.IndexStore.deleteText(
+        graft.ops.DedupOps.decontaminate(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0))
+          .filter(col("contaminated")).select("doc_id"), dir)
+      graft.serving.IndexStore.compactText(s, dir)
+      graft.serving.IndexStore.loadText(s, dir).terms
+        .select(col("term"), col("df"), col("idf_milli"))
+    }),
     // streaming twin covered by StreamQualityGateSpec (stream ≡ batch)
     "stream_quality_keep" -> ((s, d) => gopherKeep(t(s, d, "documents"))),
     "txt_perceptron_train" -> ((s, d) => perceptronTrain(t(s, d, "documents"))),
@@ -2048,6 +2068,25 @@ object TextOps {
          |  GROUP BY 1, 2),
          |dfq AS (SELECT tok AS term, COUNT(1) AS df FROM per GROUP BY 1),
          |n AS (SELECT COUNT(1) AS n_docs FROM documents)
+         |SELECT term, CAST(df AS BIGINT) AS df,
+         |  CAST(((2 * n.n_docs - 2 * df + 1) * 1000) // (2 * df + 1)
+         |    AS BIGINT) AS idf_milli
+         |FROM dfq, n""".stripMargin,
+
+    // text delete lifecycle: the write oracle recomputed from
+    // truth-minus-contaminated (the decontaminate flagged set)
+    "serve_text_index_delete" ->
+      s"""WITH del AS (${graft.ops.DedupOps.sqlContaminatedIds}),
+         |docs2 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+         |tk AS (SELECT doc_id, $sqlToks AS toks FROM docs2),
+         |per AS (
+         |  SELECT doc_id, tok
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT tok AS term, COUNT(1) AS df FROM per GROUP BY 1),
+         |n AS (SELECT COUNT(1) AS n_docs FROM docs2)
          |SELECT term, CAST(df AS BIGINT) AS df,
          |  CAST(((2 * n.n_docs - 2 * df + 1) * 1000) // (2 * df + 1)
          |    AS BIGINT) AS idf_milli

@@ -308,8 +308,16 @@ object IndexStore {
 
   /** Tombstone documents in the text artifact — postings masked from
     * every load; df/idf/stats serve stale until the next
-    * [[writeText]] rebuild (see the tombstone doc above). */
+    * [[compactText]] or [[writeText]] rebuild (see the tombstone doc
+    * above). */
   def deleteText(ids: DataFrame, dir: String): Unit =
+    writeTombstones(ids, dir, "doc_id")
+
+  /** Tombstone train documents in the attribution artifact — band and
+    * shingle rows masked from every load (takedown: the doc stops
+    * appearing as an attribution match), physically dropped at the
+    * next [[writeAttr]] rebuild. */
+  def deleteAttr(ids: DataFrame, dir: String): Unit =
     writeTombstones(ids, dir, "doc_id")
 
   def ensureAnn(corpus: DataFrame, dir: String,
@@ -497,12 +505,18 @@ object IndexStore {
     loadAttrAt(spark, dir, currentGen(spark, dir))
 
   private[graft] def loadAttrAt(spark: SparkSession, dir: String,
-      gen: Option[Int]): AttrIndex =
+      gen: Option[Int]): AttrIndex = {
+    val tomb = tombstonesAt(spark, dir, gen)
     AttrIndex(
-      spark.read.schema(attrBandsSchema)
-        .parquet(tableDirAt(dir, gen, "bands")),
-      spark.read.schema(attrShinglesSchema)
-        .parquet(tableDirAt(dir, gen, "shingles")))
+      maskDeleted(
+        spark.read.schema(attrBandsSchema)
+          .parquet(tableDirAt(dir, gen, "bands")),
+        "t_id", tomb),
+      maskDeleted(
+        spark.read.schema(attrShinglesSchema)
+          .parquet(tableDirAt(dir, gen, "shingles")),
+        "t_id", tomb))
+  }
 
   // ------------------------------------------------------------ text
 
@@ -548,6 +562,49 @@ object IndexStore {
         sum(size(col("toks"))).cast("long").as("n_tokens"))
       .write.mode("overwrite").parquet(s"$root/stats")
     commitGen(spark(docs), dir, gen)
+  }
+
+  /** Compact the text artifact after deletes: drop tombstoned docs'
+    * postings PHYSICALLY and recompute the derived tables exactly as
+    * [[writeText]] would — per-term df from the surviving postings,
+    * idf_milli with the adjusted corpus size, n_docs = old n_docs
+    * minus the distinct tombstoned ids PRESENT in the old postings
+    * (a token-less doc is invisible to the index and can never be
+    * served, so a tombstone for one leaves n_docs unchanged — the
+    * documented epsilon), n_tokens = Σ tf over survivors. Removes the
+    * stale-stats window the mask-only serve carries; committed as a
+    * new generation like every compaction here. Spec-pinned:
+    * compact-after-delete ≡ writeText(truth-minus-deleted), row for
+    * row across terms AND stats. */
+  def compactText(spark: SparkSession, dir: String,
+      midCompaction: () => Unit = () => ()): Unit = {
+    val cur = currentGen(spark, dir)
+    val tomb = tombstonesAt(spark, dir, cur)
+    val oldPosts = spark.read.schema(textPostingsSchema)
+      .parquet(tableDirAt(dir, cur, "postings"))
+    val st = spark.read.parquet(tableDirAt(dir, cur, "stats")).first()
+    val nDeleted = tomb.fold(0L)(t => oldPosts.select("doc_id").distinct()
+      .join(broadcast(t.withColumnRenamed("n_id", "doc_id")), "doc_id")
+      .count())
+    val nDocs = st.getLong(0) - nDeleted
+    val posts = maskDeleted(oldPosts, "doc_id", tomb)
+      .localCheckpoint(eager = false)
+    val (gen, root) = nextGenRoot(spark, dir)
+    posts.drop("tb").withColumn("tb", tbTermCol(col("term")))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$root/postings")
+    posts.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        expr(s"((2 * ${nDocs}L - 2 * df + 1) * 1000) div (2 * df + 1)")
+          .as("idf_milli"))
+      .withColumn("tb", tbTermCol(col("term")))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$root/terms")
+    posts.agg(coalesce(sum("tf"), lit(0L)).cast("long").as("n_tokens"))
+      .select(lit(nDocs).cast("long").as("n_docs"), col("n_tokens"))
+      .write.mode("overwrite").parquet(s"$root/stats")
+    midCompaction()
+    commitGen(spark, dir, gen)
   }
 
   private def spark(df: DataFrame): SparkSession = df.sparkSession

@@ -283,6 +283,9 @@ object PlanDump {
     "sim_graph_layered_topk", "serve_graph_index_layered_write",
     "sim_graph_layered_recall", "serve_graph_index_layered_append",
     "serve_graph_index_layered_compact",
+    // round-15 text delete lifecycle (decontaminate set reused as the
+    // takedown corpus): masked postings + stats recompute at compaction
+    "serve_text_index_delete",
     // round-15 filtered graph serve: emit-stage label filter over the
     // unfiltered bucket-pruned traversal
     "sim_graph_filtered_topk",

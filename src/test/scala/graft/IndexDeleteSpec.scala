@@ -154,6 +154,64 @@ class IndexDeleteSpec extends AnyFunSuite {
     }
   }
 
+  test("text compaction after delete ≡ writeText(truth-minus-deleted), row " +
+    "for row across postings, terms AND stats; tombstones dropped") {
+    val evalPred = col("doc_id") % 50 === 0
+    val flagged = graft.ops.DedupOps.decontaminate(
+        docs.filter(!evalPred), docs.filter(evalPred))
+      .filter(col("contaminated")).select("doc_id")
+    val delIds = flagged.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    val dir = fresh("text_compact")
+    IndexStore.writeText(docs, dir)
+    IndexStore.deleteText(flagged, dir)
+    IndexStore.compactText(spark, dir)
+    assert(!new java.io.File(
+      IndexStore.tableDir(spark, dir, "tombstones")).exists())
+    val got = IndexStore.loadText(spark, dir)
+    val rebuildDir = fresh("text_rebuild")
+    IndexStore.writeText(
+      docs.filter(!col("doc_id").isin(delIds.toSeq: _*)), rebuildDir)
+    val want = IndexStore.loadText(spark, rebuildDir)
+    assert(got.nDocs == want.nDocs && got.nTokens == want.nTokens,
+      s"stats recomputed (${got.nDocs}/${got.nTokens} vs " +
+        s"${want.nDocs}/${want.nTokens})")
+    def terms(i: IndexStore.TextIndex) =
+      i.terms.select("term", "df", "idf_milli").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(terms(got) == terms(want), "terms table ≡ rebuild's")
+    def posts(i: IndexStore.TextIndex) =
+      i.postings.select("term", "doc_id", "dl", "tf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(posts(got) == posts(want), "postings ≡ rebuild's")
+  }
+
+  test("attribution: deleteAttr masks the flagged train docs from bands " +
+    "and shingles — a taken-down doc never appears as a match") {
+    val evalPred = col("doc_id") % 50 === 0
+    val train = docs.filter(!evalPred)
+    val flagged = graft.ops.DedupOps.decontaminate(
+        train, docs.filter(evalPred))
+      .filter(col("contaminated")).select("doc_id")
+    val delIds = flagged.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    val dir = fresh("attr")
+    IndexStore.writeAttr(train, dir)
+    IndexStore.deleteAttr(flagged, dir)
+    val idx = IndexStore.loadAttr(spark, dir)
+    assert(idx.bands.select("t_id").distinct().collect()
+      .forall(r => !delIds(r.getLong(0))), "bands masked")
+    assert(idx.shingles.select("t_id").distinct().collect()
+      .forall(r => !delIds(r.getLong(0))), "shingles masked")
+    // the eval docs that USED to attribute to a flagged doc now serve
+    // from the surviving corpus only
+    val served = graft.streaming.StreamAttribution.serveTopK(
+      docs.filter(evalPred).limit(20), idx).collect()
+    assert(served.forall(r => !delIds(r.getAs[Long]("t_id"))),
+      "no taken-down doc is ever served as an attribution match")
+  }
+
   test("text: the dedup_decontaminate flagged set deletes from the lexical " +
     "index — postings masked, contaminated docs never served") {
     val evalPred = col("doc_id") % 50 === 0
