@@ -277,6 +277,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // K-entry-nodes x |Q|-query-batch cross; the recall twin adds
       // the usual exhaustive audit arm on the bounded batch
       "sim_graph_topk", "sim_graph_recall",
+      // layered graph rung: the entry step scores the BOUNDED entry
+      // table (top-layer members, sized by the depth knob, plus the
+      // 8-row fallback) against the |Q|-query batch — a deliberate
+      // bounded cross, the flat rung's seed idiom; the recall twin
+      // adds the usual exhaustive audit arm on the bounded batch, and
+      // the append's insert search pays the same entry cross
+      "sim_graph_layered_topk", "sim_graph_layered_recall",
+      "serve_graph_index_layered_append",
       // the self-measuring recall audits COMPARE against the exhaustive
       // estimator, so the brute-force side (corpus x broadcast queries /
       // all-pairs d1 < d2) is the deliberate audit cost — paid on the
