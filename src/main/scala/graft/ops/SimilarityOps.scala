@@ -3226,6 +3226,30 @@ object SimilarityOps {
       graft.streaming.StreamGraphServe.serveLayeredTopK(
         e.filter(servingQueryPred(e)).select(col("vec_id"), col("embedding")),
         graft.serving.IndexStore.loadKnnLayered(s, dir)) }),
+    // layered DELETE: the tombstone mask on the layered artifact —
+    // nodes, BOTH edge directions, and entry points; the oracle strips
+    // every edge touching the deletion split from the write oracle
+    "serve_graph_index_layered_delete" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "lknn_delete")
+      graft.serving.IndexStore.writeKnnLayered(e, dir)
+      graft.serving.IndexStore.deleteKnn(
+        e.filter(graphDeletePred).select("vec_id"), dir)
+      graft.serving.IndexStore.loadKnnLayered(s, dir).edges
+        .groupBy(col("layer").cast("long").as("layer"), col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .groupBy("layer", "deg").agg(count(lit(1)).as("n_srcs"),
+          min("src").as("min_src"), max("src").as("max_src"))
+    }),
+    // metadata-filtered search on the LAYERED rung (filtered-DiskANN:
+    // unfiltered descent + beam, emit-stage label filter)
+    "sim_graph_layered_filtered_topk" -> ((s, d) => { val e = t(s, d, "embeddings")
+      val dir = graft.serving.IndexStore.scratchDir(d, "lknn")
+      graft.serving.IndexStore.ensureKnnLayered(e, dir)
+      graft.streaming.StreamGraphServe.serveLayeredFilteredTopK(
+        e.filter(servingQueryPred(e)).select(col("vec_id"), col("embedding")),
+        graft.serving.IndexStore.loadKnnLayered(s, dir),
+        e.select(col("vec_id"), col("label"))) }),
     // the layered rung's recall audit (the serving-ladder discipline:
     // every rung ships with its accuracy dashboard) — scores the SAME
     // artifact-served results the serving query ships vs brute force
@@ -4084,14 +4108,24 @@ object SimilarityOps {
          |SELECT CAST(layer AS BIGINT) AS layer, CAST(deg AS BIGINT) AS deg,
          |  COUNT(*)::BIGINT AS n_srcs, MIN(src) AS min_src, MAX(src) AS max_src
          |FROM deg GROUP BY 1, 2""".stripMargin
-    if (mode == "write") {
+    if (mode == "write" || mode == "delete") {
       val layerRows = (0 to layers).map(l =>
         s"  SELECT $l AS layer, src, dst FROM m$l")
         .mkString("\n  UNION ALL\n")
+      // delete: the write oracle minus every edge touching the
+      // deletion split (src OR dst — the mask strips both directions)
+      val alle = if (mode == "delete")
+        s"""alle0 AS (
+           |$layerRows),
+           |alle AS (
+           |  SELECT layer, src, dst FROM alle0
+           |  WHERE NOT (src % 16 = 3) AND NOT (dst % 16 = 3))""".stripMargin
+      else
+        s"""alle AS (
+           |$layerRows)""".stripMargin
       return s"""WITH $chains,
          |$mirrors,
-         |alle AS (
-         |$layerRows),
+         |$alle,
          |$layeredHistTail""".stripMargin
     }
     if (mode == "compact") {
@@ -4241,8 +4275,21 @@ object SimilarityOps {
        |  SELECT q_id, n_id, sim,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
        |      AS rank
-       |  FROM gsc)${if (mode == "recall") "," else ""}
-       |${if (mode == "recall")
+       |  FROM gsc)${if (mode == "topk") "" else ","}
+       |${if (mode == "filtered")
+        // same unfiltered gather (vis/gsc), ranked over the
+        // predicate-matching subset at the emit stage
+        s"""gf AS (
+           |  SELECT g.q_id, g.n_id, CAST(emb.label AS BIGINT) AS n_label,
+           |    g.sim,
+           |    ROW_NUMBER() OVER (PARTITION BY g.q_id
+           |      ORDER BY g.sim DESC, g.n_id ASC) AS rank
+           |  FROM gsc g JOIN embeddings emb ON g.n_id = emb.vec_id
+           |  WHERE CAST(emb.label AS BIGINT) % $FilterLabelMod = 0)
+           |SELECT q_id, n_id, n_label, CAST(rank AS BIGINT) AS rank,
+           |  ROUND(sim, 6) AS sim
+           |FROM gf WHERE rank <= 10""".stripMargin
+      else if (mode == "recall")
         s"""gv AS (SELECT q_id, n_id FROM gr WHERE rank <= 10),
            |ex0 AS (
            |  SELECT q.q_id, c.vec_id AS n_id,
@@ -4409,6 +4456,8 @@ object SimilarityOps {
     "sim_graph_layered_recall" -> graphLayeredOracle("recall"),
     "serve_graph_index_layered_append" -> graphLayeredOracle("append"),
     "serve_graph_index_layered_compact" -> graphLayeredOracle("compact"),
+    "serve_graph_index_layered_delete" -> graphLayeredOracle("delete"),
+    "sim_graph_layered_filtered_topk" -> graphLayeredOracle("filtered"),
     "sim_graph_filtered_topk" -> graphOracle("filtered"),
     // graph-artifact manifest: the oracle recomputes the edge table
     // from the parquet truth, so a write/load corruption (dropped

@@ -203,6 +203,53 @@ object StreamGraphServe {
       hops: Int = SimilarityOps.GraphHops,
       layers: Int = SimilarityOps.GraphLayers,
       layerHops: Int = SimilarityOps.LayerHops): DataFrame = {
+    val (q, gathered) = gatherLayeredVisited(queries, index, beam, seedK,
+      hops, layers, layerHops)
+    val topK = udaf(new graft.functions.TopKSimAgg(k))
+    scoreNodes(gathered, q, index.nodes)
+      .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.sim"), 6).as("sim"))
+  }
+
+  /** METADATA-FILTERED layered serve — [[serveFilteredTopK]]'s
+    * filtered-DiskANN shape on the layered rung: the descent and beam
+    * traverse UNFILTERED (the same gather as [[serveLayeredTopK]]),
+    * only the emit stage filters, so the answer is the true top-k of
+    * the matching visited set. */
+  def serveLayeredFilteredTopK(queries: DataFrame,
+      index: IndexStore.LayeredIndex, labels: DataFrame, k: Int = 10,
+      beam: Int = SimilarityOps.GraphBeam,
+      seedK: Int = SimilarityOps.GraphSeeds,
+      hops: Int = SimilarityOps.GraphHops,
+      layers: Int = SimilarityOps.GraphLayers,
+      layerHops: Int = SimilarityOps.LayerHops,
+      labelMod: Long = SimilarityOps.FilterLabelMod): DataFrame = {
+    val (q, gathered) = gatherLayeredVisited(queries, index, beam, seedK,
+      hops, layers, layerHops)
+    val lbl = labels.select(col("vec_id").as("node"),
+      col("label").cast("long").as("n_label"))
+    val topK = udaf(new graft.functions.TopKSimAgg(k))
+    scoreNodes(gathered, q, index.nodes)
+      .join(lbl, "node")
+      .filter(col("n_label") % labelMod === 0)
+      .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("node"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.sim"), 6).as("sim"))
+      .join(lbl, "node")
+      .select(col("q_id"), col("node").as("n_id"), col("n_label"),
+        col("rank"), col("sim"))
+  }
+
+  /** The shared front half of the layered serves: normalized queries
+    * plus everything the descent + beam VISITED. */
+  private[graft] def gatherLayeredVisited(queries: DataFrame,
+      index: IndexStore.LayeredIndex, beam: Int, seedK: Int, hops: Int,
+      layers: Int, layerHops: Int): (DataFrame, DataFrame) = {
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
@@ -241,16 +288,9 @@ object StreamGraphServe {
           .localCheckpoint(eager = false)
       else hop
     }
-    val gathered = visited
+    (q, visited
       .filter(col("node") =!= col("q_id")).distinct()
-      .localCheckpoint(eager = false)
-    val topK = udaf(new graft.functions.TopKSimAgg(k))
-    scoreNodes(gathered, q, index.nodes)
-      .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col.n_id").as("n_id"),
-        (col("pos") + 1).cast("long").as("rank"),
-        round(col("col.sim"), 6).as("sim"))
+      .localCheckpoint(eager = false))
   }
 
   /** Per-layer NSW insert edges for a batch of NEW vectors against the

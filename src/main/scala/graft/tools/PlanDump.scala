@@ -286,6 +286,8 @@ object PlanDump {
     // round-15 text delete lifecycle (decontaminate set reused as the
     // takedown corpus): masked postings + stats recompute at compaction
     "serve_text_index_delete",
+    // round-15 third wave: layered delete mask + filtered layered serve
+    "serve_graph_index_layered_delete", "sim_graph_layered_filtered_topk",
     // round-15 filtered graph serve: emit-stage label filter over the
     // unfiltered bucket-pruned traversal
     "sim_graph_filtered_topk",

@@ -296,6 +296,34 @@ class LayeredGraphSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("layered filtered serve: every row matches the predicate and the " +
+    "rows are the true top-k of the matching UNFILTERED visited set") {
+    val dir = fresh("filtered")
+    IndexStore.writeKnnLayered(emb, dir)
+    val idx = IndexStore.loadKnnLayered(spark, dir)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val q = emb.filter(pred).select(col("vec_id"), col("embedding"))
+    val mod = SimilarityOps.FilterLabelMod
+    val got = StreamGraphServe.serveLayeredFilteredTopK(q, idx, labels)
+      .collect()
+    assert(got.nonEmpty && got.forall(_.getLong(2) % mod == 0))
+    val labelMap = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (qn, gathered) = StreamGraphServe.gatherLayeredVisited(q, idx,
+      SimilarityOps.GraphBeam, SimilarityOps.GraphSeeds,
+      SimilarityOps.GraphHops, SimilarityOps.GraphLayers,
+      SimilarityOps.LayerHops)
+    val want = StreamGraphServe.scoreNodes(gathered, qn, idx.nodes)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => labelMap(t._2) % mod == 0)
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(10).map(t => (t._1, t._2)).toSeq
+      }.toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == want,
+      "the answer is the true top-k of the matching visited set")
+  }
+
   test("tombstone deletes mask the layered artifact: deleted nodes are " +
     "neither entries, nor edge endpoints, nor served") {
     val delPred = SimilarityOps.graphDeletePred

@@ -284,7 +284,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // adds the usual exhaustive audit arm on the bounded batch, and
       // the append's insert search pays the same entry cross
       "sim_graph_layered_topk", "sim_graph_layered_recall",
-      "serve_graph_index_layered_append",
+      "serve_graph_index_layered_append", "sim_graph_layered_filtered_topk",
       // the self-measuring recall audits COMPARE against the exhaustive
       // estimator, so the brute-force side (corpus x broadcast queries /
       // all-pairs d1 < d2) is the deliberate audit cost — paid on the
