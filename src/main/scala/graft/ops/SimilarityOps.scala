@@ -3148,7 +3148,10 @@ object SimilarityOps {
     val nQ = embeddings.filter(queryPred).count()
     val kCent = autoCentroids(embeddings.count())
     def ppmOf(audit: DataFrame): Long = {
-      val r = audit.agg(sum("n_hit").as("h"), sum("n_exact").as("e"))
+      // coalesce: an empty audit frame (queryPred matches no vectors)
+      // sums to NULL, and getLong on it would NPE (r15 ADVICE)
+      val r = audit.agg(coalesce(sum("n_hit"), lit(0L)).as("h"),
+          coalesce(sum("n_exact"), lit(0L)).as("e"))
         .collect()(0)
       r.getLong(0) * 1000000L / math.max(r.getLong(1), 1L)
     }

@@ -50,12 +50,14 @@ import graft.ops.SimilarityOps.{definedNrm, norm}
   * fall behind).
   *
   * WRITER coordination: generation writes are single-writer by
-  * contract, and the commit enforces it — the manifest is created
-  * with overwrite=false, so two racing writers that both resolved the
-  * same next generation cannot both commit: the loser's [[commitGen]]
-  * throws (its interleaved table writes die with it, and the winner's
-  * committed generation is complete by definition of the manifest
-  * protocol — a manifest is written only after its tables).
+  * contract, and [[nextGenRoot]] enforces it BEFORE any directory
+  * mutation — an `intent-N` claim file created with overwrite=false,
+  * so of two racing writers that resolved the same next generation
+  * the loser fails before it can delete or overwrite anything of the
+  * winner's (the commit-time-only manifest check, kept as a second
+  * layer, detected the collision but could not prevent that damage).
+  * A crashed writer's stale claim fails the next attempt loudly;
+  * [[clearStaleIntent]] is the admin recovery path.
   *
   * Layouts (all plain parquet, loadable with explicit schemas so no
   * inference step can drift a type):
@@ -150,14 +152,14 @@ object IndexStore {
 
   /** Commit a generation: create its manifest (atomic appearance —
     * readers list manifests, and a created file is either absent or
-    * complete; overwrite=false, so a racing writer that resolved the
-    * same next generation fails HERE instead of silently GC'ing the
-    * winner's work — the single-writer contract, enforced), then GC
-    * everything in the artifact directory outside the newest
-    * [[GenRetain]] committed generations — older generations and
-    * their manifests, manifest-less orphans of failed attempts, and a
-    * superseded pre-generation flat layout (the directory is wholly
-    * owned by IndexStore: writers create it). */
+    * complete; overwrite=false, a second detection layer behind the
+    * [[nextGenRoot]] intent claim), then GC everything in the
+    * artifact directory outside the newest [[GenRetain]] committed
+    * generations — older generations and their manifests, this
+    * generation's now-consumed intent file, manifest-less orphans of
+    * failed attempts, and a superseded pre-generation flat layout
+    * (the directory is wholly owned by IndexStore: writers create
+    * it). */
   private def commitGen(spark: SparkSession, dir: String, gen: Int): Unit = {
     val f = fs(spark, dir)
     val out = f.create(
@@ -175,15 +177,58 @@ object IndexStore {
       .foreach(s => f.delete(s.getPath, true))
   }
 
-  /** Start the NEXT generation: its root path (cleared of any orphan
-    * left by a failed earlier attempt — an orphan has no manifest, so
-    * no reader ever resolved it). Single-writer by contract;
-    * [[commitGen]] enforces it at commit time. */
+  /** Start the NEXT generation: CLAIM it, then return its root path
+    * (cleared of any orphan left by a failed earlier attempt — an
+    * orphan has no manifest, so no reader ever resolved it).
+    *
+    * The claim is an `intent-N` file created with overwrite=false
+    * BEFORE anything in the directory is touched, so a racing writer
+    * that resolved the same next generation fails HERE — before it
+    * can delete the winner's in-progress root or clobber its tables
+    * (the r15 ADVICE hole: the old commit-time-only check detected
+    * the collision but could not prevent the damage). After claiming
+    * we re-check that no manifest for this generation appeared (a
+    * racer that committed between our [[currentGen]] read and the
+    * claim has already had its intent GC'd by [[commitGen]], so the
+    * claim alone would not catch it) and back off, releasing the
+    * claim. [[commitGen]]'s GC consumes the intent on success.
+    *
+    * Crash recovery: a writer that died between claim and commit
+    * leaves a stale intent that fails the next attempt loudly; the
+    * operator (who knows no writer is live — single-writer remains
+    * the contract ACROSS artifacts' admin plane) clears it with
+    * [[clearStaleIntent]]. Fail-stop over silent takeover: an
+    * automatic takeover could not distinguish a crashed writer from
+    * a slow live one. */
   private def nextGenRoot(spark: SparkSession, dir: String): (Int, String) = {
     val gen = currentGen(spark, dir).map(_ + 1).getOrElse(0)
     val root = s"$dir/g$gen"
-    fs(spark, dir).delete(new org.apache.hadoop.fs.Path(root), true)
+    val f = fs(spark, dir)
+    val intent = new org.apache.hadoop.fs.Path(s"$dir/intent-$gen")
+    try f.create(intent, false).close()
+    catch { case _: java.io.IOException => throw new IllegalStateException(
+      s"generation $gen of $dir is claimed by another writer " +
+      "(or a crashed one: clearStaleIntent) — refusing to touch it") }
+    if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/manifest-$gen.json"))) {
+      f.delete(intent, false)
+      throw new IllegalStateException(
+        s"generation $gen of $dir was committed by a racing writer " +
+        "while this one was resolving — re-resolve and retry")
+    }
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
     (gen, root)
+  }
+
+  /** Admin-plane crash recovery: drop stale `intent-N` claims left by
+    * a writer that died between [[nextGenRoot]] and [[commitGen]].
+    * Call ONLY when no writer is live on `dir` (see [[nextGenRoot]]'s
+    * fail-stop rationale). */
+  def clearStaleIntent(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (f.exists(p)) f.listStatus(p)
+      .filter(_.getPath.getName.matches("intent-\\d+"))
+      .foreach(s => f.delete(s.getPath, false))
   }
 
   /** A generation-tracking index cache for long-running serves: [[get]]
@@ -279,12 +324,19 @@ object IndexStore {
       .parquet(tableDirAt(dir, gen, "tombstones"))
   }
 
-  /** The generation's tombstone id table, if any deletes happened. */
+  /** The generation's tombstone id table, if any deletes happened.
+    * Deduped HERE, at the single accessor: [[writeTombstones]] dedupes
+    * only within one call, so repeated/overlapping delete calls (a
+    * retried takedown batch) accumulate duplicate n_id rows in the
+    * append-mode table, and a raw join against them would count one
+    * row per duplicate (compactText's nDeleted, hence n_docs and
+    * every idf_milli — the r15 ADVICE finding). */
   private def tombstonesAt(spark: SparkSession, dir: String,
       gen: Option[Int]): Option[DataFrame] = {
     val path = tableDirAt(dir, gen, "tombstones")
     if (!fs(spark, dir).exists(new org.apache.hadoop.fs.Path(path))) None
-    else Some(spark.read.schema(tombSchema).parquet(path).select("n_id"))
+    else Some(spark.read.schema(tombSchema).parquet(path)
+      .select("n_id").distinct())
   }
 
   /** Mask `df` against the tombstones (broadcast anti-join on the

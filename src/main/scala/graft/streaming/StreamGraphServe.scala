@@ -145,8 +145,11 @@ object StreamGraphServe {
       hops: Int = SimilarityOps.GraphHops,
       labelMod: Long = SimilarityOps.FilterLabelMod): DataFrame = {
     val (q, gathered) = gatherVisited(queries, index, beam, seedK, hops)
+    // distinct: a labels relation carrying duplicate vec_id rows would
+    // duplicate pre-agg candidates (skewing the top-k) and re-attach
+    // one result row per duplicate at the emit join (r15 ADVICE)
     val lbl = labels.select(col("vec_id").as("node"),
-      col("label").cast("long").as("n_label"))
+      col("label").cast("long").as("n_label")).distinct()
     val topK = udaf(new graft.functions.TopKSimAgg(k))
     scoreFrontier(gathered, q, index)
       .join(lbl, "node")
@@ -229,8 +232,11 @@ object StreamGraphServe {
       labelMod: Long = SimilarityOps.FilterLabelMod): DataFrame = {
     val (q, gathered) = gatherLayeredVisited(queries, index, beam, seedK,
       hops, layers, layerHops)
+    // distinct: a labels relation carrying duplicate vec_id rows would
+    // duplicate pre-agg candidates (skewing the top-k) and re-attach
+    // one result row per duplicate at the emit join (r15 ADVICE)
     val lbl = labels.select(col("vec_id").as("node"),
-      col("label").cast("long").as("n_label"))
+      col("label").cast("long").as("n_label")).distinct()
     val topK = udaf(new graft.functions.TopKSimAgg(k))
     scoreNodes(gathered, q, index.nodes)
       .join(lbl, "node")

@@ -187,6 +187,52 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(posts(got) == posts(want), "postings ≡ rebuild's")
   }
 
+  test("overlapping deleteText calls do not inflate compaction's " +
+    "n_docs/idf: tombstones are deduped at the accessor") {
+    val delPred = col("doc_id") % 50 === 0
+    val flagged = docs.filter(delPred).select("doc_id")
+    val dir = fresh("text_overlap")
+    IndexStore.writeText(docs, dir)
+    IndexStore.deleteText(flagged, dir)
+    IndexStore.deleteText(flagged, dir) // retried takedown batch
+    IndexStore.deleteText(flagged.limit(3), dir) // partial overlap
+    IndexStore.compactText(spark, dir)
+    val got = IndexStore.loadText(spark, dir)
+    val rebuildDir = fresh("text_overlap_rebuild")
+    IndexStore.writeText(docs.filter(!delPred), rebuildDir)
+    val want = IndexStore.loadText(spark, rebuildDir)
+    assert(got.nDocs == want.nDocs && got.nTokens == want.nTokens,
+      s"duplicate tombstone rows must not double-count nDeleted " +
+        s"(${got.nDocs}/${got.nTokens} vs ${want.nDocs}/${want.nTokens})")
+    def idf(i: IndexStore.TextIndex) =
+      i.terms.select("term", "idf_milli").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(idf(got) == idf(want), "idf_milli ≡ rebuild's")
+  }
+
+  test("a claimed generation fails a racing writer BEFORE it touches the " +
+    "directory; clearStaleIntent is the crash-recovery path") {
+    val dir = fresh("race")
+    val corpus = docs.limit(50)
+    IndexStore.writeText(corpus, dir) // gen 0 committed
+    assert(IndexStore.currentGen(spark, dir).contains(0))
+    // another writer (live or crashed) holds the claim on gen 1 and
+    // has in-progress tables under g1
+    new java.io.File(s"$dir/intent-1").createNewFile()
+    val winnersRoot = new java.io.File(s"$dir/g1/postings")
+    winnersRoot.mkdirs()
+    val winnersFile = new java.io.File(winnersRoot, "part-w.parquet")
+    winnersFile.createNewFile()
+    intercept[IllegalStateException] { IndexStore.writeText(corpus, dir) }
+    assert(winnersFile.exists(),
+      "the loser must fail before deleting the claimant's root")
+    assert(IndexStore.currentGen(spark, dir).contains(0))
+    IndexStore.clearStaleIntent(spark, dir)
+    IndexStore.writeText(corpus, dir)
+    assert(IndexStore.currentGen(spark, dir).contains(1),
+      "after recovery the writer commits the next generation")
+  }
+
   test("attribution: deleteAttr masks the flagged train docs from bands " +
     "and shingles — a taken-down doc never appears as a match") {
     val evalPred = col("doc_id") % 50 === 0
