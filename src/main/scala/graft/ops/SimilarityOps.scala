@@ -1871,14 +1871,52 @@ object SimilarityOps {
     * tiny (8 vectors, not the [[autoCentroids]]-sized first-K list
     * the flat serve scans): the ladder exists precisely so the serve
     * never pays a corpus-growth-sized entry scan — the descent
-    * replaces it. [[GraphLayers]] is FIXED (not corpus-derived) so
-    * the oracle SQL can unroll the descent exactly like hops 1–3;
-    * at 100 TB you stack more layers — each is the same
-    * construction (hash-sample → member kNN graph → one descent
-    * hop), so the depth is a deployment knob, not a new operator. */
+    * replaces it.
+    *
+    * DEPTH is count-driven (round 16 — the [[autoCentroids]]
+    * discipline applied to the ladder): [[autoLayers]] picks the
+    * smallest L with E[N/16^L] ≤ [[LayerEntryBudget]], so the
+    * top-layer entry scan — and the append path's entry cross-join —
+    * stay BOUNDED as the corpus grows; a fixed depth would let both
+    * grow as N/16^L, linear per query batch, defeating the ladder's
+    * stated purpose at 100× scale. The artifact records its resolved
+    * depth ([[graft.serving.IndexStore.writeKnnLayered]]'s lmeta
+    * table) and appends/compactions/serves read it back — the
+    * frozen-centroid contract: depth re-levels only at a full
+    * rebuild. [[GraphLayers]] (= 2) remains as the depth autoLayers
+    * resolves to at every ORACLED scale (sf0.01: N=500, sf0.1:
+    * N=2000, the spec corpora), which is what lets the committed
+    * oracle SQL unroll the descent statically exactly like hops 1–3
+    * — L is a deterministic function of N, so for the gate corpus
+    * the depth-2 unrolling IS the auto depth. The sf1 replica
+    * (N=20,000) resolves to 3 — the LayerScaleProbe measurement in
+    * SURVEY §2.4 shows the entry scan bounded there while a pinned
+    * depth-2 build's top layer grows past the budget. */
   val LayerFactor = 16L
   val GraphLayers = 2
   val LayerEntryK = 8
+  /** Expected top-layer size ceiling for [[autoLayers]] —
+    * 2·[[LayerEntryK]]: the entry scan stays the same order as the
+    * deliberate entry sample, never corpus-coupled. */
+  val LayerEntryBudget = 2L * LayerEntryK
+  /** Sentinel: resolve the layer count from the corpus ([[autoLayers]])
+    * or, at serve time, from the artifact's recorded depth. */
+  val AutoLayers = -1
+
+  /** Count-driven ladder depth: the smallest L ≥ 1 with
+    * E[N/16^L] ≤ [[LayerEntryBudget]]. */
+  def autoLayers(n: Long): Int = {
+    var l = 1
+    var top = n / LayerFactor
+    while (top > LayerEntryBudget) { l += 1; top /= LayerFactor }
+    l
+  }
+
+  /** Resolve a caller-supplied or sentinel layer count (the
+    * [[resolveK]] shape). */
+  private[graft] def resolveLayers(embeddings: DataFrame,
+      layers: Int): Int =
+    if (layers >= 0) layers else autoLayers(embeddings.count())
   /** Greedy steps per UPPER layer — one expansion rarely crosses from
     * the coarse seed's region into the query's basin; production HNSW
     * greedy-searches each layer to a local minimum, which the
@@ -1925,10 +1963,11 @@ object SimilarityOps {
     * DuckDB replays build + descent + beam + gather. */
   private[graft] def graphLayeredSearch(embeddings: DataFrame,
       queryPred: Column, k: Int, beam: Int, seedK: Int, hops: Int,
-      layers: Int,
+      layers0: Int = AutoLayers,
       buildEdges: DataFrame => DataFrame =
         m => knnGraph(m, LayerK, AutoCentroids, KnnProbes),
       layerHops: Int = LayerHops): (DataFrame, DataFrame) = {
+    val layers = resolveLayers(embeddings, layers0)
     val layerEdges = (0 to layers).map { l =>
       val members = if (l == 0) embeddings
         else embeddings.filter(layerMemberPred(l))
@@ -2023,7 +2062,7 @@ object SimilarityOps {
 
   def graphLayeredTopK(embeddings: DataFrame, queryPred: Column,
       k: Int = 10, beam: Int = GraphBeam, seedK: Int = GraphSeeds,
-      hops: Int = GraphHops, layers: Int = GraphLayers): DataFrame =
+      hops: Int = GraphHops, layers: Int = AutoLayers): DataFrame =
     graphLayeredSearch(embeddings, queryPred, k, beam, seedK, hops,
       layers)._1
 
@@ -3146,7 +3185,9 @@ object SimilarityOps {
       hops: Int = GraphHops):
       (Option[RungMeasurement], Seq[RungMeasurement]) = {
     val nQ = embeddings.filter(queryPred).count()
-    val kCent = autoCentroids(embeddings.count())
+    val n = embeddings.count()
+    val kCent = autoCentroids(n)
+    val nLayers = autoLayers(n)
     def ppmOf(audit: DataFrame): Long = {
       // coalesce: an empty audit frame (queryPred matches no vectors)
       // sums to NULL, and getLong on it would NPE (r15 ADVICE)
@@ -3163,7 +3204,7 @@ object SimilarityOps {
     }
     val layered = grid.map { b =>
       val (topk, visited) = graphLayeredSearch(embeddings, queryPred, k,
-        b, GraphSeeds, hops, GraphLayers)
+        b, GraphSeeds, hops, nLayers)
       RungMeasurement("layered", b,
         ppmOf(graphRecall(embeddings, queryPred, k, served = Some(topk))),
         visited.count())

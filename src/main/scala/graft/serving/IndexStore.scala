@@ -901,9 +901,13 @@ object IndexStore {
     * MIRRORED kNN edges at the layered degree
     * [[graft.ops.SimilarityOps.LayerK]], partitioned by (layer, sb)
     * so a hop reads exactly its layer's frontier buckets; `nodes` =
-    * the nb-bucketed vector store ([[writeKnn]]'s layout). */
+    * the nb-bucketed vector store ([[writeKnn]]'s layout); `layers` =
+    * the artifact's RECORDED depth ([[graft.ops.SimilarityOps
+    * .autoLayers]] at write time, frozen until a rebuild — the
+    * frozen-centroid contract), which every serve and append reads
+    * back instead of assuming a compile-time constant. */
   final case class LayeredIndex(entries: DataFrame, edges: DataFrame,
-      nodes: DataFrame)
+      nodes: DataFrame, layers: Int)
 
   def ensureKnnLayered(corpus: DataFrame, dir: String): Unit =
     once(dir)(writeKnnLayered(corpus, dir))
@@ -915,11 +919,21 @@ object IndexStore {
     * 2·LayerK), all layers in ONE (layer, sb)-partitioned table.
     * Layer-0 dominates the build cost; the upper layers are
     * geometrically cheaper. Generation-manifest committed like every
-    * artifact here. */
-  def writeKnnLayered(corpus: DataFrame, dir: String): Unit = {
+    * artifact here.
+    *
+    * DEPTH is resolved count-driven at write time ([[graft.ops
+    * .SimilarityOps.autoLayers]] — default; pass `layers` to pin) and
+    * RECORDED in the artifact's one-row `lmeta` table: appends,
+    * compactions, and serves read it back, so the entry scan stays
+    * bounded by [[graft.ops.SimilarityOps.LayerEntryBudget]] however
+    * large the corpus the artifact was built over. */
+  def writeKnnLayered(corpus: DataFrame, dir: String,
+      layers: Int = SimilarityOps.AutoLayers): Unit = {
     val spark = corpus.sparkSession
+    val nLayers = SimilarityOps.resolveLayers(
+      corpus.select("vec_id"), layers)
     val (gen, root) = nextGenRoot(spark, dir)
-    (0 to SimilarityOps.GraphLayers).map { l =>
+    (0 to nLayers).map { l =>
         val members = if (l == 0) corpus
           else corpus.filter(SimilarityOps.layerMemberPred(l))
         SimilarityOps.mirroredEdges(SimilarityOps.knnGraph(
@@ -930,8 +944,9 @@ object IndexStore {
       .repartition(col("layer"), col("sb"))
       .write.mode("overwrite").partitionBy("layer", "sb")
       .parquet(s"$root/ledges")
+    writeLayerMeta(spark, s"$root/lmeta", nLayers)
     corpus
-      .filter(SimilarityOps.layerMemberPred(SimilarityOps.GraphLayers)
+      .filter(SimilarityOps.layerMemberPred(nLayers)
         || col("vec_id") < SimilarityOps.LayerEntryK)
       .select(col("vec_id").as("node"), col("embedding").as("e_emb"),
         norm(col("embedding")).as("e_nrm"))
@@ -962,6 +977,8 @@ object IndexStore {
     val spark = newVecs.sparkSession
     val gen = currentGen(spark, dir)
     val idx = loadKnnLayeredAt(spark, dir, gen)
+    // AutoLayers resolves to the artifact's recorded depth — the
+    // insert descends exactly the layers the build stacked
     val perLayer = graft.streaming.StreamGraphServe
       .layeredInsertEdges(newVecs, idx)
     perLayer.toSeq.sortBy(_._1).map { case (l, e) =>
@@ -983,7 +1000,7 @@ object IndexStore {
       .write.mode("append").partitionBy("nb")
       .parquet(tableDirAt(dir, gen, "lnodes"))
     newVecs
-      .filter(SimilarityOps.layerMemberPred(SimilarityOps.GraphLayers))
+      .filter(SimilarityOps.layerMemberPred(idx.layers))
       .select(col("vec_id").as("node"), col("embedding").as("e_emb"),
         norm(col("embedding")).as("e_nrm"))
       .filter(definedNrm(col("e_nrm")))
@@ -1004,6 +1021,7 @@ object IndexStore {
   def compactKnnLayered(spark: SparkSession, dir: String,
       midCompaction: () => Unit = () => ()): Unit = {
     val cur = currentGen(spark, dir)
+    val depth = readLayerMeta(spark, tableDirAt(dir, cur, "lmeta"))
     val tomb = tombstonesAt(spark, dir, cur)
     val nodes = maskDeleted(
       spark.read.schema(knnNodesSchema)
@@ -1037,9 +1055,26 @@ object IndexStore {
       .repartition(col("nb"))
       .write.mode("overwrite").partitionBy("nb").parquet(s"$root/lnodes")
     entries.write.mode("overwrite").parquet(s"$root/lentries")
+    // depth is frozen at write time (the frozen-centroid contract):
+    // compaction carries the recorded depth through unchanged
+    writeLayerMeta(spark, s"$root/lmeta", depth)
     midCompaction()
     commitGen(spark, dir, gen)
   }
+
+  /** The layered artifact's recorded depth — a one-row parquet table
+    * so every engine (Spark, DuckDB-side tooling) can read it without
+    * a custom format. Legacy artifacts without one read as
+    * [[graft.ops.SimilarityOps.GraphLayers]]. */
+  private def writeLayerMeta(spark: SparkSession, path: String,
+      layers: Int): Unit =
+    spark.range(1).select(lit(layers).cast("int").as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  private def readLayerMeta(spark: SparkSession, path: String): Int =
+    if (!fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
+      SimilarityOps.GraphLayers
+    else spark.read.parquet(path).first().getInt(0)
 
   private val layeredEdgesSchema = StructType(Seq(
     StructField("src", LongType),
@@ -1070,7 +1105,8 @@ object IndexStore {
       maskDeleted(
         spark.read.schema(knnNodesSchema)
           .parquet(tableDirAt(dir, gen, "lnodes")),
-        "node", tomb))
+        "node", tomb),
+      readLayerMeta(spark, tableDirAt(dir, gen, "lmeta")))
   }
 
   private val knnEdgesSchema = StructType(Seq(

@@ -204,7 +204,7 @@ object StreamGraphServe {
       k: Int = 10, beam: Int = SimilarityOps.GraphBeam,
       seedK: Int = SimilarityOps.GraphSeeds,
       hops: Int = SimilarityOps.GraphHops,
-      layers: Int = SimilarityOps.GraphLayers,
+      layers: Int = SimilarityOps.AutoLayers,
       layerHops: Int = SimilarityOps.LayerHops): DataFrame = {
     val (q, gathered) = gatherLayeredVisited(queries, index, beam, seedK,
       hops, layers, layerHops)
@@ -227,7 +227,7 @@ object StreamGraphServe {
       beam: Int = SimilarityOps.GraphBeam,
       seedK: Int = SimilarityOps.GraphSeeds,
       hops: Int = SimilarityOps.GraphHops,
-      layers: Int = SimilarityOps.GraphLayers,
+      layers: Int = SimilarityOps.AutoLayers,
       layerHops: Int = SimilarityOps.LayerHops,
       labelMod: Long = SimilarityOps.FilterLabelMod): DataFrame = {
     val (q, gathered) = gatherLayeredVisited(queries, index, beam, seedK,
@@ -252,10 +252,13 @@ object StreamGraphServe {
   }
 
   /** The shared front half of the layered serves: normalized queries
-    * plus everything the descent + beam VISITED. */
+    * plus everything the descent + beam VISITED. The [[SimilarityOps
+    * .AutoLayers]] sentinel resolves to the ARTIFACT's recorded depth
+    * — a serve must descend exactly the layers the build stacked. */
   private[graft] def gatherLayeredVisited(queries: DataFrame,
       index: IndexStore.LayeredIndex, beam: Int, seedK: Int, hops: Int,
-      layers: Int, layerHops: Int): (DataFrame, DataFrame) = {
+      layers0: Int, layerHops: Int): (DataFrame, DataFrame) = {
+    val layers = if (layers0 < 0) index.layers else layers0
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
@@ -312,11 +315,12 @@ object StreamGraphServe {
     * queries whose level reaches the layer. */
   private[graft] def layeredInsertEdges(newVecs: DataFrame,
       index: IndexStore.LayeredIndex,
-      layers: Int = SimilarityOps.GraphLayers,
+      layers0: Int = SimilarityOps.AutoLayers,
       beam: Int = SimilarityOps.GraphBeam,
       seedK: Int = SimilarityOps.GraphSeeds,
       hops: Int = SimilarityOps.GraphHops,
       layerHops: Int = SimilarityOps.LayerHops): Map[Int, DataFrame] = {
+    val layers = if (layers0 < 0) index.layers else layers0
     val q = newVecs
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))

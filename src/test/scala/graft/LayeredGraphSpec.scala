@@ -140,6 +140,47 @@ class LayeredGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("autoLayers: the smallest depth with E[N/16^L] <= LayerEntryBudget; " +
+    "every oracled scale resolves to the SQL's unroll depth (2), the sf1 " +
+    "replica to 3") {
+    import SimilarityOps.{autoLayers, LayerFactor, LayerEntryBudget}
+    assert(autoLayers(0) == 1 && autoLayers(256) == 1)
+    assert(autoLayers(500) == 2, "sf0.001 / sf0.01 corpora")
+    assert(autoLayers(2000) == 2, "sf0.1 bench corpus")
+    assert(autoLayers(3024) == 2, "the hierarchical spec corpus")
+    assert(autoLayers(20000) == 3, "the 10x sf1 replica")
+    for (n <- Seq(1L, 100L, 4096L, 100000L, 10000000L, 1000000000L,
+        1000000000000L)) {
+      val l = autoLayers(n)
+      def top(lv: Int) = (1 to lv).foldLeft(n)((a, _) => a / LayerFactor)
+      assert(top(l) <= LayerEntryBudget,
+        s"n=$n depth $l leaves the top layer over budget")
+      assert(l == 1 || top(l - 1) > LayerEntryBudget,
+        s"n=$n depth $l is deeper than needed")
+    }
+  }
+
+  test("the artifact records its resolved depth (lmeta); serve, append " +
+    "and compaction read it back instead of assuming a constant") {
+    val dir = fresh("meta")
+    IndexStore.writeKnnLayered(emb, dir) // N=500 -> auto depth 2
+    assert(IndexStore.loadKnnLayered(spark, dir).layers == 2)
+    // a pinned depth-3 build records 3, serves at 3, compacts at 3
+    val dir3 = fresh("meta3")
+    IndexStore.writeKnnLayered(emb, dir3, layers = 3)
+    val idx3 = IndexStore.loadKnnLayered(spark, dir3)
+    assert(idx3.layers == 3)
+    val q = emb.filter(pred).select(col("vec_id"), col("embedding"))
+    val got = asTuples(StreamGraphServe.serveLayeredTopK(q, idx3).collect())
+    val want = asTuples(
+      SimilarityOps.graphLayeredTopK(emb, pred, layers = 3).collect())
+    assert(got.nonEmpty && got == want,
+      "the serve descends exactly the recorded depth")
+    IndexStore.compactKnnLayered(spark, dir3)
+    assert(IndexStore.loadKnnLayered(spark, dir3).layers == 3,
+      "compaction carries the frozen depth through")
+  }
+
   test("layered append (HNSW insert, hash-derived levels): edges land only " +
     "at layers the vector's md5 level reaches, a new top-layer member " +
     "becomes an entry point, every edge is mirrored, appended nodes serve") {
