@@ -868,6 +868,47 @@ object DedupOps {
         .select(col("band").cast("long").as("band"), col("n_rows"),
           col("n_keys"), col("max_df"))
     }),
+    // the attribution APPEND lifecycle (round 16): band/shingle rows
+    // are per-doc derivable, so the delta split appends directory-
+    // additively — append ≡ rebuild EXACTLY (no stale window), which
+    // is why this shares the write oracle's recomputation over the
+    // full corpus; directory-additivity itself is spec-pinned
+    // (AttrLifecycleSpec)
+    "serve_attr_index_append" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val newPred = col("doc_id") % 10 === 7
+      val dir = graft.serving.IndexStore.scratchDir(d, "attr_append")
+      graft.serving.IndexStore.writeAttr(docs.filter(!newPred), dir)
+      graft.serving.IndexStore.appendAttr(docs.filter(newPred), dir)
+      graft.serving.IndexStore.loadAttr(s, dir).bands
+        .groupBy("band", "key").agg(count(lit(1)).as("df"))
+        .groupBy("band").agg(sum("df").as("n_rows"),
+          count(lit(1)).as("n_keys"), max("df").as("max_df"))
+        .select(col("band").cast("long").as("band"), col("n_rows"),
+          col("n_keys"), col("max_df"))
+    }),
+    // the attribution DELETE lifecycle completed (round 16 — formerly
+    // the one family whose tombstones accumulated until a rebuild):
+    // tombstone the contaminated train docs, then compactAttr
+    // physically drops them from bands AND shingles in a new
+    // generation; the oracle rebands truth-minus-deleted, so a leaked
+    // posting breaks the hash
+    "serve_attr_index_delete" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = graft.serving.IndexStore.scratchDir(d, "attr_delete")
+      graft.serving.IndexStore.writeAttr(docs, dir)
+      graft.serving.IndexStore.deleteAttr(
+        decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0))
+          .filter(col("contaminated")).select("doc_id"), dir)
+      graft.serving.IndexStore.compactAttr(s, dir)
+      graft.serving.IndexStore.loadAttr(s, dir).bands
+        .groupBy("band", "key").agg(count(lit(1)).as("df"))
+        .groupBy("band").agg(sum("df").as("n_rows"),
+          count(lit(1)).as("n_keys"), max("df").as("max_df"))
+        .select(col("band").cast("long").as("band"), col("n_rows"),
+          col("n_keys"), col("max_df"))
+    }),
     // the streaming serve's batch twin: build + persist the band /
     // shingle artifacts for the train split, then serve the eval
     // split from them (probed buckets prune both scans) — parity with
@@ -1124,6 +1165,42 @@ object DedupOps {
          |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
          |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
          |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, m2::VARCHAR || '_' || m3::VARCHAR AS key FROM sigs),
+         |per AS (SELECT band, key, COUNT(1) AS df FROM bands GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band, CAST(SUM(df) AS BIGINT) AS n_rows,
+         |  COUNT(1)::BIGINT AS n_keys, CAST(MAX(df) AS BIGINT) AS max_df
+         |FROM per GROUP BY 1""".stripMargin,
+
+    // append ≡ rebuild exactly (per-doc derivable rows) — the same
+    // full-corpus rebanding as the write oracle
+    "serve_attr_index_append" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
+         |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
+         |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, m2::VARCHAR || '_' || m3::VARCHAR AS key FROM sigs),
+         |per AS (SELECT band, key, COUNT(1) AS df FROM bands GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band, CAST(SUM(df) AS BIGINT) AS n_rows,
+         |  COUNT(1)::BIGINT AS n_keys, CAST(MAX(df) AS BIGINT) AS max_df
+         |FROM per GROUP BY 1""".stripMargin,
+
+    // compaction physically drops the tombstoned docs: reband
+    // truth-minus-deleted
+    "serve_attr_index_delete" ->
+      s"""WITH del AS ($sqlContaminatedIds),
+         |docs2 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+         |sigs AS (
+         |  SELECT doc_id, ${sqlMinhash(0)} AS m0, ${sqlMinhash(1)} AS m1,
+         |    ${sqlMinhash(2)} AS m2, ${sqlMinhash(3)} AS m3
+         |  FROM docs2),
          |bands AS (
          |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sigs
          |  UNION ALL

@@ -1633,6 +1633,31 @@ object TextOps {
       graft.serving.IndexStore.loadText(s, dir).terms
         .select(col("term"), col("df"), col("idf_milli"))
     }),
+    // the text APPEND lifecycle (round 16 — the family's missing
+    // stage): write the base split, append the delta split's postings
+    // directory-additively, then report the live per-term posting
+    // stats (df/tf over old ∪ delta) joined to the FROZEN terms table
+    // (base-only df/idf — the appendAnn stale-until-compaction
+    // contract). The oracle recomputes the live side from the full
+    // corpus and the frozen side from the base split, so a lost
+    // appended posting, a leaked terms rewrite, or a drifted idf all
+    // break the hash; new-only terms show df_frozen = 0.
+    "serve_text_index_append" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val newPred = col("doc_id") % 10 === 7
+      val dir = graft.serving.IndexStore.scratchDir(d, "text_append")
+      graft.serving.IndexStore.writeText(docs.filter(!newPred), dir)
+      graft.serving.IndexStore.appendText(docs.filter(newPred), dir)
+      val idx = graft.serving.IndexStore.loadText(s, dir)
+      idx.postings.groupBy("term")
+        .agg(count(lit(1)).cast("long").as("df_live"),
+          sum("tf").cast("long").as("tf_sum"))
+        .join(idx.terms.select(col("term"), col("df").as("df_frozen"),
+          col("idf_milli")), Seq("term"), "left")
+        .select(col("term"), col("df_live"), col("tf_sum"),
+          coalesce(col("df_frozen"), lit(0L)).as("df_frozen"),
+          coalesce(col("idf_milli"), lit(0L)).as("idf_milli"))
+    }),
     // streaming twin covered by StreamQualityGateSpec (stream ≡ batch)
     "stream_quality_keep" -> ((s, d) => gopherKeep(t(s, d, "documents"))),
     "txt_perceptron_train" -> ((s, d) => perceptronTrain(t(s, d, "documents"))),
@@ -2091,6 +2116,27 @@ object TextOps {
          |  CAST(((2 * n.n_docs - 2 * df + 1) * 1000) // (2 * df + 1)
          |    AS BIGINT) AS idf_milli
          |FROM dfq, n""".stripMargin,
+
+    "serve_text_index_append" ->
+      s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 10 != 7),
+         |tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         |p AS (
+         |  SELECT term, doc_id, COUNT(1)::BIGINT AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |live AS (
+         |  SELECT term, COUNT(1)::BIGINT AS df_live,
+         |    CAST(SUM(tf) AS BIGINT) AS tf_sum
+         |  FROM p GROUP BY 1),
+         |btok AS (SELECT doc_id, unnest($sqlToks) AS term FROM base),
+         |bp AS (SELECT term, doc_id FROM btok GROUP BY 1, 2),
+         |bdf AS (SELECT term, COUNT(1) AS df FROM bp GROUP BY 1),
+         |bn AS (SELECT COUNT(1) AS n FROM base)
+         |SELECT l.term, l.df_live, l.tf_sum,
+         |  CAST(COALESCE(b.df, 0) AS BIGINT) AS df_frozen,
+         |  CAST(COALESCE(
+         |    ((2 * bn.n - 2 * b.df + 1) * 1000) // (2 * b.df + 1), 0)
+         |    AS BIGINT) AS idf_milli
+         |FROM live l LEFT JOIN bdf b ON l.term = b.term, bn""".stripMargin,
 
     "serve_text_index" ->
       s"""WITH tok AS (

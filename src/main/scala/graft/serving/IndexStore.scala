@@ -542,6 +542,62 @@ object IndexStore {
     commitGen(spark, dir, gen)
   }
 
+  /** INCREMENTAL attribution maintenance (round 16 — completing the
+    * family's lifecycle): band and shingle rows are PER-DOC derivable
+    * (minhash signatures depend on nothing but the doc's own text),
+    * so ingest appends them directory-additively into the current
+    * generation's bucketed layouts — and unlike the ANN/text appends
+    * there is NO stale-stats window: append ≡ rebuild exactly, row
+    * for row (spec-pinned). */
+  def appendAttr(newTrain: DataFrame, dir: String,
+      textCol: String = "text"): Unit = {
+    val spark = newTrain.sparkSession
+    val gen = currentGen(spark, dir)
+    DedupOps.bandKeys(newTrain, textCol)
+      .select(col("doc_id").as("t_id"), col("band"), col("key"))
+      .withColumn("pb", pbCol(col("band"), col("key")))
+      .repartition(col("pb"))
+      .write.mode("append").partitionBy("pb")
+      .parquet(tableDirAt(dir, gen, "bands"))
+    newTrain.select(col("doc_id").as("t_id"),
+        DedupOps.shingleHashes(col(textCol)).as("t_shs"))
+      .withColumn("tb", tbCol(col("t_id")))
+      .repartition(col("tb"))
+      .write.mode("append").partitionBy("tb")
+      .parquet(tableDirAt(dir, gen, "shingles"))
+  }
+
+  /** Compact the attribution artifact after takedowns: physically
+    * drop tombstoned train docs from BOTH the band postings and the
+    * shingle tables (previously the one family whose tombstones
+    * accumulated until a full [[writeAttr]] rebuild), each (pb/tb)
+    * bucket rewritten into one file set, committed as a new
+    * generation. Spec-pinned: compact-after-delete ≡
+    * writeAttr(truth-minus-deleted), row for row across both
+    * tables. */
+  def compactAttr(spark: SparkSession, dir: String,
+      midCompaction: () => Unit = () => ()): Unit = {
+    val cur = currentGen(spark, dir)
+    val tomb = tombstonesAt(spark, dir, cur)
+    val bands = maskDeleted(
+      spark.read.schema(attrBandsSchema)
+        .parquet(tableDirAt(dir, cur, "bands")),
+      "t_id", tomb)
+    val shingles = maskDeleted(
+      spark.read.schema(attrShinglesSchema)
+        .parquet(tableDirAt(dir, cur, "shingles")),
+      "t_id", tomb)
+    val (gen, root) = nextGenRoot(spark, dir)
+    bands.drop("pb").withColumn("pb", pbCol(col("band"), col("key")))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$root/bands")
+    shingles.drop("tb").withColumn("tb", tbCol(col("t_id")))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$root/shingles")
+    midCompaction()
+    commitGen(spark, dir, gen)
+  }
+
   private val attrBandsSchema = StructType(Seq(
     StructField("t_id", LongType),
     StructField("band", IntegerType),
@@ -616,6 +672,43 @@ object IndexStore {
     commitGen(spark(docs), dir, gen)
   }
 
+  /** INCREMENTAL lexical maintenance (round 16 — the text family's
+    * missing lifecycle stage): new docs' postings are derivable
+    * per-doc, so ingest appends them directory-additively into the
+    * current generation's tb-partitioned postings table — the
+    * [[appendAnn]] precedent — plus ONE delta row in the stats table
+    * (n_docs/n_tokens of the batch), which the summed stats read
+    * keeps exact across appends (avgdl never drifts). Term stats
+    * follow the frozen-centroid contract: `terms` (df, idf_milli) is
+    * NOT touched and serves STALE — a new-only term scores 0 idf, an
+    * old term's idf reflects the pre-append corpus — until the next
+    * [[compactText]] (which recomputes both exactly from the merged
+    * postings) or [[writeText]] rebuild. A streaming serve
+    * ([[graft.streaming.StreamBm25Serve.serveStreamFrom]]) picks that
+    * recomputed generation up at its next micro-batch boundary via
+    * [[GenCached]]. Spec-pinned: compact-after-append ≡
+    * writeText(old ∪ delta), row for row across postings, terms AND
+    * stats. */
+  def appendText(newDocs: DataFrame, dir: String,
+      textCol: String = "text"): Unit = {
+    val nNew = newDocs.count()
+    val gen = currentGen(spark(newDocs), dir)
+    val tk = newDocs.select(col("doc_id"),
+      graft.ops.TextOps.tokens(col(textCol)).as("toks"))
+    tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("tb", tbTermCol(col("term")))
+      .repartition(col("tb"))
+      .write.mode("append").partitionBy("tb")
+      .parquet(tableDirAt(dir, gen, "postings"))
+    tk.agg(lit(nNew).cast("long").as("n_docs"),
+        coalesce(sum(size(col("toks"))), lit(0L)).cast("long")
+          .as("n_tokens"))
+      .write.mode("append").parquet(tableDirAt(dir, gen, "stats"))
+  }
+
   /** Compact the text artifact after deletes: drop tombstoned docs'
     * postings PHYSICALLY and recompute the derived tables exactly as
     * [[writeText]] would — per-term df from the surviving postings,
@@ -634,7 +727,9 @@ object IndexStore {
     val tomb = tombstonesAt(spark, dir, cur)
     val oldPosts = spark.read.schema(textPostingsSchema)
       .parquet(tableDirAt(dir, cur, "postings"))
-    val st = spark.read.parquet(tableDirAt(dir, cur, "stats")).first()
+    // summed: base row + one delta row per appendText (see loadTextAt)
+    val st = spark.read.parquet(tableDirAt(dir, cur, "stats"))
+      .agg(coalesce(sum("n_docs"), lit(0L)).cast("long")).first()
     val nDeleted = tomb.fold(0L)(t => oldPosts.select("doc_id").distinct()
       .join(broadcast(t.withColumnRenamed("n_id", "doc_id")), "doc_id")
       .count())
@@ -683,9 +778,14 @@ object IndexStore {
 
   private[graft] def loadTextAt(spark: SparkSession, dir: String,
       gen: Option[Int]): TextIndex = {
-    val st = spark.read.parquet(tableDirAt(dir, gen, "stats")).first()
-    // postings masked; df/idf/stats serve stale until the next
-    // writeText rebuild (see the tombstone doc)
+    // stats SUM over rows: [[appendText]] adds one delta row per
+    // append (directory-additive), so n_docs/n_tokens — hence avgdl —
+    // stay exact across appends while df/idf stay frozen
+    val st = spark.read.parquet(tableDirAt(dir, gen, "stats"))
+      .agg(coalesce(sum("n_docs"), lit(0L)).cast("long"),
+        coalesce(sum("n_tokens"), lit(0L)).cast("long")).first()
+    // postings masked; df/idf serve stale until the next compactText
+    // or writeText rebuild (see the tombstone doc)
     TextIndex(
       maskDeleted(
         spark.read.schema(textPostingsSchema)

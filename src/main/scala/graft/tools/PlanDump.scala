@@ -286,6 +286,12 @@ object PlanDump {
     // round-15 text delete lifecycle (decontaminate set reused as the
     // takedown corpus): masked postings + stats recompute at compaction
     "serve_text_index_delete",
+    // round-16 text append lifecycle: directory-additive postings +
+    // frozen terms join (live df over old ∪ delta vs stale idf)
+    "serve_text_index_append",
+    // round-16 attribution lifecycle closure: exact directory-additive
+    // append; delete + compactAttr physically dropping both tables
+    "serve_attr_index_append", "serve_attr_index_delete",
     // round-15 third wave: layered delete mask + filtered layered serve
     "serve_graph_index_layered_delete", "sim_graph_layered_filtered_topk",
     // round-15 filtered graph serve: emit-stage label filter over the
