@@ -206,6 +206,46 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** minhash_sig_hashes(hashes) → array<long> of the four minhash lanes,
+  * computed from an ALREADY-HASHED shingle array (the `t_shs` column
+  * the attribution artifact stores) instead of raw text — the same
+  * min over (a·h + b) mod HashMod per lane, the same empty-set
+  * sentinel, so it is bit-identical to [[MinHashSig]] over the text
+  * the hashes came from (min over a set is order/multiplicity
+  * independent). Lets an index build that has just written the
+  * shingle table derive the band table from it — ONE raw-text kernel
+  * pass instead of two (r16 optimization, guide §1.2). */
+case class MinHashSigFromHashes(child: Expression, a: Seq[Long], b: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+  require(a.length == b.length)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new Array[Long](a.length)
+    val hs = if (v == null) null
+      else v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = if (hs == null) 0 else hs.numElements()
+    var i = 0
+    while (i < a.length) {
+      if (n == 0) out(i) = TextKernel.HashMod
+      else {
+        var m = Long.MaxValue
+        var j = 0
+        while (j < n) {
+          val x = (a(i) * hs.getLong(j) + b(i)) % TextKernel.HashMod
+          if (x < m) m = x
+          j += 1
+        }
+        out(i) = m
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** sorted_inter_count(a, b) → |a ∩ b| for two ASCENDING long arrays —
   * a merge scan: O(n+m), no per-row allocation. Replaces
   * `size(array_intersect(...))`, which builds a hash set and an output
@@ -528,6 +568,8 @@ object TextNative {
   def shingle_hashes(text: Column): Column = toCol(ShingleHashes(toExpr(text)))
   def minhash_sig(text: Column, a: Seq[Long], b: Seq[Long]): Column =
     toCol(MinHashSig(toExpr(text), a, b))
+  def minhash_sig_hashes(hashes: Column, a: Seq[Long], b: Seq[Long]): Column =
+    toCol(MinHashSigFromHashes(toExpr(hashes), a, b))
   def sorted_inter_count(a: Column, b: Column): Column =
     toCol(SortedInterCount(toExpr(a), toExpr(b)))
   def simhash60(text: Column): Column = toCol(SimHash60(toExpr(text)))

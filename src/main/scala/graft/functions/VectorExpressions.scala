@@ -526,6 +526,153 @@ case class VecCosSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** vec_l2sq_long(a, b) → long: Σ(aᵢ−bᵢ)² over two equal-length int64
+  * arrays — the fixed-point (quantized) distance the RQ/kmeans family
+  * previously computed through an interpreted
+  * `aggregate(zip_with(...))` chain (boxed per element, re-planned per
+  * use site). Integer addition is exact and order-free, so this is
+  * bit-identical to the HOF fold; null if either side is null (the
+  * HOF's null semantics for a null array). */
+case class VecL2sqLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq_long requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $x.getLong($i) - $y.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** vec_argmin_l2_fixed(qv) → struct<dist:long, cl:long>: the nearest
+  * LITERAL centroid by exact int64 squared L2, ties to the LOWEST
+  * cluster id — replaces `array_min(array(<k dist structs>))` whose k
+  * interpreted `aggregate(zip_with(...))` folds re-walked the vector
+  * once per centroid through boxed lambdas. Iterating clusters in
+  * ascending id with a strict `<` keeps the first minimum: exactly
+  * array_min's (dist ASC, cl ASC) struct order. */
+case class VecArgminL2Fixed(child: Expression, cents: Seq[Seq[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(cents.nonEmpty)
+  private val flat: Array[Long] = cents.flatten.toArray
+  private val dim: Int = cents.head.length
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("cl", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var bestD = Long.MaxValue
+    var bestC = 0L
+    var c = 0
+    while (c < cents.length) {
+      val off = c * dim
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - flat(off + i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; bestC = c.toLong }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestD, bestC)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** vec_dot_const_long(x, w) → long: Σ xᵢ·wᵢ against a LITERAL int64
+  * weight vector — the perceptron margin, previously an interpreted
+  * `aggregate(zip_with(...))` per row per training round. Exact
+  * integer arithmetic, order-free ⇒ bit-identical. */
+case class VecDotConstLong(child: Expression, w: Seq[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private val wa: Array[Long] = w.toArray
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), wa.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * wa(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** quantize_fixed(emb, scale) → array<long>: per-element
+  * floor(x·scale) — the fixed-point quantization previously a
+  * `transform(...)` HOF (interpreted lambda + boxed doubles per
+  * element). floor-then-cast matches the HOF's
+  * `floor(cast(x as double) * scale).cast(long)` exactly. */
+case class VecQuantizeFixed(child: Expression, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(x.getFloat(i).toDouble * scale.toDouble).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
   import org.apache.spark.sql.functions.sqrt
@@ -534,6 +681,14 @@ object VectorFunctions {
   def vec_dot_n(a: Column, b: Column, n: Int): Column =
     toCol(VecDotPrefix(toExpr(a), toExpr(b), n))
   def vec_sqdist(a: Column, b: Column): Column = toCol(VecSqdist(toExpr(a), toExpr(b)))
+  def vec_l2sq_long(a: Column, b: Column): Column =
+    toCol(VecL2sqLong(toExpr(a), toExpr(b)))
+  def vec_argmin_l2_fixed(qv: Column, cents: Seq[Seq[Long]]): Column =
+    toCol(VecArgminL2Fixed(toExpr(qv), cents))
+  def vec_dot_const_long(x: Column, w: Seq[Long]): Column =
+    toCol(VecDotConstLong(toExpr(x), w))
+  def vec_quantize_fixed(emb: Column, scale: Long): Column =
+    toCol(VecQuantizeFixed(toExpr(emb), scale))
   def vec_cos_sim(a: Column, b: Column): Column = toCol(VecCosSim(toExpr(a), toExpr(b)))
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
   def pq_encode(emb: Column, fcb: Column, nSubs: Int, nCodes: Int): Column =

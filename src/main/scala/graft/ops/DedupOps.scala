@@ -65,6 +65,26 @@ object DedupOps {
         col("b.band").as("band") :+ col("b.key").as("key"): _*)
   }
 
+  /** [[bandKeys]] recomputed from an ALREADY-HASHED shingle array
+    * column instead of raw text (r16 optimization): an attribution
+    * index build that has just written its shingle table derives the
+    * band table from THAT — one raw-text kernel pass instead of two.
+    * Bit-identical to bandKeys over the originating text (min over a
+    * hash set is order-independent; same lanes, same empty sentinel,
+    * same key rendering — spec-pinned in AttrLifecycleSpec). */
+  private[graft] def bandKeysFromShingles(shingles: DataFrame,
+      idCol: String, shsCol: String): DataFrame = {
+    val sig = graft.functions.TextNative.minhash_sig_hashes(col(shsCol), A, B)
+    shingles.withColumn("_sig", sig)
+      .select(col(idCol).as("doc_id") +:
+        A.indices.map(i => element_at(col("_sig"), i + 1).as(s"m$i")): _*)
+      .select(col("doc_id"),
+        explode(array(
+          struct(lit(0).as("band"), concat_ws("_", col("m0"), col("m1")).as("key")),
+          struct(lit(1).as("band"), concat_ws("_", col("m2"), col("m3")).as("key")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
   /** Banded LSH candidate pairs: docs agreeing on all rows of any band
     * become a pair. The join is keyed on (band_id, band_hash) —
     * bounded shuffle. */
@@ -794,8 +814,17 @@ object DedupOps {
       array_join(slice(col("toks"), s.cast("int"), lit(n)), " ")
     val hashes = tk.select(col("doc_id"),
       explode(transform(starts, s => md5(gramAt(s)))).as("gram_h"))
-    val top = hashes.groupBy("gram_h")
-      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+    // two-phase distinct (r16, guide §2.3 + the dq_profile idiom):
+    // countDistinct(doc_id) NEXT TO count(1) forces an Expand — every
+    // gram occurrence shuffled twice (16.8 MB at sf0.1, 2x corpus gram
+    // volume at scale). Phase 1 combines occurrences per (gram, doc)
+    // map-side, so the shuffle carries distinct pairs once; phase 2
+    // rolls up. n_docs = count of distinct pairs, n_occ = Σ per-pair
+    // counts — identical values by construction.
+    val top = hashes.groupBy("gram_h", "doc_id")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("gram_h")
+      .agg(count(lit(1)).as("n_docs"), sum("c").as("n_occ"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram_h").asc)
       .limit(k)

@@ -216,9 +216,39 @@ object GraphOps {
       .localCheckpoint(eager = false)
     // degree rides ON the edge list (materialized once): each round is
     // then ONE |E| join + one map-side-combinable sum — the
-    // rank-to-degree lookup join disappears from the loop entirely
-    val symd = org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
-      sym.join(deg.select(col("node").as("src"), col("dg")), "src"))
+    // rank-to-degree lookup join disappears from the loop entirely.
+    // r16 (guide §2.4 — two operations keyed the same way share one
+    // exchange): pin the edge list's partitioning on the join key with
+    // an EXPLICIT partition count, pre-sort within partitions, and
+    // checkpoint — every round's sort-merge join then reuses the edge
+    // side's layout and only the rank side (|V| partial-agg rows)
+    // exchanges + sorts, instead of re-shuffling + re-sorting |E|
+    // edges per round. The layout survives ONLY if the checkpoint's
+    // plan is compiled non-adaptively: under AQE the executed plan is
+    // not finalized when LogicalRDD captures outputPartitioning /
+    // outputOrdering, so both read Unknown and every round
+    // re-exchanged (measured — plan unchanged, 5 |E| exchanges). AQE
+    // is toggled off around THIS plan compilation only (a fixed-shape
+    // repartition+sort gains nothing from AQE); the loop itself still
+    // runs adaptive. The partition count comes from
+    // spark.sql.shuffle.partitions, so it scales with the deployment,
+    // not the bench machine.
+    // (two layers: the degree-attach JOIN stays adaptive — AQE's skew
+    // handling matters for hot nodes at scale — and only the
+    // fixed-shape repartition+sort over the joined RDD compiles
+    // non-adaptively)
+    val sess = edges.sparkSession
+    val symdRaw = sym
+      .join(deg.select(col("node").as("src"), col("dg")), "src")
+      .localCheckpoint()
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val symd = try org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
+      symdRaw
+        .repartition(sess.sessionState.conf.numShufflePartitions,
+          col("src"))
+        .sortWithinPartitions("src"))
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
     // one scalar action to fold N into the plan as a literal (keeps
     // the teleport term inside codegen); NOT a per-round collect
     val n = deg.count()

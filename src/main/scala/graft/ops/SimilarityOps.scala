@@ -96,7 +96,7 @@ object SimilarityOps {
     val cents1 = typedLit(c1.map(_.toSeq).toSeq)
     val res = q
       .select(col("vec_id"), col("qv"),
-        array_min(array(fixedDistCols(c1): _*)).getField("cl").as("c1"))
+        fixedArgmin(c1).getField("cl").as("c1"))
       .select(col("vec_id"), col("c1"),
         zip_with(col("qv"),
           element_at(cents1, col("c1").cast("int") + 1),
@@ -105,7 +105,7 @@ object SimilarityOps {
     val (c2, _) = trainKmeansFixed(res.select(col("vec_id"), col("qv")), k2, r2)
     val codes = res
       .select(col("vec_id"), col("c1"),
-        array_min(array(fixedDistCols(c2): _*)).as("best2"))
+        fixedArgmin(c2).as("best2"))
       .select(col("vec_id"), col("c1"),
         col("best2.cl").as("c2"), col("best2.dist").as("err_sq"))
     (c1, c2, codes)
@@ -141,8 +141,7 @@ object SimilarityOps {
       .select(col("vec_id").as("n_id"), rec.as("rv"))
       .join(broadcast(queries), col("q_id") =!= col("n_id"))
       .withColumn("adist",
-        aggregate(zip_with(col("q_qv"), col("rv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
+        graft.functions.VectorFunctions.vec_l2sq_long(col("q_qv"), col("rv")))
     val short = udaf(new graft.functions.TopKSimAgg(shortlist))
     val cand = adist
       .groupBy("q_id")
@@ -810,19 +809,16 @@ object SimilarityOps {
     * for any |x| ≤ ~2·10³ at the default scale (diff² ≤ 4·10¹² · dim). */
   private def quantizeFixed(embeddings: DataFrame, scale: Long): DataFrame =
     embeddings.select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * scale.toDouble).cast("long")).as("qv"))
+      graft.functions.VectorFunctions
+        .vec_quantize_fixed(col("embedding"), scale).as("qv"))
 
-  /** Per-cluster squared-L2 struct columns against literal centroids
-    * (argmin via array_min's struct ordering; ties → lowest cluster). */
-  private def fixedDistCols(cents: Array[Array[Long]]): Seq[Column] =
-    cents.zipWithIndex.toIndexedSeq.map { case (c, ci) =>
-      struct(
-        aggregate(
-          zip_with(col("qv"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"),
-        lit(ci.toLong).as("cl"))
-    }
+  /** Nearest literal centroid as a struct(dist, cl) — native argmin
+    * (r16: replaces per-centroid interpreted `aggregate(zip_with(...))`
+    * folds under `array_min(array(...))`; exact int64, same
+    * (dist ASC, cl ASC) tie-break, bit-identical). */
+  private def fixedArgmin(cents: Array[Array[Long]]): Column =
+    graft.functions.VectorFunctions.vec_argmin_l2_fixed(
+      col("qv"), cents.toIndexedSeq.map(_.toIndexedSeq))
 
   /** The Lloyd loop of [[kmeansFixed]] over a persisted quantized
     * frame; returns (final centroids, final-round member counts). */
@@ -834,7 +830,7 @@ object SimilarityOps {
     var members: Map[Long, Long] = Map.empty
     for (_ <- 1 to rounds) {
       val assigned = q.select(col("vec_id"), col("qv"),
-        array_min(array(fixedDistCols(cents): _*)).getField("cl").as("cl"))
+        fixedArgmin(cents).getField("cl").as("cl"))
       val sums = assigned
         .select(col("cl"), posexplode(col("qv")))
         .groupBy(col("cl"), col("pos"))
@@ -888,7 +884,7 @@ object SimilarityOps {
       .localCheckpoint(eager = false)
     val (cents, _) = trainKmeansFixed(q, k, rounds)
     val assigned = q.select(col("vec_id"),
-        array_min(array(fixedDistCols(cents): _*)).as("best"))
+        fixedArgmin(cents).as("best"))
       .select(col("vec_id"), col("best.cl").as("cluster_id"),
         col("best.dist").as("dist"))
       .localCheckpoint(eager = false)
@@ -1917,6 +1913,29 @@ object SimilarityOps {
   private[graft] def resolveLayers(embeddings: DataFrame,
       layers: Int): Int =
     if (layers >= 0) layers else autoLayers(embeddings.count())
+
+  /** Corpus count plus every layer's member count in ONE aggregation
+    * job (r16 optimization, guide §1.2/§2.4): [[graft.serving
+    * .IndexStore.writeKnnLayered]] previously paid one count() scan
+    * for [[resolveLayers]] plus one per layer inside [[knnGraph]]'s
+    * [[resolveK]] — 4 corpus scans at depth 2 whose only output is
+    * four longs. The layer predicates all test the SAME md5 hash
+    * against successive moduli, so a single projection computes the
+    * hash once per row and `count_if` folds all depths in one pass.
+    * Returns counts(l) = |{v : layerMemberPred(l, v)}| for l = 0..maxL
+    * (counts(0) = |corpus|), bit-identical to the per-layer counts by
+    * construction. */
+  private[graft] def layerCounts(ids: DataFrame, maxL: Int): IndexedSeq[Long] = {
+    val h = TextOps.strHash(concat(lit("knnlayer:"),
+      col("vec_id").cast("string"))).as("h")
+    val aggs = (1 to maxL).map { l =>
+      val m = (1 to l).foldLeft(1L)((a, _) => a * LayerFactor)
+      count_if(col("h").mod(lit(m)) === 0).as(s"c$l")
+    }
+    val r = ids.select(h)
+      .agg(count(lit(1)).cast("long").as("c0"), aggs: _*).collect()(0)
+    (0 to maxL).map(i => r.getLong(i))
+  }
   /** Greedy steps per UPPER layer — one expansion rarely crosses from
     * the coarse seed's region into the query's basin; production HNSW
     * greedy-searches each layer to a local minimum, which the
@@ -2145,11 +2164,13 @@ object SimilarityOps {
   /** Sequential-fold squared L2 distance between two float arrays —
     * identical accumulation order to DuckDB's list_reduce, so PQ
     * distances are bit-reproducible across engines. */
+  /** Sequential-fold squared L2 over two equal-length float arrays —
+    * r16: the native codegen'd kernel ([[graft.functions.VecSqdist]])
+    * replaces the interpreted `aggregate(zip_with(...))` chain; both
+    * accumulate index-ascending in double precision (DuckDB
+    * list_reduce's order), so distances stay bit-reproducible. */
   private def sqdist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, c) =>
-        (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vec_sqdist(a, b)
 
   /** One-row PQ codebook: `fcb` = flat array of nSubs×nCodes
     * sub-codewords ordered by (subspace, code) — entry (m,k) at index
@@ -2291,9 +2312,27 @@ object SimilarityOps {
   def knnLabelProp(embeddings: DataFrame, seedPred: Column,
       rounds: Int = LpRounds, k: Int = KnnK, nCentroids: Int = AutoCentroids,
       nProbes: Int = KnnProbes): DataFrame = {
-    val edges = knnGraph(embeddings, k, nCentroids, nProbes)
+    // r16 (guide §2.4, the pageRankFixed discipline): the loop joins
+    // the edge list on `dst` every round — pre-partition + pre-sort it
+    // on that key once, compiled NON-adaptively so the checkpointed
+    // LogicalRDD carries the layout (under AQE it captures Unknown and
+    // every round re-exchanged + re-sorted |E|); the rounds then
+    // exchange only the label side. Count from shuffle.partitions —
+    // deployment-scaled.
+    // (two layers: the knnGraph BUILD stays adaptive — it wants AQE's
+    // skew handling at scale — and only the fixed-shape layout pass
+    // over the built edge RDD compiles non-adaptively)
+    val sess = embeddings.sparkSession
+    val built = knnGraph(embeddings, k, nCentroids, nProbes)
       .select(col("src"), col("dst"))
       .localCheckpoint()
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val edges = try org.apache.spark.sql.graft.Bridge.freshLocalCheckpoint(
+      built
+        .repartition(sess.sessionState.conf.numShufflePartitions, col("dst"))
+        .sortWithinPartitions("dst"))
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
     var labeled = embeddings.filter(seedPred)
       .select(col("vec_id"), col("label").cast("long").as("pred_label"),
         lit(0L).as("round"))

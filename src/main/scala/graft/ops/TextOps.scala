@@ -1251,10 +1251,12 @@ object TextOps {
       graft.functions.TextNative.feature_counts(col("text"), nFeatures)
         .as("xarr"))
 
+  // native literal-weight dot (r16): the interpreted
+  // aggregate(zip_with(...)) fold boxed F+1 longs per doc per round;
+  // integer Σ is order-free, so the kernel is bit-identical
   private def perceptronMargin(w: Array[Long]): Column =
-    aggregate(
-      zip_with(col("xarr"), typedLit(w.toSeq), (c, wc) => c * wc),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vec_dot_const_long(
+      col("xarr"), w.toIndexedSeq)
 
   private def trainPerceptron(fd: DataFrame, nFeatures: Int,
       rounds: Int): Array[Long] = {
@@ -1322,8 +1324,8 @@ object TextOps {
     require(weights.length == nFeatures + 1,
       s"need ${nFeatures + 1} weights, got ${weights.length}")
     val x = graft.functions.TextNative.feature_counts(col("text"), nFeatures)
-    val m = aggregate(zip_with(x, typedLit(weights.toSeq), (c, wc) => c * wc),
-      lit(0L), (acc, v) => acc + v)
+    val m = graft.functions.VectorFunctions.vec_dot_const_long(
+      x, weights.toIndexedSeq)
     docs.select(col("doc_id"), m.as("margin"),
       when(m > 0, 1L).otherwise(-1L).as("pred"))
   }

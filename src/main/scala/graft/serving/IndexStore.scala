@@ -335,8 +335,13 @@ object IndexStore {
       gen: Option[Int]): Option[DataFrame] = {
     val path = tableDirAt(dir, gen, "tombstones")
     if (!fs(spark, dir).exists(new org.apache.hadoop.fs.Path(path))) None
+    // localCheckpoint: a load masks 3-4 tables against this frame, and
+    // each mask builds its own broadcast — without the checkpoint every
+    // broadcast re-runs the scan + the dedupe exchange (r16 profile:
+    // the r15 dedupe fix re-executed 4x per delete-lifecycle load);
+    // with it the tiny deduped id set materializes once
     else Some(spark.read.schema(tombSchema).parquet(path)
-      .select("n_id").distinct())
+      .select("n_id").distinct().localCheckpoint(eager = false))
   }
 
   /** Mask `df` against the tombstones (broadcast anti-join on the
@@ -528,17 +533,25 @@ object IndexStore {
     val (gen, root) = nextGenRoot(spark, dir)
     // repartition on the partition column first (see writeAnn): one
     // file set per bucket instead of tasks x buckets; AttrBuckets is
-    // the write-parallelism knob at scale
-    DedupOps.bandKeys(train, textCol)
-      .select(col("doc_id").as("t_id"), col("band"), col("key"))
-      .withColumn("pb", pbCol(col("band"), col("key")))
-      .repartition(col("pb"))
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$root/bands")
+    // the write-parallelism knob at scale.
+    // Shingles FIRST, bands derived from the READ-BACK shingle table
+    // (r16 optimization, guide §1.2): the minhash lanes are a pure
+    // function of the shingle-hash set the artifact stores anyway, so
+    // the corpus text is scanned + shingle-hashed ONCE instead of
+    // twice per build (bit-identical band rows — MinHashSigFromHashes,
+    // spec-pinned in AttrLifecycleSpec).
     train.select(col("doc_id").as("t_id"),
         DedupOps.shingleHashes(col(textCol)).as("t_shs"))
       .withColumn("tb", tbCol(col("t_id")))
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$root/shingles")
+    DedupOps.bandKeysFromShingles(
+        spark.read.schema(attrShinglesSchema).parquet(s"$root/shingles"),
+        "t_id", "t_shs")
+      .select(col("doc_id").as("t_id"), col("band"), col("key"))
+      .withColumn("pb", pbCol(col("band"), col("key")))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$root/bands")
     commitGen(spark, dir, gen)
   }
 
@@ -553,18 +566,23 @@ object IndexStore {
       textCol: String = "text"): Unit = {
     val spark = newTrain.sparkSession
     val gen = currentGen(spark, dir)
-    DedupOps.bandKeys(newTrain, textCol)
+    // one text scan for the batch: shingle + minhash lanes in one
+    // kernel pass, bands derived from the in-flight shingle rows
+    // (the writeAttr discipline; localCheckpoint so the second write
+    // reuses the delta instead of re-scanning the text)
+    val shs = newTrain.select(col("doc_id").as("t_id"),
+        DedupOps.shingleHashes(col(textCol)).as("t_shs"))
+      .localCheckpoint(eager = false)
+    shs.withColumn("tb", tbCol(col("t_id")))
+      .repartition(col("tb"))
+      .write.mode("append").partitionBy("tb")
+      .parquet(tableDirAt(dir, gen, "shingles"))
+    DedupOps.bandKeysFromShingles(shs, "t_id", "t_shs")
       .select(col("doc_id").as("t_id"), col("band"), col("key"))
       .withColumn("pb", pbCol(col("band"), col("key")))
       .repartition(col("pb"))
       .write.mode("append").partitionBy("pb")
       .parquet(tableDirAt(dir, gen, "bands"))
-    newTrain.select(col("doc_id").as("t_id"),
-        DedupOps.shingleHashes(col(textCol)).as("t_shs"))
-      .withColumn("tb", tbCol(col("t_id")))
-      .repartition(col("tb"))
-      .write.mode("append").partitionBy("tb")
-      .parquet(tableDirAt(dir, gen, "shingles"))
   }
 
   /** Compact the attribution artifact after takedowns: physically
@@ -666,8 +684,13 @@ object IndexStore {
       .withColumn("tb", tbTermCol(col("term")))
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$root/terms")
-    tk.agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(size(col("toks"))).cast("long").as("n_tokens"))
+    // stats from the READ-BACK postings, not a third tokenize pass of
+    // the corpus (r16 optimization, guide §1.2): n_docs is the count
+    // already taken above, and Σtf over postings IS the token count —
+    // every token contributes exactly one to exactly one posting's tf
+    // (compactText computes n_tokens the same way; bit-identical)
+    posts.agg(coalesce(sum("tf"), lit(0L)).cast("long").as("n_tokens"))
+      .select(lit(nDocs).cast("long").as("n_docs"), col("n_tokens"))
       .write.mode("overwrite").parquet(s"$root/stats")
     commitGen(spark(docs), dir, gen)
   }
@@ -1030,14 +1053,24 @@ object IndexStore {
   def writeKnnLayered(corpus: DataFrame, dir: String,
       layers: Int = SimilarityOps.AutoLayers): Unit = {
     val spark = corpus.sparkSession
-    val nLayers = SimilarityOps.resolveLayers(
-      corpus.select("vec_id"), layers)
+    // ONE aggregation job yields the corpus count (depth resolution)
+    // AND every layer's member count (each layer's autoCentroids K):
+    // previously 1 + (nLayers+1) separate count() scans of the corpus
+    // per build (r16 optimization; counts are bit-identical, so the
+    // resolved depth and per-layer K — hence the artifact — are too)
+    val cnts = SimilarityOps.layerCounts(corpus.select("vec_id"), 12)
+    val nLayers = if (layers >= 0) layers
+      else SimilarityOps.autoLayers(cnts(0))
     val (gen, root) = nextGenRoot(spark, dir)
     (0 to nLayers).map { l =>
         val members = if (l == 0) corpus
           else corpus.filter(SimilarityOps.layerMemberPred(l))
+        // pinned depths beyond the precomputed range (never hit by
+        // autoLayers — 16^12 rows) fall back to knnGraph's own count
+        val kCent = if (l < cnts.length)
+          SimilarityOps.autoCentroids(cnts(l)) else SimilarityOps.AutoCentroids
         SimilarityOps.mirroredEdges(SimilarityOps.knnGraph(
-            members, SimilarityOps.LayerK))
+            members, SimilarityOps.LayerK, nCentroids = kCent))
           .select(lit(l).as("layer"), col("src"), col("dst"),
             nodeBucket(col("src")).as("sb"))
       }.reduce(_ unionByName _)
@@ -1162,19 +1195,42 @@ object IndexStore {
     commitGen(spark, dir, gen)
   }
 
-  /** The layered artifact's recorded depth — a one-row parquet table
-    * so every engine (Spark, DuckDB-side tooling) can read it without
-    * a custom format. Legacy artifacts without one read as
-    * [[graft.ops.SimilarityOps.GraphLayers]]. */
+  /** The layered artifact's recorded depth — a tiny JSON side file
+    * written straight through the filesystem (the manifest-file
+    * discipline), NOT a Spark job: the r16 profile showed the one-row
+    * parquet form costing a full write job at build time plus a read
+    * job on EVERY layered load (~0.5 s + ~0.15 s per lifecycle stage
+    * at the bench scale, pure orchestration). Any engine can read a
+    * one-line JSON. Legacy artifacts: a parquet `lmeta` DIRECTORY from
+    * older builds is still read; absent both, the pre-round-16
+    * constant. */
   private def writeLayerMeta(spark: SparkSession, path: String,
-      layers: Int): Unit =
-    spark.range(1).select(lit(layers).cast("int").as("layers"))
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      layers: Int): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(new org.apache.hadoop.fs.Path(path + ".json"), true)
+    out.write(s"""{"layers":$layers}""".getBytes("UTF-8"))
+    out.close()
+  }
 
-  private def readLayerMeta(spark: SparkSession, path: String): Int =
-    if (!fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
-      SimilarityOps.GraphLayers
-    else spark.read.parquet(path).first().getInt(0)
+  private val LayersRe = """\{"layers":(\d+)\}""".r
+
+  private def readLayerMeta(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    val json = new org.apache.hadoop.fs.Path(path + ".json")
+    if (f.exists(json)) {
+      val in = f.open(json)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.trim match {
+        case LayersRe(n) => n.toInt
+        case _ => throw new IllegalStateException(
+          s"unreadable layer meta at $json: $s")
+      }
+    }
+    else if (f.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path).first().getInt(0)
+    else SimilarityOps.GraphLayers
+  }
 
   private val layeredEdgesSchema = StructType(Seq(
     StructField("src", LongType),

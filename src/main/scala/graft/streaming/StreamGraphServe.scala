@@ -68,9 +68,20 @@ object StreamGraphServe {
   }
 
   /** The normalized bounded query frame plus everything the beam
-    * search VISITED — the shared front half of [[serveTopK]] and
-    * [[serveFilteredTopK]] (the filtered serve traverses the SAME
-    * unfiltered frontier, by construction). */
+    * search VISITED, ALREADY SCORED — the shared front half of
+    * [[serveTopK]] and [[serveFilteredTopK]] (the filtered serve
+    * traverses the SAME unfiltered frontier, by construction).
+    *
+    * r16 optimization (guide §1.2 — don't compute things twice): the
+    * walk already scores hops 1..hops−1 to pick each beam, and the
+    * old shape then RE-scored every visited node in one final gather
+    * pass (an extra bucket-prune collect plus a node join over the
+    * LARGEST frontier of the query). The gather now reuses the walk's
+    * scored frames and scores only what the walk never scored (the
+    * seeds and the final hop). [[scoreFrontier]] is deterministic per
+    * (q_id, node) — same node store, same expression — so the
+    * deduplicated union is row-identical to the old rescore
+    * (StreamGraphServeSpec pins serve ≡ the in-plan operator). */
   private[graft] def gatherVisited(queries: DataFrame, index: KnnIndex,
       beam: Int, seedK: Int, hops: Int): (DataFrame, DataFrame) = {
     val q = queries
@@ -88,18 +99,23 @@ object StreamGraphServe {
     // the new nodes through the map-side TopKSimAgg partial aggregator
     val topB = udaf(new graft.functions.TopKSimAgg(beam))
     var frontier = seeds
-    var visited = seeds
+    var unscored = seeds
+    var scored: Option[DataFrame] = None
     for (h <- 1 to hops) {
       val hop = expandFrontier(frontier, index).distinct()
         .localCheckpoint(eager = false)
-      visited = visited.unionByName(hop)
-      frontier = if (h < hops) scoreFrontier(hop, q, index)
-        .groupBy("q_id").agg(topB(col("node"), col("sim")).as("top"))
-        .select(col("q_id"), explode(col("top.n_id")).as("node"))
-        .localCheckpoint(eager = false)
-      else hop
+      if (h < hops) {
+        val hs = scoreFrontier(hop, q, index).localCheckpoint(eager = false)
+        scored = Some(scored.fold(hs)(_ unionByName hs))
+        frontier = hs
+          .groupBy("q_id").agg(topB(col("node"), col("sim")).as("top"))
+          .select(col("q_id"), explode(col("top.n_id")).as("node"))
+      } else unscored = unscored.unionByName(hop)
     }
-    (q, visited
+    val tail = scoreFrontier(
+      unscored.filter(col("node") =!= col("q_id")).distinct()
+        .localCheckpoint(eager = false), q, index)
+    (q, scored.fold(tail)(_ unionByName tail)
       .filter(col("node") =!= col("q_id")).distinct()
       .localCheckpoint(eager = false))
   }
@@ -111,9 +127,9 @@ object StreamGraphServe {
       beam: Int = SimilarityOps.GraphBeam,
       seedK: Int = SimilarityOps.GraphSeeds,
       hops: Int = SimilarityOps.GraphHops): DataFrame = {
-    val (q, gathered) = gatherVisited(queries, index, beam, seedK, hops)
+    val (_, gathered) = gatherVisited(queries, index, beam, seedK, hops)
     val topK = udaf(new graft.functions.TopKSimAgg(k))
-    scoreFrontier(gathered, q, index)
+    gathered
       .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.n_id").as("n_id"),
@@ -144,14 +160,14 @@ object StreamGraphServe {
       seedK: Int = SimilarityOps.GraphSeeds,
       hops: Int = SimilarityOps.GraphHops,
       labelMod: Long = SimilarityOps.FilterLabelMod): DataFrame = {
-    val (q, gathered) = gatherVisited(queries, index, beam, seedK, hops)
+    val (_, gathered) = gatherVisited(queries, index, beam, seedK, hops)
     // distinct: a labels relation carrying duplicate vec_id rows would
     // duplicate pre-agg candidates (skewing the top-k) and re-attach
     // one result row per duplicate at the emit join (r15 ADVICE)
     val lbl = labels.select(col("vec_id").as("node"),
       col("label").cast("long").as("n_label")).distinct()
     val topK = udaf(new graft.functions.TopKSimAgg(k))
-    scoreFrontier(gathered, q, index)
+    gathered
       .join(lbl, "node")
       .filter(col("n_label") % labelMod === 0)
       .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
@@ -206,10 +222,10 @@ object StreamGraphServe {
       hops: Int = SimilarityOps.GraphHops,
       layers: Int = SimilarityOps.AutoLayers,
       layerHops: Int = SimilarityOps.LayerHops): DataFrame = {
-    val (q, gathered) = gatherLayeredVisited(queries, index, beam, seedK,
+    val (_, gathered) = gatherLayeredVisited(queries, index, beam, seedK,
       hops, layers, layerHops)
     val topK = udaf(new graft.functions.TopKSimAgg(k))
-    scoreNodes(gathered, q, index.nodes)
+    gathered
       .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.n_id").as("n_id"),
@@ -230,7 +246,7 @@ object StreamGraphServe {
       layers: Int = SimilarityOps.AutoLayers,
       layerHops: Int = SimilarityOps.LayerHops,
       labelMod: Long = SimilarityOps.FilterLabelMod): DataFrame = {
-    val (q, gathered) = gatherLayeredVisited(queries, index, beam, seedK,
+    val (_, gathered) = gatherLayeredVisited(queries, index, beam, seedK,
       hops, layers, layerHops)
     // distinct: a labels relation carrying duplicate vec_id rows would
     // duplicate pre-agg candidates (skewing the top-k) and re-attach
@@ -238,7 +254,7 @@ object StreamGraphServe {
     val lbl = labels.select(col("vec_id").as("node"),
       col("label").cast("long").as("n_label")).distinct()
     val topK = udaf(new graft.functions.TopKSimAgg(k))
-    scoreNodes(gathered, q, index.nodes)
+    gathered
       .join(lbl, "node")
       .filter(col("n_label") % labelMod === 0)
       .groupBy("q_id").agg(topK(col("node"), col("sim")).as("top"))
@@ -252,9 +268,15 @@ object StreamGraphServe {
   }
 
   /** The shared front half of the layered serves: normalized queries
-    * plus everything the descent + beam VISITED. The [[SimilarityOps
-    * .AutoLayers]] sentinel resolves to the ARTIFACT's recorded depth
-    * — a serve must descend exactly the layers the build stacked. */
+    * plus everything the descent + beam VISITED, ALREADY SCORED (the
+    * [[gatherVisited]] r16 shape — the descent scores every candidate
+    * set to pick each carry, so the final gather reuses those frames
+    * and scores only the last layer-0 hop; the entry rows carry their
+    * own sims, computed from the SAME vectors the node store holds,
+    * so the deduplicated union is row-identical to the old full
+    * rescore). The [[SimilarityOps.AutoLayers]] sentinel resolves to
+    * the ARTIFACT's recorded depth — a serve must descend exactly the
+    * layers the build stacked. */
   private[graft] def gatherLayeredVisited(queries: DataFrame,
       index: IndexStore.LayeredIndex, beam: Int, seedK: Int, hops: Int,
       layers0: Int, layerHops: Int): (DataFrame, DataFrame) = {
@@ -275,29 +297,35 @@ object StreamGraphServe {
         .select(col("q_id"), explode(col("top.n_id")).as("node"))
     }
     var carry = topOf(entry, seedK).localCheckpoint(eager = false)
-    var visited = entry.select("q_id", "node")
+    var scored = entry
     for (l <- layers to 1 by -1; s <- 1 to layerHops) {
       val cand = carry
         .unionByName(expandLayer(carry, index.edges, l))
         .distinct()
         .localCheckpoint(eager = false)
-      visited = visited.unionByName(cand)
+      val cs = scoreNodes(cand, q, index.nodes)
+        .localCheckpoint(eager = false)
+      scored = scored.unionByName(cs)
       val keep = if (l == 1 && s == layerHops) math.max(seedK, beam)
         else seedK
-      carry = topOf(scoreNodes(cand, q, index.nodes), keep)
-        .localCheckpoint(eager = false)
+      carry = topOf(cs, keep).localCheckpoint(eager = false)
     }
     var frontier = carry
+    var lastHop = carry
     for (h <- 1 to hops) {
       val hop = expandLayer(frontier, index.edges, 0).distinct()
         .localCheckpoint(eager = false)
-      visited = visited.unionByName(hop)
-      frontier = if (h < hops)
-        topOf(scoreNodes(hop, q, index.nodes), beam)
+      if (h < hops) {
+        val hs = scoreNodes(hop, q, index.nodes)
           .localCheckpoint(eager = false)
-      else hop
+        scored = scored.unionByName(hs)
+        frontier = topOf(hs, beam).localCheckpoint(eager = false)
+      } else lastHop = hop
     }
-    (q, visited
+    val tail = scoreNodes(
+      lastHop.filter(col("node") =!= col("q_id")).distinct()
+        .localCheckpoint(eager = false), q, index.nodes)
+    (q, scored.unionByName(tail)
       .filter(col("node") =!= col("q_id")).distinct()
       .localCheckpoint(eager = false))
   }
@@ -336,47 +364,59 @@ object StreamGraphServe {
       scored.groupBy("q_id").agg(agg(col("node"), col("sim")).as("top"))
         .select(col("q_id"), explode(col("top.n_id")).as("node"))
     }
-    def edgesOf(cand: DataFrame, l: Int): DataFrame = {
-      // layer-ℓ out-edges: top-LayerK layer-ℓ members of the scored
-      // candidates, for queries whose level reaches ℓ
-      val eligible = cand
-        .filter(SimilarityOps.layerMemberPred(l, col("node")))
-        .filter(col("node") =!= col("q_id"))
-      topOf(scoreNodes(eligible.select("q_id", "node").distinct(), q,
-          index.nodes), SimilarityOps.LayerK)
+    // layer-ℓ out-edges from an ALREADY-SCORED candidate frame (r16 —
+    // the descent scores every candidate set anyway, so the old
+    // edgesOf's fresh scoreNodes pass over the layer's candidates was
+    // pure recomputation: one extra bucket-prune collect + node join
+    // per layer; scoreNodes is deterministic per (q_id, node), so the
+    // deduplicated scored union ranks identically): top-LayerK
+    // layer-ℓ members, for queries whose level reaches ℓ.
+    def edgesOf(scored: DataFrame, l: Int): DataFrame =
+      topOf(scored
+          .filter(SimilarityOps.layerMemberPred(l, col("node")))
+          .filter(col("node") =!= col("q_id"))
+          .distinct(), SimilarityOps.LayerK)
         .filter(SimilarityOps.layerMemberPred(l, col("q_id")))
         .select(col("q_id").as("src"), col("node").as("dst"))
-    }
     var carry = topOf(entry, seedK).localCheckpoint(eager = false)
-    var visited = entry.select("q_id", "node")
+    var allScored = entry
     val out = scala.collection.mutable.Map.empty[Int, DataFrame]
     for (l <- layers to 1 by -1) {
-      var layerCand = carry
+      var layerScored: Option[DataFrame] = None
       for (s <- 1 to layerHops) {
         val cand = carry
           .unionByName(expandLayer(carry, index.edges, l))
           .distinct()
           .localCheckpoint(eager = false)
-        layerCand = layerCand.unionByName(cand).distinct()
-        visited = visited.unionByName(cand)
+        val cs = scoreNodes(cand, q, index.nodes)
+          .localCheckpoint(eager = false)
+        layerScored = Some(layerScored.fold(cs)(_ unionByName cs))
+        allScored = allScored.unionByName(cs)
         val keep = if (l == 1 && s == layerHops) math.max(seedK, beam)
           else seedK
-        carry = topOf(scoreNodes(cand, q, index.nodes), keep)
-          .localCheckpoint(eager = false)
+        carry = topOf(cs, keep).localCheckpoint(eager = false)
       }
-      out(l) = edgesOf(layerCand, l).localCheckpoint(eager = false)
+      // the layer's first cand set contains the incoming carry, so the
+      // per-step scored union covers everything the old layerCand held
+      out(l) = edgesOf(layerScored.get, l).localCheckpoint(eager = false)
     }
     var frontier = carry
+    var lastHop = carry
     for (h <- 1 to hops) {
       val hop = expandLayer(frontier, index.edges, 0).distinct()
         .localCheckpoint(eager = false)
-      visited = visited.unionByName(hop)
-      frontier = if (h < hops)
-        topOf(scoreNodes(hop, q, index.nodes), beam)
+      if (h < hops) {
+        val hs = scoreNodes(hop, q, index.nodes)
           .localCheckpoint(eager = false)
-      else hop
+        allScored = allScored.unionByName(hs)
+        frontier = topOf(hs, beam).localCheckpoint(eager = false)
+      } else lastHop = hop
     }
-    out(0) = edgesOf(visited.distinct(), 0).localCheckpoint(eager = false)
+    val tail = scoreNodes(
+      lastHop.filter(col("node") =!= col("q_id")).distinct()
+        .localCheckpoint(eager = false), q, index.nodes)
+    out(0) = edgesOf(allScored.unionByName(tail), 0)
+      .localCheckpoint(eager = false)
     out.toMap
   }
 

@@ -70,6 +70,21 @@ class AttrLifecycleSpec extends AnyFunSuite {
       "append ≡ rebuild at serve time (nothing is stale in this family)")
   }
 
+  test("bandKeysFromShingles == bandKeys over the originating text, " +
+    "row for row (the r16 one-text-pass build optimization)") {
+    val fromText = graft.ops.DedupOps.bandKeys(docs)
+      .select("doc_id", "band", "key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2))
+    val shs = docs.select(col("doc_id").as("t_id"),
+      graft.ops.DedupOps.shingleHashes(col("text")).as("t_shs"))
+    val fromHashes = graft.ops.DedupOps
+      .bandKeysFromShingles(shs, "t_id", "t_shs")
+      .select("doc_id", "band", "key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2))
+    assert(fromText.toSeq == fromHashes.toSeq,
+      "minhash lanes from the stored shingle-hash set are bit-identical")
+  }
+
   test("compact-after-delete == writeAttr(truth-minus-deleted) across " +
     "both tables; tombstones dropped physically; serve unchanged") {
     val delPred = col("doc_id") % 25 === 3
